@@ -1,38 +1,46 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship query (BLS transit search on the
+events series at sf0.001); `queries()`/`oracle_sql()` expose the
+operator registry from `miletos_spark.plans.driver_queries`, where each
+Spark implementation is paired with a DuckDB-runnable ANSI-SQL oracle.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: find the strongest periodic box signal in the sf0.001
+    events series (SURVEY.md §7.2 minimum slice: read → filter →
+    fold/bucket → aggregate → top-k)."""
+    from pyspark.sql import functions as F
+
+    from miletos_spark.plans.driver_queries import _bls_trials, _ev_days
+    from miletos_spark.search.bls import bls_best, bls_search
+
+    ev = _ev_days(spark, "/root/testdata/sf0.001")
+    trials = spark.createDataFrame(
+        _bls_trials(), "period double, dcyc double, off double"
+    )
+    spec = bls_search(ev, trials, time_col="t", value_col="value", t_ref=0.0)
+    return bls_best(spec, min_in=3)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from miletos_spark.plans.driver_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from miletos_spark.plans.driver_queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from miletos_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: one per operator family (agg, join, window, sessionize,
+# fold, periodogram, BLS, dedup, text, similarity)
+HEADLINE = [
+    "pricing_summary",
+    "region_revenue",
+    "rebin_events",
+    "median_normalize_events",
+    "sessionize_events",
+    "fold_phase_bins",
+    "rolling_median_events",
+    "lomb_scargle_events",
+    "bls_spectrum_events",
+    "dedup_exact_docs",
+    "text_stats_docs",
+    "similarity_topk",
+    "minhash_lsh_pairs",
+]
+
+
+def main() -> None:
+    from miletos_spark.plans.driver_queries import QUERIES
+
+    spark = get_spark(app_name="miletos_spark_bench")
+    # warm the JVM + parquet footers once so per-query numbers measure
+    # the plans, not session startup
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

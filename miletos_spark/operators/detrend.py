@@ -1,0 +1,146 @@
+"""X2–X4 — baseline detrending (miletos/main.py:6653-6904, 10890-11101).
+
+Three backends mirroring the reference's `typebdtr`:
+
+- ``median_detrend`` — median filter baseline (miletos/main.py:6784-6795):
+  pure window aggregate, zero UDFs, the scale-default.
+- ``spline_detrend`` — per-region LSQ spline (miletos/main.py:6779-6783):
+  `applyInPandas` per (inst, chunk, ener, region); regions are bounded
+  (≤ one sector) so group size is safe for Arrow batches.
+- ``clip_detrend_loop`` — X4 alternate sigma-clip and detrend to
+  fixpoint (≤5 iters, miletos/main.py:10931-11087).
+
+Output convention follows the reference: detrended value =
+``1 + value − baseline`` (miletos/main.py:6847-6851 semantics), so a
+flat series normalizes to 1.0.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from miletos_spark.operators.sessionize import sessionize
+from miletos_spark.operators.windows import rolling_median
+
+
+def median_detrend(
+    df: DataFrame,
+    half_width: int,
+    value_col: str = "value",
+    time_col: str = "time",
+    group_cols: Sequence[str] = (),
+    out_col: str = "value_detrended",
+) -> DataFrame:
+    """X2 'medi' backend: baseline = centered rolling median; output
+    1 + value − baseline."""
+    out = rolling_median(
+        df, half_width, value_col=value_col, time_col=time_col,
+        group_cols=group_cols, out_col="_baseline",
+    )
+    return out.withColumn(
+        out_col, F.lit(1.0) + F.col(value_col) - F.col("_baseline")
+    ).drop("_baseline")
+
+
+def spline_detrend(
+    df: DataFrame,
+    knot_spacing_days: float = 0.5,
+    order: int = 3,
+    gap_days: float = 0.1,
+    value_col: str = "value",
+    time_col: str = "time",
+    group_cols: Sequence[str] = ("inst", "chunk", "ener"),
+    out_col: str = "value_detrended",
+) -> DataFrame:
+    """X2 'Spline' backend: per gap-region LSQUnivariateSpline with
+    interior knots every `knot_spacing_days` (miletos/main.py:6853-6886;
+    defaults `timescalbdtr`, `ordrspln=3` miletos/main.py:7921-7925).
+
+    Sessionize on gaps (W4) then fit per (group, region) inside an
+    Arrow-batched `applyInPandas`. Degenerate regions (< order+2 points
+    or fewer points than knots require) fall back to their mean, matching
+    the reference's <4-point guard (miletos/main.py:6836-6851).
+    """
+    import pandas as pd
+
+    sess = sessionize(df, gap_days, time_col=time_col, group_cols=group_cols)
+    keys = [*group_cols, "region"]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in sess.schema.fields
+    ) + f", {out_col} double"
+
+    def fit_region(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        t = pdf[time_col].to_numpy()
+        y = pdf[value_col].to_numpy()
+        o = np.argsort(t)
+        t_s, y_s = t[o], y[o]
+        baseline = np.full_like(y_s, np.nan)
+        try:
+            from scipy.interpolate import LSQUnivariateSpline
+
+            span = t_s[-1] - t_s[0]
+            n_knots = int(span / knot_spacing_days)
+            if len(t_s) > order + 1 and n_knots >= 1:
+                knots = t_s[0] + (np.arange(1, n_knots + 1)) * span / (n_knots + 1)
+                spl = LSQUnivariateSpline(t_s, y_s, knots, k=order)
+                baseline = spl(t_s)
+            else:
+                baseline[:] = np.mean(y_s)
+        except Exception:
+            baseline[:] = np.mean(y_s)
+        res = pdf.iloc[o].copy()
+        res[out_col] = 1.0 + y_s - baseline
+        return res
+
+    return sess.groupBy(*keys).applyInPandas(fit_region, schema=out_schema)
+
+
+def clip_detrend_loop(
+    df: DataFrame,
+    half_width: int,
+    low: float = 3.0,
+    high: float = 3.0,
+    max_iter: int = 5,
+    value_col: str = "value",
+    time_col: str = "time",
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """X4 — alternate 3σ clip (on the detrended residual) and median
+    re-detrend until the kept row count is stable or `max_iter`
+    (miletos/main.py:10931-11087; cap miletos/main.py:8586).
+
+    Driver loop over cached DataFrames; each pass = one window job +
+    one agg + one filter. Final pass evaluates the trend on the
+    surviving rows and returns them with `value_detrended`.
+    """
+    work = df
+    prev = None
+    for _ in range(max_iter):
+        det = median_detrend(
+            work, half_width, value_col=value_col, time_col=time_col,
+            group_cols=group_cols,
+        ).cache()
+        n = det.count()
+        if prev is not None and n == prev:
+            return det
+        prev = n
+        stats = det.agg(
+            F.avg("value_detrended").alias("mu"),
+            F.stddev_pop("value_detrended").alias("sd"),
+        ).first()
+        mu, sd = stats["mu"], stats["sd"]
+        if not sd:
+            return det
+        work = det.filter(
+            (F.col("value_detrended") > mu - low * sd)
+            & (F.col("value_detrended") < mu + high * sd)
+        ).drop("value_detrended")
+    return median_detrend(
+        work, half_width, value_col=value_col, time_col=time_col,
+        group_cols=group_cols,
+    )

@@ -1,0 +1,25 @@
+"""Beyond-reference operators for large-scale training-data pipelines:
+deduplication, similarity search, text analysis, multimodal columns.
+
+These reuse the engine's Spark-first idioms (hash-groupBy, broadcast
+joins, window ops, Arrow-batched UDFs only where unavoidable) and are
+first-class alongside the SURVEY.md §2 inventory.
+"""
+
+from miletos_spark.pipeline.dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_signatures,
+    minhash_lsh_pairs,
+    simhash_64,
+    ngram_jaccard_pairs,
+)
+from miletos_spark.pipeline.text import (  # noqa: F401
+    text_stats,
+    token_count,
+    language_id,
+    doc_fingerprint,
+)
+from miletos_spark.pipeline.similarity import (  # noqa: F401
+    cosine_topk,
+    lsh_bucket_topk,
+)

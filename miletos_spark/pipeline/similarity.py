@@ -1,0 +1,123 @@
+"""Similarity search over an embedding column (`array<float>`).
+
+- `cosine_topk`: brute-force exact top-k — dot products via
+  `F.zip_with` + `F.aggregate` (JVM-side; no UDF). At 100 TB this is
+  one scan + a per-partition partial top-k (Spark's TakeOrderedAndProject)
+  — no shuffle of the full score table.
+- `lsh_bucket_topk`: scale path — random-hyperplane LSH buckets
+  (SimHash for vectors): candidates share a bucket; exact scoring only
+  within buckets. Hyperplanes are a broadcast literal array; bucketing
+  is pure column math.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array<double> columns."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine against a single query vector (broadcast
+    as a literal array). Returns (id, cos_sim) ordered desc."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return (
+        df.select(F.col(id_col), cosine_similarity(v, q).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pairwise_topk(
+    df: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """All-pairs cosine above a threshold, top-k per left id — the
+    embedding-cosine near-dup detector. Brute force O(n²) reserved for
+    small n; use `lsh_bucket_topk` at scale."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    a = df.select(F.col(id_col).alias("id_a"), v.alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), v.alias("vb"))
+    from pyspark.sql import Window
+
+    scored = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine_similarity(F.col("va"), F.col("vb")))
+        .filter(F.col("cos_sim") > threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("cos_sim").desc(), "id_b")
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 12,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    probe_bits: int = 0,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH. Vectors hash to a
+    2^n_planes bucket id; only the query's bucket (± multi-probe
+    neighbors flipping up to `probe_bits` bits) is scored exactly.
+
+    The bucket id is computable at write time and usable as a partition
+    key, so at scale this prunes the scan itself, not just the compute.
+    """
+    rng = np.random.default_rng(seed)
+    dim = len(query)
+    planes = rng.standard_normal((n_planes, dim))
+
+    def bucket_of(vec_np: np.ndarray) -> int:
+        return int(sum((1 << i) for i, p in enumerate(planes) if p @ vec_np > 0))
+
+    def bucket_col(v: Column) -> Column:
+        b = F.lit(0)
+        for i, p in enumerate(planes):
+            plane = F.array(*[F.lit(float(x)) for x in p])
+            b = b + F.when(_dot(v, plane) > 0, F.lit(1 << i)).otherwise(0)
+        return b
+
+    q_bucket = bucket_of(np.asarray(query, dtype=float))
+    targets = {q_bucket}
+    if probe_bits >= 1:
+        for i in range(n_planes):
+            targets.add(q_bucket ^ (1 << i))
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        df.withColumn("_bucket", bucket_col(v))
+        .filter(F.col("_bucket").isin(*targets))
+        .select(F.col(id_col), cosine_similarity(v, q).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

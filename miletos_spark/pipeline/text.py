@@ -1,0 +1,101 @@
+"""Text-analysis operators over a `documents(doc_id, text, lang, ...)`
+table: token counting, quality scoring, language-ID heuristic, document
+fingerprinting. All pure `pyspark.sql.functions` column expressions —
+JVM-side, whole-stage-codegen'd, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language
+# heuristic (public common-word lists; enough for a ratio signal).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "das", "und", "ist", "von", "zu", "den", "mit", "nicht"],
+    "fr": ["le", "la", "les", "de", "et", "est", "un", "une", "que", "pour"],
+    "es": ["el", "la", "los", "de", "y", "es", "un", "una", "que", "por"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; empty string → 0."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: count word pieces + digit runs +
+    punctuation marks (a regex proxy for subword tokenizers)."""
+    pieces = F.split(F.trim(text), r"(?=[^\w\s])|\s+")
+    return F.size(F.filter(pieces, lambda p: F.length(p) > 0))
+
+
+def text_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Quality-scoring features: lengths, token stats, punctuation /
+    digit / whitespace / uppercase ratios, mean word length."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    toks = token_count(t)
+    non_ws = F.length(F.regexp_replace(t, r"\s", ""))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        toks.alias("n_tokens"),
+        F.when(toks > 0, non_ws / toks).alias("mean_word_len"),
+        F.when(
+            n_chars > 0,
+            F.length(F.regexp_replace(t, r"[^!-/:-@\[-`{-~]", "")) / n_chars,
+        ).alias("punct_ratio"),
+        F.when(n_chars > 0, F.length(F.regexp_replace(t, r"[^0-9]", "")) / n_chars).alias(
+            "digit_ratio"
+        ),
+        F.when(n_chars > 0, F.length(F.regexp_replace(t, r"[^A-Z]", "")) / n_chars).alias(
+            "upper_ratio"
+        ),
+    )
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Stopword-ratio language heuristic: score each language by the
+    fraction of tokens that are in its stopword list; argmax wins.
+    Returns (id, lang_pred, lang_score). Unknown/empty → 'und'."""
+    toks = F.transform(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda w: F.regexp_replace(w, r"[^\p{L}]", ""),
+    )
+    n = F.size(toks)
+    scores = []
+    for lang, words in STOPWORDS.items():
+        hits = F.size(F.filter(toks, lambda w, ws=tuple(words): w.isin(*ws)))
+        scores.append(
+            F.struct((hits / F.greatest(n, F.lit(1))).alias("score"), F.lit(lang).alias("lang"))
+        )
+    best = F.array_max(F.array(*scores))
+    return df.select(
+        F.col(id_col),
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
+        best["score"].alias("lang_score"),
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+) -> DataFrame:
+    """Rolling-hash document fingerprint: xxhash64 over each k-gram,
+    keep the minimum (a 1-hash MinHash — a compact content id robust to
+    whitespace changes). Returns (id, fingerprint)."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    nn = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(nn - (k - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.substr(norm, i, F.lit(k)))
+    return df.select(
+        F.col(id_col), F.array_min(F.transform(grams, F.xxhash64)).alias("fingerprint")
+    )

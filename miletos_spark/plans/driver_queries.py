@@ -1,0 +1,687 @@
+"""Paired (Spark query, DuckDB oracle) implementations over the driver
+test tables (TESTDATA.md). The driver runs each Spark callable at
+sf=0.01 and hash-compares row values against the oracle SQL.
+
+Float-parity discipline: every floating output column is rounded (in
+BOTH engines) coarsely enough that cross-engine summation-order noise
+(~1e-12 relative) cannot flip the rounded value; time axes are shifted
+to a data-derived origin before trig so libm argument-reduction
+differences stay in the noise. Column aliases match exactly.
+
+Operator ids in each query's docstring refer to SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from miletos_spark.operators.fold import fold, phase_bins
+from miletos_spark.operators.filters import mask_time_windows
+from miletos_spark.operators.normalize import median_normalize
+from miletos_spark.operators.rebin import rebin
+from miletos_spark.operators.sessionize import sessionize
+from miletos_spark.pipeline.dedup import exact_dedup, minhash_lsh_pairs, minhash_signatures
+from miletos_spark.pipeline.similarity import cosine_topk
+from miletos_spark.pipeline.text import text_stats
+from miletos_spark.search.bls import bls_sql, bls_search
+from miletos_spark.search.lombscargle import freq_grid, lomb_scargle, lomb_scargle_sql
+from miletos_spark.search.outlier_period import outlier_period_search, outlier_period_sql
+from miletos_spark.schema import load_table
+
+# --- shared constants (identical in both engines) ---------------------------
+
+# events time axis in days (epoch seconds / 86400)
+EV_T_DAYS_SQL = "epoch(ts)/86400.0"
+MASK_WINDOWS = [(19730.0, 19733.0), (19740.0, 19741.0)]
+FOLD_PERIOD = 7.0
+LS_FMIN, LS_DF, LS_NFREQ = 0.05, 0.01, 146
+SESSION_GAP_SEC = 14400.0
+
+
+def _ev_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from miletos_spark.schema import epoch_seconds_expr
+
+    ev = load_table(spark, sf_dir, "events")
+    t_sec = epoch_seconds_expr(ev, "ts")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        (t_sec / 86400.0).alias("t"),
+        t_sec.alias("t_sec"),
+    )
+
+
+# --- relational coverage (A/J/T/U series on the star schema) ----------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-series aggregation battery (TPC-H Q1 shape): groupBy two keys,
+    8 aggregates, pure map-side-combinable — the canonical 'one shuffle
+    of |groups| rows' plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-series: 5-table star join. The dimension chain
+    region⋈nation⋈customer is broadcast (small sides); only
+    orders⋈lineitem shuffles, on the join key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dim = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_REGION_REVENUE = """
+SELECT r.r_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 complement as a left_anti join (the reference's setdiff1d,
+    miletos/main.py:91), aggregated per nation."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_nationkey, count(*) AS n_custs, round(sum(c_acctbal), 2) AS sum_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_nationkey
+"""
+
+
+def q_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 top-k outliers: orderBy(desc).limit(k) — per-partition partial
+    top-k, no global sort (miletos/main.py:5220)."""
+    ev = _ev_days(spark, sf_dir)
+    return (
+        ev.orderBy(F.col("value").desc(), "event_id")
+        .limit(5)
+        .select("event_id", F.round("value", 6).alias("value"))
+    )
+
+
+SQL_TOP_EVENTS = """
+SELECT event_id, round(value, 6) AS value
+FROM events ORDER BY value DESC, event_id LIMIT 5
+"""
+
+
+# --- time-series operators on events ---------------------------------------
+
+
+def q_rebin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 rebn_tser: 1-day bins per event_type with the reference's
+    error propagation (stdv input pinned to 1.0)."""
+    ev = _ev_days(spark, sf_dir).withColumn("stdv", F.lit(1.0))
+    out = rebin(
+        ev, delt=1.0, time_col="t", value_col="value", stdv_col="stdv",
+        group_cols=("event_type",),
+    )
+    return out.select(
+        "event_type",
+        "bin",
+        F.round("time", 6).alias("time"),
+        F.round("value", 6).alias("value"),
+        F.round("stdv", 6).alias("stdv"),
+        "n",
+    )
+
+
+SQL_REBIN_EVENTS = f"""
+WITH s AS (
+  SELECT event_type, {EV_T_DAYS_SQL} AS t, value, 1.0 AS stdv FROM events
+),
+t0 AS (SELECT min(t) AS t0 FROM s),
+b AS (
+  SELECT s.event_type,
+         CAST(floor((s.t - t0.t0) / 1.0) AS BIGINT) AS bin,
+         avg(s.value) AS mean_v,
+         coalesce(stddev_pop(s.value), 0.0) AS scatter,
+         sqrt(sum(s.stdv * s.stdv)) AS esum,
+         count(*) AS n,
+         min(t0.t0) AS t0
+  FROM s CROSS JOIN t0
+  GROUP BY 1, 2
+)
+SELECT event_type, bin,
+       round(t0 + (bin + 0.5) * 1.0, 6) AS time,
+       round(mean_v, 6) AS value,
+       round(sqrt(pow(esum / n, 2) + pow(scatter, 2)), 6) AS stdv,
+       n
+FROM b
+"""
+
+
+def q_median_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 median normalization per event_type (exact percentile,
+    broadcast back — no per-row window)."""
+    ev = _ev_days(spark, sf_dir).withColumn("stdv", F.lit(1.0))
+    out = median_normalize(ev, value_col="value", stdv_col="stdv",
+                           group_cols=("event_type",))
+    return out.select("event_id", F.round("value", 6).alias("value_norm"))
+
+
+SQL_MEDIAN_NORMALIZE_EVENTS = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m FROM events GROUP BY event_type
+)
+SELECT e.event_id, round(e.value / med.m, 6) AS value_norm
+FROM events e JOIN med USING (event_type)
+"""
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 gap sessionization per user (gap > 4 h), aggregated to one
+    row per session."""
+    ev = _ev_days(spark, sf_dir)
+    sess = sessionize(ev, gap=SESSION_GAP_SEC, time_col="t_sec",
+                      group_cols=("user_id",))
+    return sess.groupBy("user_id", "region").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.min("t_sec"), 6).alias("t_start"),
+        F.round(F.max("t_sec"), 6).alias("t_end"),
+    )
+
+
+SQL_SESSIONIZE_EVENTS = f"""
+WITH s AS (
+  SELECT user_id, epoch(ts) AS t_sec,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > {SESSION_GAP_SEC!r}
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts))
+),
+r AS (
+  SELECT user_id, t_sec,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY t_sec
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS region
+  FROM s
+)
+SELECT user_id, region, count(*) AS n_events,
+       round(min(t_sec), 6) AS t_start, round(max(t_sec), 6) AS t_end
+FROM r GROUP BY user_id, region
+"""
+
+
+def q_fold_phase_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 phase fold (P=7 d) + X5 phase binning (50 bins)."""
+    ev = _ev_days(spark, sf_dir).withColumn("stdv", F.lit(1.0))
+    folded = fold(ev, period=FOLD_PERIOD, epoch=0.0, phase_center=0.5,
+                  time_col="t")
+    out = phase_bins(folded, num_bins=50, center=0.5)
+    return out.select(
+        "bin",
+        F.round("phase", 6).alias("phase"),
+        F.round("value", 6).alias("value"),
+        F.round("stdv", 6).alias("stdv"),
+        "n",
+    )
+
+
+SQL_FOLD_PHASE_BINS = f"""
+WITH f AS (
+  SELECT value, 1.0 AS stdv,
+         ((({EV_T_DAYS_SQL}) % {FOLD_PERIOD!r} + {FOLD_PERIOD!r})
+            % {FOLD_PERIOD!r}) / {FOLD_PERIOD!r} AS p0
+  FROM events
+),
+ph AS (
+  SELECT value, stdv,
+         CASE WHEN p0 <= 0.0 THEN p0 + 1.0 ELSE p0 END AS phase
+  FROM f
+),
+b AS (
+  SELECT least(CAST(floor(phase * 50) AS INT), 49) AS bin,
+         avg(value) AS mean_v,
+         coalesce(stddev_pop(value), 0.0) AS scatter,
+         sqrt(sum(stdv * stdv)) AS esum,
+         count(*) AS n
+  FROM ph GROUP BY 1
+)
+SELECT bin,
+       round(0.0 + (bin + 0.5) / 50.0, 6) AS phase,
+       round(mean_v, 6) AS value,
+       round(sqrt(pow(esum / n, 2) + pow(scatter, 2)), 6) AS stdv,
+       n
+FROM b
+"""
+
+
+def q_mask_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 custom time-window mask (maskcust) as a pushed-down predicate,
+    then a per-type summary."""
+    ev = _ev_days(spark, sf_dir)
+    masked = mask_time_windows(ev, MASK_WINDOWS, time_col="t")
+    return masked.groupBy("event_type").agg(
+        F.count("*").alias("n_kept"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+_mask_pred = " AND ".join(
+    f"NOT ({EV_T_DAYS_SQL} BETWEEN {t0!r} AND {t1!r})" for t0, t1 in MASK_WINDOWS
+)
+SQL_MASK_WINDOWS_EVENTS = f"""
+SELECT event_type, count(*) AS n_kept, round(sum(value), 4) AS sum_value
+FROM events
+WHERE {_mask_pred}
+GROUP BY event_type
+"""
+
+
+def q_rolling_std_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 rolling std: centered ±2-row frame per event_type (tie-broken
+    by event_id for cross-engine determinism)."""
+    ev = _ev_days(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t_sec", "event_id")
+        .rowsBetween(-2, 2)
+    )
+    return ev.select(
+        "event_id", F.round(F.stddev_samp("value").over(w), 6).alias("roll_std")
+    )
+
+
+SQL_ROLLING_STD_EVENTS = """
+SELECT event_id,
+       round(stddev_samp(value) OVER (
+         PARTITION BY event_type ORDER BY epoch(ts), event_id
+         ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) AS roll_std
+FROM events
+"""
+
+
+def q_rolling_median_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 median filter: centered ±3-row exact median per event_type."""
+    ev = _ev_days(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t_sec", "event_id")
+        .rowsBetween(-3, 3)
+    )
+    return ev.select(
+        "event_id",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("roll_med"),
+    )
+
+
+SQL_ROLLING_MEDIAN_EVENTS = """
+SELECT event_id,
+       round(quantile_cont(value, 0.5) OVER (
+         PARTITION BY event_type ORDER BY epoch(ts), event_id
+         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6) AS roll_med
+FROM events
+"""
+
+
+def q_sigma_clip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 two-pass 3σ clip per event_type (fixed iteration count so the
+    oracle is expressible as nested CTEs)."""
+    ev = _ev_days(spark, sf_dir)
+    out = ev
+    for _ in range(2):
+        stats = out.groupBy("event_type").agg(
+            F.avg("value").alias("_mu"), F.stddev_pop("value").alias("_sd")
+        )
+        out = (
+            out.join(F.broadcast(stats), "event_type")
+            .filter(
+                (F.col("value") > F.col("_mu") - 3 * F.col("_sd"))
+                & (F.col("value") < F.col("_mu") + 3 * F.col("_sd"))
+            )
+            .drop("_mu", "_sd")
+        )
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n_kept"), F.round(F.avg("value"), 6).alias("mean_kept")
+    )
+
+
+SQL_SIGMA_CLIP_EVENTS = """
+WITH s1 AS (
+  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sd
+  FROM events GROUP BY event_type
+),
+f1 AS (
+  SELECT e.* FROM events e JOIN s1 USING (event_type)
+  WHERE e.value > s1.mu - 3 * s1.sd AND e.value < s1.mu + 3 * s1.sd
+),
+s2 AS (
+  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sd
+  FROM f1 GROUP BY event_type
+),
+f2 AS (
+  SELECT f1.* FROM f1 JOIN s2 USING (event_type)
+  WHERE f1.value > s2.mu - 3 * s2.sd AND f1.value < s2.mu + 3 * s2.sd
+)
+SELECT event_type, count(*) AS n_kept, round(avg(value), 6) AS mean_kept
+FROM f2 GROUP BY event_type
+"""
+
+
+def q_largest_gap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 largest-gap locator per user (lag + max_by)."""
+    ev = _ev_days(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("t_sec")
+    gaps = ev.withColumn("gap", F.col("t_sec") - F.lag("t_sec").over(w))
+    return gaps.groupBy("user_id").agg(
+        F.round(F.max("gap"), 6).alias("max_gap"),
+        F.round(F.expr("max_by(t_sec, gap)"), 6).alias("gap_end_time"),
+    )
+
+
+SQL_LARGEST_GAP_EVENTS = """
+WITH g AS (
+  SELECT user_id, epoch(ts) AS t_sec,
+         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY epoch(ts)) AS gap
+  FROM events
+)
+SELECT user_id, round(max(gap), 6) AS max_gap,
+       round(arg_max(t_sec, gap), 6) AS gap_end_time
+FROM g GROUP BY user_id
+"""
+
+# --- period-search queries (the engine's signature operators) ---------------
+
+
+def q_lomb_scargle_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 Lomb-Scargle on the events series (fixed 146-frequency grid;
+    time shifted to the data min so trig arguments stay small)."""
+    ev = _ev_days(spark, sf_dir)
+    tmin = ev.agg(F.min("t")).first()[0]
+    shifted = ev.select((F.col("t") - F.lit(tmin)).alias("t"), "value")
+    grid = freq_grid(spark, LS_FMIN, LS_DF, LS_NFREQ)
+    spec = lomb_scargle(shifted, grid, time_col="t", value_col="value")
+    return spec.select(
+        F.round("freq", 9).alias("freq"), F.round("power", 6).alias("power")
+    )
+
+
+SQL_LOMB_SCARGLE_EVENTS = f"""
+WITH base AS (
+  SELECT {EV_T_DAYS_SQL} - (SELECT min({EV_T_DAYS_SQL}) FROM events) AS t, value
+  FROM events
+),
+inner_q AS (
+{lomb_scargle_sql('t', 'value', 'base', LS_FMIN, LS_DF, LS_NFREQ)}
+)
+SELECT round(freq, 9) AS freq, round(power, 6) AS power FROM inner_q
+"""
+
+
+def _bls_trials() -> list[tuple[float, float, float]]:
+    from miletos_spark.search.bls import duty_cycle_grid, period_grid
+
+    return [
+        (p, d, off)
+        for p in period_grid(2.0, 10.0, span_days=30.0, osam=2.0)
+        for d in duty_cycle_grid(p, n_dcyc=2, dcyc_min=0.05)
+        for off in (0.0, 0.5)
+    ]
+
+
+def q_bls_spectrum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 BLS box spectrum on the events series: crossJoin(broadcast
+    trial table) -> phase-bucket agg -> depth/SNR scoring."""
+    ev = _ev_days(spark, sf_dir)
+    trials = spark.createDataFrame(
+        _bls_trials(), "period double, dcyc double, off double"
+    )
+    spec = bls_search(ev, trials, time_col="t", value_col="value", t_ref=0.0)
+    return spec.select(
+        F.round("period", 9).alias("period"),
+        F.round("dcyc", 9).alias("dcyc"),
+        F.round("off", 1).alias("off"),
+        "bucket",
+        "n_in",
+        F.round("mean_in", 6).alias("mean_in"),
+        F.round("depth", 6).alias("depth"),
+        F.round("snr", 4).alias("snr"),
+        F.round("epoch", 4).alias("epoch"),
+    )
+
+
+def _sql_bls_spectrum() -> str:
+    inner = bls_sql(
+        EV_T_DAYS_SQL, "value", "events", _bls_trials(), t_ref=0.0
+    )
+    return f"""
+WITH inner_q AS (
+{inner}
+)
+SELECT round(period, 9) AS period, round(dcyc, 9) AS dcyc,
+       round(off, 1) AS off, bucket, n_in,
+       round(mean_in, 6) AS mean_in, round(depth, 6) AS depth,
+       round(snr, 4) AS snr, round(epoch, 4) AS epoch
+FROM inner_q
+"""
+
+
+def q_outlier_period_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 periodic-outlier search: top-5 brightest -> pairwise gaps ->
+    sorted fractional consecutive differences."""
+    ev = _ev_days(spark, sf_dir)
+    out = outlier_period_search(ev, k=5, time_col="t", value_col="value")
+    return out.select(
+        F.round("gap", 6).alias("gap"), F.round("frac_diff", 6).alias("frac_diff")
+    )
+
+
+def _sql_outlier_period() -> str:
+    inner = outlier_period_sql(EV_T_DAYS_SQL, "value", "events", k=5)
+    return f"""
+WITH inner_q AS (
+{inner}
+)
+SELECT round(gap, 6) AS gap, round(frac_diff, 6) AS frac_diff FROM inner_q
+"""
+
+
+# --- LLM-data-pipeline queries (beyond-reference operators) -----------------
+
+
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text), canonical keeper = min id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+SQL_DEDUP_EXACT_DOCS = """
+SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keep_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_text_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scoring: char/token counts, punct/digit/upper ratios."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text_stats(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+        F.round("upper_ratio", 6).alias("upper_ratio"),
+    )
+
+
+SQL_TEXT_STATS_DOCS = r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+       round(CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\s+')) END) > 0
+             THEN length(regexp_replace(text, '\s', '', 'g'))
+                  / (CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+             END, 6) AS mean_word_len,
+       round(CASE WHEN length(text) > 0
+             THEN length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) * 1.0 / length(text)
+             END, 6) AS punct_ratio,
+       round(CASE WHEN length(text) > 0
+             THEN length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text)
+             END, 6) AS digit_ratio,
+       round(CASE WHEN length(text) > 0
+             THEN length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1.0 / length(text)
+             END, 6) AS upper_ratio
+FROM documents
+"""
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against the min-vec_id query vector
+    (exact ANN baseline; zip_with/aggregate dot product, no UDF)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.orderBy("vec_id").select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    out = cosine_topk(emb, query, k=10)
+    return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+SQL_SIMILARITY_TOPK = """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings ORDER BY vec_id LIMIT 1
+)
+SELECT e.vec_id,
+       round(
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+FROM embeddings e CROSS JOIN q
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT 10
+"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (no SQL oracle: xxhash64 is
+    engine-specific -> driver records the rows-only check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, k=5, num_hashes=32)
+    return minhash_lsh_pairs(sigs, bands=8).orderBy("id_a", "id_b")
+
+
+# --- registry ---------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pricing_summary": q_pricing_summary,
+    "region_revenue": q_region_revenue,
+    "customers_without_orders": q_customers_without_orders,
+    "top_events": q_top_events,
+    "rebin_events": q_rebin_events,
+    "median_normalize_events": q_median_normalize_events,
+    "sessionize_events": q_sessionize_events,
+    "fold_phase_bins": q_fold_phase_bins,
+    "mask_windows_events": q_mask_windows_events,
+    "rolling_std_events": q_rolling_std_events,
+    "rolling_median_events": q_rolling_median_events,
+    "sigma_clip_events": q_sigma_clip_events,
+    "largest_gap_events": q_largest_gap_events,
+    "lomb_scargle_events": q_lomb_scargle_events,
+    "bls_spectrum_events": q_bls_spectrum_events,
+    "outlier_period_events": q_outlier_period_events,
+    "dedup_exact_docs": q_dedup_exact_docs,
+    "text_stats_docs": q_text_stats_docs,
+    "similarity_topk": q_similarity_topk,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+}
+
+
+def _oracles() -> dict[str, str]:
+    return {
+        "pricing_summary": SQL_PRICING_SUMMARY,
+        "region_revenue": SQL_REGION_REVENUE,
+        "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+        "top_events": SQL_TOP_EVENTS,
+        "rebin_events": SQL_REBIN_EVENTS,
+        "median_normalize_events": SQL_MEDIAN_NORMALIZE_EVENTS,
+        "sessionize_events": SQL_SESSIONIZE_EVENTS,
+        "fold_phase_bins": SQL_FOLD_PHASE_BINS,
+        "mask_windows_events": SQL_MASK_WINDOWS_EVENTS,
+        "rolling_std_events": SQL_ROLLING_STD_EVENTS,
+        "rolling_median_events": SQL_ROLLING_MEDIAN_EVENTS,
+        "sigma_clip_events": SQL_SIGMA_CLIP_EVENTS,
+        "largest_gap_events": SQL_LARGEST_GAP_EVENTS,
+        "lomb_scargle_events": SQL_LOMB_SCARGLE_EVENTS,
+        "bls_spectrum_events": _sql_bls_spectrum(),
+        "outlier_period_events": _sql_outlier_period(),
+        "dedup_exact_docs": SQL_DEDUP_EXACT_DOCS,
+        "text_stats_docs": SQL_TEXT_STATS_DOCS,
+        "similarity_topk": SQL_SIMILARITY_TOPK,
+        # minhash_lsh_pairs: intentionally no oracle (engine-specific hash)
+    }
+
+
+ORACLES: dict[str, str] = _oracles()

@@ -1,0 +1,183 @@
+"""P2 — Box Least Squares transit search (`srch_boxsperi`,
+miletos/main.py:5282-5965).
+
+Spark-first formulation (SURVEY.md P2 mapping): instead of the
+reference's triple loop over (period, duty-cycle, epoch) trials with a
+multiprocessing pool (miletos/main.py:5698-5724), we
+
+1. build the trial table driver-side with the reference's physics caps —
+   uniform-in-frequency period grid (miletos/main.py:5482-5485),
+   log-spaced duty cycles with the `maxdcyc ∝ P^(-2/3)` stellar-density
+   cap (miletos/main.py:5513-5530);
+2. fold the EPOCH dimension into phase bucketing: for a trial (P, dcyc),
+   bucket = floor(phase/dcyc − off) with off ∈ {0, ½} — every bucket at
+   each half-width offset is a candidate box, so one groupBy covers what
+   the reference scans with an explicit epoch grid at half-box steps
+   (step `max(cade, 0.5*dcyc*P)`, miletos/main.py:5612-5619; the ½
+   offset bounds box/transit misalignment to a quarter width);
+3. crossJoin(broadcast(trials)) → groupBy(P, dcyc, bucket) → in-box
+   mean/count (the inner kernel, miletos/main.py:5116);
+4. score boxes against global moments: depth = mean_out − mean_in,
+   SNR = depth / sqrt(σ²_out/n_in) analog (reference post-processes the
+   amplitude spectrum with median-filter + rolling-std noise,
+   miletos/main.py:5742-5752 — exposed separately via the spectrum
+   output so W1/W2 can be applied downstream).
+
+All aggregates are algebraic → map-side partial aggregation; the only
+shuffle is on (period, dcyc, bucket), whose cardinality is
+|trials| × O(1/dcyc), independent of row count. At 100 TB the
+crossJoin-with-broadcast streams: no data shuffle at all before the
+partial agg. Skewed short periods are absorbed by AQE.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def period_grid(
+    p_min: float, p_max: float, span_days: float, osam: float = 10.0
+) -> list[float]:
+    """Uniform-in-frequency period grid (miletos/main.py:5482-5485):
+    Δf = 1/(osam·baseline); periods 1/f for f in [1/p_max, 1/p_min]."""
+    df = 1.0 / (osam * span_days)
+    f_lo, f_hi = 1.0 / p_max, 1.0 / p_min
+    n = max(int((f_hi - f_lo) / df) + 1, 1)
+    return [1.0 / (f_lo + k * df) for k in range(n)]
+
+
+def duty_cycle_grid(
+    period: float,
+    n_dcyc: int = 3,
+    dcyc_min: float = 0.01,
+    rho_star: float = 1.0,
+) -> list[float]:
+    """Log-spaced duty cycles with the astrophysical cap
+    maxdcyc ∝ P^(-2/3)·ρ*^(-1/3) (miletos/main.py:5513-5530)."""
+    dcyc_max = min(0.9, 0.25 * (period ** (-2.0 / 3.0)) * (rho_star ** (-1.0 / 3.0)))
+    dcyc_max = max(dcyc_max, dcyc_min * 1.0001)
+    if n_dcyc == 1:
+        return [dcyc_max]
+    step = (math.log(dcyc_max) - math.log(dcyc_min)) / (n_dcyc - 1)
+    return [math.exp(math.log(dcyc_min) + i * step) for i in range(n_dcyc)]
+
+
+def trial_table(
+    spark: SparkSession,
+    p_min: float,
+    p_max: float,
+    span_days: float,
+    osam: float = 10.0,
+    n_dcyc: int = 3,
+    dcyc_min: float = 0.01,
+) -> DataFrame:
+    """Materialize the (period, dcyc) trial table — small, broadcast."""
+    rows = [
+        (p, d, off)
+        for p in period_grid(p_min, p_max, span_days, osam)
+        for d in duty_cycle_grid(p, n_dcyc, dcyc_min)
+        for off in (0.0, 0.5)
+    ]
+    return spark.createDataFrame(rows, "period double, dcyc double, off double")
+
+
+def bls_search(
+    df: DataFrame,
+    trials: DataFrame,
+    time_col: str = "time",
+    value_col: str = "value",
+    t_ref: float = 0.0,
+) -> DataFrame:
+    """Score every (period, dcyc, phase-bucket) box. Returns the box
+    spectrum: (period, dcyc, bucket, epoch, n_in, mean_in, depth, snr).
+
+    depth = μ_global − μ_in ; snr = depth / sqrt(σ²_global / n_in)
+    (signal-to-noise of a box-depth estimate under the global scatter —
+    the reference's amplitude/noise split happens on the per-period
+    spectrum afterwards).
+    """
+    g = df.agg(
+        F.avg(value_col).alias("mu"),
+        F.stddev_pop(value_col).alias("sd"),
+    ).first()
+    mu, sd = float(g["mu"]), float(g["sd"])
+
+    p = F.col("period")
+    t = F.col(time_col) - F.lit(float(t_ref))
+    phase = ((t % p) + p) % p / p  # posmod → [0,1)
+    # shift by the trial offset and wrap, so the box grid tiles the full
+    # phase circle (no split box at phase 0)
+    shifted = phase - F.col("off") * F.col("dcyc")
+    wrapped = ((shifted % 1.0) + 1.0) % 1.0
+    bucket = F.floor(wrapped / F.col("dcyc")).cast("int")
+
+    boxes = (
+        df.select(time_col, value_col)
+        .crossJoin(F.broadcast(trials))
+        .withColumn("bucket", bucket)
+        .groupBy("period", "dcyc", "off", "bucket")
+        .agg(F.count("*").alias("n_in"), F.avg(value_col).alias("mean_in"))
+    )
+    depth = F.lit(mu) - F.col("mean_in")
+    snr = depth / (F.lit(sd) / F.sqrt(F.col("n_in")))
+    return (
+        boxes.withColumn("depth", depth)
+        .withColumn("snr", snr)
+        .withColumn(
+            "epoch",
+            F.lit(float(t_ref))
+            + ((F.col("bucket") + 0.5) * F.col("dcyc") + F.col("off") * F.col("dcyc"))
+            * F.col("period"),
+        )
+    )
+
+
+def bls_best(spectrum: DataFrame, min_in: int = 3) -> DataFrame:
+    """Top box by SNR (argmax, miletos/main.py:5748-5752), requiring a
+    minimum in-box count. One row: (period, dcyc, epoch, depth, snr)."""
+    return (
+        spectrum.filter(F.col("n_in") >= min_in)
+        .orderBy(F.col("snr").desc(), "period", "dcyc", "off", "bucket")
+        .limit(1)
+        .select("period", "dcyc", "epoch", "depth", "snr", "n_in")
+    )
+
+
+def bls_sql(
+    time_expr: str,
+    value_expr: str,
+    table: str,
+    trials: list[tuple[float, float, float]],
+    t_ref: float = 0.0,
+) -> str:
+    """DuckDB-oracle twin of `bls_search` for an explicit
+    (period, dcyc, off) trial list."""
+    values = ", ".join(
+        f"(CAST({p!r} AS DOUBLE), CAST({d!r} AS DOUBLE), CAST({o!r} AS DOUBLE))"
+        for p, d, o in trials
+    )
+    return f"""
+WITH samples AS (
+  SELECT CAST({time_expr} AS DOUBLE) AS t, CAST({value_expr} AS DOUBLE) AS v
+  FROM {table}
+),
+g AS (SELECT avg(v) AS mu, stddev_pop(v) AS sd FROM samples),
+trials(period, dcyc, off) AS (VALUES {values}),
+boxes AS (
+  SELECT tr.period, tr.dcyc, tr.off,
+         CAST(floor((((((s.t - {t_ref!r}) % tr.period + tr.period) % tr.period)
+                      / tr.period - tr.off * tr.dcyc) % 1.0 + 1.0) % 1.0
+                    / tr.dcyc) AS INT) AS bucket,
+         count(*) AS n_in, avg(s.v) AS mean_in
+  FROM samples s CROSS JOIN trials tr
+  GROUP BY 1, 2, 3, 4
+)
+SELECT b.period, b.dcyc, b.off, b.bucket, b.n_in, b.mean_in,
+       g.mu - b.mean_in AS depth,
+       (g.mu - b.mean_in) / (g.sd / sqrt(b.n_in)) AS snr,
+       {t_ref!r} + ((b.bucket + 0.5) * b.dcyc + b.off * b.dcyc) * b.period AS epoch
+FROM boxes b CROSS JOIN g
+"""

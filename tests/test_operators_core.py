@@ -1,0 +1,105 @@
+"""Core operator tests: filters, rebin, normalize, fold, sessionize.
+
+Validation model per SURVEY.md §5: deterministic synthetic fixtures with
+known injected structure + independent NumPy recomputation.
+"""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from miletos_spark.datagen import sinusoid_mixture
+from miletos_spark.operators import (
+    fold,
+    mask_time_windows,
+    median_normalize,
+    quality_mask,
+    rebin,
+    sessionize,
+    sigma_clip,
+    white_light,
+)
+
+
+@pytest.fixture(scope="module")
+def lc(spark):
+    return sinusoid_mixture(spark, n=2000, span_days=10.0).cache()
+
+
+def test_quality_mask_drops_nan(spark):
+    df = spark.createDataFrame(
+        [(0.0, 1.0, 0), (1.0, float("nan"), 0), (2.0, 2.0, 1)],
+        "time double, value double, quality int",
+    )
+    out = quality_mask(df).collect()
+    assert len(out) == 1 and out[0]["time"] == 0.0
+
+
+def test_mask_time_windows(lc):
+    masked = mask_time_windows(lc, [(2.0, 3.0), (8.0, 9.0)])
+    times = [r["time"] for r in masked.select("time").collect()]
+    assert all(not (2.0 <= t <= 3.0 or 8.0 <= t <= 9.0) for t in times)
+    assert len(times) < lc.count()
+
+
+def test_rebin_matches_numpy(lc):
+    pdf = lc.select("time", "value", "stdv").toPandas().sort_values("time")
+    delt = 0.5
+    t0 = pdf["time"].min()
+    out = rebin(lc, delt, t0=t0).orderBy("bin").toPandas()
+    bins = np.floor((pdf["time"].to_numpy() - t0) / delt).astype(int)
+    for _, row in out.iterrows():
+        sel = pdf["value"].to_numpy()[bins == row["bin"]]
+        assert row["n"] == len(sel)
+        assert row["value"] == pytest.approx(sel.mean(), rel=1e-9)
+        errs = pdf["stdv"].to_numpy()[bins == row["bin"]]
+        expect_stdv = math.sqrt(
+            (math.sqrt((errs**2).sum()) / len(sel)) ** 2 + sel.std() ** 2
+        )
+        assert row["stdv"] == pytest.approx(expect_stdv, rel=1e-6)
+
+
+def test_median_normalize(lc):
+    out = median_normalize(lc, group_cols=("inst", "chunk"))
+    med = out.agg(F.expr("percentile(value, 0.5)")).first()[0]
+    assert med == pytest.approx(1.0, abs=1e-9)
+
+
+def test_white_light(spark):
+    rows = [(0.0, e, float(e), 0.1, "RelativeFlux", "JWST", 0) for e in range(1, 5)]
+    df = spark.createDataFrame(
+        rows, "time double, ener int, value double, stdv double, kind string, inst string, chunk int"
+    )
+    out = white_light(df).collect()
+    assert len(out) == 1
+    assert out[0]["value"] == pytest.approx(2.5)
+    assert out[0]["stdv"] == pytest.approx(math.sqrt(4 * 0.01) / 4)
+    assert out[0]["ener"] == 0
+
+
+def test_fold_phase_range(lc):
+    out = fold(lc, period=2.5, epoch=0.3).select("phase").toPandas()["phase"]
+    assert ((out > -0.5) & (out <= 0.5)).all()
+    # spot-check the formula on one row
+    row = fold(lc, period=2.5, epoch=0.3).select("time", "phase").first()
+    expect = ((row["time"] - 0.3) % 2.5) / 2.5
+    if expect > 0.5:
+        expect -= 1.0
+    assert row["phase"] == pytest.approx(expect, abs=1e-12)
+
+
+def test_sessionize_counts_gaps(spark):
+    times = [0.0, 0.01, 0.02, 1.0, 1.01, 5.0]
+    df = spark.createDataFrame([(t,) for t in times], "time double")
+    out = sessionize(df, gap=0.1).orderBy("time").collect()
+    assert [r["region"] for r in out] == [0, 0, 0, 1, 1, 2]
+
+
+def test_sigma_clip_removes_outliers(spark):
+    vals = [0.0] * 100 + [50.0]
+    df = spark.createDataFrame([(float(i), v) for i, v in enumerate(vals)], "time double, value double")
+    out = sigma_clip(df, max_iter=3)
+    assert out.count() == 100
+    assert out.agg(F.max("value")).first()[0] == 0.0

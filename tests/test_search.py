@@ -1,0 +1,75 @@
+"""Search operator tests — recover-what-you-injected (FIXTURES.md B1–B3)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from miletos_spark.datagen import flare_injected, sinusoid_mixture, transit_injected
+from miletos_spark.search import (
+    bls_best,
+    bls_search,
+    flare_outlier_search,
+    freq_grid,
+    lomb_scargle,
+)
+from miletos_spark.search.bls import trial_table
+from miletos_spark.search.flare import exp_decay_template, matched_filter_search
+
+
+def test_lomb_scargle_recovers_sinusoid(spark):
+    # single strong sinusoid: P=2.0 d over 20 d
+    n, span, period = 2000, 20.0, 2.0
+    base = spark.range(n).select((F.col("id") * (span / (n - 1))).alias("time"))
+    df = base.withColumn(
+        "value", F.sin(2 * math.pi * F.col("time") / period) + F.randn(42) * 0.2
+    )
+    grid = freq_grid(spark, f_min=0.05, df=0.005, n_freq=200)  # periods 1–20 d
+    spec = lomb_scargle(df, grid)
+    best = spec.orderBy(F.col("power").desc()).first()
+    assert 1.0 / best["freq"] == pytest.approx(period, rel=0.02)
+    assert best["power"] > 0.5
+
+
+def test_bls_recovers_transit(spark):
+    df = transit_injected(spark, period=3.7, epoch_offset=1.1, depth=0.01,
+                          duration_hours=2.5, noise=0.001)
+    t0 = 2462000.0
+    # oversample enough that epoch drift over the 27 d baseline stays
+    # under half a transit duration (the reference's factosam=10 serves
+    # the same purpose, miletos/main.py:5482-5485)
+    trials = trial_table(spark, p_min=2.5, p_max=5.0, span_days=27.0,
+                         osam=40.0, n_dcyc=4, dcyc_min=0.005)
+    spec = bls_search(df, trials, t_ref=t0)
+    best = bls_best(spec, min_in=20).first()
+    assert best["period"] == pytest.approx(3.7, rel=0.02)
+    assert best["depth"] == pytest.approx(0.01, rel=0.5)
+    assert best["snr"] > 7.1  # reference detection threshold thrss2nr
+    # epoch within one box width of the injected epoch (mod period)
+    phase_err = abs(((best["epoch"] - (t0 + 1.1)) % best["period"]) / best["period"])
+    phase_err = min(phase_err, 1 - phase_err)
+    assert phase_err < max(best["dcyc"], 0.02) * 1.5
+
+
+def test_flare_outlier_search_finds_injected(spark):
+    # near-single-cadence spike so <5% of the ±1 h window is contaminated
+    # and the p95 band stays at the noise level (the detector's operating
+    # regime: the reference's p95-of-61-points tolerates ~2 flare samples)
+    df = flare_injected(spark, flare_times=(1.3, 4.7, 8.2), ampl=0.1,
+                        tscl_hours=0.03, noise=0.002)
+    det = flare_outlier_search(df, window_days=1.0 / 24.0, threshold=5.0)
+    times = sorted(r["time"] for r in det.collect())
+    assert len(times) >= 3
+    for tf in (1.3, 4.7, 8.2):
+        assert any(abs(t - tf) < 0.1 for t in times)
+
+
+def test_matched_filter_finds_flares(spark):
+    df = flare_injected(spark, flare_times=(2.0, 6.5), ampl=0.12,
+                        tscl_hours=1.0, noise=0.002)
+    # template: 1h decay sampled at 2-min cadence, 30 samples
+    tmpl = exp_decay_template(n_samples=30, tscl_samples=30.0)
+    det = matched_filter_search(df, tmpl)
+    times = sorted(r["time"] for r in det.collect())
+    for tf in (2.0, 6.5):
+        assert any(abs(t - tf) < 0.1 for t in times), (tf, times[:10])
