@@ -53,24 +53,51 @@ def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    k: int = 5,
+    k: int = 9,
     num_hashes: int = 32,
+    partitions: int | None = None,
 ) -> DataFrame:
-    """MinHash signature per document: for seed s, sig_s = min over
-    shingles of xxhash64(shingle, s). Returns (id, sig ARRAY<BIGINT>).
+    """MinHash signature per document. Returns (id, sig ARRAY<BIGINT>).
 
-    All JVM-side: shingle explosion is avoided — min-aggregation runs
-    inside `F.transform` over the shingle array per row, so no shuffle
-    at all until the LSH band join.
+    Cost model: string hashing dominates, so each shingle is xxhash64'd
+    exactly ONCE; the `num_hashes` families are derived by affine mixing
+    (odd multiplier + offset over Z/2^64 — the standard universal-hash
+    trick), which is a multiply-add per shingle instead of a rehash.
+    All JVM-side: min-aggregation runs inside `F.transform` over the
+    per-row hash array, so no shuffle until the LSH band join.
+
+    Small inputs arrive as one parquet task; `partitions` (default
+    defaultParallelism) spreads the CPU-bound projection first.
     """
-    with_sh = shingle_array(df, text_col=text_col, k=k)
-    sigs = F.array(
-        *[
-            F.array_min(F.transform("shingles", lambda s, seed=i: F.xxhash64(s, F.lit(seed))))
-            for i in range(num_hashes)
-        ]
+    import random
+
+    # Universal hashing ((a*h + b) mod p, p = 2^31-1): the modular wrap
+    # is what de-correlates the families — a plain affine map is
+    # monotonic and every slot would pick the same argmin shingle.
+    # 32-bit domain keeps products under 2^63 (Spark 4 ANSI mode throws
+    # on long overflow).
+    MERSENNE = (1 << 31) - 1
+    rng = random.Random(42)
+    params = [
+        (rng.randrange(1, MERSENNE), rng.randrange(MERSENNE))
+        for _ in range(num_hashes)
+    ]
+    if partitions is None:
+        partitions = df.sparkSession.sparkContext.defaultParallelism
+    with_sh = shingle_array(df.repartition(partitions), text_col=text_col, k=k)
+    base = with_sh.select(
+        F.col(id_col),
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("_h"),
     )
-    return with_sh.select(F.col(id_col), sigs.alias("sig"))
+    def mix(a: int, b: int):
+        return lambda h: F.pmod(
+            h.bitwiseAND(F.lit(0xFFFFFFFF)) * F.lit(a) + F.lit(b), F.lit(MERSENNE)
+        )
+
+    sigs = F.array(
+        *[F.array_min(F.transform("_h", mix(a, b))) for a, b in params]
+    )
+    return base.select(F.col(id_col), sigs.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -142,12 +169,40 @@ def simhash_64(
     return df.select(F.col(id_col), fp.alias("simhash"))
 
 
+def near_dup_pairs_bruteforce(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 9,
+) -> DataFrame:
+    """Exact all-pairs character-k-gram Jaccard ≥ threshold — the
+    ground-truth near-dup detector (O(n²); the verification oracle for
+    the MinHash-LSH scale path, and usable directly for small corpora).
+    Returns (id_a, id_b, jaccard)."""
+    sh = shingle_array(df, text_col=text_col, k=k).select(
+        F.col(id_col), F.col("shingles")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    k: int = 5,
+    k: int = 9,
 ) -> DataFrame:
     """Exact Jaccard similarity on character-k-gram sets for candidate
     (id_a, id_b) pairs: |A∩B| / |A∪B| via array_intersect/array_union.

@@ -626,11 +626,46 @@ LIMIT 10
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidate pairs (no SQL oracle: xxhash64 is
-    engine-specific -> driver records the rows-only check)."""
+    """MinHash+LSH near-dup pipeline: candidates from banded signatures,
+    verified with exact k-gram Jaccard ≥ 0.5 (no SQL oracle: xxhash64 is
+    engine-specific -> driver records the rows-only check; the
+    near_dup_pairs query below is the oracle-checked ground truth)."""
+    from miletos_spark.pipeline.dedup import ngram_jaccard_pairs
+
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, k=5, num_hashes=32)
-    return minhash_lsh_pairs(sigs, bands=8).orderBy("id_a", "id_b")
+    sigs = minhash_signatures(docs, k=9, num_hashes=32)
+    cands = minhash_lsh_pairs(sigs, bands=8)
+    verified = ngram_jaccard_pairs(docs, cands, k=9).filter(F.col("jaccard") >= 0.5)
+    return verified.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs 9-gram Jaccard ≥ 0.5 — ground-truth near-dup
+    detection (the verification kernel of the dedup family)."""
+    from miletos_spark.pipeline.dedup import near_dup_pairs_bruteforce
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = near_dup_pairs_bruteforce(docs, threshold=0.5, k=9)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_NEAR_DUP_PAIRS = r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([substr(t, i, 9)
+                        for i in range(1, greatest(length(t) - 8, 1) + 1)]) AS s
+  FROM (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+        FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.s, b.s)) * 1.0
+             / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s)) * 1.0
+      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+"""
 
 
 # --- registry ---------------------------------------------------------------
@@ -656,6 +691,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats_docs": q_text_stats_docs,
     "similarity_topk": q_similarity_topk,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "near_dup_pairs": q_near_dup_pairs,
 }
 
 
@@ -680,6 +716,7 @@ def _oracles() -> dict[str, str]:
         "dedup_exact_docs": SQL_DEDUP_EXACT_DOCS,
         "text_stats_docs": SQL_TEXT_STATS_DOCS,
         "similarity_topk": SQL_SIMILARITY_TOPK,
+        "near_dup_pairs": SQL_NEAR_DUP_PAIRS,
         # minhash_lsh_pairs: intentionally no oracle (engine-specific hash)
     }
 
