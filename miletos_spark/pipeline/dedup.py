@@ -41,12 +41,24 @@ def exact_dedup(
 
 
 def shingle_array(df: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
-    """Add a distinct character-k-gram shingle array column."""
-    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
-    n = F.length(norm)
+    """Add a distinct character-k-gram shingle array column.
+
+    Two projections on purpose: the normalized string must be a real
+    attribute before the per-position lambda references it. Inlined (one
+    withColumn) the lower+regexp_replace would re-run once per shingle
+    position — len(text)× the work — because CollapseProject substitutes
+    the expression into the lambda body and higher-order functions are
+    interpreted (CodegenFallback), with no cross-lambda subexpression
+    elimination."""
+    normed = df.withColumn(
+        "_norm", F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    )
+    n = F.length(F.col("_norm"))
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    sh = F.array_distinct(F.transform(idx, lambda i: F.substr(norm, i, F.lit(k))))
-    return df.withColumn("shingles", sh)
+    sh = F.array_distinct(
+        F.transform(idx, lambda i: F.substr(F.col("_norm"), i, F.lit(k)))
+    )
+    return normed.withColumn("shingles", sh).drop("_norm")
 
 
 def minhash_signatures(
@@ -61,10 +73,12 @@ def minhash_signatures(
 
     Cost model: string hashing dominates, so each shingle is xxhash64'd
     exactly ONCE; the `num_hashes` families are derived by affine mixing
-    (odd multiplier + offset over Z/2^64 — the standard universal-hash
-    trick), which is a multiply-add per shingle instead of a rehash.
-    All JVM-side: min-aggregation runs inside `F.transform` over the
-    per-row hash array, so no shuffle until the LSH band join.
+    (universal hashing), which is a multiply-add per shingle instead of
+    a rehash. The whole signature is ONE `F.aggregate` pass over the
+    shingle-hash array with an array<long> accumulator — Catalyst's
+    projection collapse would otherwise inline the (O(len²)
+    array_distinct) shingle expression once per hash family. All
+    JVM-side: no shuffle until the LSH band join.
 
     Small inputs arrive as one parquet task; `partitions` (default
     defaultParallelism) spreads the CPU-bound projection first.
@@ -82,22 +96,26 @@ def minhash_signatures(
         (rng.randrange(1, MERSENNE), rng.randrange(MERSENNE))
         for _ in range(num_hashes)
     ]
+    ab = F.array(
+        *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in params]
+    )
     if partitions is None:
         partitions = df.sparkSession.sparkContext.defaultParallelism
     with_sh = shingle_array(df.repartition(partitions), text_col=text_col, k=k)
-    base = with_sh.select(
-        F.col(id_col),
-        F.transform("shingles", lambda s: F.xxhash64(s)).alias("_h"),
+    h = F.transform(
+        "shingles", lambda s: F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFFFF))
     )
-    def mix(a: int, b: int):
-        return lambda h: F.pmod(
-            h.bitwiseAND(F.lit(0xFFFFFFFF)) * F.lit(a) + F.lit(b), F.lit(MERSENNE)
-        )
-
-    sigs = F.array(
-        *[F.array_min(F.transform("_h", mix(a, b))) for a, b in params]
+    init = F.array_repeat(F.lit(MERSENNE).cast("long"), num_hashes)
+    sig = F.aggregate(
+        h,
+        init,
+        lambda acc, hv: F.zip_with(
+            acc,
+            ab,
+            lambda m, p: F.least(m, F.pmod(hv * p["a"] + p["b"], F.lit(MERSENNE))),
+        ),
     )
-    return base.select(F.col(id_col), sigs.alias("sig"))
+    return with_sh.select(F.col(id_col), sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -177,20 +195,40 @@ def near_dup_pairs_bruteforce(
     k: int = 9,
 ) -> DataFrame:
     """Exact all-pairs character-k-gram Jaccard ≥ threshold — the
-    ground-truth near-dup detector (O(n²); the verification oracle for
-    the MinHash-LSH scale path, and usable directly for small corpora).
-    Returns (id_a, id_b, jaccard)."""
+    ground-truth near-dup detector (the verification oracle for the
+    MinHash-LSH scale path). Returns (id_a, id_b, jaccard).
+
+    NOT a nested-loop O(n²): inverted-index token join — explode
+    shingles, equi-join on the shingle, count common shingles per pair,
+    then jaccard = common / (|A| + |B| − common). Pairs sharing zero
+    shingles (the overwhelming majority of a random corpus) never
+    materialize, and every expression stays codegen-able. Exact for any
+    threshold > 0. Cost is Σ_shingle freq² — hot shingles are the skew
+    axis (AQE skew-join covers moderate cases; prefix filtering is the
+    escalation if a corpus has pathological boilerplate)."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     sh = shingle_array(df, text_col=text_col, k=k).select(
-        F.col(id_col), F.col("shingles")
+        F.col(id_col), F.col("shingles"), F.size("shingles").alias("sz")
     )
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    tok = sh.select(
+        F.col(id_col), F.col("sz"), F.explode("shingles").alias("tok")
+    )
+    a = tok.select(
+        F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "tok"
+    )
+    b = tok.select(
+        F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "tok"
+    )
+    common = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count("*").alias("common"))
+    )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn(
+        common.withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
+            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -207,6 +245,7 @@ def ngram_jaccard_pairs(
     """Exact Jaccard similarity on character-k-gram sets for candidate
     (id_a, id_b) pairs: |A∩B| / |A∪B| via array_intersect/array_union.
     The candidate table is the small side — broadcast both lookups."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     sh = shingle_array(df, text_col=text_col, k=k).select(
         F.col(id_col), F.col("shingles")
     )

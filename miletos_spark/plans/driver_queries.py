@@ -633,9 +633,17 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from miletos_spark.pipeline.dedup import ngram_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, k=9, num_hashes=32)
+    # cache: the signature table feeds both sides of the LSH self-join
+    # (and verification re-reads docs) — without it the O(len²)
+    # shingling subplan replays once per consumer.
+    sigs = minhash_signatures(docs, k=9, num_hashes=32).cache()
     cands = minhash_lsh_pairs(sigs, bands=8)
-    verified = ngram_jaccard_pairs(docs, cands, k=9).filter(F.col("jaccard") >= 0.5)
+    # cache is ALSO an optimizer barrier here: filtering jaccard without
+    # it migrates the higher-order-function expression into the hash
+    # join's condition, which is CodegenFallback and drops the whole
+    # stage to interpreted mode (~20x slower).
+    scored = ngram_jaccard_pairs(docs, cands, k=9).cache()
+    verified = scored.filter(F.col("jaccard") >= 0.5)
     return verified.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     ).orderBy("id_a", "id_b")
