@@ -45,15 +45,19 @@ def cluster_triggers(
     metric_col: str,
     time_col: str = "time",
     group_cols: Sequence[str] = (),
+    order_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """W5 — group consecutive flagged rows into clusters; keep the
     per-cluster argmax of `metric_col` (matched-filter peak,
     miletos/main.py:6352-6368).
 
     Consecutive = adjacent in time order with no unflagged row between.
+    `order_cols` (default [time_col]) can append tie-break columns so
+    cluster boundaries are deterministic when times collide.
     Returns one row per cluster: group_cols + [cluster, time, metric].
     """
-    w = Window.partitionBy(*group_cols).orderBy(time_col) if group_cols else Window.orderBy(time_col)
+    ocols = list(order_cols) if order_cols else [time_col]
+    w = Window.partitionBy(*group_cols).orderBy(*ocols) if group_cols else Window.orderBy(*ocols)
     flagged = df.withColumn("_f", F.col(flag_col).cast("int"))
     # a new cluster starts at each flagged row whose predecessor is unflagged
     start = (

@@ -174,15 +174,23 @@ def simhash_64(
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     h = F.transform(toks, lambda t: F.xxhash64(t))
     fp = F.lit(0).cast("long")
+
+    # Closure factory, NOT a default-arg lambda: pyspark derives the
+    # higher-order-function arity from the Python signature, so a
+    # `lambda acc, x, m=mask` registers as a 3-arg lambda and the
+    # "default" gets clobbered with the index column.
+    def vote_fn(m: int):
+        return lambda acc, x: acc + F.when(
+            x.bitwiseAND(F.lit(m).cast("long")) != 0, 1
+        ).otherwise(-1)
+
     for bit in range(64):
-        vote = F.aggregate(
-            h,
-            F.lit(0),
-            lambda acc, x, b=bit: acc
-            + F.when(F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        # bit 63 is the two's-complement sign bit of the LongType fingerprint
-        weight = F.lit(-(2**63) if bit == 63 else 2**bit).cast("long")
+        # literal mask + bitwiseAND (a Column method, safe inside the
+        # lambda; F.shiftright mis-dispatches there). Bit 63 is the sign
+        # bit: its mask is long.min in two's complement.
+        mask = -(2**63) if bit == 63 else (1 << bit)
+        vote = F.aggregate(h, F.lit(0), vote_fn(mask))
+        weight = F.lit(mask).cast("long")
         fp = fp + F.when(vote > 0, weight).otherwise(F.lit(0).cast("long"))
     return df.select(F.col(id_col), fp.alias("simhash"))
 

@@ -72,9 +72,15 @@ def language_id(
         lambda w: F.regexp_replace(w, r"[^\p{L}]", ""),
     )
     n = F.size(toks)
+    # closure factory, not a default-arg lambda — pyspark derives lambda
+    # arity from the Python signature, so default args break HOFs
+    def contains_fn(ws):
+        return lambda w: F.array_contains(ws, w)
+
     scores = []
     for lang, words in STOPWORDS.items():
-        hits = F.size(F.filter(toks, lambda w, ws=tuple(words): w.isin(*ws)))
+        wl = F.array(*[F.lit(s) for s in words])
+        hits = F.size(F.filter(toks, contains_fn(wl)))
         scores.append(
             F.struct((hits / F.greatest(n, F.lit(1))).alias("score"), F.lit(lang).alias("lang"))
         )
@@ -87,15 +93,35 @@ def language_id(
 
 
 def doc_fingerprint(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Rolling-hash document fingerprint: xxhash64 over each k-gram,
-    keep the minimum (a 1-hash MinHash — a compact content id robust to
-    whitespace changes). Returns (id, fingerprint)."""
-    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
-    nn = F.length(norm)
+    """Rolling-hash document fingerprint: hash each k-gram, keep the
+    minimum (a 1-hash MinHash — a compact content id robust to
+    whitespace changes). Returns (id, fingerprint).
+
+    ``hash_fn='xxhash64'`` (default, fastest, BIGINT) or ``'md5hex'``
+    (first 16 hex chars of md5 as STRING — portable across engines, so
+    a DuckDB oracle computes the identical fingerprint).
+
+    The normalized string is projected to a real attribute first; see
+    `miletos_spark.pipeline.dedup.shingle_array` for why (interpreted
+    higher-order functions re-evaluate inlined expressions per element).
+    """
+    normed = df.select(
+        F.col(id_col),
+        F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")).alias("_norm"),
+    )
+    nn = F.length(F.col("_norm"))
     idx = F.sequence(F.lit(1), F.greatest(nn - (k - 1), F.lit(1)))
-    grams = F.transform(idx, lambda i: F.substr(norm, i, F.lit(k)))
-    return df.select(
-        F.col(id_col), F.array_min(F.transform(grams, F.xxhash64)).alias("fingerprint")
+    grams = F.transform(idx, lambda i: F.substr(F.col("_norm"), i, F.lit(k)))
+    if hash_fn == "md5hex":
+        hashed = F.transform(grams, lambda g: F.substring(F.md5(g), 1, 16))
+    else:
+        hashed = F.transform(grams, F.xxhash64)
+    return normed.select(
+        F.col(id_col), F.array_min(hashed).alias("fingerprint")
     )

@@ -676,6 +676,500 @@ WHERE len(list_intersect(a.s, b.s)) * 1.0
 """
 
 
+# --- A/W/X/T-series additions over the events series ------------------------
+
+
+def q_white_light_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 white-light aggregation: collapse the per-user axis at each
+    hour bucket — mean value, quadrature error/n (the reference's
+    energy-axis collapse, miletos/main.py:10597-10600)."""
+    from miletos_spark.operators.normalize import white_light
+
+    ev = _ev_days(spark, sf_dir).withColumn("stdv", F.lit(1.0))
+    hr = ev.withColumn("hour", F.floor(F.col("t_sec") / 3600.0).cast("long"))
+    out = white_light(
+        hr, time_col="hour", value_col="value", stdv_col="stdv",
+        group_cols=("event_type",),
+    )
+    return out.select(
+        "event_type",
+        "hour",
+        "ener",
+        F.round("value", 6).alias("value"),
+        F.round("stdv", 6).alias("stdv"),
+    )
+
+
+SQL_WHITE_LIGHT_EVENTS = """
+SELECT event_type,
+       CAST(floor(epoch(ts) / 3600.0) AS BIGINT) AS hour,
+       0 AS ener,
+       round(avg(value), 6) AS value,
+       round(sqrt(count(*)) / count(*), 6) AS stdv
+FROM events
+GROUP BY event_type, CAST(floor(epoch(ts) / 3600.0) AS BIGINT)
+"""
+
+
+TRANSIT_P, TRANSIT_EPOCH, TRANSIT_DURA = 7.0, 0.0, 0.7
+
+
+def q_transit_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J3 transit-window membership as a shuffle-free phase predicate
+    + A8 ingress/egress flux ratio (`fracineg`, miletos/main.py:144-151).
+    In/out-of-transit sample counts and means per event_type."""
+    ev = _ev_days(spark, sf_dir)
+    folded = fold(
+        ev, period=TRANSIT_P, epoch=TRANSIT_EPOCH, phase_center=0.0,
+        time_col="t",
+    )
+    half = TRANSIT_DURA / 2.0 / TRANSIT_P
+    in_t = F.abs(F.col("phase")) < half
+    ingress = in_t & (F.col("phase") < 0)
+    egress = in_t & (F.col("phase") >= 0)
+    return folded.groupBy("event_type").agg(
+        F.sum(in_t.cast("long")).alias("n_in"),
+        F.sum((~in_t).cast("long")).alias("n_out"),
+        F.round(F.avg(F.when(in_t, F.col("value"))), 6).alias("mean_in"),
+        F.round(F.avg(F.when(~in_t, F.col("value"))), 6).alias("mean_out"),
+        F.round(
+            F.avg(F.when(ingress, F.col("value")))
+            / F.avg(F.when(egress, F.col("value"))),
+            6,
+        ).alias("frac_ineg"),
+    )
+
+
+SQL_TRANSIT_WINDOWS_EVENTS = f"""
+WITH f AS (
+  SELECT event_type, value,
+         ((({EV_T_DAYS_SQL}) % {TRANSIT_P!r} + {TRANSIT_P!r}) % {TRANSIT_P!r})
+           / {TRANSIT_P!r} AS p0
+  FROM events
+),
+ph AS (
+  SELECT event_type, value,
+         p0 - CASE WHEN p0 > 0.5 THEN 1.0 ELSE 0.0 END AS phase
+  FROM f
+),
+fl AS (
+  SELECT event_type, value, phase,
+         abs(phase) < {TRANSIT_DURA / 2.0 / TRANSIT_P!r} AS in_t
+  FROM ph
+)
+SELECT event_type,
+       sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS n_in,
+       sum(CASE WHEN in_t THEN 0 ELSE 1 END) AS n_out,
+       round(avg(CASE WHEN in_t THEN value END), 6) AS mean_in,
+       round(avg(CASE WHEN NOT in_t THEN value END), 6) AS mean_out,
+       round(avg(CASE WHEN in_t AND phase < 0 THEN value END)
+             / avg(CASE WHEN in_t AND phase >= 0 THEN value END), 6) AS frac_ineg
+FROM fl
+GROUP BY event_type
+"""
+
+
+def q_flare_band_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 rolling 5/50/95-percentile band over a ±1 h TIME range per
+    event_type, with the flare detection metric
+    (value − med)/(p95 − p5) (miletos/main.py:11367-11399)."""
+    from miletos_spark.operators.windows import rolling_percentile_band
+
+    ev = _ev_days(spark, sf_dir)
+    out = rolling_percentile_band(
+        ev, 3600.0, value_col="value", time_col="t_sec",
+        group_cols=("event_type",),
+    )
+    return out.select(
+        "event_id",
+        F.round("band_lo", 6).alias("band_lo"),
+        F.round("band_med", 6).alias("band_med"),
+        F.round("band_hi", 6).alias("band_hi"),
+        F.round("detect_metric", 6).alias("detect_metric"),
+    )
+
+
+SQL_FLARE_BAND_EVENTS = """
+WITH b AS (
+  SELECT event_id,
+         quantile_cont(value, 0.05) OVER w AS band_lo,
+         quantile_cont(value, 0.5) OVER w AS band_med,
+         quantile_cont(value, 0.95) OVER w AS band_hi,
+         value
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY epoch(ts)
+               RANGE BETWEEN 3600.0 PRECEDING AND 3600.0 FOLLOWING)
+)
+SELECT event_id,
+       round(band_lo, 6) AS band_lo,
+       round(band_med, 6) AS band_med,
+       round(band_hi, 6) AS band_hi,
+       round((value - band_med) / nullif(band_hi - band_lo, 0.0), 6)
+         AS detect_metric
+FROM b
+"""
+
+
+TRIGGER_THRESHOLD = 3.0
+
+
+def q_trigger_clusters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 trigger clustering: consecutive above-threshold samples form
+    one cluster; keep the per-cluster argmax (miletos/main.py:6352-6368)."""
+    from miletos_spark.operators.sessionize import cluster_triggers
+
+    ev = _ev_days(spark, sf_dir)
+    flagged = ev.withColumn("_trig", F.col("value") > TRIGGER_THRESHOLD)
+    out = cluster_triggers(
+        flagged, "_trig", "value", time_col="t_sec",
+        group_cols=("event_type",), order_cols=("t_sec", "event_id"),
+    )
+    return out.select(
+        "event_type",
+        "cluster",
+        F.round("t_sec", 6).alias("t_peak"),
+        F.round("value", 6).alias("peak_value"),
+        "n_triggers",
+    )
+
+
+SQL_TRIGGER_CLUSTERS_EVENTS = f"""
+WITH f AS (
+  SELECT event_type, event_id, epoch(ts) AS t_sec, value,
+         CASE WHEN value > {TRIGGER_THRESHOLD!r} THEN 1 ELSE 0 END AS trig
+  FROM events
+),
+s AS (
+  SELECT *, CASE WHEN trig = 1 AND coalesce(lag(trig) OVER w, 0) = 0
+                 THEN 1 ELSE 0 END AS strt
+  FROM f
+  WINDOW w AS (PARTITION BY event_type ORDER BY t_sec, event_id)
+),
+c AS (
+  SELECT *, sum(strt) OVER (PARTITION BY event_type ORDER BY t_sec, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS cluster
+  FROM s
+)
+SELECT event_type, cluster,
+       round(arg_max(t_sec, value), 6) AS t_peak,
+       round(max(value), 6) AS peak_value,
+       count(*) AS n_triggers
+FROM c WHERE trig = 1
+GROUP BY event_type, cluster
+"""
+
+
+def q_topk_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 top-k outliers: 5 brightest samples per event_type
+    (miletos/main.py:5220), tie-broken by event_id."""
+    ev = _ev_days(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), "event_id"
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "event_type", "rk", "event_id",
+            F.round("value", 6).alias("value"),
+            F.round("t", 6).alias("t"),
+        )
+    )
+
+
+SQL_TOPK_OUTLIERS_EVENTS = f"""
+WITH r AS (
+  SELECT event_type, event_id, value, {EV_T_DAYS_SQL} AS t,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rk
+  FROM events
+)
+SELECT event_type, rk, event_id, round(value, 6) AS value, round(t, 6) AS t
+FROM r WHERE rk <= 5
+"""
+
+
+RMS_WIDTHS = [0.25, 0.5, 1.0, 2.0, 4.0]
+
+
+def q_binned_rms_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 binned-residual RMS curve: for each bin width, rebin the
+    residuals and take the std of bin means (miletos/main.py:911-919) —
+    one pass via width explosion instead of a per-width loop."""
+    ev = _ev_days(spark, sf_dir)
+    row = ev.agg(
+        F.avg("value").alias("mu"), F.min("t").alias("t0")
+    ).first()
+    mu, t0 = float(row["mu"]), float(row["t0"])
+    widths = F.array(*[F.lit(w) for w in RMS_WIDTHS])
+    exploded = ev.select(
+        (F.col("value") - F.lit(mu)).alias("resid"),
+        F.col("t"),
+        F.explode(widths).alias("width"),
+    )
+    per_bin = (
+        exploded.withColumn(
+            "bin", F.floor((F.col("t") - F.lit(t0)) / F.col("width"))
+        )
+        .groupBy("width", "bin")
+        .agg(F.avg("resid").alias("bin_mean"))
+    )
+    return (
+        per_bin.groupBy("width")
+        .agg(
+            F.round(F.stddev_pop("bin_mean"), 6).alias("rms"),
+            F.count("*").alias("n_bins"),
+        )
+        .select(F.round("width", 2).alias("width"), "rms", "n_bins")
+    )
+
+
+SQL_BINNED_RMS_EVENTS = f"""
+WITH params AS (
+  SELECT avg(value) AS mu, min({EV_T_DAYS_SQL}) AS t0 FROM events
+),
+e AS (
+  SELECT value - p.mu AS resid, {EV_T_DAYS_SQL} AS t, w.width
+  FROM events, params p,
+       (SELECT unnest({RMS_WIDTHS!r}) AS width) w
+),
+pb AS (
+  SELECT width, CAST(floor((t - (SELECT t0 FROM params)) / width) AS BIGINT) AS bin,
+         avg(resid) AS bin_mean
+  FROM e GROUP BY width, bin
+)
+SELECT round(width, 2) AS width,
+       round(stddev_pop(bin_mean), 6) AS rms,
+       count(*) AS n_bins
+FROM pb GROUP BY width
+"""
+
+
+def q_rebin_count_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 rebin in target-bin-count mode (`numbrebn`,
+    miletos/main.py:3761-3767): 100 equal-width bins over the span."""
+    from miletos_spark.operators.rebin import rebin_by_count
+
+    ev = _ev_days(spark, sf_dir).withColumn("stdv", F.lit(1.0))
+    out = rebin_by_count(ev, 100, time_col="t")
+    return out.select(
+        "bin",
+        F.round("time", 6).alias("time"),
+        F.round("value", 6).alias("value"),
+        F.round("stdv", 6).alias("stdv"),
+        "n",
+    )
+
+
+SQL_REBIN_COUNT_EVENTS = f"""
+WITH span AS (
+  SELECT min({EV_T_DAYS_SQL}) AS lo, max({EV_T_DAYS_SQL}) AS hi FROM events
+),
+p AS (
+  SELECT lo, (hi - lo) / 100 * (1.0 + 1e-12) AS delt FROM span
+),
+b AS (
+  SELECT CAST(floor((({EV_T_DAYS_SQL}) - p.lo) / p.delt) AS BIGINT) AS bin,
+         value, 1.0 AS stdv
+  FROM events, p
+),
+g AS (
+  SELECT bin, avg(value) AS mean_v,
+         coalesce(stddev_pop(value), 0.0) AS scatter,
+         sqrt(sum(stdv * stdv)) AS esum, count(*) AS n
+  FROM b GROUP BY bin
+)
+SELECT bin,
+       round((SELECT lo FROM p) + (bin + 0.5) * (SELECT delt FROM p), 6) AS time,
+       round(mean_v, 6) AS value,
+       round(sqrt(pow(esum / n, 2) + pow(scatter, 2)), 6) AS stdv,
+       n
+FROM g
+"""
+
+
+def q_linear_detrend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 linear-baseline detrend per event_type via closed-form least
+    squares (regr_slope/regr_intercept): detrended = 1 + value − fit.
+    Time shifted to the series min so the intercept isn't a catastrophic
+    cancellation at BJD-scale epochs."""
+    ev = _ev_days(spark, sf_dir)
+    tmin = ev.agg(F.min("t")).first()[0]
+    sh = ev.withColumn("ts0", F.col("t") - F.lit(float(tmin)))
+    fit = sh.groupBy("event_type").agg(
+        F.expr("regr_slope(value, ts0)").alias("_b"),
+        F.expr("regr_intercept(value, ts0)").alias("_a"),
+    )
+    return (
+        sh.join(F.broadcast(fit), "event_type")
+        .select(
+            "event_id",
+            F.round(
+                F.lit(1.0) + F.col("value") - (F.col("_a") + F.col("_b") * F.col("ts0")),
+                6,
+            ).alias("value_detrended"),
+        )
+    )
+
+
+SQL_LINEAR_DETREND_EVENTS = f"""
+WITH sh AS (
+  SELECT event_id, event_type, value,
+         {EV_T_DAYS_SQL} - (SELECT min({EV_T_DAYS_SQL}) FROM events) AS ts0
+  FROM events
+),
+fit AS (
+  SELECT event_type, regr_slope(value, ts0) AS b, regr_intercept(value, ts0) AS a
+  FROM sh GROUP BY event_type
+)
+SELECT sh.event_id,
+       round(1.0 + sh.value - (fit.a + fit.b * sh.ts0), 6) AS value_detrended
+FROM sh JOIN fit USING (event_type)
+"""
+
+
+# --- LLM-pipeline additions (docs / embeddings) -----------------------------
+
+
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit fingerprints (no SQL oracle: xxhash64 is
+    engine-specific -> rows-only check)."""
+    from miletos_spark.pipeline.dedup import simhash_64
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_64(docs).orderBy("doc_id")
+
+
+def q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (1-hash MinHash over 8-grams);
+    md5hex variant so the oracle computes the identical value."""
+    from miletos_spark.pipeline.text import doc_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_fingerprint(docs, k=8, hash_fn="md5hex")
+
+
+SQL_FINGERPRINT_DOCS = r"""
+WITH n AS (
+  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS nm
+  FROM documents
+)
+SELECT doc_id,
+       list_min([substr(md5(substr(nm, i, 8)), 1, 16)
+                 for i in range(1, greatest(length(nm) - 7, 1) + 1)])
+         AS fingerprint
+FROM n
+"""
+
+
+def q_language_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language ID heuristic: per-language token-hit
+    ratios, argmax by (score, lang)."""
+    from miletos_spark.pipeline.text import language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = language_id(docs)
+    return out.select(
+        "doc_id", "lang_pred", F.round("lang_score", 6).alias("lang_score")
+    )
+
+
+def _sql_language_id() -> str:
+    from miletos_spark.pipeline.text import STOPWORDS
+
+    structs = ",\n    ".join(
+        "{'score': len(list_filter(toks, w -> list_contains("
+        + repr(list(words))
+        + ", w))) * 1.0 / greatest(len(toks), 1), 'lang': '"
+        + lang
+        + "'}"
+        for lang, words in STOPWORDS.items()
+    )
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(regexp_split_to_array(lower(trim(text)), '\s+'),
+                        w -> regexp_replace(w, '[^\p{{L}}]', '', 'g')) AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, unnest([
+    {structs}
+  ]) AS sc
+  FROM t
+),
+m AS (
+  SELECT doc_id, max(sc) AS sc FROM s GROUP BY doc_id
+)
+SELECT doc_id,
+       CASE WHEN sc.score > 0 THEN sc.lang ELSE 'und' END AS lang_pred,
+       round(sc.score, 6) AS lang_score
+FROM m
+"""
+
+
+LSH_N_PLANES, LSH_SEED = 8, 42
+
+
+def _lsh_planes():
+    import numpy as np
+
+    rng = np.random.default_rng(LSH_SEED)
+    return rng.standard_normal((LSH_N_PLANES, 64))
+
+
+def q_lsh_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN: random-hyperplane LSH bucket prune (±1-bit
+    multi-probe), exact cosine only inside candidate buckets."""
+    from miletos_spark.pipeline.similarity import lsh_bucket_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.orderBy("vec_id").select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    out = lsh_bucket_topk(
+        emb, query, k=10, n_planes=LSH_N_PLANES, seed=LSH_SEED, probe_bits=1
+    )
+    return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+def _sql_lsh_similarity_topk() -> str:
+    planes = _lsh_planes()
+
+    def bucket_expr(v: str) -> str:
+        terms = []
+        for i, p in enumerate(planes):
+            lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({v}, {lit}) > 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    return f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings ORDER BY vec_id LIMIT 1
+),
+qb AS (
+  SELECT qv, {bucket_expr('qv')} AS qbucket FROM q
+),
+e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+eb AS (
+  SELECT vec_id, v, {bucket_expr('v')} AS ebucket FROM e
+)
+SELECT eb.vec_id,
+       round(list_dot_product(eb.v, qb.qv)
+             / (sqrt(list_dot_product(eb.v, eb.v))
+                * sqrt(list_dot_product(qb.qv, qb.qv))), 6) AS cos_sim
+FROM eb, qb
+WHERE bit_count(xor(CAST(eb.ebucket AS BIGINT), CAST(qb.qbucket AS BIGINT))) <= 1
+ORDER BY cos_sim DESC, eb.vec_id
+LIMIT 10
+"""
+
+
 # --- registry ---------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -700,6 +1194,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_topk": q_similarity_topk,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "near_dup_pairs": q_near_dup_pairs,
+    "white_light_events": q_white_light_events,
+    "transit_windows_events": q_transit_windows_events,
+    "flare_band_events": q_flare_band_events,
+    "trigger_clusters_events": q_trigger_clusters_events,
+    "topk_outliers_events": q_topk_outliers_events,
+    "binned_rms_events": q_binned_rms_events,
+    "rebin_count_events": q_rebin_count_events,
+    "linear_detrend_events": q_linear_detrend_events,
+    "simhash_docs": q_simhash_docs,
+    "fingerprint_docs": q_fingerprint_docs,
+    "language_id_docs": q_language_id_docs,
+    "lsh_similarity_topk": q_lsh_similarity_topk,
 }
 
 
@@ -725,7 +1231,19 @@ def _oracles() -> dict[str, str]:
         "text_stats_docs": SQL_TEXT_STATS_DOCS,
         "similarity_topk": SQL_SIMILARITY_TOPK,
         "near_dup_pairs": SQL_NEAR_DUP_PAIRS,
-        # minhash_lsh_pairs: intentionally no oracle (engine-specific hash)
+        "white_light_events": SQL_WHITE_LIGHT_EVENTS,
+        "transit_windows_events": SQL_TRANSIT_WINDOWS_EVENTS,
+        "flare_band_events": SQL_FLARE_BAND_EVENTS,
+        "trigger_clusters_events": SQL_TRIGGER_CLUSTERS_EVENTS,
+        "topk_outliers_events": SQL_TOPK_OUTLIERS_EVENTS,
+        "binned_rms_events": SQL_BINNED_RMS_EVENTS,
+        "rebin_count_events": SQL_REBIN_COUNT_EVENTS,
+        "linear_detrend_events": SQL_LINEAR_DETREND_EVENTS,
+        "fingerprint_docs": SQL_FINGERPRINT_DOCS,
+        "language_id_docs": _sql_language_id(),
+        "lsh_similarity_topk": _sql_lsh_similarity_topk(),
+        # minhash_lsh_pairs, simhash_docs: intentionally no oracle
+        # (engine-specific xxhash64)
     }
 
 
