@@ -1,0 +1,23 @@
+from miletos_spark.model.forward import (
+    flare_model,
+    rv_model,
+    step_baseline,
+    transit_model,
+    trapezoid_depth,
+)
+from miletos_spark.model.likelihood import depth_fit_closed_form, gaussian_loglik
+from miletos_spark.model.features import derived_features, percentile_summary
+from miletos_spark.model.infer import fit_transit_groups
+
+__all__ = [
+    "transit_model",
+    "flare_model",
+    "rv_model",
+    "step_baseline",
+    "trapezoid_depth",
+    "gaussian_loglik",
+    "depth_fit_closed_form",
+    "derived_features",
+    "percentile_summary",
+    "fit_transit_groups",
+]

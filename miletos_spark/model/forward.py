@@ -1,0 +1,128 @@
+"""M1 — forward-model components (`retr_dictmodl_mile`,
+miletos/main.py:327-668) as vectorized column expressions.
+
+The reference evaluates NumPy arrays per model component and sums:
+transit (via the external `ephesos.eval_modl`), flares
+`1 + Σ ampl·exp(−Δt/tscl)` (miletos/main.py:362-382), baseline constant
+or logistic step (miletos/main.py:559-573), radial velocity
+(`retr_rvel`, miletos/main.py:644-647); total = signal + baseline − 1
+(miletos/main.py:613).
+
+Spark-first: every component is pure `pyspark.sql.functions` column
+arithmetic — whole-stage-codegen'd, no UDF, no shuffle — evaluated
+against a time column of any DataFrame (data grid or fine grid X6).
+The transit shape is a dependency-free symmetric trapezoid (the
+standard limb-darkening-free approximation of the ephesos profile):
+depth reached between 2nd/3rd contact, linear ingress/egress.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _wrapped_phase_days(time: Column, period: float, epoch: float) -> Column:
+    """Time offset from the nearest transit center, in days, in
+    (−P/2, P/2]."""
+    p = F.lit(float(period))
+    ph = ((time - F.lit(float(epoch))) % p + p) % p  # [0, P)
+    return ph - F.when(ph > p / 2, p).otherwise(F.lit(0.0))
+
+
+def transit_model(
+    time: Column,
+    period: float,
+    epoch: float,
+    depth: float,
+    dura_total: float,
+    dura_ingress: float | None = None,
+) -> Column:
+    """Trapezoid transit: 1 − depth between 2nd and 3rd contact, linear
+    ingress/egress of width `dura_ingress` (default: 10% of total),
+    1 outside. Durations in days; depth relative (e.g. 0.01 = 1%)."""
+    if dura_ingress is None:
+        dura_ingress = 0.1 * dura_total
+    t14h = float(dura_total) / 2.0  # 1st–4th contact half-width
+    t23h = max(t14h - float(dura_ingress), 0.0)  # 2nd–3rd contact half-width
+    dt = F.abs(_wrapped_phase_days(time, period, epoch))
+    slope_den = max(t14h - t23h, 1e-12)
+    frac = (F.lit(t14h) - dt) / F.lit(slope_den)  # 1 at t23h edge, 0 at t14h
+    return (
+        F.when(dt <= t23h, F.lit(1.0 - depth))
+        .when(dt < t14h, F.lit(1.0) - F.lit(float(depth)) * frac)
+        .otherwise(F.lit(1.0))
+    )
+
+
+def flare_model(
+    time: Column,
+    flares: list[tuple[float, float, float]],
+) -> Column:
+    """Flare component `1 + Σ ampl·exp(−(t−t0)/tscl)` for t ≥ t0
+    (miletos/main.py:362-382). `flares` = [(t0, ampl, tscl_days), ...]."""
+    out: Column = F.lit(1.0)
+    for t0, ampl, tscl in flares:
+        dt = time - F.lit(float(t0))
+        out = out + F.when(
+            dt >= 0, F.lit(float(ampl)) * F.exp(-dt / F.lit(float(tscl)))
+        ).otherwise(F.lit(0.0))
+    return out
+
+
+def rv_model(
+    time: Column,
+    period: float,
+    epoch: float,
+    semi_amp: float,
+    sys_vel: float = 0.0,
+) -> Column:
+    """Circular-orbit radial velocity `γ + K·sin(2π(t−epoch)/P)`
+    (`retr_rvel`, miletos/main.py:644-647)."""
+    ang = 2.0 * math.pi * (time - F.lit(float(epoch))) / F.lit(float(period))
+    return F.lit(float(sys_vel)) + F.lit(float(semi_amp)) * F.sin(ang)
+
+
+def step_baseline(
+    time: Column,
+    cons: float = 0.0,
+    step_ampl: float | None = None,
+    step_time: float | None = None,
+    step_scale: float | None = None,
+) -> Column:
+    """Baseline in ppt: constant offset, plus an optional logistic step
+    `ampl/(1+exp(−(t−t0)/scale))` (miletos/main.py:559-573). Returns the
+    baseline in relative units (ppt/1e3), reference convention."""
+    out: Column = F.lit(float(cons) / 1e3)
+    if step_ampl is not None:
+        out = out + F.lit(float(step_ampl) / 1e3) / (
+            F.lit(1.0)
+            + F.exp(-(time - F.lit(float(step_time))) / F.lit(float(step_scale)))
+        )
+    return out
+
+
+def trapezoid_depth(
+    time: Column,
+    period: float,
+    epoch: float,
+    dura_total: float,
+    dura_ingress: float | None = None,
+) -> Column:
+    """The unit-depth transit *shape* `s(t) ∈ [0, 1]` (1 = full transit
+    depth reached). `transit_model = 1 − depth·s`; the closed-form depth
+    fit regresses the data on this shape."""
+    if dura_ingress is None:
+        dura_ingress = 0.1 * dura_total
+    t14h = float(dura_total) / 2.0
+    t23h = max(t14h - float(dura_ingress), 0.0)
+    dt = F.abs(_wrapped_phase_days(time, period, epoch))
+    slope_den = max(t14h - t23h, 1e-12)
+    frac = (F.lit(t14h) - dt) / F.lit(slope_den)
+    return (
+        F.when(dt <= t23h, F.lit(1.0))
+        .when(dt < t14h, frac)
+        .otherwise(F.lit(0.0))
+    )

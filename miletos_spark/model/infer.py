@@ -1,0 +1,134 @@
+"""M5 — per-group inference (`proc_modl` `typeinfe='opti'`,
+miletos/main.py:3928-4169): maximize the Gaussian likelihood of the
+trapezoid transit model per series group, inside an Arrow-batched
+`applyInPandas`.
+
+Spark-first shape: groups (target × instrument × energy-iteration) fan
+out across the cluster — the reference's population runs (thousands of
+independent targets) are exactly Spark's parallelism axis; within a
+group the data is a bounded series chunk, so driver-side numpy is safe.
+
+Dependency-free: a small deterministic Nelder–Mead (the reference uses
+`scipy.optimize.minimize(Nelder-Mead)`; same algorithm, fixed initial
+simplex, no randomness). scipy is used instead when importable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+
+def _nelder_mead(fn, x0, steps, max_iter=200, xtol=1e-10, ftol=1e-12):
+    """Minimal deterministic Nelder–Mead; x0/steps set the initial
+    simplex. Returns (x_best, f_best)."""
+    n = len(x0)
+    sim = np.empty((n + 1, n))
+    sim[0] = x0
+    for i in range(n):
+        v = np.array(x0, dtype=float)
+        v[i] += steps[i]
+        sim[i + 1] = v
+    fv = np.array([fn(v) for v in sim])
+    for _ in range(max_iter):
+        order = np.argsort(fv, kind="stable")
+        sim, fv = sim[order], fv[order]
+        if np.max(np.abs(sim[1:] - sim[0])) < xtol or fv[-1] - fv[0] < ftol:
+            break
+        centroid = sim[:-1].mean(axis=0)
+        xr = centroid + (centroid - sim[-1])  # reflect
+        fr = fn(xr)
+        if fr < fv[0]:
+            xe = centroid + 2.0 * (centroid - sim[-1])  # expand
+            fe = fn(xe)
+            sim[-1], fv[-1] = (xe, fe) if fe < fr else (xr, fr)
+        elif fr < fv[-2]:
+            sim[-1], fv[-1] = xr, fr
+        else:
+            xc = centroid + 0.5 * (sim[-1] - centroid)  # contract
+            fc = fn(xc)
+            if fc < fv[-1]:
+                sim[-1], fv[-1] = xc, fc
+            else:  # shrink
+                for i in range(1, n + 1):
+                    sim[i] = sim[0] + 0.5 * (sim[i] - sim[0])
+                    fv[i] = fn(sim[i])
+    best = int(np.argmin(fv))
+    return sim[best], fv[best]
+
+
+def _trapezoid_np(t, period, epoch, depth, dura_total, dura_ingress=None):
+    if dura_ingress is None:
+        dura_ingress = 0.1 * dura_total
+    t14h = dura_total / 2.0
+    t23h = max(t14h - dura_ingress, 0.0)
+    ph = np.mod(t - epoch, period)
+    ph = np.where(ph > period / 2.0, ph - period, ph)
+    dt = np.abs(ph)
+    frac = (t14h - dt) / max(t14h - t23h, 1e-12)
+    shape = np.where(dt <= t23h, 1.0, np.where(dt < t14h, frac, 0.0))
+    return 1.0 - depth * shape
+
+
+def fit_transit_groups(
+    df: DataFrame,
+    period: float,
+    epoch0: float,
+    depth0: float = 0.01,
+    dura0: float = 0.1,
+    group_cols: Sequence[str] = ("inst", "chunk"),
+    time_col: str = "time",
+    value_col: str = "value",
+    stdv_col: str = "stdv",
+) -> DataFrame:
+    """Fit (epoch, depth, dura_total) of a fixed-period trapezoid per
+    group by chi² minimization. Returns one row per group:
+    group_cols + (epoch_hat, depth_hat, dura_hat, chi2, n).
+
+    The per-group series must be bounded (a sector/chunk); the fit is
+    deterministic (fixed initial simplex, stable sort)."""
+    import pandas as pd
+
+    keys = list(group_cols)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*keys).schema.fields
+    ) + ", epoch_hat double, depth_hat double, dura_hat double, chi2 double, n long"
+
+    p, e0, d0, w0 = float(period), float(epoch0), float(depth0), float(dura0)
+
+    def fit_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf[time_col].to_numpy(dtype=float)
+        y = pdf[value_col].to_numpy(dtype=float)
+        s = pdf[stdv_col].to_numpy(dtype=float)
+
+        def chi2(x):
+            epoch, depth, dura = x
+            if dura <= 0 or dura > p / 2 or abs(depth) > 1.0:
+                return 1e30
+            m = _trapezoid_np(t, p, epoch, depth, dura)
+            z = (y - m) / s
+            return float(z @ z)
+
+        try:
+            from scipy.optimize import minimize
+
+            res = minimize(
+                chi2, [e0, d0, w0], method="Nelder-Mead",
+                options={"maxiter": 200, "xatol": 1e-10, "fatol": 1e-12},
+            )
+            x, fx = res.x, float(res.fun)
+        except ImportError:
+            x, fx = _nelder_mead(
+                chi2, [e0, d0, w0], [0.05 * p, max(d0, 1e-3), 0.5 * w0]
+            )
+        row = {k: pdf[k].iloc[0] for k in keys}
+        row.update(
+            epoch_hat=float(x[0]), depth_hat=float(x[1]),
+            dura_hat=float(x[2]), chi2=fx, n=len(t),
+        )
+        return pd.DataFrame([row])
+
+    return df.groupBy(*keys).applyInPandas(fit_one, schema=out_schema)

@@ -1170,6 +1170,190 @@ LIMIT 10
 """
 
 
+# --- model/inference layer (M-series) ---------------------------------------
+
+MODEL_P, MODEL_EPOCH, MODEL_DEPTH, MODEL_DURA = 7.0, 1.5, 0.01, 0.7
+_M_T14H = MODEL_DURA / 2.0
+_M_T23H = _M_T14H - 0.1 * MODEL_DURA
+_M_DEN = _M_T14H - _M_T23H
+
+
+def _sql_trap_shape() -> str:
+    """DuckDB expression for the unit-depth trapezoid shape s(t) on the
+    events day axis — same constants, same op order as the Spark side."""
+    return f"""
+  CASE WHEN dt <= {_M_T23H!r} THEN 1.0
+       WHEN dt < {_M_T14H!r} THEN ({_M_T14H!r} - dt) / {_M_DEN!r}
+       ELSE 0.0 END
+"""
+
+
+_SQL_DT_CTE = f"""
+WITH ph0 AS (
+  SELECT event_type, value,
+         ((({EV_T_DAYS_SQL}) - {MODEL_EPOCH!r}) % {MODEL_P!r} + {MODEL_P!r})
+           % {MODEL_P!r} AS p0
+  FROM events
+),
+sh AS (
+  SELECT event_type, value,
+         abs(p0 - CASE WHEN p0 > {MODEL_P / 2.0!r} THEN {MODEL_P!r}
+                       ELSE 0.0 END) AS dt
+  FROM ph0
+),
+s AS (
+  SELECT event_type, value, {_sql_trap_shape()} AS shape
+  FROM sh
+)
+"""
+
+
+def q_model_loglik_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1+M3: evaluate the trapezoid forward model on the events time
+    axis (pure column arithmetic, no UDF) and aggregate the Gaussian
+    log-likelihood per event_type — likelihood as a map-side-combinable
+    aggregation (retr_llik_mile, miletos/main.py:735-850)."""
+    from miletos_spark.model.forward import transit_model
+    from miletos_spark.model.likelihood import gaussian_loglik
+
+    ev = _ev_days(spark, sf_dir).withColumn("stdv", F.lit(1.0))
+    m = transit_model(F.col("t"), MODEL_P, MODEL_EPOCH, MODEL_DEPTH, MODEL_DURA)
+    out = gaussian_loglik(
+        ev.withColumn("model", m), "model", group_cols=("event_type",)
+    )
+    return out.select(
+        "event_type",
+        F.round("loglik", 4).alias("loglik"),
+        F.round("chi2", 4).alias("chi2"),
+        "n",
+    )
+
+
+SQL_MODEL_LOGLIK_EVENTS = f"""
+{_SQL_DT_CTE}
+SELECT event_type,
+       round(-0.5 * sum(pow(value - (1.0 - {MODEL_DEPTH!r} * shape), 2)), 4)
+         AS loglik,
+       round(sum(pow(value - (1.0 - {MODEL_DEPTH!r} * shape), 2)), 4) AS chi2,
+       count(*) AS n
+FROM s
+GROUP BY event_type
+"""
+
+
+def q_depth_fit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 closed-form: weighted-least-squares transit depth — the
+    maximum-likelihood amplitude of the unit-depth shape, one
+    aggregation instead of an optimizer (BLS inner kernel A4
+    generalized)."""
+    from miletos_spark.model.forward import trapezoid_depth
+    from miletos_spark.model.likelihood import depth_fit_closed_form
+
+    ev = _ev_days(spark, sf_dir).withColumn("stdv", F.lit(1.0))
+    s = trapezoid_depth(F.col("t"), MODEL_P, MODEL_EPOCH, MODEL_DURA)
+    out = depth_fit_closed_form(
+        ev.withColumn("shape", s), "shape", group_cols=("event_type",)
+    )
+    return out.select(
+        "event_type",
+        F.round("depth_hat", 6).alias("depth_hat"),
+        F.round("depth_err", 6).alias("depth_err"),
+        "n_in_shape",
+    )
+
+
+SQL_DEPTH_FIT_EVENTS = f"""
+{_SQL_DT_CTE}
+SELECT event_type,
+       round(sum(shape * (1.0 - value)) / sum(shape * shape), 6) AS depth_hat,
+       round(1.0 / sqrt(sum(shape * shape)), 6) AS depth_err,
+       sum(CASE WHEN shape > 0 THEN 1 ELSE 0 END) AS n_in_shape
+FROM s
+GROUP BY event_type
+"""
+
+
+def q_derived_features_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 derived physical features + A5 16/50/84 percentile summary:
+    per-user proxy params (depth from the series scatter, period keyed
+    off the user id) -> feature arithmetic -> percentiles per cohort."""
+    from miletos_spark.model.features import derived_features, percentile_summary
+
+    ev = _ev_days(spark, sf_dir)
+    params = (
+        ev.groupBy("user_id")
+        .agg((F.stddev_pop("value") / 1000.0).alias("depth"))
+        .withColumn(
+            "period", F.lit(1.0) + F.pmod(F.col("user_id"), F.lit(20)) * 0.5
+        )
+    )
+    feats = derived_features(params)
+    cohort = feats.withColumn("cohort", F.pmod(F.col("user_id"), F.lit(4)))
+    out = percentile_summary(
+        cohort,
+        ["rratio", "rp_rearth", "a_au", "a_rs", "teq_k", "insol_earth", "dura_hr"],
+        group_cols=("cohort",),
+    )
+    rounded = [F.col("cohort")] + [
+        F.round(c, 6).alias(c) for c in out.columns if c != "cohort"
+    ]
+    return out.select(*rounded)
+
+
+def _sql_derived_features() -> str:
+    feats = {
+        "rratio": "sqrt(depth)",
+        "rp_rearth": "sqrt(depth) * 109.076",
+        "a_au": "pow(pow(period / 365.25, 2), 1.0/3.0)",
+        "a_rs": "pow(pow(period / 365.25, 2), 1.0/3.0) * 215.032",
+        "teq_k": "5772.0 * sqrt(1.0 / (2.0 * pow(pow(period / 365.25, 2), 1.0/3.0) * 215.032))",
+        "insol_earth": "1.0 / pow(pow(pow(period / 365.25, 2), 1.0/3.0), 2)",
+        "dura_hr": "period * 24.0 / 3.141592653589793 * asin(1.0 / (pow(pow(period / 365.25, 2), 1.0/3.0) * 215.032))",
+    }
+    cols = ",\n       ".join(
+        f"round(quantile_cont({expr}, {q!r}), 6) AS {name}_{tag}"
+        for name, expr in feats.items()
+        for q, tag in ((0.16, "p16"), (0.5, "p50"), (0.84, "p84"))
+    )
+    return f"""
+WITH params AS (
+  SELECT user_id,
+         stddev_pop(value) / 1000.0 AS depth,
+         1.0 + (user_id % 20) * 0.5 AS period
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT *, user_id % 4 AS cohort FROM params
+)
+SELECT cohort,
+       {cols}
+FROM c GROUP BY cohort
+"""
+
+
+def q_transit_fit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 'opti' inference: per-event_type Nelder-Mead chi2 fit of
+    (epoch, depth, duration) inside applyInPandas (no SQL oracle:
+    iterative optimizer -> rows-only check)."""
+    from miletos_spark.model.infer import fit_transit_groups
+
+    ev = _ev_days(spark, sf_dir).withColumn("stdv", F.lit(1.0))
+    tmin = ev.agg(F.min("t")).first()[0]
+    sh = ev.withColumn("t", F.col("t") - F.lit(float(tmin)))
+    out = fit_transit_groups(
+        sh, period=MODEL_P, epoch0=1.0, depth0=0.01, dura0=0.5,
+        group_cols=("event_type",), time_col="t",
+    )
+    return out.select(
+        "event_type",
+        F.round("epoch_hat", 4).alias("epoch_hat"),
+        F.round("depth_hat", 5).alias("depth_hat"),
+        F.round("dura_hat", 4).alias("dura_hat"),
+        F.round("chi2", 2).alias("chi2"),
+        "n",
+    ).orderBy("event_type")
+
+
 # --- registry ---------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1206,6 +1390,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint_docs": q_fingerprint_docs,
     "language_id_docs": q_language_id_docs,
     "lsh_similarity_topk": q_lsh_similarity_topk,
+    "model_loglik_events": q_model_loglik_events,
+    "depth_fit_events": q_depth_fit_events,
+    "derived_features_events": q_derived_features_events,
+    "transit_fit_events": q_transit_fit_events,
 }
 
 
@@ -1242,6 +1430,10 @@ def _oracles() -> dict[str, str]:
         "fingerprint_docs": SQL_FINGERPRINT_DOCS,
         "language_id_docs": _sql_language_id(),
         "lsh_similarity_topk": _sql_lsh_similarity_topk(),
+        "model_loglik_events": SQL_MODEL_LOGLIK_EVENTS,
+        "depth_fit_events": SQL_DEPTH_FIT_EVENTS,
+        "derived_features_events": _sql_derived_features(),
+        # transit_fit_events: intentionally no oracle (iterative optimizer)
         # minhash_lsh_pairs, simhash_docs: intentionally no oracle
         # (engine-specific xxhash64)
     }
