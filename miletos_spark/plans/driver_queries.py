@@ -1354,6 +1354,77 @@ def q_transit_fit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+# --- streaming (§2.12) ------------------------------------------------------
+
+
+def q_stream_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 Structured Streaming: land events as a micros-timestamp
+    parquet dir, run the session_window aggregation as an availableNow
+    stream into a memory sink, return the drained result. Semantics are
+    exactly batch gap-sessionization (session end = last event + gap),
+    so the DuckDB oracle verifies the streaming output."""
+    import tempfile
+    import uuid
+
+    from miletos_spark.streaming.ingest import stream_sessions
+
+    ev = load_table(spark, sf_dir, "events")
+    land = tempfile.mkdtemp(prefix="stream_events_") + "/data"
+    # integer `div` — float division of epoch-nanos (~1.7e18) exceeds
+    # double mantissa and lands 1 µs off DuckDB's nanos→µs truncation
+    ev.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    ).write.parquet(land)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    name = "stream_sessions_" + uuid.uuid4().hex[:8]
+    sdf = stream_sessions(spark, land, schema, gap_sec=SESSION_GAP_SEC)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.table(name)
+    # exact integer microseconds: epoch-seconds doubles at ~1.7e9 run
+    # out of mantissa for 6-decimal rounding parity
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("t_start")).alias("t_start_us"),
+        F.unix_micros(F.col("t_end")).alias("t_end_us"),
+        "n_events",
+        F.round("mean_value", 6).alias("mean_value"),
+    )
+
+
+SQL_STREAM_SESSIONS_EVENTS = f"""
+WITH s AS (
+  SELECT user_id, epoch_us(ts) AS t_us, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   > {int(SESSION_GAP_SEC * 1_000_000)}
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+),
+r AS (
+  SELECT user_id, t_us, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY t_us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS region
+  FROM s
+)
+SELECT user_id,
+       min(t_us) AS t_start_us,
+       max(t_us) + {int(SESSION_GAP_SEC * 1_000_000)} AS t_end_us,
+       count(*) AS n_events,
+       round(avg(value), 6) AS mean_value
+FROM r GROUP BY user_id, region
+"""
+
+
 # --- registry ---------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1394,6 +1465,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "depth_fit_events": q_depth_fit_events,
     "derived_features_events": q_derived_features_events,
     "transit_fit_events": q_transit_fit_events,
+    "stream_sessions_events": q_stream_sessions_events,
 }
 
 
@@ -1433,6 +1505,7 @@ def _oracles() -> dict[str, str]:
         "model_loglik_events": SQL_MODEL_LOGLIK_EVENTS,
         "depth_fit_events": SQL_DEPTH_FIT_EVENTS,
         "derived_features_events": _sql_derived_features(),
+        "stream_sessions_events": SQL_STREAM_SESSIONS_EVENTS,
         # transit_fit_events: intentionally no oracle (iterative optimizer)
         # minhash_lsh_pairs, simhash_docs: intentionally no oracle
         # (engine-specific xxhash64)

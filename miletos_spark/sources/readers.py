@@ -1,0 +1,119 @@
+"""S-series sources (SURVEY.md §2.1).
+
+Spark-first stance: light curves land as columnar tables (parquet/CSV);
+the FITS-specific steps of `read_tesskplr_file` (miletos/main.py:
+7407-7502) — quality mask, BJD offset, median normalization — are
+DataFrame transformations applied at read. A FITS binary parser needs
+astropy (not in this environment), so `read_tess_fits` documents the
+mapping and raises; a landing job converts FITS → parquet upstream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+from miletos_spark.operators.normalize import median_normalize
+
+# BJD offsets applied on read (miletos/main.py:7456-7459)
+BJD_OFFSET = {"TESS": 2457000.0, "Kepler": 2454833.0}
+
+SERIES_CSV_SCHEMA = StructType(
+    [
+        StructField("time", DoubleType()),
+        StructField("value", DoubleType()),
+        StructField("stdv", DoubleType()),
+    ]
+)
+
+
+def read_series_csv(
+    spark: SparkSession,
+    paths: str | Sequence[str],
+    default_stdv: float = 1e-4,
+    max_abs_value: float = 1e6,
+) -> DataFrame:
+    """S8 — user-input CSV series (miletos/main.py:10222-10233): fixed
+    (time, value[, stdv]) schema, synthesized 1e-4 errors when the error
+    column is missing/null, `|value| ≥ 1e6` rows dropped. Multi-file
+    paths scan in one job (S2's folder-concat); ordering is left to the
+    consumer (Spark rows are unordered; sorts belong to sinks/windows).
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    df = spark.read.csv(list(paths), header=True, schema=SERIES_CSV_SCHEMA)
+    return (
+        df.withColumn(
+            "stdv", F.coalesce(F.col("stdv"), F.lit(float(default_stdv)))
+        )
+        .filter(F.col("time").isNotNull() & F.col("value").isNotNull())
+        .filter(F.abs(F.col("value")) < max_abs_value)
+    )
+
+
+def read_lightcurve_table(
+    spark: SparkSession,
+    path: str,
+    inst: str = "TESS",
+    time_col: str = "time",
+    flux_col: str = "flux",
+    err_col: str = "flux_err",
+    quality_col: str | None = "quality",
+    apply_offset: bool = True,
+    normalize: bool = True,
+) -> DataFrame:
+    """S1 semantics over a columnar landing table: quality==0 &
+    isfinite filter (pushed to the scan), BJD offset, per-file median
+    normalization (miletos/main.py:7448-7502). Output long schema
+    (time, ener, value, stdv, inst, chunk)."""
+    df = spark.read.parquet(path)
+    if quality_col and quality_col in df.columns:
+        df = df.filter(F.col(quality_col) == 0)
+    df = df.filter(
+        ~F.isnan(F.col(flux_col)) & F.col(flux_col).isNotNull()
+        & F.col(time_col).isNotNull()
+    )
+    t = F.col(time_col)
+    if apply_offset and inst in BJD_OFFSET:
+        t = t + F.lit(BJD_OFFSET[inst])
+    chunk = F.col("chunk") if "chunk" in df.columns else F.lit(0)
+    out = df.select(
+        t.alias("time"),
+        F.lit(0).alias("ener"),
+        F.col(flux_col).alias("value"),
+        (F.col(err_col) if err_col in df.columns else F.lit(0.0)).alias("stdv"),
+        F.lit(inst).alias("inst"),
+        chunk.alias("chunk"),
+    )
+    if normalize:
+        out = median_normalize(out, group_cols=("inst", "chunk"))
+    return out
+
+
+def read_tess_fits(*_args, **_kwargs):
+    """S1 — native FITS ingestion stub. The binary FITS parse requires
+    astropy (`astropy.io.fits`), absent here; in production the landing
+    job maps HDU1 columns TIME/PDCSAP_FLUX/PDCSAP_FLUX_ERR/QUALITY to
+    the (time, flux, flux_err, quality) parquet schema that
+    `read_lightcurve_table` consumes (miletos/main.py:7427-7446)."""
+    raise NotImplementedError(
+        "FITS parsing needs astropy; convert to parquet upstream and use "
+        "read_lightcurve_table (see docstring for the column mapping)."
+    )
+
+
+def available_chunks(
+    spark: SparkSession, path: str, chunk_col: str = "chunk"
+) -> list[int]:
+    """S7 — the local-sector-cache listing (`retr_tsecpathlocl`,
+    miletos/main.py:211-259) as a catalog question: which chunk
+    partitions exist. Uses the partition column when present (partition
+    pruning makes this a metadata-only scan), else a distinct query."""
+    df = spark.read.parquet(path)
+    if chunk_col not in df.columns:
+        return [0]
+    rows = df.select(chunk_col).distinct().collect()
+    return sorted(int(r[0]) for r in rows)

@@ -1,0 +1,7 @@
+from miletos_spark.streaming.ingest import (
+    incremental_analysis,
+    stream_rebin,
+    stream_sessions,
+)
+
+__all__ = ["stream_sessions", "stream_rebin", "incremental_analysis"]

@@ -1,0 +1,135 @@
+"""Sources/sinks (S-series) and Structured Streaming (§2.12)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from miletos_spark.sources.readers import (
+    available_chunks,
+    read_lightcurve_table,
+    read_series_csv,
+    read_tess_fits,
+)
+from miletos_spark.sources.sinks import memoize_parquet, upsert_results, write_stage
+
+EV_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def test_read_series_csv(spark, tmp_path):
+    p = tmp_path / "series.csv"
+    p.write_text(
+        "time,value,stdv\n1.0,0.5,\n2.0,0.6,0.01\n3.0,2000000.0,0.01\n"
+    )
+    df = read_series_csv(spark, str(p))
+    rows = {r["time"]: r for r in df.collect()}
+    assert set(rows) == {1.0, 2.0}          # 2e6 row dropped
+    assert rows[1.0]["stdv"] == 1e-4        # synthesized error
+    assert rows[2.0]["stdv"] == 0.01
+
+
+def test_read_lightcurve_table(spark, tmp_path):
+    path = str(tmp_path / "lc")
+    spark.createDataFrame(
+        [(0.0, 2.0, 0.02, 0), (1.0, 2.2, 0.02, 0), (2.0, 1.8, 0.02, 0),
+         (3.0, 99.0, 0.02, 8), (4.0, float("nan"), 0.02, 0)],
+        "time double, flux double, flux_err double, quality int",
+    ).write.parquet(path)
+    out = read_lightcurve_table(spark, path, inst="TESS")
+    rows = out.orderBy("time").collect()
+    assert len(rows) == 3                   # quality!=0 and NaN dropped
+    assert rows[0]["time"] == pytest.approx(2457000.0)  # BJD offset
+    assert rows[0]["value"] == pytest.approx(1.0)       # median-normalized
+
+
+def test_read_tess_fits_stub():
+    with pytest.raises(NotImplementedError):
+        read_tess_fits("x.fits")
+
+
+def test_write_stage_and_chunks(spark, tmp_path):
+    path = str(tmp_path / "stage")
+    df = spark.createDataFrame(
+        [(1.0, 1.0, "TESS", 3), (2.0, 1.1, "TESS", 5)],
+        "time double, value double, inst string, chunk int",
+    )
+    write_stage(df, path)
+    assert available_chunks(spark, path) == [3, 5]
+
+
+def test_upsert_results(spark, tmp_path):
+    path = str(tmp_path / "results")
+    r1 = spark.createDataFrame([("t1", 1.0), ("t2", 2.0)], "strgtarg string, score double")
+    r2 = spark.createDataFrame([("t2", 9.0), ("t3", 3.0)], "strgtarg string, score double")
+    upsert_results(spark, path, r1)
+    merged = upsert_results(spark, path, r2)
+    got = {r["strgtarg"]: r["score"] for r in merged.collect()}
+    assert got == {"t1": 1.0, "t2": 9.0, "t3": 3.0}  # t2 replaced, t1 kept
+
+
+def test_memoize_parquet(spark, tmp_path):
+    path = str(tmp_path / "memo")
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(3).select(F.col("id"))
+
+    a = memoize_parquet(spark, path, build)
+    b = memoize_parquet(spark, path, build)   # memo hit: no rebuild
+    assert a.count() == b.count() == 3
+    assert len(calls) == 1
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    # land events as a clean TIMESTAMP(MICROS) parquet dir: the driver
+    # files are TIMESTAMP(NANOS), which Spark can only read as raw longs
+    from miletos_spark.schema import load_table
+
+    d = str(tmp_path_factory.mktemp("stream") / "events")
+    ev = load_table(spark, sf_dir, "events")
+    ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).write.parquet(d)
+    return d
+
+
+def test_stream_sessions_matches_batch(spark, events_dir, tmp_path):
+    from miletos_spark.streaming.ingest import stream_sessions
+
+    sdf = stream_sessions(spark, events_dir, EV_SCHEMA, gap_sec=14400.0)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("sess_out")
+    batch = (
+        spark.read.schema(EV_SCHEMA).parquet(events_dir)
+        .groupBy(F.session_window(F.col("ts"), "14400 seconds"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    assert got.count() == batch.count()
+    assert got.agg(F.sum("n_events")).first()[0] == batch.agg(
+        F.sum("n_events")
+    ).first()[0]
+
+
+def test_incremental_analysis_foreachbatch(spark, events_dir, tmp_path):
+    from miletos_spark.streaming.ingest import incremental_analysis
+
+    seen = {}
+
+    def per_batch(df, batch_id):
+        seen[batch_id] = df.count()
+
+    q = incremental_analysis(
+        spark, events_dir, EV_SCHEMA, per_batch, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    assert sum(seen.values()) == spark.read.parquet(events_dir).count()
