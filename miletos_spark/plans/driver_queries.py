@@ -1425,6 +1425,241 @@ FROM r GROUP BY user_id, region
 """
 
 
+# --- P6 matched filter + X5 phase-curve bundles -----------------------------
+
+MF_GAP_DAYS = 0.1
+
+
+def _mf_template() -> list[float]:
+    from miletos_spark.search.flare import exp_decay_template
+
+    return exp_decay_template(n_samples=4, tscl_samples=2.0)
+
+
+def q_matched_filter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 matched-filter flare search: gap sessionization, 4-sample
+    exponential-decay template correlation as a lead()-built windowed
+    dot product, auto threshold (median + 7σ of the correlation), and
+    consecutive-trigger clustering — all window ops, no UDF."""
+    from miletos_spark.search.flare import matched_filter_search
+
+    ev = _ev_days(spark, sf_dir)
+    out = matched_filter_search(
+        ev, _mf_template(), threshold=None, gap_days=MF_GAP_DAYS,
+        time_col="t", group_cols=("event_type",),
+    )
+    return out.select(
+        "event_type",
+        "region",
+        "cluster",
+        F.round("t", 6).alias("t_peak"),
+        F.round("corr", 6).alias("corr"),
+        "n_triggers",
+    )
+
+
+def _sql_matched_filter() -> str:
+    tmpl = _mf_template()
+    corr_terms = [f"({tmpl[0]!r}) * (value - (SELECT mu FROM mu))"]
+    for j in range(1, len(tmpl)):
+        corr_terms.append(
+            f"({tmpl[j]!r}) * (lead(value, {j}) OVER w2 - (SELECT mu FROM mu))"
+        )
+    corr_expr = " + ".join(corr_terms)
+    return f"""
+WITH base AS (
+  SELECT event_type, event_id, {EV_T_DAYS_SQL} AS t, value FROM events
+),
+mu AS (SELECT avg(value) AS mu FROM base),
+sess0 AS (
+  SELECT *, CASE WHEN t - lag(t) OVER (PARTITION BY event_type ORDER BY t)
+                      > {MF_GAP_DAYS!r}
+                 THEN 1 ELSE 0 END AS brk
+  FROM base
+),
+sess AS (
+  SELECT *, sum(brk) OVER (PARTITION BY event_type ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS region
+  FROM sess0
+),
+scored AS (
+  SELECT event_type, region, t, {corr_expr} AS corr
+  FROM sess
+  WINDOW w2 AS (PARTITION BY event_type, region ORDER BY t)
+),
+kept AS (SELECT * FROM scored WHERE corr IS NOT NULL),
+thr AS (
+  SELECT quantile_cont(corr, 0.5) + 7.0 * stddev_pop(corr) AS thr FROM kept
+),
+flagged AS (
+  SELECT *, CASE WHEN corr > (SELECT thr FROM thr) THEN 1 ELSE 0 END AS trig
+  FROM kept
+),
+st AS (
+  SELECT *, CASE WHEN trig = 1
+                  AND coalesce(lag(trig) OVER (PARTITION BY event_type, region
+                                               ORDER BY t), 0) = 0
+                 THEN 1 ELSE 0 END AS strt
+  FROM flagged
+),
+cl AS (
+  SELECT *, sum(strt) OVER (PARTITION BY event_type, region ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS cluster
+  FROM st
+)
+SELECT event_type, region, cluster,
+       round(arg_max(t, corr), 6) AS t_peak,
+       round(max(corr), 6) AS corr,
+       count(*) AS n_triggers
+FROM cl WHERE trig = 1
+GROUP BY event_type, region, cluster
+"""
+
+
+PC_BINS_FULL, PC_BINS_ZOOM = 50, 20
+
+
+def q_phase_curve_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 phase-curve bundle: primary-centered full fold, primary zoom
+    (|phase| < 2·dura/P), and secondary-centered zoom, each binned —
+    one union of labeled per-bundle aggregations
+    (miletos/main.py:11933-12046)."""
+    ev = _ev_days(spark, sf_dir).withColumn("stdv", F.lit(1.0))
+    half = TRANSIT_DURA / TRANSIT_P  # zoom half-width in phase (2×t14/2)
+
+    prim = fold(ev, TRANSIT_P, TRANSIT_EPOCH, phase_center=0.0, time_col="t")
+    full_b = phase_bins(prim, num_bins=PC_BINS_FULL, center=0.0).withColumn(
+        "bundle", F.lit("primary")
+    )
+
+    zoom_w = 2.0 * half / PC_BINS_ZOOM
+    zoom = prim.filter(F.abs(F.col("phase")) < half)
+    zoom_b = (
+        zoom.withColumn(
+            "bin",
+            F.least(
+                F.floor((F.col("phase") + half) / zoom_w).cast("int"),
+                F.lit(PC_BINS_ZOOM - 1),
+            ),
+        )
+        .groupBy("bin")
+        .agg(F.avg("value").alias("value"), F.count("*").alias("n"))
+        .withColumn("phase", -half + (F.col("bin") + 0.5) * zoom_w)
+        .withColumn("bundle", F.lit("primary_zoom"))
+    )
+
+    seco = fold(ev, TRANSIT_P, TRANSIT_EPOCH + TRANSIT_P / 2.0,
+                phase_center=0.0, time_col="t")
+    seco_zoom = seco.filter(F.abs(F.col("phase")) < half)
+    seco_b = (
+        seco_zoom.withColumn(
+            "bin",
+            F.least(
+                F.floor((F.col("phase") + half) / zoom_w).cast("int"),
+                F.lit(PC_BINS_ZOOM - 1),
+            ),
+        )
+        .groupBy("bin")
+        .agg(F.avg("value").alias("value"), F.count("*").alias("n"))
+        .withColumn("phase", -half + (F.col("bin") + 0.5) * zoom_w)
+        .withColumn("bundle", F.lit("secondary_zoom"))
+    )
+
+    sel = lambda d: d.select(  # noqa: E731
+        "bundle", "bin",
+        F.round("phase", 6).alias("phase"),
+        F.round("value", 6).alias("value"),
+        "n",
+    )
+    return sel(full_b).unionByName(sel(zoom_b)).unionByName(sel(seco_b))
+
+
+def _sql_phase_curve() -> str:
+    half = TRANSIT_DURA / TRANSIT_P
+    zoom_w = 2.0 * half / PC_BINS_ZOOM
+
+    def fold_cte(epoch: float, name: str) -> str:
+        return f"""
+{name}0 AS (
+  SELECT value, ((({EV_T_DAYS_SQL}) - {epoch!r}) % {TRANSIT_P!r}
+                 + {TRANSIT_P!r}) % {TRANSIT_P!r} AS p0
+  FROM events
+),
+{name} AS (
+  SELECT value,
+         (p0 / {TRANSIT_P!r})
+           - CASE WHEN p0 / {TRANSIT_P!r} > 0.5 THEN 1.0 ELSE 0.0 END AS phase
+  FROM {name}0
+)"""
+
+    return f"""
+WITH {fold_cte(TRANSIT_EPOCH, 'prim')},
+{fold_cte(TRANSIT_EPOCH + TRANSIT_P / 2.0, 'seco')[1:]},
+full_b AS (
+  SELECT 'primary' AS bundle,
+         least(CAST(floor((phase + 0.5) * {PC_BINS_FULL}) AS INT),
+               {PC_BINS_FULL - 1}) AS bin,
+         avg(value) AS mean_v, count(*) AS n,
+         coalesce(stddev_pop(value), 0.0) AS scatter
+  FROM prim GROUP BY 2
+),
+zoom_b AS (
+  SELECT 'primary_zoom' AS bundle,
+         least(CAST(floor((phase + {half!r}) / {zoom_w!r}) AS INT),
+               {PC_BINS_ZOOM - 1}) AS bin,
+         avg(value) AS mean_v, count(*) AS n
+  FROM prim WHERE abs(phase) < {half!r} GROUP BY 2
+),
+seco_b AS (
+  SELECT 'secondary_zoom' AS bundle,
+         least(CAST(floor((phase + {half!r}) / {zoom_w!r}) AS INT),
+               {PC_BINS_ZOOM - 1}) AS bin,
+         avg(value) AS mean_v, count(*) AS n
+  FROM seco WHERE abs(phase) < {half!r} GROUP BY 2
+)
+SELECT bundle, bin,
+       round(-0.5 + (bin + 0.5) / {PC_BINS_FULL}.0, 6) AS phase,
+       round(mean_v, 6) AS value, n
+FROM full_b
+UNION ALL
+SELECT bundle, bin,
+       round(-{half!r} + (bin + 0.5) * {zoom_w!r}, 6) AS phase,
+       round(mean_v, 6) AS value, n
+FROM zoom_b
+UNION ALL
+SELECT bundle, bin,
+       round(-{half!r} + (bin + 0.5) * {zoom_w!r}, 6) AS phase,
+       round(mean_v, 6) AS value, n
+FROM seco_b
+"""
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline: synthesize binary media payloads, decode to
+    per-frame pixel blocks (mapInPandas; codec seam is a deterministic
+    fake), sample every 2nd video frame, block-mean resize, per-frame
+    brightness/contrast features (no SQL oracle: binary byte-level ops
+    -> rows-only check)."""
+    from miletos_spark.pipeline.multimodal import (
+        decode_media,
+        frame_sample,
+        media_features,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=64, frame_px=8)
+    dec = frame_sample(decode_media(media), every_k=2)
+    out = media_features(dec)
+    return out.select(
+        "media_id", "kind", "frame",
+        F.round("brightness", 6).alias("brightness"),
+        F.round("contrast", 6).alias("contrast"),
+        "px_min", "px_max",
+    ).orderBy("media_id", "frame")
+
+
 # --- registry ---------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1466,6 +1701,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "derived_features_events": q_derived_features_events,
     "transit_fit_events": q_transit_fit_events,
     "stream_sessions_events": q_stream_sessions_events,
+    "matched_filter_events": q_matched_filter_events,
+    "phase_curve_events": q_phase_curve_events,
+    "media_features": q_media_features,
 }
 
 
@@ -1506,6 +1744,8 @@ def _oracles() -> dict[str, str]:
         "depth_fit_events": SQL_DEPTH_FIT_EVENTS,
         "derived_features_events": _sql_derived_features(),
         "stream_sessions_events": SQL_STREAM_SESSIONS_EVENTS,
+        "matched_filter_events": _sql_matched_filter(),
+        "phase_curve_events": _sql_phase_curve(),
         # transit_fit_events: intentionally no oracle (iterative optimizer)
         # minhash_lsh_pairs, simhash_docs: intentionally no oracle
         # (engine-specific xxhash64)

@@ -1,0 +1,73 @@
+"""Multimodal column pipeline: schema/batch plumbing real, codec fake."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from miletos_spark.pipeline.multimodal import (
+    decode_media,
+    frame_sample,
+    media_features,
+    resize_pixels,
+    synth_media,
+)
+
+PX = 8
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return synth_media(spark, n=12, frame_px=PX).cache()
+
+
+def test_synth_media_payload_sizes(media):
+    rows = media.select(
+        "kind", F.length("payload").alias("nb"), "n_frames"
+    ).collect()
+    for r in rows:
+        assert r["nb"] == r["n_frames"] * PX * PX
+
+
+def test_decode_one_row_per_frame(media):
+    dec = decode_media(media)
+    n_frames = media.agg(F.sum("n_frames")).first()[0]
+    assert dec.count() == n_frames
+    row = dec.first()
+    assert len(row["pixels"]) == PX * PX
+    assert all(0.0 <= v <= 255.0 for v in row["pixels"])
+
+
+def test_decode_deterministic(media):
+    a = sorted(decode_media(media).collect(), key=lambda r: (r["media_id"], r["frame"]))
+    b = sorted(decode_media(media).collect(), key=lambda r: (r["media_id"], r["frame"]))
+    assert [r["pixels"] for r in a] == [r["pixels"] for r in b]
+
+
+def test_frame_sample(media):
+    dec = decode_media(media)
+    kept = frame_sample(dec, every_k=2)
+    vids = kept.filter(F.col("kind") == "video")
+    assert vids.filter(F.col("frame") % 2 != 0).count() == 0
+    assert kept.filter(F.col("kind") == "image").count() == dec.filter(
+        F.col("kind") == "image"
+    ).count()
+
+
+def test_resize_block_mean(media):
+    dec = decode_media(media)
+    small = resize_pixels(dec, src_px=PX, factor=2)
+    row = small.first()
+    assert len(row["pixels_small"]) == (PX // 2) ** 2
+    # explicit check: first output pixel = mean of the 2x2 source block
+    src = decode_media(media).filter(
+        (F.col("media_id") == row["media_id"]) & (F.col("frame") == row["frame"])
+    ).first()["pixels"]
+    expect = (src[0] + src[1] + src[PX] + src[PX + 1]) / 4.0
+    assert row["pixels_small"][0] == pytest.approx(expect)
+
+
+def test_media_features(media):
+    feats = media_features(decode_media(media))
+    row = feats.first()
+    assert 0.0 <= row["brightness"] <= 255.0
+    assert row["px_min"] <= row["brightness"] <= row["px_max"]
+    assert row["contrast"] >= 0.0
