@@ -18,7 +18,8 @@ from miletos_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # headline set: one per operator family (agg, join, window, sessionize,
-# fold, periodogram, BLS, dedup, text, similarity)
+# fold, periodogram, BLS, flare, model, detrend, dedup, text, similarity,
+# streaming)
 HEADLINE = [
     "pricing_summary",
     "region_revenue",
@@ -29,10 +30,19 @@ HEADLINE = [
     "rolling_median_events",
     "lomb_scargle_events",
     "bls_spectrum_events",
+    "matched_filter_events",
+    "flare_band_events",
+    "model_loglik_events",
+    "depth_fit_events",
+    "clip_detrend_events",
+    "interp_grid_events",
+    "phase_curve_events",
     "dedup_exact_docs",
     "text_stats_docs",
     "similarity_topk",
+    "lsh_similarity_topk",
     "minhash_lsh_pairs",
+    "stream_sessions_events",
 ]
 
 

@@ -79,20 +79,26 @@ def spline_detrend(
         y = pdf[value_col].to_numpy()
         o = np.argsort(t)
         t_s, y_s = t[o], y[o]
-        baseline = np.full_like(y_s, np.nan)
-        try:
-            from scipy.interpolate import LSQUnivariateSpline
+        span = float(t_s[-1] - t_s[0]) if len(t_s) > 1 else 0.0
+        n_knots = int(span / knot_spacing_days)
+        if len(t_s) <= order + 1 + n_knots or span <= 0:
+            baseline = np.full_like(y_s, np.mean(y_s))  # <4-point guard
+        else:
+            knots = t_s[0] + np.arange(1, n_knots + 1) * span / (n_knots + 1)
+            try:
+                from scipy.interpolate import LSQUnivariateSpline
 
-            span = t_s[-1] - t_s[0]
-            n_knots = int(span / knot_spacing_days)
-            if len(t_s) > order + 1 and n_knots >= 1:
-                knots = t_s[0] + (np.arange(1, n_knots + 1)) * span / (n_knots + 1)
-                spl = LSQUnivariateSpline(t_s, y_s, knots, k=order)
-                baseline = spl(t_s)
-            else:
-                baseline[:] = np.mean(y_s)
-        except Exception:
-            baseline[:] = np.mean(y_s)
+                baseline = LSQUnivariateSpline(t_s, y_s, knots, k=order)(t_s)
+            except ImportError:
+                # numpy-only LSQ spline: truncated-power basis
+                # f(t) = Σ a_j u^j + Σ b_k (u−κ_k)_+^order, u = normalized t
+                u = (t_s - t_s[0]) / span
+                uk = (knots - t_s[0]) / span
+                cols = [u**j for j in range(order + 1)]
+                cols += [np.clip(u - k, 0.0, None) ** order for k in uk]
+                A = np.stack(cols, axis=1)
+                coef, *_ = np.linalg.lstsq(A, y_s, rcond=None)
+                baseline = A @ coef
         res = pdf.iloc[o].copy()
         res[out_col] = 1.0 + y_s - baseline
         return res

@@ -1660,6 +1660,131 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id", "frame")
 
 
+# --- X2/X4 detrending + X6 interpolation ------------------------------------
+
+
+def q_clip_detrend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 clip↔detrend loop, one fixed iteration so the oracle is
+    expressible: median detrend (±3 rows), global 3σ clip on the
+    detrended residual, re-detrend the survivors
+    (miletos/main.py:10931-11087)."""
+    from miletos_spark.operators.detrend import clip_detrend_loop
+
+    ev = _ev_days(spark, sf_dir)
+    out = clip_detrend_loop(
+        ev, half_width=3, max_iter=1, group_cols=("event_type",),
+        time_col="t_sec",
+    )
+    return out.select(
+        "event_id", F.round("value_detrended", 6).alias("value_detrended")
+    )
+
+
+SQL_CLIP_DETREND_EVENTS = """
+WITH b AS (
+  SELECT event_type, event_id, epoch(ts) AS t, value FROM events
+),
+d1 AS (
+  SELECT *, 1.0 + value - quantile_cont(value, 0.5) OVER (
+    PARTITION BY event_type ORDER BY t
+    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS vd
+  FROM b
+),
+s AS (SELECT avg(vd) AS mu, stddev_pop(vd) AS sd FROM d1),
+k AS (
+  SELECT event_type, event_id, t, value FROM d1, s
+  WHERE vd > mu - 3 * sd AND vd < mu + 3 * sd
+),
+d2 AS (
+  SELECT event_id, 1.0 + value - quantile_cont(value, 0.5) OVER (
+    PARTITION BY event_type ORDER BY t
+    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS vd
+  FROM k
+)
+SELECT event_id, round(vd, 6) AS value_detrended FROM d2
+"""
+
+
+def q_spline_detrend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 'Spline' backend: per (event_type, gap-region) LSQ cubic
+    spline baseline fit in applyInPandas, knots every 2 days (no SQL
+    oracle: iterative linear-algebra fit -> rows-only check)."""
+    from miletos_spark.operators.detrend import spline_detrend
+
+    ev = _ev_days(spark, sf_dir)
+    out = spline_detrend(
+        ev, knot_spacing_days=2.0, gap_days=0.5, time_col="t",
+        group_cols=("event_type",),
+    )
+    return out.select(
+        "event_id", F.round("value_detrended", 6).alias("value_detrended")
+    ).orderBy("event_id")
+
+
+INTERP_STEP = 0.5
+
+
+def q_interp_grid_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6/§2.8 linear interpolation onto a uniform 0.5-day grid per
+    event_type — union-of-grid-and-data + running last/first windows,
+    no UDF."""
+    from miletos_spark.operators.interp import interp_to_grid
+
+    ev = _ev_days(spark, sf_dir)
+    out = interp_to_grid(
+        ev, INTERP_STEP, time_col="t", group_cols=("event_type",)
+    )
+    return out.select(
+        "event_type",
+        F.round("t", 6).alias("t"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+SQL_INTERP_GRID_EVENTS = f"""
+WITH ev AS (
+  SELECT event_type, {EV_T_DAYS_SQL} AS t, value FROM events
+),
+spans AS (
+  SELECT event_type,
+         CAST(ceil(min(t) / {INTERP_STEP!r}) AS BIGINT) AS k0,
+         CAST(floor(max(t) / {INTERP_STEP!r}) AS BIGINT) AS k1
+  FROM ev GROUP BY event_type
+),
+grid AS (
+  SELECT event_type, unnest(range(k0, k1 + 1)) * {INTERP_STEP!r} AS t,
+         CAST(NULL AS DOUBLE) AS value, 1 AS is_grid
+  FROM spans
+),
+uni AS (
+  SELECT event_type, t, value, 0 AS is_grid FROM ev
+  UNION ALL SELECT * FROM grid
+),
+w AS (
+  SELECT *,
+    last_value(value IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY t, is_grid
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+    last_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY t, is_grid
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+    first_value(value IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY t, is_grid
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+    first_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY t, is_grid
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+  FROM uni
+)
+SELECT event_type, round(t, 6) AS t,
+       round(prev_v + (next_v - prev_v)
+             * (CASE WHEN next_t > prev_t
+                     THEN (t - prev_t) / (next_t - prev_t)
+                     ELSE 0.0 END), 6) AS value
+FROM w WHERE is_grid = 1
+"""
+
+
 # --- registry ---------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1704,6 +1829,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "matched_filter_events": q_matched_filter_events,
     "phase_curve_events": q_phase_curve_events,
     "media_features": q_media_features,
+    "clip_detrend_events": q_clip_detrend_events,
+    "spline_detrend_events": q_spline_detrend_events,
+    "interp_grid_events": q_interp_grid_events,
 }
 
 
@@ -1746,6 +1874,9 @@ def _oracles() -> dict[str, str]:
         "stream_sessions_events": SQL_STREAM_SESSIONS_EVENTS,
         "matched_filter_events": _sql_matched_filter(),
         "phase_curve_events": _sql_phase_curve(),
+        "clip_detrend_events": SQL_CLIP_DETREND_EVENTS,
+        "interp_grid_events": SQL_INTERP_GRID_EVENTS,
+        # spline_detrend_events: no oracle (iterative LSQ fit)
         # transit_fit_events: intentionally no oracle (iterative optimizer)
         # minhash_lsh_pairs, simhash_docs: intentionally no oracle
         # (engine-specific xxhash64)

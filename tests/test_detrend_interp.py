@@ -1,0 +1,46 @@
+"""X2 spline detrend (numpy LSQ path) and X6 grid interpolation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from miletos_spark.operators.detrend import spline_detrend
+from miletos_spark.operators.interp import interp_to_grid
+
+
+def test_interp_exact_on_linear(spark):
+    # y = 2t + 1 sampled irregularly -> linear interp is exact
+    pts = [(0.05,), (0.31,), (0.77,), (1.03,), (1.52,), (1.99,), (2.41,)]
+    df = spark.createDataFrame(pts, "time double").withColumn(
+        "value", 2 * F.col("time") + 1
+    )
+    out = interp_to_grid(df, 0.5)
+    rows = {r["time"]: r["value"] for r in out.collect()}
+    assert set(rows) == {0.5, 1.0, 1.5, 2.0}
+    for t, v in rows.items():
+        assert v == pytest.approx(2 * t + 1, abs=1e-12)
+
+
+def test_interp_grouped(spark):
+    df = spark.createDataFrame(
+        [("a", 0.1, 1.0), ("a", 0.9, 1.0), ("b", 0.2, 5.0), ("b", 1.4, 5.0)],
+        "g string, time double, value double",
+    )
+    out = interp_to_grid(df, 0.5, group_cols=("g",))
+    got = {(r["g"], r["time"]): r["value"] for r in out.collect()}
+    assert got == {("a", 0.5): 1.0, ("b", 0.5): 5.0, ("b", 1.0): 5.0}
+
+
+def test_spline_detrend_removes_smooth_trend(spark):
+    # smooth quadratic trend, no noise -> detrended flat at 1.0
+    n = 400
+    df = spark.range(n).select(
+        (F.col("id") * (10.0 / n)).alias("time"),
+        F.lit("a").alias("g"),
+    ).withColumn(
+        "value", 5.0 + 0.1 * F.col("time") + 0.02 * F.col("time") * F.col("time")
+    )
+    out = spline_detrend(
+        df, knot_spacing_days=2.0, gap_days=1.0, group_cols=("g",)
+    )
+    mx = out.agg(F.max(F.abs(F.col("value_detrended") - 1.0))).first()[0]
+    assert mx < 1e-6
