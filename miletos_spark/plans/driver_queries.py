@@ -13,6 +13,7 @@ Operator ids in each query's docstring refer to SURVEY.md §2.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1785,6 +1786,201 @@ FROM w WHERE is_grid = 1
 """
 
 
+# --- J2 epochs join, W1 peak-cut std, U4 membership, §2.8 scalars -----------
+
+
+def q_transit_epochs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J3 — materialize the transit-epoch table covered by the
+    baseline (`retr_listepoctran`, miletos/main.py:6457-6499:
+    sequence + explode) and range-join samples into per-transit windows
+    (`retr_timetran` per-transit index lists, miletos/main.py:47-173).
+    The epoch table is tiny -> broadcast range join."""
+    ev = _ev_days(spark, sf_dir)
+    row = ev.agg(F.min("t").alias("lo"), F.max("t").alias("hi")).first()
+    lo, hi = float(row["lo"]), float(row["hi"])
+    half = TRANSIT_DURA / 2.0
+    k0 = math.ceil((lo - TRANSIT_EPOCH) / TRANSIT_P)
+    k1 = math.floor((hi - TRANSIT_EPOCH) / TRANSIT_P)
+    epochs = spark.range(k0, k1 + 1).select(
+        F.col("id").alias("k"),
+        (F.lit(TRANSIT_EPOCH) + F.col("id") * TRANSIT_P).alias("t_mid"),
+    )
+    joined = ev.join(
+        F.broadcast(epochs),
+        (F.col("t") >= F.col("t_mid") - half) & (F.col("t") < F.col("t_mid") + half),
+    )
+    return joined.groupBy("k").agg(
+        F.round(F.first("t_mid"), 6).alias("t_mid"),
+        F.count("*").alias("n_in"),
+        F.round(F.avg("value"), 6).alias("mean_in"),
+    )
+
+
+SQL_TRANSIT_EPOCHS_EVENTS = f"""
+WITH ev AS (
+  SELECT {EV_T_DAYS_SQL} AS t, value FROM events
+),
+span AS (
+  SELECT CAST(ceil((min(t) - {TRANSIT_EPOCH!r}) / {TRANSIT_P!r}) AS BIGINT) AS k0,
+         CAST(floor((max(t) - {TRANSIT_EPOCH!r}) / {TRANSIT_P!r}) AS BIGINT) AS k1
+  FROM ev
+),
+ep AS (
+  SELECT unnest(range(k0, k1 + 1)) AS k FROM span
+),
+epochs AS (
+  SELECT k, {TRANSIT_EPOCH!r} + k * {TRANSIT_P!r} AS t_mid FROM ep
+)
+SELECT e.k, round(min(e.t_mid), 6) AS t_mid, count(*) AS n_in,
+       round(avg(ev.value), 6) AS mean_in
+FROM ev JOIN epochs e
+  ON ev.t >= e.t_mid - {TRANSIT_DURA / 2.0!r}
+ AND ev.t <  e.t_mid + {TRANSIT_DURA / 2.0!r}
+GROUP BY e.k
+"""
+
+
+def q_rolling_std_peakcut_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 with `boolcuttpeak` (miletos/main.py:6907-6944): rolling std
+    excluding each window's max — closed-form from window moments
+    (n, Σx, Σx², max), no UDF."""
+    from miletos_spark.operators.windows import rolling_std
+
+    ev = _ev_days(spark, sf_dir)
+    # deterministic frame: tie-break on event_id
+    w = ev.withColumn(
+        "_ord", F.col("t_sec") + F.col("event_id") * F.lit(1e-9)
+    )
+    out = rolling_std(
+        w, half_width=3, value_col="value", time_col="_ord",
+        group_cols=("event_type",), cut_peak=True,
+    )
+    return out.select(
+        "event_id", F.round("roll_std", 6).alias("roll_std")
+    )
+
+
+SQL_ROLLING_STD_PEAKCUT_EVENTS = """
+WITH w AS (
+  SELECT event_id, event_type, value,
+         epoch(ts) + event_id * 1e-9 AS ord
+  FROM events
+),
+m AS (
+  SELECT event_id,
+         count(value) OVER fr AS n,
+         sum(value) OVER fr AS s1,
+         sum(value * value) OVER fr AS s2,
+         max(value) OVER fr AS mx
+  FROM w
+  WINDOW fr AS (PARTITION BY event_type ORDER BY ord
+                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+)
+SELECT event_id,
+       round(CASE WHEN n - 1 > 1 THEN
+         sqrt(greatest(((s2 - mx * mx) - (n - 1) * pow((s1 - mx) / (n - 1), 2))
+                       / (n - 2), 0.0))
+       END, 6) AS roll_std
+FROM m
+"""
+
+
+MEMBER_TYPES = ["click", "view"]
+
+
+def q_membership_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 — membership filter via left_semi against a literal
+    selection table (the reference's sector-selection intersect,
+    miletos/main.py:9507-9517), then per-type counts."""
+    ev = _ev_days(spark, sf_dir)
+    sel = spark.createDataFrame([(t,) for t in MEMBER_TYPES], "event_type string")
+    return (
+        ev.join(F.broadcast(sel), "event_type", "left_semi")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("mean_value"))
+    )
+
+
+SQL_MEMBERSHIP_EVENTS = f"""
+SELECT event_type, count(*) AS n, round(avg(value), 6) AS mean_value
+FROM events
+WHERE event_type IN ({", ".join(f"'{t}'" for t in MEMBER_TYPES)})
+GROUP BY event_type
+"""
+
+
+def q_datetime_strings_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 date/time + string scalars: ISO timestamp strings, Julian
+    Date, and generated label keys (the reference's `%`-formatted key
+    munging, miletos/main.py:10019, 7563) — all built-ins, 20-row limit
+    keyed deterministically."""
+    from miletos_spark.functions.scalars import iso_from_epoch_us, jd_from_unix_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    from miletos_spark.schema import epoch_seconds_expr
+
+    t_sec = epoch_seconds_expr(ev, "ts")
+    us = F.expr("ts div 1000")
+    out = ev.select(
+        "event_id",
+        iso_from_epoch_us(us).alias("iso_ts"),
+        F.round(jd_from_unix_seconds(t_sec), 6).alias("jd"),
+        F.format_string(
+            "targ_%06d_%s", F.col("event_id"), F.regexp_replace("event_type", " ", "")
+        ).alias("label"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("user_key"),
+    )
+    return out.orderBy("event_id").limit(20)
+
+
+SQL_DATETIME_STRINGS_EVENTS = """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS iso_ts,
+       round(epoch(ts) / 86400.0 + 2440587.5, 6) AS jd,
+       printf('targ_%06d_%s', event_id, replace(event_type, ' ', '')) AS label,
+       concat('u', CAST(user_id AS VARCHAR)) AS user_key
+FROM events
+ORDER BY event_id LIMIT 20
+"""
+
+
+def q_bls_multi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 multi-signal BLS loop: search -> subtract fitted box ->
+    re-search (no SQL oracle: iterative driver loop -> rows-only)."""
+    from miletos_spark.search.bls import bls_multi_signal
+
+    ev = _ev_days(spark, sf_dir)
+    trials = spark.createDataFrame(
+        _bls_trials(), "period double, dcyc double, off double"
+    )
+    # threshold 2.0 (vs the reference's 7.1 detection cut) so the loop
+    # demonstrably iterates on the noise-only driver data
+    found = bls_multi_signal(
+        ev, trials, max_signals=2, snr_threshold=2.0, time_col="t",
+    )
+    if not found:
+        return spark.createDataFrame(
+            [], "rank int, period double, dcyc double, epoch double, "
+                "depth double, snr double",
+        )
+    rows = [
+        (i, f["period"], f["dcyc"], f["epoch"], f["depth"], f["snr"])
+        for i, f in enumerate(found)
+    ]
+    df = spark.createDataFrame(
+        rows, "rank int, period double, dcyc double, epoch double, "
+              "depth double, snr double",
+    )
+    return df.select(
+        "rank",
+        F.round("period", 9).alias("period"),
+        F.round("dcyc", 9).alias("dcyc"),
+        F.round("epoch", 6).alias("epoch"),
+        F.round("depth", 6).alias("depth"),
+        F.round("snr", 4).alias("snr"),
+    )
+
+
 # --- registry ---------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1832,6 +2028,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clip_detrend_events": q_clip_detrend_events,
     "spline_detrend_events": q_spline_detrend_events,
     "interp_grid_events": q_interp_grid_events,
+    "transit_epochs_events": q_transit_epochs_events,
+    "rolling_std_peakcut_events": q_rolling_std_peakcut_events,
+    "membership_events": q_membership_events,
+    "datetime_strings_events": q_datetime_strings_events,
+    "bls_multi_events": q_bls_multi_events,
 }
 
 
@@ -1876,7 +2077,12 @@ def _oracles() -> dict[str, str]:
         "phase_curve_events": _sql_phase_curve(),
         "clip_detrend_events": SQL_CLIP_DETREND_EVENTS,
         "interp_grid_events": SQL_INTERP_GRID_EVENTS,
+        "transit_epochs_events": SQL_TRANSIT_EPOCHS_EVENTS,
+        "rolling_std_peakcut_events": SQL_ROLLING_STD_PEAKCUT_EVENTS,
+        "membership_events": SQL_MEMBERSHIP_EVENTS,
+        "datetime_strings_events": SQL_DATETIME_STRINGS_EVENTS,
         # spline_detrend_events: no oracle (iterative LSQ fit)
+        # bls_multi_events: no oracle (iterative driver loop)
         # transit_fit_events: intentionally no oracle (iterative optimizer)
         # minhash_lsh_pairs, simhash_docs: intentionally no oracle
         # (engine-specific xxhash64)

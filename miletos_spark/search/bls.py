@@ -146,6 +146,53 @@ def bls_best(spectrum: DataFrame, min_in: int = 3) -> DataFrame:
     )
 
 
+def bls_multi_signal(
+    df: DataFrame,
+    trials: DataFrame,
+    max_signals: int = 3,
+    snr_threshold: float = 7.1,
+    min_in: int = 3,
+    time_col: str = "time",
+    value_col: str = "value",
+    t_ref: float = 0.0,
+) -> list[dict]:
+    """P2 multi-signal loop (miletos/main.py:5630-5651, 5948-5951):
+    search → accept if SNR ≥ threshold (`thrss2nr=7.1`,
+    miletos/main.py:5322) → subtract the fitted box → re-search, up to
+    `max_signals`. Returns the accepted detections as dicts.
+
+    Driver-side loop over cached DataFrames (SURVEY.md §7.4: bound the
+    iteration count, keep lineage short — each pass caches the
+    subtracted series, so plan depth stays O(1) per iteration)."""
+    found: list[dict] = []
+    work = df.select(time_col, value_col)
+    cached = [work]
+    for _ in range(max_signals):
+        spec = bls_search(
+            work, trials, time_col=time_col, value_col=value_col, t_ref=t_ref
+        )
+        row = bls_best(spec, min_in=min_in).first()
+        if row is None or row["snr"] < snr_threshold:
+            break
+        found.append(row.asDict())
+        # subtract the detected box: add the depth back inside the box
+        p, d = float(row["period"]), float(row["dcyc"])
+        epoch, depth = float(row["epoch"]), float(row["depth"])
+        t = F.col(time_col) - F.lit(epoch)
+        ph = ((t % p) + p) % p / p  # [0,1), box spans [0, d) ∪ [1-d/2, 1)
+        in_box = (ph < d / 2.0) | (ph >= 1.0 - d / 2.0)
+        work = work.withColumn(
+            value_col,
+            F.when(in_box, F.col(value_col) + F.lit(depth)).otherwise(
+                F.col(value_col)
+            ),
+        ).cache()
+        cached.append(work)
+    for c in cached[1:]:
+        c.unpersist()
+    return found
+
+
 def bls_sql(
     time_expr: str,
     value_expr: str,
