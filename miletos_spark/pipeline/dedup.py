@@ -40,8 +40,12 @@ def exact_dedup(
     )
 
 
-def shingle_array(df: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
-    """Add a distinct character-k-gram shingle array column.
+def shingle_array(
+    df: DataFrame, text_col: str = "text", k: int = 5, distinct: bool = True
+) -> DataFrame:
+    """Add a character-k-gram shingle array column (distinct by
+    default; pass distinct=False when the consumer dedups itself —
+    array_distinct is O(len²) string compares in interpreted HOF mode).
 
     Two projections on purpose: the normalized string must be a real
     attribute before the per-position lambda references it. Inlined (one
@@ -55,9 +59,9 @@ def shingle_array(df: DataFrame, text_col: str = "text", k: int = 5) -> DataFram
     )
     n = F.length(F.col("_norm"))
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    sh = F.array_distinct(
-        F.transform(idx, lambda i: F.substr(F.col("_norm"), i, F.lit(k)))
-    )
+    sh = F.transform(idx, lambda i: F.substr(F.col("_norm"), i, F.lit(k)))
+    if distinct:
+        sh = F.array_distinct(sh)
     return normed.withColumn("shingles", sh).drop("_norm")
 
 
@@ -101,7 +105,18 @@ def minhash_signatures(
     )
     if partitions is None:
         partitions = df.sparkSession.sparkContext.defaultParallelism
-    with_sh = shingle_array(df.repartition(partitions), text_col=text_col, k=k)
+    # NON-distinct shingles on purpose: min over duplicates equals min
+    # over the distinct set, and array_distinct is O(len²) string
+    # compares in interpreted HOF mode — the dominant cost here.
+    normed = df.repartition(partitions).select(
+        F.col(id_col),
+        F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")).alias("_norm"),
+    )
+    nn = F.length(F.col("_norm"))
+    idx = F.sequence(F.lit(1), F.greatest(nn - (k - 1), F.lit(1)))
+    with_sh = normed.withColumn(
+        "shingles", F.transform(idx, lambda i: F.substr(F.col("_norm"), i, F.lit(k)))
+    )
     h = F.transform(
         "shingles", lambda s: F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFFFF))
     )
@@ -206,14 +221,19 @@ def near_dup_pairs_bruteforce(
     ground-truth near-dup detector (the verification oracle for the
     MinHash-LSH scale path). Returns (id_a, id_b, jaccard).
 
-    NOT a nested-loop O(n²): inverted-index token join — explode
+    NOT a nested-loop O(n²): inverted-index counting join — explode
     shingles, equi-join on the shingle, count common shingles per pair,
     then jaccard = common / (|A| + |B| − common). Pairs sharing zero
-    shingles (the overwhelming majority of a random corpus) never
-    materialize, and every expression stays codegen-able. Exact for any
-    threshold > 0. Cost is Σ_shingle freq² — hot shingles are the skew
-    axis (AQE skew-join covers moderate cases; prefix filtering is the
-    escalation if a corpus has pathological boilerplate)."""
+    shingles never materialize and every expression stays codegen-able.
+    Cost is Σ_shingle freq²; on vocabulary-limited corpora this is the
+    fastest exact strategy because the join only COUNTS (never
+    materializes per-pair shingle arrays). For boilerplate-light
+    corpora with a long-tail vocabulary, `near_dup_pairs_prefix`
+    (PPJoin prefix filtering) prunes far harder — measured on the
+    driver corpus (27k-token vocabulary, max shingle frequency 3825/5000
+    docs) counting wins 32 s vs 135 s at sf0.1, because prefix
+    filtering still admits millions of candidates that then each pay an
+    array-intersection. Pick by corpus shape."""
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     sh = shingle_array(df, text_col=text_col, k=k).select(
         F.col(id_col), F.col("shingles"), F.size("shingles").alias("sz")
@@ -240,6 +260,65 @@ def near_dup_pairs_bruteforce(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def near_dup_pairs_prefix(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 9,
+) -> DataFrame:
+    """Exact near-dup pairs via PPJoin-style prefix filtering. Tokens
+    get a global canonical order (ascending corpus frequency, rarest
+    first); if J(A,B) ≥ t the prefixes of size |X| − ⌈t·|X|⌉ + 1 must
+    share a token, so the candidate join runs only on prefix tokens —
+    excluding hot shingles from the join key. Candidates are then
+    verified exactly on the full shingle sets.
+
+    The right strategy when the vocabulary is long-tailed (web text,
+    code): prefixes are nearly unique and candidates ≈ true pairs. See
+    `near_dup_pairs_bruteforce` for the corpus-shape tradeoff."""
+    from pyspark.sql import Window
+
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    sh = shingle_array(df, text_col=text_col, k=k).select(
+        F.col(id_col), F.col("shingles"), F.size("shingles").alias("sz")
+    )
+    tok = sh.select(
+        F.col(id_col), F.col("sz"), F.explode("shingles").alias("tok")
+    )
+    freq = tok.groupBy("tok").agg(F.count("*").alias("_freq"))
+    w = Window.partitionBy(id_col).orderBy(F.col("_freq").asc(), F.col("tok").asc())
+    prefix = (
+        tok.join(freq, "tok")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.col("sz") - F.ceil(threshold * F.col("sz")) + 1)
+        .select(id_col, "sz", "tok")
+    )
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "tok"
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "tok"
+    )
+    cands = (
+        a.join(b, "tok")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("sz_a") >= threshold * F.col("sz_b"))
+            & (F.col("sz_b") >= threshold * F.col("sz_a"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    scored = ngram_jaccard_pairs(df, cands, text_col=text_col, id_col=id_col, k=k)
+    # cache barrier before thresholding: the filter would otherwise
+    # migrate into the hash join as a CodegenFallback condition
+    scored = scored.cache()
+    return scored.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
     )
 
 
