@@ -106,6 +106,68 @@ def spline_detrend(
     return sess.groupBy(*keys).applyInPandas(fit_region, schema=out_schema)
 
 
+def gp_detrend(
+    df: DataFrame,
+    timescale_days: float = 2.0,
+    noise: float | None = None,
+    gap_days: float = 0.1,
+    value_col: str = "value",
+    time_col: str = "time",
+    stdv_col: str = "stdv",
+    group_cols: Sequence[str] = ("inst", "chunk", "ener"),
+    out_col: str = "value_detrended",
+) -> DataFrame:
+    """X2 'GaussianProcess' backend — the reference DEFAULT
+    (`typebdtr='GaussianProcess'`, miletos/main.py:7919): per gap-region
+    Matern-3/2 GP baseline (celerite kernel, miletos/main.py:707-732),
+    computed exactly with numpy dense algebra instead of celerite's
+    O(n) solver — regions are bounded (≤ a sector), so the O(n³) solve
+    stays in-memory per group; the cluster parallelizes across regions.
+
+    baseline = K (K + σ_n² I)⁻¹ (y − ȳ) + ȳ,
+    K_ij = σ²(1 + √3 r/ρ) exp(−√3 r/ρ), r = |t_i − t_j|, ρ = timescale.
+    Output `1 + value − baseline` (reference convention).
+    """
+    import pandas as pd
+
+    sess = sessionize(df, gap_days, time_col=time_col, group_cols=group_cols)
+    keys = [*group_cols, "region"]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in sess.schema.fields
+    ) + f", {out_col} double"
+    rho = float(timescale_days)
+
+    def fit_region(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        t = pdf[time_col].to_numpy(dtype=float)
+        y = pdf[value_col].to_numpy(dtype=float)
+        o = np.argsort(t)
+        t_s, y_s = t[o], y[o]
+        n = len(t_s)
+        if n < 4:  # degenerate-region guard (miletos/main.py:6836-6851)
+            baseline = np.full(n, y_s.mean() if n else 0.0)
+        else:
+            mu = y_s.mean()
+            yc = y_s - mu
+            sig2 = float(np.var(yc)) or 1e-12
+            if noise is not None:
+                sn2 = float(noise) ** 2
+            elif stdv_col in pdf.columns:
+                sn2 = float(np.mean(pdf[stdv_col].to_numpy()[o]) ** 2) or 1e-12
+            else:
+                sn2 = 0.01 * sig2
+            r = np.abs(t_s[:, None] - t_s[None, :]) * (np.sqrt(3.0) / rho)
+            K = sig2 * (1.0 + r) * np.exp(-r)
+            alpha = np.linalg.solve(K + sn2 * np.eye(n), yc)
+            baseline = K @ alpha + mu
+        res = pdf.iloc[o].copy()
+        res[out_col] = 1.0 + y_s - baseline
+        return res
+
+    return sess.groupBy(*keys).applyInPandas(fit_region, schema=out_schema)
+
+
 def clip_detrend_loop(
     df: DataFrame,
     half_width: int,

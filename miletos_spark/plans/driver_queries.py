@@ -1981,6 +1981,134 @@ def q_bls_multi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gp_detrend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 'GaussianProcess' backend (the reference default): per-region
+    Matern-3/2 GP baseline in applyInPandas (no SQL oracle: dense linear
+    solve -> rows-only check)."""
+    from miletos_spark.operators.detrend import gp_detrend
+
+    ev = _ev_days(spark, sf_dir).withColumn("stdv", F.lit(1.0))
+    out = gp_detrend(
+        ev, timescale_days=2.0, gap_days=0.5, time_col="t",
+        group_cols=("event_type",),
+    )
+    return out.select(
+        "event_id", F.round("value_detrended", 6).alias("value_detrended")
+    ).orderBy("event_id")
+
+
+# the driver embeddings have no true dups (max pairwise cos ~0.51);
+# 0.45 exercises the operator with a non-empty result
+EMB_NEAR_DUP_THRESHOLD = 0.45
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection: all-pairs cosine above a
+    high threshold, top-3 per left id (pairwise_topk)."""
+    from miletos_spark.pipeline.similarity import pairwise_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = pairwise_topk(emb, k=3, threshold=EMB_NEAR_DUP_THRESHOLD)
+    return out.select(
+        "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(b.v, b.v))) AS cos_sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+),
+kept AS (
+  SELECT *, row_number() OVER (PARTITION BY id_a
+                               ORDER BY cos_sim DESC, id_b) AS rk
+  FROM scored WHERE cos_sim > {EMB_NEAR_DUP_THRESHOLD!r}
+)
+SELECT id_a, id_b, round(cos_sim, 6) AS cos_sim
+FROM kept WHERE rk <= 3
+"""
+
+
+def q_detection_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 detection statistics (`boolposianls`,
+    miletos/main.py:11871-11877): best BLS SNR, best LS power, and the
+    threshold booleans that gate fitting — scalar post-aggregations over
+    both search kernels in one row."""
+    ev = _ev_days(spark, sf_dir)
+    trials = spark.createDataFrame(
+        _bls_trials(), "period double, dcyc double, off double"
+    )
+    spec_bls = bls_search(ev, trials, time_col="t", value_col="value", t_ref=0.0)
+    best_bls = (
+        spec_bls.filter(F.col("n_in") >= 3)
+        .orderBy(F.col("snr").desc(), "period", "dcyc", "off", "bucket")
+        .limit(1)
+        .select(
+            F.round("period", 9).alias("bls_period"),
+            F.round("snr", 4).alias("bls_snr"),
+        )
+    )
+    tmin = ev.agg(F.min("t")).first()[0]
+    shifted = ev.select((F.col("t") - F.lit(tmin)).alias("t"), "value")
+    spec_ls = lomb_scargle(
+        shifted, freq_grid(spark, LS_FMIN, LS_DF, LS_NFREQ),
+        time_col="t", value_col="value",
+    )
+    best_ls = (
+        spec_ls.orderBy(F.col("power").desc(), "freq")
+        .limit(1)
+        .select(
+            F.round("freq", 9).alias("ls_freq"),
+            F.round("power", 6).alias("ls_power"),
+        )
+    )
+    return best_bls.crossJoin(best_ls).select(
+        "bls_period",
+        "bls_snr",
+        "ls_freq",
+        "ls_power",
+        (F.col("bls_snr") > 10.0).alias("bls_detected"),
+        (F.col("ls_power") > 0.2).alias("ls_detected"),
+        ((F.col("bls_snr") > 10.0) | (F.col("ls_power") > 0.2)).alias("detected"),
+    )
+
+
+def _sql_detection_stats() -> str:
+    bls_inner = bls_sql(EV_T_DAYS_SQL, "value", "events", _bls_trials(), t_ref=0.0)
+    ls_inner = lomb_scargle_sql(
+        f"{EV_T_DAYS_SQL} - (SELECT min({EV_T_DAYS_SQL}) FROM events)",
+        "value", "events", LS_FMIN, LS_DF, LS_NFREQ,
+    )
+    return f"""
+WITH bls_spec AS (
+{bls_inner}
+),
+best_bls AS (
+  SELECT round(period, 9) AS bls_period, round(snr, 4) AS bls_snr
+  FROM bls_spec WHERE n_in >= 3
+  ORDER BY snr DESC, period, dcyc, off, bucket LIMIT 1
+),
+ls_spec AS (
+{ls_inner}
+),
+best_ls AS (
+  SELECT round(freq, 9) AS ls_freq, round(power, 6) AS ls_power
+  FROM ls_spec ORDER BY power DESC, freq LIMIT 1
+)
+SELECT bls_period, bls_snr, ls_freq, ls_power,
+       bls_snr > 10.0 AS bls_detected,
+       ls_power > 0.2 AS ls_detected,
+       (bls_snr > 10.0 OR ls_power > 0.2) AS detected
+FROM best_bls CROSS JOIN best_ls
+"""
+
+
 # --- registry ---------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2033,6 +2161,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "membership_events": q_membership_events,
     "datetime_strings_events": q_datetime_strings_events,
     "bls_multi_events": q_bls_multi_events,
+    "gp_detrend_events": q_gp_detrend_events,
+    "embedding_near_dup": q_embedding_near_dup,
+    "detection_stats_events": q_detection_stats_events,
 }
 
 
@@ -2081,8 +2212,11 @@ def _oracles() -> dict[str, str]:
         "rolling_std_peakcut_events": SQL_ROLLING_STD_PEAKCUT_EVENTS,
         "membership_events": SQL_MEMBERSHIP_EVENTS,
         "datetime_strings_events": SQL_DATETIME_STRINGS_EVENTS,
+        "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+        "detection_stats_events": _sql_detection_stats(),
         # spline_detrend_events: no oracle (iterative LSQ fit)
         # bls_multi_events: no oracle (iterative driver loop)
+        # gp_detrend_events: no oracle (dense GP solve)
         # transit_fit_events: intentionally no oracle (iterative optimizer)
         # minhash_lsh_pairs, simhash_docs: intentionally no oracle
         # (engine-specific xxhash64)

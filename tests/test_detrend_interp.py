@@ -44,3 +44,22 @@ def test_spline_detrend_removes_smooth_trend(spark):
     )
     mx = out.agg(F.max(F.abs(F.col("value_detrended") - 1.0))).first()[0]
     assert mx < 1e-6
+
+
+def test_gp_detrend_removes_smooth_trend(spark):
+    # long-timescale quadratic trend + tiny noise -> GP baseline absorbs
+    # the trend; detrended series is flat at 1.0 within noise
+    n = 300
+    df = spark.range(n).select(
+        (F.col("id") * (15.0 / n)).alias("time"),
+        F.lit("a").alias("g"),
+    ).withColumn(
+        "value",
+        5.0 + 0.05 * F.col("time") + 0.01 * F.col("time") * F.col("time")
+        + F.randn(9) * 0.001,
+    ).withColumn("stdv", F.lit(0.001))
+    from miletos_spark.operators.detrend import gp_detrend
+
+    out = gp_detrend(df, timescale_days=2.0, gap_days=1.0, group_cols=("g",))
+    mx = out.agg(F.max(F.abs(F.col("value_detrended") - 1.0))).first()[0]
+    assert mx < 0.005
