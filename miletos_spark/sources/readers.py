@@ -93,6 +93,34 @@ def read_lightcurve_table(
     return out
 
 
+def read_magnitude_series(
+    spark: SparkSession,
+    path: str,
+    time_col: str = "time",
+    mag_col: str = "tmag",
+    quality_col: str | None = "qflag",
+    inst: str = "QLP",
+) -> DataFrame:
+    """S3 — QLP-style magnitude series: quality filter (QFLAG==0),
+    magnitude → relative flux `10^(−(m − median)/2.5)`
+    (miletos/main.py:6420-6453). Median via exact per-file percentile
+    (one tiny agg), conversion is a column expression."""
+    df = spark.read.parquet(path)
+    if quality_col and quality_col in df.columns:
+        df = df.filter(F.col(quality_col) == 0)
+    df = df.filter(F.col(mag_col).isNotNull() & ~F.isnan(F.col(mag_col)))
+    med = df.agg(F.expr(f"percentile({mag_col}, 0.5)")).first()[0]
+    flux = F.pow(F.lit(10.0), -(F.col(mag_col) - F.lit(float(med))) / 2.5)
+    return df.select(
+        F.col(time_col).alias("time"),
+        F.lit(0).alias("ener"),
+        flux.alias("value"),
+        F.lit(0.0).alias("stdv"),
+        F.lit(inst).alias("inst"),
+        F.lit(0).alias("chunk"),
+    )
+
+
 def read_tess_fits(*_args, **_kwargs):
     """S1 — native FITS ingestion stub. The binary FITS parse requires
     astropy (`astropy.io.fits`), absent here; in production the landing

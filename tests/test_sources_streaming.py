@@ -133,3 +133,18 @@ def test_incremental_analysis_foreachbatch(spark, events_dir, tmp_path):
     )
     q.awaitTermination(120)
     assert sum(seen.values()) == spark.read.parquet(events_dir).count()
+
+
+def test_read_magnitude_series(spark, tmp_path):
+    from miletos_spark.sources.readers import read_magnitude_series
+
+    path = str(tmp_path / "qlp")
+    spark.createDataFrame(
+        [(0.0, 10.0, 0), (1.0, 10.0, 0), (2.0, 12.5, 0), (3.0, 9.0, 8)],
+        "time double, tmag double, qflag int",
+    ).write.parquet(path)
+    out = read_magnitude_series(spark, path)
+    rows = {r["time"]: r["value"] for r in out.collect()}
+    assert set(rows) == {0.0, 1.0, 2.0}          # qflag!=0 dropped
+    assert rows[0.0] == pytest.approx(1.0)        # at-median -> flux 1
+    assert rows[2.0] == pytest.approx(10 ** (-2.5 / 2.5))  # 2.5 mag fainter
