@@ -75,6 +75,55 @@ def pairwise_topk(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
 
 
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: a KMeans
+    coarse quantizer (Spark ML, distributed, seeded) partitions vectors
+    into `n_clusters` cells; only the `n_probe` cells nearest the query
+    are scored exactly.
+
+    At scale the cell id is computed at write time and used as a
+    partition key, so probing prunes the SCAN (partition pruning), not
+    just the compute — the same storage trick as `lsh_bucket_topk`.
+    `n_probe == n_clusters` degrades gracefully to exact search."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    feat = df.withColumn("_feat", array_to_vector(v))
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="_feat",
+                predictionCol="_cell")
+    model = km.fit(feat)
+    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+
+    q_np = np.asarray(query, dtype=float)
+    d2 = ((centers - q_np) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d2, kind="stable")[:n_probe]]
+
+    assigned = model.transform(feat)
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        assigned.filter(F.col("_cell").isin(probe))
+        .select(
+            F.col(id_col),
+            cosine_similarity(
+                F.transform(vector_to_array("_feat"), lambda x: x), q
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def lsh_bucket_topk(
     df: DataFrame,
     query: list[float],

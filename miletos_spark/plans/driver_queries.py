@@ -2109,6 +2109,76 @@ FROM best_bls CROSS JOIN best_ls
 """
 
 
+RV_P, RV_EPOCH, RV_K, RV_GAMMA = 5.0, 2.0, 0.12, 1.0
+FLARE_EVENTS = [(19732.0, 0.5, 0.2), (19745.5, 0.3, 0.4)]  # (t0, ampl, tscl)
+
+
+def q_rv_flare_model_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 RV + flare forward-model components (`retr_rvel`
+    miletos/main.py:644-647; flare sum miletos/main.py:362-382)
+    evaluated on the events time axis, with per-type residual chi2
+    against each — pure column arithmetic + one aggregation."""
+    from miletos_spark.model.forward import flare_model, rv_model
+
+    ev = _ev_days(spark, sf_dir)
+    rv = rv_model(F.col("t"), RV_P, RV_EPOCH, RV_K, RV_GAMMA)
+    fl = flare_model(F.col("t"), FLARE_EVENTS)
+    return (
+        ev.withColumn("rv_m", rv)
+        .withColumn("fl_m", fl)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum(F.pow(F.col("value") - F.col("rv_m"), 2)), 4).alias(
+                "chi2_rv"
+            ),
+            F.round(F.sum(F.pow(F.col("value") - F.col("fl_m"), 2)), 4).alias(
+                "chi2_flare"
+            ),
+            F.round(F.avg("rv_m"), 6).alias("mean_rv_model"),
+            F.round(F.avg("fl_m"), 6).alias("mean_flare_model"),
+        )
+    )
+
+
+def _sql_rv_flare_model() -> str:
+    flare_terms = " + ".join(
+        f"(CASE WHEN t >= {t0!r} THEN {a!r} * exp(-(t - {t0!r}) / {s!r}) "
+        f"ELSE 0.0 END)"
+        for t0, a, s in FLARE_EVENTS
+    )
+    return f"""
+WITH base AS (
+  SELECT event_type, value, {EV_T_DAYS_SQL} AS t FROM events
+),
+m AS (
+  SELECT event_type, value,
+         {RV_GAMMA!r} + {RV_K!r} * sin(2 * pi() * (t - {RV_EPOCH!r}) / {RV_P!r})
+           AS rv_m,
+         1.0 + {flare_terms} AS fl_m
+  FROM base
+)
+SELECT event_type,
+       round(sum(pow(value - rv_m, 2)), 4) AS chi2_rv,
+       round(sum(pow(value - fl_m, 2)), 4) AS chi2_flare,
+       round(avg(rv_m), 6) AS mean_rv_model,
+       round(avg(fl_m), 6) AS mean_flare_model
+FROM m GROUP BY event_type
+"""
+
+
+def q_ivf_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: KMeans coarse quantizer, probe the 2 cells nearest the
+    query, exact cosine inside (no SQL oracle: trained centroids are
+    engine-specific -> rows-only check)."""
+    from miletos_spark.pipeline.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.orderBy("vec_id").select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    out = ivf_topk(emb, query, k=10, n_clusters=8, n_probe=2)
+    return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
 # --- registry ---------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2164,6 +2234,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gp_detrend_events": q_gp_detrend_events,
     "embedding_near_dup": q_embedding_near_dup,
     "detection_stats_events": q_detection_stats_events,
+    "rv_flare_model_events": q_rv_flare_model_events,
+    "ivf_similarity_topk": q_ivf_similarity_topk,
 }
 
 
@@ -2214,6 +2286,7 @@ def _oracles() -> dict[str, str]:
         "datetime_strings_events": SQL_DATETIME_STRINGS_EVENTS,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "detection_stats_events": _sql_detection_stats(),
+        "rv_flare_model_events": _sql_rv_flare_model(),
         # spline_detrend_events: no oracle (iterative LSQ fit)
         # bls_multi_events: no oracle (iterative driver loop)
         # gp_detrend_events: no oracle (dense GP solve)

@@ -1,0 +1,44 @@
+"""ANN family: brute-force is ground truth; LSH and IVF approximate it,
+and both become exact when probing everything."""
+
+import pytest
+
+from miletos_spark.pipeline.similarity import cosine_topk, ivf_topk, lsh_bucket_topk
+from miletos_spark.schema import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def query(emb):
+    row = emb.orderBy("vec_id").select("embedding").first()
+    return [float(x) for x in row["embedding"]]
+
+
+def _ids(df):
+    return [r["vec_id"] for r in df.collect()]
+
+
+def test_ivf_exhaustive_equals_bruteforce(emb, query):
+    exact = _ids(cosine_topk(emb, query, k=10))
+    ivf_all = _ids(
+        ivf_topk(emb, query, k=10, n_clusters=8, n_probe=8)
+    )
+    assert ivf_all == exact
+
+
+def test_ivf_probe_recall(emb, query):
+    exact = set(_ids(cosine_topk(emb, query, k=10)))
+    approx = set(_ids(ivf_topk(emb, query, k=10, n_clusters=8, n_probe=2)))
+    # the query vector's own cell is probed -> its exact top-1 (itself)
+    # must be found, and recall should be substantial
+    assert len(exact & approx) >= 5
+
+
+def test_lsh_multiprobe_contains_self(emb, query):
+    got = _ids(lsh_bucket_topk(emb, query, k=5, n_planes=8, probe_bits=1))
+    exact_top1 = _ids(cosine_topk(emb, query, k=1))[0]
+    assert exact_top1 in got
