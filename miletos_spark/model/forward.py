@@ -104,6 +104,12 @@ def step_baseline(
     return out
 
 
+def dilution_correction(flux: Column, contrati: float) -> Column:
+    """X7 — correct transit depth for flux contamination:
+    `1 − contrati·(1 − flux)` (miletos/main.py:11919-11931)."""
+    return F.lit(1.0) - F.lit(float(contrati)) * (F.lit(1.0) - flux)
+
+
 def trapezoid_depth(
     time: Column,
     period: float,

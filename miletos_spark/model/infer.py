@@ -72,6 +72,96 @@ def _trapezoid_np(t, period, epoch, depth, dura_total, dura_ingress=None):
     return 1.0 - depth * shape
 
 
+def _stretch_move_mcmc(log_prob, x0, n_walkers, n_steps, seed, a=2.0):
+    """Affine-invariant ensemble sampler (Goodman & Weare 2010 stretch
+    move — the emcee/tdpy algorithm the reference uses for
+    `typeinfe='samp'`, miletos/main.py:12131-12133). Deterministic via
+    a seeded Generator. Returns (n_steps*n_walkers, dim) chain."""
+    rng = np.random.default_rng(seed)
+    dim = len(x0)
+    walkers = x0 + 1e-4 * np.abs(x0).clip(1e-6) * rng.standard_normal(
+        (n_walkers, dim)
+    )
+    lp = np.array([log_prob(w) for w in walkers])
+    chain = []
+    for _ in range(n_steps):
+        for i in range(n_walkers):
+            j = rng.integers(n_walkers - 1)
+            j = j if j < i else j + 1
+            z = (1.0 + (a - 1.0) * rng.random()) ** 2 / a
+            prop = walkers[j] + z * (walkers[i] - walkers[j])
+            lp_prop = log_prob(prop)
+            if np.log(rng.random() + 1e-300) < (dim - 1) * np.log(z) + lp_prop - lp[i]:
+                walkers[i], lp[i] = prop, lp_prop
+        chain.append(walkers.copy())
+    return np.concatenate(chain, axis=0)
+
+
+def sample_transit_groups(
+    df: DataFrame,
+    period: float,
+    epoch0: float,
+    depth0: float = 0.01,
+    dura0: float = 0.1,
+    n_walkers: int = 24,
+    n_steps: int = 200,
+    burn_frac: float = 0.3,
+    seed: int = 42,
+    group_cols: Sequence[str] = ("inst", "chunk"),
+    time_col: str = "time",
+    value_col: str = "value",
+    stdv_col: str = "stdv",
+) -> DataFrame:
+    """M5 `typeinfe='samp'`: per-group ensemble MCMC over
+    (epoch, depth, dura) of the fixed-period trapezoid, inside
+    applyInPandas. Defaults mirror the reference's sampler scale
+    (100-walker/30%-burn shape, miletos/main.py:12131-12133) scaled to
+    test size. Returns A5-style 16/50/84 posterior percentiles per
+    parameter per group."""
+    import pandas as pd
+
+    keys = list(group_cols)
+    pctiles = [
+        f"{p}_{t} double"
+        for p in ("epoch", "depth", "dura")
+        for t in ("p16", "p50", "p84")
+    ]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*keys).schema.fields
+    ) + ", " + ", ".join(pctiles) + ", n_samples long"
+
+    p, e0, d0, w0 = float(period), float(epoch0), float(depth0), float(dura0)
+
+    def sample_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf[time_col].to_numpy(dtype=float)
+        y = pdf[value_col].to_numpy(dtype=float)
+        s = pdf[stdv_col].to_numpy(dtype=float)
+
+        def log_prob(x):
+            epoch, depth, dura = x
+            if dura <= 0 or dura > p / 2 or abs(depth) > 1.0:
+                return -1e30
+            m = _trapezoid_np(t, p, epoch, depth, dura)
+            z = (y - m) / s
+            return -0.5 * float(z @ z)
+
+        chain = _stretch_move_mcmc(
+            log_prob, np.array([e0, d0, w0]), n_walkers, n_steps, seed
+        )
+        post = chain[int(len(chain) * burn_frac):]
+        row = {k: pdf[k].iloc[0] for k in keys}
+        for d_idx, name in enumerate(("epoch", "depth", "dura")):
+            q16, q50, q84 = np.percentile(post[:, d_idx], [16, 50, 84])
+            row[f"{name}_p16"] = float(q16)
+            row[f"{name}_p50"] = float(q50)
+            row[f"{name}_p84"] = float(q84)
+        row["n_samples"] = len(post)
+        return pd.DataFrame([row])
+
+    return df.groupBy(*keys).applyInPandas(sample_one, schema=out_schema)
+
+
 def fit_transit_groups(
     df: DataFrame,
     period: float,

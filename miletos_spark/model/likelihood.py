@@ -37,6 +37,10 @@ def gaussian_loglik(
     return gb.agg(
         (F.lit(-0.5) * F.sum(z * z)).alias("loglik"),
         F.sum(z * z).alias("chi2"),
+        # F5 `boolrejeoutlllik` (miletos/main.py:819-821): the
+        # worst-sample-rejected likelihood drops the largest single
+        # chi2 term — one extra max aggregate, same single pass
+        (F.lit(-0.5) * (F.sum(z * z) - F.max(z * z))).alias("loglik_rej"),
         F.count("*").alias("n"),
     )
 

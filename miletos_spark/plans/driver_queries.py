@@ -1226,6 +1226,7 @@ def q_model_loglik_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round("loglik", 4).alias("loglik"),
         F.round("chi2", 4).alias("chi2"),
+        F.round("loglik_rej", 4).alias("loglik_rej"),
         "n",
     )
 
@@ -1236,6 +1237,9 @@ SELECT event_type,
        round(-0.5 * sum(pow(value - (1.0 - {MODEL_DEPTH!r} * shape), 2)), 4)
          AS loglik,
        round(sum(pow(value - (1.0 - {MODEL_DEPTH!r} * shape), 2)), 4) AS chi2,
+       round(-0.5 * (sum(pow(value - (1.0 - {MODEL_DEPTH!r} * shape), 2))
+                     - max(pow(value - (1.0 - {MODEL_DEPTH!r} * shape), 2))), 4)
+         AS loglik_rej,
        count(*) AS n
 FROM s
 GROUP BY event_type
@@ -2179,6 +2183,28 @@ def q_ivf_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+def q_mcmc_transit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 'samp': per-event_type ensemble-MCMC posterior (stretch move)
+    of the fixed-period trapezoid, summarized as 16/50/84 percentiles
+    (no SQL oracle: stochastic sampler, seeded -> rows-only check)."""
+    from miletos_spark.model.infer import sample_transit_groups
+
+    ev = _ev_days(spark, sf_dir).withColumn("stdv", F.lit(1.0))
+    tmin = ev.agg(F.min("t")).first()[0]
+    sh = ev.withColumn("t", F.col("t") - F.lit(float(tmin)))
+    out = sample_transit_groups(
+        sh, period=MODEL_P, epoch0=1.0, depth0=0.01, dura0=0.5,
+        n_walkers=12, n_steps=60, group_cols=("event_type",),
+        time_col="t",
+    )
+    cols = [F.col("event_type")] + [
+        F.round(c, 5).alias(c)
+        for c in out.columns
+        if c not in ("event_type", "n_samples")
+    ] + [F.col("n_samples")]
+    return out.select(*cols).orderBy("event_type")
+
+
 # --- registry ---------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2236,6 +2262,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "detection_stats_events": q_detection_stats_events,
     "rv_flare_model_events": q_rv_flare_model_events,
     "ivf_similarity_topk": q_ivf_similarity_topk,
+    "mcmc_transit_events": q_mcmc_transit_events,
 }
 
 

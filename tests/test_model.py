@@ -89,3 +89,18 @@ def test_fit_transit_groups_recovers(injected):
     ).first()
     assert row["depth_hat"] == pytest.approx(DEPTH, rel=0.3)
     assert row["epoch_hat"] == pytest.approx(EPOCH, abs=DURA / 2)
+
+
+def test_mcmc_posterior_covers_injection(injected):
+    from miletos_spark.model.infer import sample_transit_groups
+
+    grouped = injected.withColumn("grp", F.lit("a"))
+    row = sample_transit_groups(
+        grouped, period=P, epoch0=0.9, depth0=0.015, dura0=0.2,
+        n_walkers=16, n_steps=150, group_cols=("grp",),
+    ).first()
+    # posterior median near truth; 16-84 interval is a sane width
+    assert row["depth_p50"] == pytest.approx(DEPTH, rel=0.3)
+    assert row["epoch_p50"] == pytest.approx(EPOCH, abs=DURA)
+    assert 0 < row["depth_p84"] - row["depth_p16"] < DEPTH
+    assert row["n_samples"] > 1000
