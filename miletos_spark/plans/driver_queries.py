@@ -1368,18 +1368,25 @@ def q_stream_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream into a memory sink, return the drained result. Semantics are
     exactly batch gap-sessionization (session end = last event + gap),
     so the DuckDB oracle verifies the streaming output."""
+    import hashlib
+    import os
     import tempfile
     import uuid
 
     from miletos_spark.streaming.ingest import stream_sessions
 
-    ev = load_table(spark, sf_dir, "events")
-    land = tempfile.mkdtemp(prefix="stream_events_") + "/data"
-    # integer `div` — float division of epoch-nanos (~1.7e18) exceeds
-    # double mantissa and lands 1 µs off DuckDB's nanos→µs truncation
-    ev.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    ).write.parquet(land)
+    # memoized landing (S11 pattern): the micros-converted copy of one
+    # sf_dir is immutable, so land it once per container
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    land = os.path.join(tempfile.gettempdir(), f"miletos_land_{key}", "data")
+    if not os.path.exists(land):
+        ev = load_table(spark, sf_dir, "events")
+        # integer `div` — float division of epoch-nanos (~1.7e18)
+        # exceeds double mantissa and lands 1 µs off DuckDB's
+        # nanos→µs truncation
+        ev.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        ).write.parquet(land)
     schema = (
         "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string"
