@@ -2212,6 +2212,47 @@ def q_mcmc_transit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(*cols).orderBy("event_type")
 
 
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom as-of join (union+window formulation): for each 'click'
+    event, the latest preceding 'view' value by the same user. Oracle is
+    DuckDB's native ASOF JOIN — cross-engine proof of semantics."""
+    from miletos_spark.operators.asof import asof_join
+
+    ev = _ev_days(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "t_sec", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "t_sec", F.col("value").alias("view_value")
+    )
+    out = asof_join(
+        clicks, views, time_col="t_sec", by_cols=("user_id",),
+        value_cols=("view_value",),
+    )
+    return out.select(
+        "event_id",
+        F.round("t_sec_asof", 6).alias("view_t_sec"),
+        F.round("view_value_asof", 6).alias("view_value"),
+    )
+
+
+SQL_ASOF_JOIN_EVENTS = """
+WITH clicks AS (
+  SELECT event_id, user_id, epoch(ts) AS t_sec
+  FROM events WHERE event_type = 'click'
+),
+views AS (
+  SELECT user_id, epoch(ts) AS t_sec, value AS view_value
+  FROM events WHERE event_type = 'view'
+)
+SELECT c.event_id,
+       round(v.t_sec, 6) AS view_t_sec,
+       round(v.view_value, 6) AS view_value
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND v.t_sec <= c.t_sec
+"""
+
+
 # --- registry ---------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2270,6 +2311,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rv_flare_model_events": q_rv_flare_model_events,
     "ivf_similarity_topk": q_ivf_similarity_topk,
     "mcmc_transit_events": q_mcmc_transit_events,
+    "asof_join_events": q_asof_join_events,
 }
 
 
@@ -2321,6 +2363,7 @@ def _oracles() -> dict[str, str]:
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "detection_stats_events": _sql_detection_stats(),
         "rv_flare_model_events": _sql_rv_flare_model(),
+        "asof_join_events": SQL_ASOF_JOIN_EVENTS,
         # spline_detrend_events: no oracle (iterative LSQ fit)
         # bls_multi_events: no oracle (iterative driver loop)
         # gp_detrend_events: no oracle (dense GP solve)
