@@ -2253,6 +2253,69 @@ FROM clicks c ASOF LEFT JOIN views v
 """
 
 
+def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (SURVEY §2.4: 'Spark gives grouping sets /
+    rollup free if we expose SQL' — exposed): per-(flag, status)
+    subtotals, per-flag totals, grand total, tagged by grouping id."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count("*").alias("n"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+SQL_ROLLUP_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       count(*) AS n,
+       grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_time_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: hour and day
+    resolutions of the events series in ONE pass via GROUPING SETS
+    (not a per-resolution loop)."""
+    ev = _ev_days(spark, sf_dir)
+    ev.withColumn("hour", F.floor(F.col("t_sec") / 3600).cast("long")) \
+        .withColumn("day", F.floor(F.col("t_sec") / 86400).cast("long")) \
+        .createOrReplaceTempView("ev_rollup")
+    return spark.sql(
+        """
+        SELECT hour, day,
+               round(sum(value), 4) AS sum_value,
+               count(*) AS n,
+               grouping(hour) * 2 + grouping(day) AS gid
+        FROM ev_rollup
+        GROUP BY GROUPING SETS ((hour), (day))
+        """
+    )
+
+
+SQL_TIME_ROLLUP_EVENTS = """
+WITH ev AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         value
+  FROM events
+)
+SELECT hour, day,
+       round(sum(value), 4) AS sum_value,
+       count(*) AS n,
+       grouping(hour) * 2 + grouping(day) AS gid
+FROM ev
+GROUP BY GROUPING SETS ((hour), (day))
+"""
+
+
 # --- registry ---------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2312,6 +2375,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_similarity_topk": q_ivf_similarity_topk,
     "mcmc_transit_events": q_mcmc_transit_events,
     "asof_join_events": q_asof_join_events,
+    "rollup_pricing": q_rollup_pricing,
+    "time_rollup_events": q_time_rollup_events,
 }
 
 
@@ -2364,6 +2429,8 @@ def _oracles() -> dict[str, str]:
         "detection_stats_events": _sql_detection_stats(),
         "rv_flare_model_events": _sql_rv_flare_model(),
         "asof_join_events": SQL_ASOF_JOIN_EVENTS,
+        "rollup_pricing": SQL_ROLLUP_PRICING,
+        "time_rollup_events": SQL_TIME_ROLLUP_EVENTS,
         # spline_detrend_events: no oracle (iterative LSQ fit)
         # bls_multi_events: no oracle (iterative driver loop)
         # gp_detrend_events: no oracle (dense GP solve)
