@@ -2316,6 +2316,34 @@ GROUP BY GROUPING SETS ((hour), (day))
 """
 
 
+def q_json_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions (beyond the reference, which never parses
+    JSON): extract props.k per event, aggregate per type."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+SQL_JSON_PROPS_EVENTS = """
+SELECT event_type,
+       count(CAST(props->>'k' AS INT)) AS n_with_k,
+       round(avg(CAST(props->>'k' AS INT)), 6) AS avg_k,
+       min(CAST(props->>'k' AS INT)) AS min_k,
+       max(CAST(props->>'k' AS INT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
 # --- registry ---------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2377,6 +2405,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_events": q_asof_join_events,
     "rollup_pricing": q_rollup_pricing,
     "time_rollup_events": q_time_rollup_events,
+    "json_props_events": q_json_props_events,
 }
 
 
@@ -2431,6 +2460,7 @@ def _oracles() -> dict[str, str]:
         "asof_join_events": SQL_ASOF_JOIN_EVENTS,
         "rollup_pricing": SQL_ROLLUP_PRICING,
         "time_rollup_events": SQL_TIME_ROLLUP_EVENTS,
+        "json_props_events": SQL_JSON_PROPS_EVENTS,
         # spline_detrend_events: no oracle (iterative LSQ fit)
         # bls_multi_events: no oracle (iterative driver loop)
         # gp_detrend_events: no oracle (dense GP solve)
