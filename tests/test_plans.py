@@ -1,0 +1,90 @@
+"""Plan-regression tests: the physical shapes that make these queries
+scale are asserted, not assumed — a change that adds a shuffle or drops
+a broadcast fails here before it shows up in a benchmark."""
+
+import contextlib
+import io
+
+import pytest
+
+import __spark_entry__ as e
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    # AQE planning hides static structure; what we assert is the
+    # pre-adaptive plan (AQE only improves on it at runtime)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    qs = e.queries()
+    out = {}
+    for name in (
+        "bls_spectrum_events",
+        "lomb_scargle_events",
+        "region_revenue",
+        "pricing_summary",
+        "matched_filter_events",
+        "similarity_topk",
+    ):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            qs[name](spark, sf_dir).explain()
+        out[name] = buf.getvalue()
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return out
+
+
+def _shuffles(plan):
+    return plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+
+
+def test_bls_broadcasts_trials_single_shuffle(plans):
+    p = plans["bls_spectrum_events"]
+    assert p.count("BroadcastExchange") == 1      # the trial grid
+    assert _shuffles(p) == 1                      # the bucket aggregation
+    assert "BroadcastNestedLoopJoin" in p         # crossJoin streams
+
+
+def test_lomb_scargle_broadcasts_grid(plans):
+    p = plans["lomb_scargle_events"]
+    assert p.count("BroadcastExchange") == 1      # the frequency grid
+    assert _shuffles(p) == 1                      # the per-freq moments agg
+
+
+def test_star_join_broadcasts_dimensions(plans):
+    p = plans["region_revenue"]
+    assert p.count("BroadcastExchange") >= 3      # region/nation/customer dims
+    assert _shuffles(p) <= 2                      # fact join + final agg
+
+
+def test_scan_heavy_aggregations_one_shuffle(plans):
+    assert _shuffles(plans["pricing_summary"]) == 1
+    assert _shuffles(plans["matched_filter_events"]) == 1
+
+
+def test_topk_no_shuffle(plans):
+    # TakeOrderedAndProject: per-partition partial top-k, no exchange
+    assert _shuffles(plans["similarity_topk"]) == 0
+    assert "TakeOrderedAndProject" in plans["similarity_topk"]
+
+
+def test_pushdown_reaches_scan(spark, sf_dir):
+    from miletos_spark.schema import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.filter(F.col("l_quantity") < 10).select("l_orderkey", "l_quantity")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain()
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "LessThan(l_quantity,10" in plan
+    assert "ReadSchema" in plan
+    # column pruning: only the 2 projected columns reach the scan
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "l_orderkey", "l_quantity",
+    }
