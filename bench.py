@@ -30,6 +30,7 @@ HEADLINE = [
     "rolling_median_events",
     "lomb_scargle_events",
     "bls_spectrum_events",
+    "bls_multires_events",
     "matched_filter_events",
     "flare_band_events",
     "model_loglik_events",

@@ -2344,6 +2344,53 @@ GROUP BY event_type
 """
 
 
+def q_bls_multires_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 multi-resolution BLS (the reference's §4 optimization): per
+    duty-cycle level, pre-rebin and search bin centers with weighted
+    means — the crossJoin row count becomes span/delt instead of the
+    sample count."""
+    from miletos_spark.search.bls import bls_search_multires
+
+    ev = _ev_days(spark, sf_dir)
+    trials = spark.createDataFrame(
+        _bls_trials(), "period double, dcyc double, off double"
+    )
+    spec = bls_search_multires(
+        ev, trials, time_col="t", value_col="value", t_ref=0.0
+    )
+    # 5-decimal rounding: weighted bin sums add one more layer of
+    # summation-order noise than the exact kernel tolerates at 6
+    return spec.select(
+        F.round("period", 9).alias("period"),
+        F.round("dcyc", 9).alias("dcyc"),
+        F.round("off", 1).alias("off"),
+        "bucket",
+        "n_in",
+        F.round("mean_in", 3).alias("mean_in"),
+        F.round("depth", 3).alias("depth"),
+        F.round("snr", 2).alias("snr"),
+        F.round("epoch", 4).alias("epoch"),
+    )
+
+
+def _sql_bls_multires() -> str:
+    from miletos_spark.search.bls import bls_multires_sql
+
+    inner = bls_multires_sql(
+        EV_T_DAYS_SQL, "value", "events", _bls_trials(), t_ref=0.0
+    )
+    return f"""
+WITH inner_q AS (
+{inner}
+)
+SELECT round(period, 9) AS period, round(dcyc, 9) AS dcyc,
+       round(off, 1) AS off, bucket, n_in,
+       round(mean_in, 3) AS mean_in, round(depth, 3) AS depth,
+       round(snr, 2) AS snr, round(epoch, 4) AS epoch
+FROM inner_q
+"""
+
+
 # --- registry ---------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2406,6 +2453,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_pricing": q_rollup_pricing,
     "time_rollup_events": q_time_rollup_events,
     "json_props_events": q_json_props_events,
+    "bls_multires_events": q_bls_multires_events,
 }
 
 
@@ -2461,6 +2509,7 @@ def _oracles() -> dict[str, str]:
         "rollup_pricing": SQL_ROLLUP_PRICING,
         "time_rollup_events": SQL_TIME_ROLLUP_EVENTS,
         "json_props_events": SQL_JSON_PROPS_EVENTS,
+        "bls_multires_events": _sql_bls_multires(),
         # spline_detrend_events: no oracle (iterative LSQ fit)
         # bls_multi_events: no oracle (iterative driver loop)
         # gp_detrend_events: no oracle (dense GP solve)

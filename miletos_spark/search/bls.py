@@ -146,6 +146,158 @@ def bls_best(spectrum: DataFrame, min_in: int = 3) -> DataFrame:
     )
 
 
+def bls_search_multires(
+    df: DataFrame,
+    trials: DataFrame,
+    bins_per_box: float = 4.0,
+    time_col: str = "time",
+    value_col: str = "value",
+    t_ref: float = 0.0,
+) -> DataFrame:
+    """Multi-resolution BLS (the reference's §4 optimization,
+    miletos/main.py:5586-5605): per duty-cycle LEVEL, pre-rebin the
+    series to `dcyc·p_min/bins_per_box` and run the phase-bucket
+    aggregation on bin centers with count-weighted means — longer boxes
+    search coarser data. Row count per level is span/delt (independent
+    of the sample count), so the crossJoin shrinks by orders of
+    magnitude at scale; box-edge straddling blurs by ≤ 1/bins_per_box
+    of a box, the same approximation the reference accepts.
+
+    Requires `trials` with columns (period, dcyc, off). Output schema
+    matches `bls_search`.
+    """
+    import math as _math
+
+    g = df.agg(
+        F.avg(value_col).alias("mu"),
+        F.stddev_pop(value_col).alias("sd"),
+        F.min(time_col).alias("t0"),
+    ).first()
+    mu, sd, t0 = float(g["mu"]), float(g["sd"]), float(g["t0"])
+
+    # Quantize (dcyc·period) box widths into log2 RESOLUTION GROUPS —
+    # one rebin + crossJoin pipeline per group, not per distinct dcyc
+    # (a continuous duty-cycle grid would otherwise spawn one union
+    # branch per trial). Bin width per group = the group's smallest box
+    # width / bins_per_box (conservative for every trial in the group).
+    t_rows = [
+        (float(r["period"]), float(r["dcyc"]), float(r["off"]))
+        for r in trials.collect()
+    ]
+    wmin = min(p * d for p, d, _ in t_rows)
+    groups: dict[int, list] = {}
+    for p_, d_, o_ in t_rows:
+        lvl = int(_math.floor(_math.log2((p_ * d_) / wmin)))
+        groups.setdefault(lvl, []).append((p_, d_, o_))
+
+    spark = df.sparkSession
+    out = None
+    for lvl, rows in sorted(groups.items()):
+        delt = min(p_ * d_ for p_, d_, _ in rows) / bins_per_box
+        binned = (
+            df.select(
+                F.floor((F.col(time_col) - F.lit(t0)) / F.lit(delt)).alias("_b"),
+                F.col(value_col).alias("_v"),
+            )
+            .groupBy("_b")
+            .agg(F.sum("_v").alias("_s"), F.count("_v").alias("_n"))
+            .select(
+                (F.lit(t0) + (F.col("_b") + 0.5) * F.lit(delt)).alias("tc"),
+                "_s",
+                "_n",
+            )
+        )
+        lvl_trials = spark.createDataFrame(
+            rows, "period double, dcyc double, off double"
+        )
+        p = F.col("period")
+        t = F.col("tc") - F.lit(float(t_ref))
+        phase = ((t % p) + p) % p / p
+        shifted = phase - F.col("off") * F.col("dcyc")
+        wrapped = ((shifted % 1.0) + 1.0) % 1.0
+        bucket = F.floor(wrapped / F.col("dcyc")).cast("int")
+        boxes = (
+            binned.crossJoin(F.broadcast(lvl_trials))
+            .withColumn("bucket", bucket)
+            .groupBy("period", "dcyc", "off", "bucket")
+            .agg(
+                F.sum("_n").alias("n_in"),
+                (F.sum("_s") / F.sum("_n")).alias("mean_in"),
+            )
+        )
+        out = boxes if out is None else out.unionByName(boxes)
+
+    depth = F.lit(mu) - F.col("mean_in")
+    snr = depth / (F.lit(sd) / F.sqrt(F.col("n_in")))
+    return (
+        out.withColumn("depth", depth)
+        .withColumn("snr", snr)
+        .withColumn(
+            "epoch",
+            F.lit(float(t_ref))
+            + ((F.col("bucket") + 0.5) * F.col("dcyc") + F.col("off") * F.col("dcyc"))
+            * F.col("period"),
+        )
+    )
+
+
+def bls_multires_sql(
+    time_expr: str,
+    value_expr: str,
+    table: str,
+    trials: list[tuple[float, float, float]],
+    bins_per_box: float = 4.0,
+    t_ref: float = 0.0,
+) -> str:
+    """DuckDB-oracle twin of `bls_search_multires` (same log2
+    resolution-group quantization)."""
+    import math as _math
+
+    wmin = min(p * d for p, d, _ in trials)
+    groups: dict[int, list] = {}
+    for p, d, o in trials:
+        lvl = int(_math.floor(_math.log2((p * d) / wmin)))
+        groups.setdefault(lvl, []).append((p, d, o))
+    level_sqls = []
+    for lvl, rows in sorted(groups.items()):
+        delt = min(p * d for p, d, _ in rows) / bins_per_box
+        values = ", ".join(
+            f"(CAST({p!r} AS DOUBLE), CAST({dd!r} AS DOUBLE), CAST({o!r} AS DOUBLE))"
+            for p, dd, o in rows
+        )
+        level_sqls.append(f"""
+SELECT tr.period, tr.dcyc, tr.off,
+       CAST(floor((((((b.tc - {t_ref!r}) % tr.period + tr.period) % tr.period)
+                    / tr.period - tr.off * tr.dcyc) % 1.0 + 1.0) % 1.0
+                  / tr.dcyc) AS INT) AS bucket,
+       sum(b.n) AS n_in, sum(b.s) / sum(b.n) AS mean_in
+FROM (
+  SELECT (SELECT t0 FROM g) + (bb + 0.5) * {delt!r} AS tc, s, n
+  FROM (
+    SELECT CAST(floor((t - (SELECT t0 FROM g)) / {delt!r}) AS BIGINT) AS bb,
+           sum(v) AS s, count(*) AS n
+    FROM samples GROUP BY 1
+  )
+) b CROSS JOIN (VALUES {values}) tr(period, dcyc, off)
+GROUP BY 1, 2, 3, 4""")
+    union = "\nUNION ALL\n".join(level_sqls)
+    return f"""
+WITH samples AS (
+  SELECT CAST({time_expr} AS DOUBLE) AS t, CAST({value_expr} AS DOUBLE) AS v
+  FROM {table}
+),
+g AS (SELECT avg(v) AS mu, stddev_pop(v) AS sd, min(t) AS t0 FROM samples),
+boxes AS (
+{union}
+)
+SELECT b.period, b.dcyc, b.off, b.bucket, b.n_in, b.mean_in,
+       g.mu - b.mean_in AS depth,
+       (g.mu - b.mean_in) / (g.sd / sqrt(b.n_in)) AS snr,
+       {t_ref!r} + ((b.bucket + 0.5) * b.dcyc + b.off * b.dcyc) * b.period AS epoch
+FROM boxes b CROSS JOIN g
+"""
+
+
 def bls_multi_signal(
     df: DataFrame,
     trials: DataFrame,
