@@ -2391,6 +2391,94 @@ FROM inner_q
 """
 
 
+def q_corpus_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus cleanup — the LLM-pipeline ops
+    composed: quality filter (≥10 tokens, punct ratio <0.2) → language
+    filter (predicted 'en') → exact dedup (keep lowest id per md5) →
+    near-dup removal (drop the higher id of every Jaccard≥0.5 pair) →
+    per-source corpus stats."""
+    from miletos_spark.pipeline.dedup import exact_dedup, near_dup_pairs_bruteforce
+    from miletos_spark.pipeline.text import language_id, text_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = text_stats(docs).select("doc_id", "n_tokens", "punct_ratio")
+    lang = language_id(docs).select("doc_id", "lang_pred")
+    qual = (
+        docs.join(stats, "doc_id")
+        .join(lang, "doc_id")
+        .filter(
+            (F.col("n_tokens") >= 10)
+            & (F.coalesce(F.col("punct_ratio"), F.lit(0.0)) < 0.2)
+            & (F.col("lang_pred") == "en")
+        )
+    ).cache()
+    keepers = exact_dedup(qual).select(F.col("keep_id").alias("doc_id"))
+    uniq = qual.join(keepers, "doc_id", "left_semi").cache()
+    dup_b = near_dup_pairs_bruteforce(uniq, threshold=0.5, k=9).select(
+        F.col("id_b").alias("doc_id")
+    ).distinct()
+    clean = uniq.join(dup_b, "doc_id", "left_anti")
+    return clean.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+def _sql_corpus_cleanup() -> str:
+    lang_sql = _sql_language_id().strip()
+    return rf"""
+WITH lang_q AS (
+{lang_sql}
+),
+stats AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+           AS n_tokens,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[^!-/:-@\[-`{{-~]', '', 'g'))
+                   * 1.0 / length(text)
+              ELSE 0.0 END AS punct_ratio
+  FROM documents
+),
+qual AS (
+  SELECT d.doc_id, d.text, d.source, d.n_chars, s.n_tokens
+  FROM documents d
+  JOIN stats s USING (doc_id)
+  JOIN lang_q l USING (doc_id)
+  WHERE s.n_tokens >= 10 AND coalesce(s.punct_ratio, 0.0) < 0.2
+    AND l.lang_pred = 'en'
+),
+keepers AS (
+  SELECT min(doc_id) AS doc_id FROM qual GROUP BY md5(text)
+),
+uniq AS (
+  SELECT q.* FROM qual q JOIN keepers k USING (doc_id)
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([substr(t, i, 9)
+                        for i in range(1, greatest(length(t) - 8, 1) + 1)]) AS s
+  FROM (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+        FROM uniq)
+),
+dup_b AS (
+  SELECT DISTINCT b.doc_id
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1.0
+        / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+),
+clean AS (
+  SELECT * FROM uniq WHERE doc_id NOT IN (SELECT doc_id FROM dup_b)
+)
+SELECT source, count(*) AS n_docs,
+       round(avg(n_tokens), 6) AS avg_tokens,
+       round(avg(n_chars), 6) AS avg_chars
+FROM clean GROUP BY source
+"""
+
+
 # --- registry ---------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2454,6 +2542,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_rollup_events": q_time_rollup_events,
     "json_props_events": q_json_props_events,
     "bls_multires_events": q_bls_multires_events,
+    "corpus_cleanup": q_corpus_cleanup,
 }
 
 
@@ -2510,6 +2599,7 @@ def _oracles() -> dict[str, str]:
         "time_rollup_events": SQL_TIME_ROLLUP_EVENTS,
         "json_props_events": SQL_JSON_PROPS_EVENTS,
         "bls_multires_events": _sql_bls_multires(),
+        "corpus_cleanup": _sql_corpus_cleanup(),
         # spline_detrend_events: no oracle (iterative LSQ fit)
         # bls_multi_events: no oracle (iterative driver loop)
         # gp_detrend_events: no oracle (dense GP solve)
