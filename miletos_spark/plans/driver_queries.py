@@ -2479,6 +2479,36 @@ FROM clean GROUP BY source
 """
 
 
+def q_pipeline_summary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.1 lifecycle: the full orchestrated pipeline (guards → detrend
+    loop → BLS/LS/flare analyses → detection gate) on the events series,
+    returning the O(1) summary row (no SQL oracle: composes iterative
+    stages -> rows-only check)."""
+    from miletos_spark.plans.orchestrator import RunConfig, run_pipeline
+
+    ev = _ev_days(spark, sf_dir).select(
+        F.col("t").alias("time"), F.col("value")
+    )
+    cfg = RunConfig(
+        detrend_half_width=10, detrend_max_iter=1,
+        bls_p_min=2.0, bls_p_max=10.0, bls_osam=2.0, bls_n_dcyc=2,
+        bls_dcyc_min=0.05, bls_max_signals=1, bls_snr_accept=2.0,
+        fit_on_detection=False,
+    )
+    res = run_pipeline(spark, ev, cfg)
+    s = res.summary
+    return spark.createDataFrame(
+        [(
+            int(s["n_samples"]), round(float(s["span_days"]), 4),
+            int(s["n_bls_signals"]), round(float(s["best_bls_snr"]), 2),
+            round(float(s["ls_power"]), 4) if s["ls_power"] is not None else None,
+            int(s["n_flares"]), bool(s["detected"]),
+        )],
+        "n_samples long, span_days double, n_bls_signals int, "
+        "best_bls_snr double, ls_power double, n_flares long, detected boolean",
+    )
+
+
 # --- registry ---------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2543,6 +2573,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_props_events": q_json_props_events,
     "bls_multires_events": q_bls_multires_events,
     "corpus_cleanup": q_corpus_cleanup,
+    "pipeline_summary_events": q_pipeline_summary_events,
 }
 
 
