@@ -1376,8 +1376,16 @@ def q_stream_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from miletos_spark.streaming.ingest import stream_sessions
 
     # memoized landing (S11 pattern): the micros-converted copy of one
-    # sf_dir is immutable, so land it once per container
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    # source file is immutable, so land it once per container; the key
+    # includes the source mtime+size so a regenerated testdata file
+    # invalidates the memo
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        sig = os.path.abspath(sf_dir)
+    key = hashlib.md5(sig.encode()).hexdigest()[:12]
     land = os.path.join(tempfile.gettempdir(), f"miletos_land_{key}", "data")
     if not os.path.exists(land):
         ev = load_table(spark, sf_dir, "events")
