@@ -104,3 +104,18 @@ def test_mcmc_posterior_covers_injection(injected):
     assert row["epoch_p50"] == pytest.approx(EPOCH, abs=DURA)
     assert 0 < row["depth_p84"] - row["depth_p16"] < DEPTH
     assert row["n_samples"] > 1000
+
+
+def test_param_registry_roundtrip():
+    from miletos_spark.model.params import ParamSpec, transit_registry
+
+    reg = transit_registry(period=3.0, epoch_bounds=(0.0, 3.0))
+    assert reg.index == {"epoch": 0, "depth": 1, "dura": 2}
+    vec = reg.pack({"epoch": 1.0, "depth": 0.02, "dura": 0.25})
+    full = reg.unpack(vec)
+    assert full == {"period": 3.0, "epoch": 1.0, "depth": 0.02, "dura": 0.25}
+    assert reg.in_bounds(vec)
+    assert not reg.in_bounds([5.0, 0.02, 0.25])       # epoch out of bounds
+    assert reg.clip([5.0, -0.1, 0.25]) == [3.0, 0.0, 0.25]
+    with pytest.raises(ValueError):
+        reg.add(ParamSpec("epoch", 0, 1))              # duplicate name
