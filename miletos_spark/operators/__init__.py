@@ -26,5 +26,19 @@ from miletos_spark.operators.sessionize import (  # noqa: F401
     sessionize,
     cluster_triggers,
 )
-from miletos_spark.operators.fold import fold  # noqa: F401
-from miletos_spark.operators.detrend import median_detrend  # noqa: F401
+from miletos_spark.operators.fold import fold, phase_bins, transit_flag  # noqa: F401
+from miletos_spark.operators.detrend import (  # noqa: F401
+    clip_detrend_loop,
+    gp_detrend,
+    median_detrend,
+    spline_detrend,
+)
+from miletos_spark.operators.interp import interp_to_grid  # noqa: F401
+from miletos_spark.operators.asof import asof_join  # noqa: F401
+from miletos_spark.operators.rebin import rebin_by_count  # noqa: F401
+from miletos_spark.operators.windows import largest_gap  # noqa: F401
+from miletos_spark.operators.scale import (  # noqa: F401
+    salted_agg,
+    salted_join,
+    write_bucketed,
+)
