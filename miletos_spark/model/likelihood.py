@@ -51,14 +51,29 @@ def depth_fit_closed_form(
     value_col: str = "value",
     stdv_col: str = "stdv",
     group_cols: Sequence[str] = (),
+    exact: bool = False,
 ) -> DataFrame:
     """Weighted-least-squares depth: the maximum-likelihood amplitude of
     a unit-depth shape under Gaussian errors, with its 1σ uncertainty —
-    one aggregation, no optimizer."""
+    one aggregation, no optimizer.
+
+    `exact=True` sums the per-row terms as DECIMAL(38,18): each term is
+    still computed in IEEE double (bit-identical across engines for the
+    same expression), but the summation becomes order-independent, so
+    the result no longer carries ~n·eps reordering noise from Spark's
+    partial-aggregation order. Use for oracle-compared outputs whose
+    rounded value would otherwise sit within noise of a rounding
+    boundary; the DuckDB twin mirrors it with the same CAST."""
     s = F.col(shape_col) if isinstance(shape_col, str) else shape_col
     w = F.lit(1.0) / (F.col(stdv_col) * F.col(stdv_col))
-    num = F.sum(w * s * (F.lit(1.0) - F.col(value_col)))
-    den = F.sum(w * s * s)
+    term_num = w * s * (F.lit(1.0) - F.col(value_col))
+    term_den = w * s * s
+    if exact:
+        num = F.sum(term_num.cast("decimal(38,18)")).cast("double")
+        den = F.sum(term_den.cast("decimal(38,18)")).cast("double")
+    else:
+        num = F.sum(term_num)
+        den = F.sum(term_den)
     gb = df.groupBy(*group_cols) if group_cols else df.groupBy()
     return gb.agg(
         (num / den).alias("depth_hat"),

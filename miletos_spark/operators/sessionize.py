@@ -19,6 +19,7 @@ def sessionize(
     time_col: str = "time",
     group_cols: Sequence[str] = (),
     out_col: str = "region",
+    order_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """W4 — assign a region id that increments wherever
     Δtime > gap (`timebrekregi` = 0.1 d default, miletos/main.py:6716).
@@ -26,8 +27,14 @@ def sessionize(
     region = running count of gap-breaks up to the current row, per
     group. One window (single shuffle on group_cols); at scale the
     partition key bounds window state to one series chunk.
+
+    `order_cols` (default [time_col]) lets callers append tie-break
+    columns (e.g. a unique event id) so row order — and therefore the
+    running sum seen by any downstream per-row consumer — is
+    deterministic when timestamps collide.
     """
-    w = Window.partitionBy(*group_cols).orderBy(time_col) if group_cols else Window.orderBy(time_col)
+    ocols = list(order_cols) if order_cols else [time_col]
+    w = Window.partitionBy(*group_cols).orderBy(*ocols) if group_cols else Window.orderBy(*ocols)
     brk = (
         (F.col(time_col) - F.lag(time_col).over(w) > gap).cast("int")
     )
@@ -53,7 +60,11 @@ def cluster_triggers(
 
     Consecutive = adjacent in time order with no unflagged row between.
     `order_cols` (default [time_col]) can append tie-break columns so
-    cluster boundaries are deterministic when times collide.
+    cluster boundaries are deterministic when times collide. The
+    per-cluster peak is the lexicographic max of (metric, time), so a
+    metric tie deterministically keeps the latest sample — mirrored by
+    `max(struct_pack(...))` in SQL oracles (plain `max_by(time, metric)`
+    picks an engine-dependent row on ties).
     Returns one row per cluster: group_cols + [cluster, time, metric].
     """
     ocols = list(order_cols) if order_cols else [time_col]
@@ -74,9 +85,18 @@ def cluster_triggers(
     return (
         clustered.groupBy(*group_cols, "_cluster")
         .agg(
-            F.expr(f"max_by({time_col}, {metric_col})").alias(time_col),
-            F.max(metric_col).alias(metric_col),
+            F.max(
+                F.struct(
+                    F.col(metric_col).alias("m"), F.col(time_col).alias("t")
+                )
+            ).alias("_peak"),
             F.count("*").alias("n_triggers"),
         )
-        .withColumnRenamed("_cluster", "cluster")
+        .select(
+            *group_cols,
+            F.col("_cluster").alias("cluster"),
+            F.col("_peak.t").alias(time_col),
+            F.col("_peak.m").alias(metric_col),
+            "n_triggers",
+        )
     )

@@ -245,7 +245,8 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per session."""
     ev = _ev_days(spark, sf_dir)
     sess = sessionize(ev, gap=SESSION_GAP_SEC, time_col="t_sec",
-                      group_cols=("user_id",))
+                      group_cols=("user_id",),
+                      order_cols=("t_sec", "event_id"))
     return sess.groupBy("user_id", "region").agg(
         F.count("*").alias("n_events"),
         F.round(F.min("t_sec"), 6).alias("t_start"),
@@ -255,15 +256,15 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SESSIONIZE_EVENTS = f"""
 WITH s AS (
-  SELECT user_id, epoch(ts) AS t_sec,
+  SELECT user_id, event_id, epoch(ts) AS t_sec,
          CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > {SESSION_GAP_SEC!r}
               THEN 1 ELSE 0 END AS brk
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts))
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts), event_id)
 ),
 r AS (
   SELECT user_id, t_sec,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY t_sec
+         sum(brk) OVER (PARTITION BY user_id ORDER BY t_sec, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS region
   FROM s
 )
@@ -728,16 +729,20 @@ def q_transit_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_t = F.abs(F.col("phase")) < half
     ingress = in_t & (F.col("phase") < 0)
     egress = in_t & (F.col("phase") >= 0)
+
+    # Order-independent means: sum as DECIMAL(38,18) so the ~10k-term
+    # float sums carry no partial-agg reordering noise (the 6-decimal
+    # rounding sat within noise of a boundary — the r01 hash flake).
+    def dmean(cond):
+        s = F.sum(F.when(cond, F.col("value").cast("decimal(38,18)")))
+        return s.cast("double") / F.sum(cond.cast("long"))
+
     return folded.groupBy("event_type").agg(
         F.sum(in_t.cast("long")).alias("n_in"),
         F.sum((~in_t).cast("long")).alias("n_out"),
-        F.round(F.avg(F.when(in_t, F.col("value"))), 6).alias("mean_in"),
-        F.round(F.avg(F.when(~in_t, F.col("value"))), 6).alias("mean_out"),
-        F.round(
-            F.avg(F.when(ingress, F.col("value")))
-            / F.avg(F.when(egress, F.col("value"))),
-            6,
-        ).alias("frac_ineg"),
+        F.round(dmean(in_t), 6).alias("mean_in"),
+        F.round(dmean(~in_t), 6).alias("mean_out"),
+        F.round(dmean(ingress) / dmean(egress), 6).alias("frac_ineg"),
     )
 
 
@@ -761,10 +766,14 @@ fl AS (
 SELECT event_type,
        sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS n_in,
        sum(CASE WHEN in_t THEN 0 ELSE 1 END) AS n_out,
-       round(avg(CASE WHEN in_t THEN value END), 6) AS mean_in,
-       round(avg(CASE WHEN NOT in_t THEN value END), 6) AS mean_out,
-       round(avg(CASE WHEN in_t AND phase < 0 THEN value END)
-             / avg(CASE WHEN in_t AND phase >= 0 THEN value END), 6) AS frac_ineg
+       round(CAST(sum(CASE WHEN in_t THEN CAST(value AS DECIMAL(38,18)) END) AS DOUBLE)
+             / sum(CASE WHEN in_t THEN 1 ELSE 0 END), 6) AS mean_in,
+       round(CAST(sum(CASE WHEN NOT in_t THEN CAST(value AS DECIMAL(38,18)) END) AS DOUBLE)
+             / sum(CASE WHEN in_t THEN 0 ELSE 1 END), 6) AS mean_out,
+       round((CAST(sum(CASE WHEN in_t AND phase < 0 THEN CAST(value AS DECIMAL(38,18)) END) AS DOUBLE)
+              / sum(CASE WHEN in_t AND phase < 0 THEN 1 ELSE 0 END))
+             / (CAST(sum(CASE WHEN in_t AND phase >= 0 THEN CAST(value AS DECIMAL(38,18)) END) AS DOUBLE)
+                / sum(CASE WHEN in_t AND phase >= 0 THEN 1 ELSE 0 END)), 6) AS frac_ineg
 FROM fl
 GROUP BY event_type
 """
@@ -853,8 +862,8 @@ c AS (
   FROM s
 )
 SELECT event_type, cluster,
-       round(arg_max(t_sec, value), 6) AS t_peak,
-       round(max(value), 6) AS peak_value,
+       round((max(struct_pack(m := value, t := t_sec))).t, 6) AS t_peak,
+       round((max(struct_pack(m := value, t := t_sec))).m, 6) AS peak_value,
        count(*) AS n_triggers
 FROM c WHERE trig = 1
 GROUP BY event_type, cluster
@@ -1257,7 +1266,8 @@ def q_depth_fit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev_days(spark, sf_dir).withColumn("stdv", F.lit(1.0))
     s = trapezoid_depth(F.col("t"), MODEL_P, MODEL_EPOCH, MODEL_DURA)
     out = depth_fit_closed_form(
-        ev.withColumn("shape", s), "shape", group_cols=("event_type",)
+        ev.withColumn("shape", s), "shape", group_cols=("event_type",),
+        exact=True,
     )
     return out.select(
         "event_type",
@@ -1270,8 +1280,9 @@ def q_depth_fit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DEPTH_FIT_EVENTS = f"""
 {_SQL_DT_CTE}
 SELECT event_type,
-       round(sum(shape * (1.0 - value)) / sum(shape * shape), 6) AS depth_hat,
-       round(1.0 / sqrt(sum(shape * shape)), 6) AS depth_err,
+       round(CAST(sum(CAST(shape * (1.0 - value) AS DECIMAL(38,18))) AS DOUBLE)
+             / CAST(sum(CAST(shape * shape AS DECIMAL(38,18))) AS DOUBLE), 6) AS depth_hat,
+       round(1.0 / sqrt(CAST(sum(CAST(shape * shape AS DECIMAL(38,18))) AS DOUBLE)), 6) AS depth_err,
        sum(CASE WHEN shape > 0 THEN 1 ELSE 0 END) AS n_in_shape
 FROM s
 GROUP BY event_type
@@ -1467,6 +1478,7 @@ def q_matched_filter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = matched_filter_search(
         ev, _mf_template(), threshold=None, gap_days=MF_GAP_DAYS,
         time_col="t", group_cols=("event_type",),
+        order_cols=("t", "event_id"),
     )
     return out.select(
         "event_type",
@@ -1490,23 +1502,25 @@ def _sql_matched_filter() -> str:
 WITH base AS (
   SELECT event_type, event_id, {EV_T_DAYS_SQL} AS t, value FROM events
 ),
-mu AS (SELECT avg(value) AS mu FROM base),
+mu AS (SELECT CAST(sum(CAST(value AS DECIMAL(38,18))) AS DOUBLE)
+              / count(value) AS mu FROM base),
 sess0 AS (
-  SELECT *, CASE WHEN t - lag(t) OVER (PARTITION BY event_type ORDER BY t)
+  SELECT *, CASE WHEN t - lag(t) OVER (PARTITION BY event_type
+                                       ORDER BY t, event_id)
                       > {MF_GAP_DAYS!r}
                  THEN 1 ELSE 0 END AS brk
   FROM base
 ),
 sess AS (
-  SELECT *, sum(brk) OVER (PARTITION BY event_type ORDER BY t
+  SELECT *, sum(brk) OVER (PARTITION BY event_type ORDER BY t, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               AS region
   FROM sess0
 ),
 scored AS (
-  SELECT event_type, region, t, {corr_expr} AS corr
+  SELECT event_type, region, event_id, t, {corr_expr} AS corr
   FROM sess
-  WINDOW w2 AS (PARTITION BY event_type, region ORDER BY t)
+  WINDOW w2 AS (PARTITION BY event_type, region ORDER BY t, event_id)
 ),
 kept AS (SELECT * FROM scored WHERE corr IS NOT NULL),
 thr AS (
@@ -1519,19 +1533,19 @@ flagged AS (
 st AS (
   SELECT *, CASE WHEN trig = 1
                   AND coalesce(lag(trig) OVER (PARTITION BY event_type, region
-                                               ORDER BY t), 0) = 0
+                                               ORDER BY t, event_id), 0) = 0
                  THEN 1 ELSE 0 END AS strt
   FROM flagged
 ),
 cl AS (
-  SELECT *, sum(strt) OVER (PARTITION BY event_type, region ORDER BY t
+  SELECT *, sum(strt) OVER (PARTITION BY event_type, region ORDER BY t, event_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               AS cluster
   FROM st
 )
 SELECT event_type, region, cluster,
-       round(arg_max(t, corr), 6) AS t_peak,
-       round(max(corr), 6) AS corr,
+       round((max(struct_pack(m := corr, t := t))).t, 6) AS t_peak,
+       round((max(struct_pack(m := corr, t := t))).m, 6) AS corr,
        count(*) AS n_triggers
 FROM cl WHERE trig = 1
 GROUP BY event_type, region, cluster

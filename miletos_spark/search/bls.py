@@ -168,8 +168,11 @@ def bls_search_multires(
     """
     import math as _math
 
+    # decimal-sum mean: order-independent, so mu (and depth = mu −
+    # mean_in) is reproducible bit-for-bit across engines and runs
     g = df.agg(
-        F.avg(value_col).alias("mu"),
+        (F.sum(F.col(value_col).cast("decimal(38,18)")).cast("double")
+         / F.count(value_col)).alias("mu"),
         F.stddev_pop(value_col).alias("sd"),
         F.min(time_col).alias("t0"),
     ).first()
@@ -194,10 +197,13 @@ def bls_search_multires(
     out = None
     for lvl, rows in sorted(groups.items()):
         delt = min(p_ * d_ for p_, d_, _ in rows) / bins_per_box
+        # both summation levels run in DECIMAL(38,18): the per-bin sums
+        # and the per-box re-sum are exact, so mean_in carries no
+        # partial-agg reordering noise (r01 flaked at a 3-dec boundary)
         binned = (
             df.select(
                 F.floor((F.col(time_col) - F.lit(t0)) / F.lit(delt)).alias("_b"),
-                F.col(value_col).alias("_v"),
+                F.col(value_col).cast("decimal(38,18)").alias("_v"),
             )
             .groupBy("_b")
             .agg(F.sum("_v").alias("_s"), F.count("_v").alias("_n"))
@@ -222,7 +228,7 @@ def bls_search_multires(
             .groupBy("period", "dcyc", "off", "bucket")
             .agg(
                 F.sum("_n").alias("n_in"),
-                (F.sum("_s") / F.sum("_n")).alias("mean_in"),
+                (F.sum("_s").cast("double") / F.sum("_n")).alias("mean_in"),
             )
         )
         out = boxes if out is None else out.unionByName(boxes)
@@ -270,12 +276,12 @@ SELECT tr.period, tr.dcyc, tr.off,
        CAST(floor((((((b.tc - {t_ref!r}) % tr.period + tr.period) % tr.period)
                     / tr.period - tr.off * tr.dcyc) % 1.0 + 1.0) % 1.0
                   / tr.dcyc) AS INT) AS bucket,
-       sum(b.n) AS n_in, sum(b.s) / sum(b.n) AS mean_in
+       sum(b.n) AS n_in, CAST(sum(b.s) AS DOUBLE) / sum(b.n) AS mean_in
 FROM (
   SELECT (SELECT t0 FROM g) + (bb + 0.5) * {delt!r} AS tc, s, n
   FROM (
     SELECT CAST(floor((t - (SELECT t0 FROM g)) / {delt!r}) AS BIGINT) AS bb,
-           sum(v) AS s, count(*) AS n
+           sum(CAST(v AS DECIMAL(38,18))) AS s, count(*) AS n
     FROM samples GROUP BY 1
   )
 ) b CROSS JOIN (VALUES {values}) tr(period, dcyc, off)
@@ -286,7 +292,8 @@ WITH samples AS (
   SELECT CAST({time_expr} AS DOUBLE) AS t, CAST({value_expr} AS DOUBLE) AS v
   FROM {table}
 ),
-g AS (SELECT avg(v) AS mu, stddev_pop(v) AS sd, min(t) AS t0 FROM samples),
+g AS (SELECT CAST(sum(CAST(v AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS mu,
+             stddev_pop(v) AS sd, min(t) AS t0 FROM samples),
 boxes AS (
 {union}
 )

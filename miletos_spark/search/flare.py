@@ -69,6 +69,7 @@ def matched_filter_search(
     time_col: str = "time",
     value_col: str = "value",
     group_cols: Sequence[str] = (),
+    order_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """P6 — windowed-dot-product correlation + auto threshold
     (median + 7·σ of the correlation series, miletos/main.py:6331-6336)
@@ -77,13 +78,28 @@ def matched_filter_search(
     Assumes near-uniform cadence within a gap region (the reference
     regrids; at driver-data granularity lead() over the row frame is the
     equivalent). Template length k ⇒ k−1 lead columns; k is O(10).
+
+    `order_cols` (default [time_col]) should append a unique-id
+    tie-break: the lead() columns read k−1 rows ahead in window order,
+    so duplicate timestamps would otherwise make corr values depend on
+    engine row order (and the auto threshold amplifies any diff).
     """
     k = len(template)
-    sess = sessionize(df, gap_days, time_col=time_col, group_cols=group_cols)
+    ocols = list(order_cols) if order_cols else [time_col]
+    sess = sessionize(
+        df, gap_days, time_col=time_col, group_cols=group_cols,
+        order_cols=ocols,
+    )
     keys = [*group_cols, "region"]
-    w = Window.partitionBy(*keys).orderBy(time_col)
+    w = Window.partitionBy(*keys).orderBy(*ocols)
 
-    mu = df.agg(F.avg(value_col)).first()[0]
+    # decimal sum → order-independent mean (the mean seeds every corr
+    # term and the auto threshold, so reordering noise would propagate)
+    mu_row = df.agg(
+        (F.sum(F.col(value_col).cast("decimal(38,18)")).cast("double")
+         / F.count(value_col)).alias("mu")
+    ).first()
+    mu = mu_row["mu"]
     y = F.col(value_col) - F.lit(float(mu))
     corr = F.lit(float(template[0])) * y
     for j in range(1, k):
@@ -101,5 +117,6 @@ def matched_filter_search(
 
     flagged = scored.withColumn("_trig", F.col("corr") > threshold)
     return cluster_triggers(
-        flagged, "_trig", "corr", time_col=time_col, group_cols=keys
+        flagged, "_trig", "corr", time_col=time_col, group_cols=keys,
+        order_cols=ocols,
     )
