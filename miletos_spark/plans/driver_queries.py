@@ -341,11 +341,16 @@ GROUP BY event_type
 
 
 def q_rolling_std_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1 rolling std: centered ±2-row frame per event_type (tie-broken
-    by event_id for cross-engine determinism)."""
+    """W1 rolling std: centered ±2-row frame per (event_type, day
+    chunk), tie-broken by event_id for cross-engine determinism.
+
+    The day chunk is the bounded series key (the reference's per-sector
+    analog): frames never cross a chunk edge and no window partition
+    grows with total data — event_type alone (5 values) would funnel
+    1/5 of all rows through one sort task at scale."""
     ev = _ev_days(spark, sf_dir)
     w = (
-        Window.partitionBy("event_type")
+        Window.partitionBy("event_type", F.floor(F.col("t_sec") / 86400.0))
         .orderBy("t_sec", "event_id")
         .rowsBetween(-2, 2)
     )
@@ -357,17 +362,19 @@ def q_rolling_std_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ROLLING_STD_EVENTS = """
 SELECT event_id,
        round(stddev_samp(value) OVER (
-         PARTITION BY event_type ORDER BY epoch(ts), event_id
+         PARTITION BY event_type, floor(epoch(ts) / 86400.0)
+         ORDER BY epoch(ts), event_id
          ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) AS roll_std
 FROM events
 """
 
 
 def q_rolling_median_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W2 median filter: centered ±3-row exact median per event_type."""
+    """W2 median filter: centered ±3-row exact median per
+    (event_type, day chunk) — bounded partitions, see W1."""
     ev = _ev_days(spark, sf_dir)
     w = (
-        Window.partitionBy("event_type")
+        Window.partitionBy("event_type", F.floor(F.col("t_sec") / 86400.0))
         .orderBy("t_sec", "event_id")
         .rowsBetween(-3, 3)
     )
@@ -380,7 +387,8 @@ def q_rolling_median_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ROLLING_MEDIAN_EVENTS = """
 SELECT event_id,
        round(quantile_cont(value, 0.5) OVER (
-         PARTITION BY event_type ORDER BY epoch(ts), event_id
+         PARTITION BY event_type, floor(epoch(ts) / 86400.0)
+         ORDER BY epoch(ts), event_id
          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6) AS roll_med
 FROM events
 """
@@ -785,10 +793,14 @@ def q_flare_band_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (value − med)/(p95 − p5) (miletos/main.py:11367-11399)."""
     from miletos_spark.operators.windows import rolling_percentile_band
 
-    ev = _ev_days(spark, sf_dir)
+    ev = _ev_days(spark, sf_dir).withColumn(
+        "_day", F.floor(F.col("t_sec") / 86400.0)
+    )
+    # day chunk bounds the window partition (±1 h frame ≪ 1 day, so
+    # only edge frames narrow); event_type alone is unbounded at scale
     out = rolling_percentile_band(
         ev, 3600.0, value_col="value", time_col="t_sec",
-        group_cols=("event_type",),
+        group_cols=("event_type", "_day"),
     )
     return out.select(
         "event_id",
@@ -807,7 +819,8 @@ WITH b AS (
          quantile_cont(value, 0.95) OVER w AS band_hi,
          value
   FROM events
-  WINDOW w AS (PARTITION BY event_type ORDER BY epoch(ts)
+  WINDOW w AS (PARTITION BY event_type, floor(epoch(ts) / 86400.0)
+               ORDER BY epoch(ts)
                RANGE BETWEEN 3600.0 PRECEDING AND 3600.0 FOLLOWING)
 )
 SELECT event_id,
@@ -1475,10 +1488,13 @@ def q_matched_filter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from miletos_spark.search.flare import matched_filter_search
 
     ev = _ev_days(spark, sf_dir)
+    # event_type alone doesn't bound a series, so region assignment
+    # runs through the distributed prefix-sum sessionizer (1-day time
+    # buckets); all later windows are per (event_type, region)
     out = matched_filter_search(
         ev, _mf_template(), threshold=None, gap_days=MF_GAP_DAYS,
         time_col="t", group_cols=("event_type",),
-        order_cols=("t", "event_id"),
+        order_cols=("t", "event_id"), session_bucket_width=1.0,
     )
     return out.select(
         "event_type",
@@ -1704,9 +1720,13 @@ def q_clip_detrend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (miletos/main.py:10931-11087)."""
     from miletos_spark.operators.detrend import clip_detrend_loop
 
-    ev = _ev_days(spark, sf_dir)
+    ev = _ev_days(spark, sf_dir).withColumn(
+        "_day", F.floor(F.col("t_sec") / 86400.0)
+    )
+    # detrend windows per (event_type, day chunk): bounded partitions;
+    # the 3σ clip between passes stays global (an O(1) aggregate)
     out = clip_detrend_loop(
-        ev, half_width=3, max_iter=1, group_cols=("event_type",),
+        ev, half_width=3, max_iter=1, group_cols=("event_type", "_day"),
         time_col="t_sec",
     )
     return out.select(
@@ -1716,22 +1736,24 @@ def q_clip_detrend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CLIP_DETREND_EVENTS = """
 WITH b AS (
-  SELECT event_type, event_id, epoch(ts) AS t, value FROM events
+  SELECT event_type, event_id, epoch(ts) AS t,
+         floor(epoch(ts) / 86400.0) AS day, value
+  FROM events
 ),
 d1 AS (
   SELECT *, 1.0 + value - quantile_cont(value, 0.5) OVER (
-    PARTITION BY event_type ORDER BY t
+    PARTITION BY event_type, day ORDER BY t
     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS vd
   FROM b
 ),
 s AS (SELECT avg(vd) AS mu, stddev_pop(vd) AS sd FROM d1),
 k AS (
-  SELECT event_type, event_id, t, value FROM d1, s
+  SELECT event_type, event_id, t, day, value FROM d1, s
   WHERE vd > mu - 3 * sd AND vd < mu + 3 * sd
 ),
 d2 AS (
   SELECT event_id, 1.0 + value - quantile_cont(value, 0.5) OVER (
-    PARTITION BY event_type ORDER BY t
+    PARTITION BY event_type, day ORDER BY t
     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS vd
   FROM k
 )
@@ -1883,10 +1905,10 @@ def q_rolling_std_peakcut_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic frame: tie-break on event_id
     w = ev.withColumn(
         "_ord", F.col("t_sec") + F.col("event_id") * F.lit(1e-9)
-    )
+    ).withColumn("_day", F.floor(F.col("t_sec") / 86400.0))
     out = rolling_std(
         w, half_width=3, value_col="value", time_col="_ord",
-        group_cols=("event_type",), cut_peak=True,
+        group_cols=("event_type", "_day"), cut_peak=True,
     )
     return out.select(
         "event_id", F.round("roll_std", 6).alias("roll_std")
@@ -1896,7 +1918,8 @@ def q_rolling_std_peakcut_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ROLLING_STD_PEAKCUT_EVENTS = """
 WITH w AS (
   SELECT event_id, event_type, value,
-         epoch(ts) + event_id * 1e-9 AS ord
+         epoch(ts) + event_id * 1e-9 AS ord,
+         floor(epoch(ts) / 86400.0) AS day
   FROM events
 ),
 m AS (
@@ -1906,7 +1929,7 @@ m AS (
          sum(value * value) OVER fr AS s2,
          max(value) OVER fr AS mx
   FROM w
-  WINDOW fr AS (PARTITION BY event_type ORDER BY ord
+  WINDOW fr AS (PARTITION BY event_type, day ORDER BY ord
                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
 )
 SELECT event_id,
@@ -2418,8 +2441,19 @@ def q_corpus_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     composed: quality filter (≥10 tokens, punct ratio <0.2) → language
     filter (predicted 'en') → exact dedup (keep lowest id per md5) →
     near-dup removal (drop the higher id of every Jaccard≥0.5 pair) →
-    per-source corpus stats."""
-    from miletos_spark.pipeline.dedup import exact_dedup, near_dup_pairs_bruteforce
+    per-source corpus stats.
+
+    Near-dup is the SCALE path: MinHash-LSH candidates (bucketed band
+    join, no all-pairs blowup) verified with exact n-gram Jaccard —
+    16 bands × 2 rows over 32 hashes gives ≥99% recall at J=0.5
+    (1−(1−0.5²)¹⁶). The DuckDB oracle keeps the exact all-pairs join
+    as ground truth, so the check also measures LSH recall."""
+    from miletos_spark.pipeline.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
     from miletos_spark.pipeline.text import language_id, text_stats
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2436,9 +2470,17 @@ def q_corpus_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
     keepers = exact_dedup(qual).select(F.col("keep_id").alias("doc_id"))
     uniq = qual.join(keepers, "doc_id", "left_semi").cache()
-    dup_b = near_dup_pairs_bruteforce(uniq, threshold=0.5, k=9).select(
-        F.col("id_b").alias("doc_id")
-    ).distinct()
+    sigs = minhash_signatures(uniq, k=9, num_hashes=32)
+    cands = minhash_lsh_pairs(sigs, bands=16)
+    # cache barrier before thresholding (see near_dup_pairs_prefix):
+    # the jaccard filter would otherwise migrate the HOF intersection
+    # into the join condition and drop the stage out of codegen
+    scored = ngram_jaccard_pairs(uniq, cands, k=9).cache()
+    dup_b = (
+        scored.filter(F.col("jaccard") >= 0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
     clean = uniq.join(dup_b, "doc_id", "left_anti")
     return clean.groupBy("source").agg(
         F.count("*").alias("n_docs"),

@@ -70,6 +70,7 @@ def matched_filter_search(
     value_col: str = "value",
     group_cols: Sequence[str] = (),
     order_cols: Sequence[str] | None = None,
+    session_bucket_width: float | None = None,
 ) -> DataFrame:
     """P6 — windowed-dot-product correlation + auto threshold
     (median + 7·σ of the correlation series, miletos/main.py:6331-6336)
@@ -83,12 +84,18 @@ def matched_filter_search(
     tie-break: the lead() columns read k−1 rows ahead in window order,
     so duplicate timestamps would otherwise make corr values depend on
     engine row order (and the auto threshold amplifies any diff).
+
+    `session_bucket_width` routes region assignment through the
+    distributed prefix-sum sessionizer, so when group_cols don't bound
+    the series (e.g. one long target) no single task sorts it; the
+    downstream lead()/cluster windows are per (group, region), bounded
+    by one contiguous gap-free chunk.
     """
     k = len(template)
     ocols = list(order_cols) if order_cols else [time_col]
     sess = sessionize(
         df, gap_days, time_col=time_col, group_cols=group_cols,
-        order_cols=ocols,
+        order_cols=ocols, bucket_width=session_bucket_width,
     )
     keys = [*group_cols, "region"]
     w = Window.partitionBy(*keys).orderBy(*ocols)

@@ -97,6 +97,57 @@ def test_sessionize_counts_gaps(spark):
     assert [r["region"] for r in out] == [0, 0, 0, 1, 1, 2]
 
 
+def test_sessionize_bucketed_matches_plain(spark):
+    """The distributed prefix-sum path must agree with the plain
+    single-window path exactly — including breaks that straddle bucket
+    boundaries, empty buckets, duplicate timestamps, and multiple
+    groups."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for g in ("a", "b"):
+        t = 0.0
+        for i in range(400):
+            # mix of sub-gap steps, exact-gap edges, and big jumps
+            t += rng.choice([0.01, 0.05, 0.0, 0.3, 2.7])
+            rows.append((g, t, i))
+    df = spark.createDataFrame(rows, "grp string, time double, rid long")
+    kw = dict(
+        gap=0.1, time_col="time", group_cols=("grp",),
+        order_cols=("time", "rid"),
+    )
+    plain = sessionize(df, **kw).select("grp", "rid", "region")
+    for width in (0.25, 1.0, 10.0):
+        bucketed = sessionize(df, **kw, bucket_width=width).select(
+            "grp", "rid", "region"
+        )
+        assert bucketed.exceptAll(plain).count() == 0
+        assert plain.exceptAll(bucketed).count() == 0
+
+
+def test_sessionize_bucketed_no_series_wide_sort(spark):
+    """Plan shape: no window partitioned on group_cols alone — every
+    sort key includes the time bucket, so partition size is bounded by
+    one bucket regardless of series length."""
+    df = spark.createDataFrame(
+        [("a", float(i), i) for i in range(10)], "grp string, time double, rid long"
+    )
+    out = sessionize(
+        df, gap=0.1, time_col="time", group_cols=("grp",),
+        order_cols=("time", "rid"), bucket_width=1.0,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Window .*?windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        if "grp" in spec and "_skt" not in spec:
+            # the only group-only window allowed is over the per-bucket
+            # summary (its input is the aggregate, bounded by #buckets)
+            assert "_n_brk" in plan or "_bound" in plan
+
+
 def test_sigma_clip_removes_outliers(spark):
     vals = [0.0] * 100 + [50.0]
     df = spark.createDataFrame([(float(i), v) for i, v in enumerate(vals)], "time double, value double")

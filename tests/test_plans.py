@@ -60,7 +60,48 @@ def test_star_join_broadcasts_dimensions(plans):
 
 def test_scan_heavy_aggregations_one_shuffle(plans):
     assert _shuffles(plans["pricing_summary"]) == 1
-    assert _shuffles(plans["matched_filter_events"]) == 1
+    # matched filter routes sessionization through the distributed
+    # prefix-sum path: bucket-local window (computed on two branches),
+    # tiny per-bucket summary, then the per-region lead window — every
+    # full-data shuffle key includes the bucket or the region, never
+    # event_type alone
+    p = plans["matched_filter_events"]
+    assert _shuffles(p) <= 4
+    import re
+
+    full_data_keys = [
+        m.group(1)
+        for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)", p)
+    ]
+    for key in full_data_keys:
+        assert ("_skt" in key) or ("region" in key) or ("event_type" in key)
+    # the bucket window exists and no series-wide sort remains
+    assert any("_skt" in k for k in full_data_keys)
+
+
+def test_rolling_windows_partition_on_bounded_keys(spark, sf_dir):
+    """The W1/W2/W3 driver queries must never partition a window on
+    event_type alone (5 values → 1/5 of all rows in one sort task at
+    scale); every windowspec includes the day-chunk key."""
+    import re
+
+    qs = e.queries()
+    for name in (
+        "rolling_std_events",
+        "rolling_median_events",
+        "rolling_std_peakcut_events",
+        "flare_band_events",
+        "clip_detrend_events",
+    ):
+        plan = qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        specs = re.findall(r"windowspecdefinition\((.*?), specifiedwindowframe", plan)
+        assert specs, f"{name}: no window found"
+        for spec in specs:
+            # inline floor(t/86400) exprs are projected to synthetic
+            # _wN attributes; named ones appear as _day
+            assert re.search(r"_day|_w\d+|floor", spec, re.IGNORECASE), (
+                f"{name}: window partitioned without day chunk: {spec[:120]}"
+            )
 
 
 def test_topk_no_shuffle(plans):
