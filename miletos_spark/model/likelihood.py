@@ -45,6 +45,96 @@ def gaussian_loglik(
     )
 
 
+def gp_loglik(
+    df: DataFrame,
+    model_col: Column | str | None,
+    sigma: float,
+    rho: float,
+    value_col: str = "value",
+    stdv_col: str = "stdv",
+    time_col: str = "time",
+    group_cols: Sequence[str] = (),
+    gap_days: float | None = None,
+) -> DataFrame:
+    """M3/M4 — `typellik='GaussianProcess'` (miletos/main.py:771-808):
+    the marginal log-likelihood of the residual (data − model) under a
+    Matern-3/2 GP noise model (the celerite kernel the reference builds
+    in `setp_gpro`, miletos/main.py:707-732) plus the per-sample
+    measurement errors:
+
+        C = K + diag(σ_err²),  K_ij = σ²(1+r)e^{−r},  r = √3|Δt|/ρ
+        llik = −½ yᵀC⁻¹y − ½ log|C| − n/2·log 2π
+
+    Evaluated exactly per (group[, gap-region]) with a dense Cholesky
+    inside applyInPandas — the same seam as the GP detrend (SURVEY §7.3):
+    regions are bounded (≤ a sector) so the O(n³) factorization stays
+    in-memory per task and the cluster parallelizes across regions.
+
+    With `gap_days`, the series is sessionized and the per-region
+    log-likelihoods SUM — a block-diagonal covariance across gap
+    regions. For gaps ≫ ρ the Matern correlation across them is
+    e^{−√3·gap/ρ} ≈ 0, so the block-diagonal likelihood equals the full
+    one to machine precision while never materializing a cross-region
+    kernel — the scale-correct factorization.
+
+    Returns one row per group: group_cols + (loglik, n).
+    """
+    import pandas as pd
+
+    from miletos_spark.operators.sessionize import sessionize
+
+    if model_col is None:
+        resid_src = df.withColumn("_resid", F.col(value_col))
+    else:
+        m = F.col(model_col) if isinstance(model_col, str) else model_col
+        resid_src = df.withColumn("_resid", F.col(value_col) - m)
+
+    if gap_days is not None:
+        sess = sessionize(
+            resid_src, gap_days, time_col=time_col, group_cols=group_cols
+        )
+        keys = [*group_cols, "region"]
+    else:
+        sess = resid_src.withColumn("region", F.lit(0))
+        keys = [*group_cols, "region"]
+
+    gtypes = {f.name: f.dataType.simpleString() for f in sess.schema.fields}
+    out_schema = ", ".join(
+        [f"{c} {gtypes[c]}" for c in keys] + ["loglik double", "n long"]
+    )
+    sig2, rho_f = float(sigma) ** 2, float(rho)
+
+    def region_llik(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        t = pdf[time_col].to_numpy(dtype=float)
+        y = pdf["_resid"].to_numpy(dtype=float)
+        e = (
+            pdf[stdv_col].to_numpy(dtype=float)
+            if stdv_col in pdf.columns
+            else np.zeros_like(t)
+        )
+        o = np.argsort(t)
+        t, y, e = t[o], y[o], e[o]
+        n = len(t)
+        r = np.abs(t[:, None] - t[None, :]) * (np.sqrt(3.0) / rho_f)
+        c = sig2 * (1.0 + r) * np.exp(-r) + np.diag(e * e + 1e-12)
+        # Cholesky for the log-det (numerically safe), one solve for the
+        # quadratic form — numpy-only (no scipy in this environment)
+        ll = np.linalg.cholesky(c)
+        alpha = np.linalg.solve(c, y)
+        loglik = (
+            -0.5 * float(y @ alpha)
+            - float(np.log(np.diag(ll)).sum())
+            - 0.5 * n * np.log(2.0 * np.pi)
+        )
+        return pd.DataFrame([[*key, loglik, n]], columns=[*keys, "loglik", "n"])
+
+    per_region = sess.groupBy(*keys).applyInPandas(region_llik, schema=out_schema)
+    gb = per_region.groupBy(*group_cols) if group_cols else per_region.groupBy()
+    return gb.agg(F.sum("loglik").alias("loglik"), F.sum("n").alias("n"))
+
+
 def depth_fit_closed_form(
     df: DataFrame,
     shape_col: Column | str,

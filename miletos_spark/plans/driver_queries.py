@@ -536,6 +536,70 @@ FROM inner_q
 """
 
 
+BLS_SNR_KERNEL = 11
+
+
+def _bls_trials_fine() -> list[tuple[float, float, float]]:
+    """Finer period grid (osam=6) so the per-period SNR spectrum has
+    enough rows for the median-filter/rolling-std post-processing to be
+    meaningful (the reference runs sizekern=51 on its osam=10 grids)."""
+    from miletos_spark.search.bls import duty_cycle_grid, period_grid
+
+    return [
+        (p, d, off)
+        for p in period_grid(2.0, 10.0, span_days=30.0, osam=6.0)
+        for d in duty_cycle_grid(p, n_dcyc=2, dcyc_min=0.05)
+        for off in (0.0, 0.5)
+    ]
+
+
+def q_bls_snr_spectrum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 BLS SNR post-processing (miletos/main.py:5742-5752): per-period
+    amplitude spectrum -> median-filter detrend -> peak-cut rolling-std
+    noise -> snr = sgnl/noise. The detection statistic is scored against
+    the spectrum's LOCAL noise, not the global scatter."""
+    from miletos_spark.search.bls import bls_snr_spectrum
+
+    ev = _ev_days(spark, sf_dir)
+    trials = spark.createDataFrame(
+        _bls_trials_fine(), "period double, dcyc double, off double"
+    )
+    spec = bls_search(ev, trials, time_col="t", value_col="value", t_ref=0.0)
+    out = bls_snr_spectrum(spec, kernel_size=BLS_SNR_KERNEL, min_in=3)
+    return out.select(
+        F.round("period", 9).alias("period"),
+        F.round("dcyc", 9).alias("dcyc"),
+        F.round("off", 1).alias("off"),
+        "bucket",
+        "n_in",
+        F.round("ampl", 6).alias("ampl"),
+        F.round("sgnl", 6).alias("sgnl"),
+        F.round("noise", 6).alias("noise"),
+        F.round("snr", 3).alias("snr"),
+        F.round("epoch", 4).alias("epoch"),
+    )
+
+
+def _sql_bls_snr_spectrum() -> str:
+    from miletos_spark.search.bls import bls_snr_sql
+
+    inner = bls_sql(
+        EV_T_DAYS_SQL, "value", "events", _bls_trials_fine(), t_ref=0.0
+    )
+    snr = bls_snr_sql(inner, kernel_size=BLS_SNR_KERNEL, min_in=3)
+    return f"""
+WITH q AS (
+{snr}
+)
+SELECT round(period, 9) AS period, round(dcyc, 9) AS dcyc,
+       round(off, 1) AS off, bucket, n_in,
+       round(ampl, 6) AS ampl, round(sgnl, 6) AS sgnl,
+       round(noise, 6) AS noise, round(snr, 3) AS snr,
+       round(epoch, 4) AS epoch
+FROM q
+"""
+
+
 def q_outlier_period_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5 periodic-outlier search: top-5 brightest -> pairwise gaps ->
     sorted fractional consecutive differences."""
@@ -2037,6 +2101,34 @@ def q_bls_multi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gp_loglik_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3/M4 GP likelihood path (`typellik='GaussianProcess'`,
+    miletos/main.py:771-808): score the trapezoid forward model's
+    residuals under a Matern-3/2 GP noise model, block-diagonal over
+    (event_type, day chunk, gap region) — exact dense Cholesky per
+    bounded block in applyInPandas (no SQL oracle: dense linear algebra
+    -> rows-only check)."""
+    from miletos_spark.model.forward import transit_model
+    from miletos_spark.model.likelihood import gp_loglik
+
+    ev = (
+        _ev_days(spark, sf_dir)
+        .withColumn("stdv", F.lit(1.0))
+        .withColumn("_day", F.floor(F.col("t")))
+    )
+    m = transit_model(F.col("t"), MODEL_P, MODEL_EPOCH, MODEL_DEPTH, MODEL_DURA)
+    out = gp_loglik(
+        ev.withColumn("model", m), "model", sigma=0.5, rho=2.0,
+        time_col="t", group_cols=("event_type", "_day"), gap_days=0.1,
+    )
+    return (
+        out.groupBy("event_type")
+        .agg(F.round(F.sum("loglik"), 2).alias("loglik"),
+             F.sum("n").alias("n"))
+        .orderBy("event_type")
+    )
+
+
 def q_gp_detrend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 'GaussianProcess' backend (the reference default): per-region
     Matern-3/2 GP baseline in applyInPandas (no SQL oracle: dense linear
@@ -2095,19 +2187,27 @@ def q_detection_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 detection statistics (`boolposianls`,
     miletos/main.py:11871-11877): best BLS SNR, best LS power, and the
     threshold booleans that gate fitting — scalar post-aggregations over
-    both search kernels in one row."""
+    both search kernels in one row.
+
+    The BLS statistic is the POST-PROCESSED spectrum SNR (median-filter
+    detrend + peak-cut rolling-std local noise, miletos/main.py:5742-
+    5752) with the reference's acceptance threshold `thrss2nr = 7.1`
+    (miletos/main.py:5322) — not the box depth over global scatter."""
+    from miletos_spark.search.bls import bls_snr_spectrum
+
     ev = _ev_days(spark, sf_dir)
     trials = spark.createDataFrame(
-        _bls_trials(), "period double, dcyc double, off double"
+        _bls_trials_fine(), "period double, dcyc double, off double"
     )
     spec_bls = bls_search(ev, trials, time_col="t", value_col="value", t_ref=0.0)
+    snr_spec = bls_snr_spectrum(spec_bls, kernel_size=BLS_SNR_KERNEL, min_in=3)
     best_bls = (
-        spec_bls.filter(F.col("n_in") >= 3)
-        .orderBy(F.col("snr").desc(), "period", "dcyc", "off", "bucket")
+        snr_spec.filter(F.col("snr").isNotNull())
+        .orderBy(F.round("snr", 9).desc(), "period")
         .limit(1)
         .select(
             F.round("period", 9).alias("bls_period"),
-            F.round("snr", 4).alias("bls_snr"),
+            F.round("snr", 3).alias("bls_snr"),
         )
     )
     tmin = ev.agg(F.min("t")).first()[0]
@@ -2129,26 +2229,31 @@ def q_detection_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bls_snr",
         "ls_freq",
         "ls_power",
-        (F.col("bls_snr") > 10.0).alias("bls_detected"),
+        (F.col("bls_snr") > 7.1).alias("bls_detected"),
         (F.col("ls_power") > 0.2).alias("ls_detected"),
-        ((F.col("bls_snr") > 10.0) | (F.col("ls_power") > 0.2)).alias("detected"),
+        ((F.col("bls_snr") > 7.1) | (F.col("ls_power") > 0.2)).alias("detected"),
     )
 
 
 def _sql_detection_stats() -> str:
-    bls_inner = bls_sql(EV_T_DAYS_SQL, "value", "events", _bls_trials(), t_ref=0.0)
+    from miletos_spark.search.bls import bls_snr_sql
+
+    bls_inner = bls_sql(
+        EV_T_DAYS_SQL, "value", "events", _bls_trials_fine(), t_ref=0.0
+    )
+    bls_snr = bls_snr_sql(bls_inner, kernel_size=BLS_SNR_KERNEL, min_in=3)
     ls_inner = lomb_scargle_sql(
         f"{EV_T_DAYS_SQL} - (SELECT min({EV_T_DAYS_SQL}) FROM events)",
         "value", "events", LS_FMIN, LS_DF, LS_NFREQ,
     )
     return f"""
-WITH bls_spec AS (
-{bls_inner}
+WITH snr_spec AS (
+{bls_snr}
 ),
 best_bls AS (
-  SELECT round(period, 9) AS bls_period, round(snr, 4) AS bls_snr
-  FROM bls_spec WHERE n_in >= 3
-  ORDER BY snr DESC, period, dcyc, off, bucket LIMIT 1
+  SELECT round(period, 9) AS bls_period, round(snr, 3) AS bls_snr
+  FROM snr_spec WHERE snr IS NOT NULL
+  ORDER BY round(snr, 9) DESC, period LIMIT 1
 ),
 ls_spec AS (
 {ls_inner}
@@ -2158,9 +2263,9 @@ best_ls AS (
   FROM ls_spec ORDER BY power DESC, freq LIMIT 1
 )
 SELECT bls_period, bls_snr, ls_freq, ls_power,
-       bls_snr > 10.0 AS bls_detected,
+       bls_snr > 7.1 AS bls_detected,
        ls_power > 0.2 AS ls_detected,
-       (bls_snr > 10.0 OR ls_power > 0.2) AS detected
+       (bls_snr > 7.1 OR ls_power > 0.2) AS detected
 FROM best_bls CROSS JOIN best_ls
 """
 
@@ -2591,6 +2696,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "largest_gap_events": q_largest_gap_events,
     "lomb_scargle_events": q_lomb_scargle_events,
     "bls_spectrum_events": q_bls_spectrum_events,
+    "bls_snr_spectrum_events": q_bls_snr_spectrum_events,
     "outlier_period_events": q_outlier_period_events,
     "dedup_exact_docs": q_dedup_exact_docs,
     "text_stats_docs": q_text_stats_docs,
@@ -2626,6 +2732,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "datetime_strings_events": q_datetime_strings_events,
     "bls_multi_events": q_bls_multi_events,
     "gp_detrend_events": q_gp_detrend_events,
+    "gp_loglik_events": q_gp_loglik_events,
     "embedding_near_dup": q_embedding_near_dup,
     "detection_stats_events": q_detection_stats_events,
     "rv_flare_model_events": q_rv_flare_model_events,
@@ -2658,6 +2765,7 @@ def _oracles() -> dict[str, str]:
         "largest_gap_events": SQL_LARGEST_GAP_EVENTS,
         "lomb_scargle_events": SQL_LOMB_SCARGLE_EVENTS,
         "bls_spectrum_events": _sql_bls_spectrum(),
+        "bls_snr_spectrum_events": _sql_bls_snr_spectrum(),
         "outlier_period_events": _sql_outlier_period(),
         "dedup_exact_docs": SQL_DEDUP_EXACT_DOCS,
         "text_stats_docs": SQL_TEXT_STATS_DOCS,

@@ -135,6 +135,84 @@ def bls_search(
     )
 
 
+def bls_snr_spectrum(
+    spectrum: DataFrame,
+    kernel_size: int = 51,
+    min_in: int = 3,
+) -> DataFrame:
+    """The reference's SNR post-processing of the box spectrum
+    (miletos/main.py:5742-5752, `sizekern` = 51): reduce boxes to the
+    per-period amplitude spectrum (deepest box per period), subtract a
+    median-filter baseline along the period axis (detrends the slow
+    amplitude trend the box search leaves), estimate the local noise as
+    the peak-cut rolling std of the detrended signal (`retr_stdvwind`
+    with `boolcuttpeak=True` — excluding the window max so a real peak
+    doesn't inflate its own noise), and score snr = sgnl / noise.
+
+    Composes W2 (rolling_median) and W1 (rolling_std cut_peak) over the
+    period axis. The spectrum has one row per trial period —
+    trials-bound, independent of sample count — so the unpartitioned
+    period-ordered windows are driver-scale by construction.
+
+    Returns one row per period:
+    (period, dcyc, off, bucket, epoch, n_in, ampl, sgnl, noise, snr).
+    """
+    from miletos_spark.operators.windows import rolling_median, rolling_std
+
+    half = kernel_size // 2
+    # deterministic per-period argmax: depth rounded to 9 dec so a
+    # cross-engine 1-ulp difference can't flip which box wins
+    best = F.max(
+        F.struct(
+            F.round("depth", 9).alias("d"),
+            F.col("dcyc").alias("dcyc"),
+            F.col("off").alias("off"),
+            F.col("bucket").alias("bucket"),
+            F.col("epoch").alias("epoch"),
+            F.col("n_in").alias("n_in"),
+        )
+    )
+    per_period = (
+        spectrum.filter(F.col("n_in") >= min_in)
+        .groupBy("period")
+        .agg(best.alias("_b"))
+        .select(
+            "period",
+            F.col("_b.d").alias("ampl"),
+            F.col("_b.dcyc").alias("dcyc"),
+            F.col("_b.off").alias("off"),
+            F.col("_b.bucket").alias("bucket"),
+            F.col("_b.epoch").alias("epoch"),
+            F.col("_b.n_in").alias("n_in"),
+        )
+    )
+    sm = rolling_median(
+        per_period, half, value_col="ampl", time_col="period", out_col="_med"
+    )
+    sg = sm.withColumn("sgnl", F.col("ampl") - F.col("_med")).drop("_med")
+    ns = rolling_std(
+        sg, half, value_col="sgnl", time_col="period",
+        cut_peak=True, out_col="noise",
+    )
+    return ns.withColumn(
+        "snr",
+        F.when(F.col("noise") > 0, F.col("sgnl") / F.col("noise")),
+    )
+
+
+def bls_best_snr(snr_spectrum: DataFrame) -> DataFrame:
+    """argmax of the post-processed SNR spectrum
+    (`nanargmax(lists2nr)`, miletos/main.py:5748-5752). One row."""
+    return (
+        snr_spectrum.filter(F.col("snr").isNotNull())
+        .orderBy(F.col("snr").desc(), "period")
+        .limit(1)
+        .select(
+            "period", "dcyc", "epoch", "ampl", "sgnl", "noise", "snr", "n_in"
+        )
+    )
+
+
 def bls_best(spectrum: DataFrame, min_in: int = 3) -> DataFrame:
     """Top box by SNR (argmax, miletos/main.py:5748-5752), requiring a
     minimum in-box count. One row: (period, dcyc, epoch, depth, snr)."""
@@ -305,6 +383,64 @@ FROM boxes b CROSS JOIN g
 """
 
 
+def bls_snr_sql(
+    spectrum_sql: str,
+    kernel_size: int = 51,
+    min_in: int = 3,
+) -> str:
+    """DuckDB-oracle twin of `bls_snr_spectrum`: wraps a box-spectrum
+    SQL (from `bls_sql`/`bls_multires_sql`) with the same per-period
+    argmax, median-filter detrend, and peak-cut rolling-std noise."""
+    half = kernel_size // 2
+    pk = (
+        "max(struct_pack(d := round(depth, 9), dcyc := dcyc, off := off, "
+        "bucket := bucket, epoch := epoch, n_in := n_in))"
+    )
+    return f"""
+WITH spec AS (
+{spectrum_sql}
+),
+pp AS (
+  SELECT period,
+         ({pk}).d AS ampl,
+         ({pk}).dcyc AS dcyc,
+         ({pk}).off AS off,
+         ({pk}).bucket AS bucket,
+         ({pk}).epoch AS epoch,
+         ({pk}).n_in AS n_in
+  FROM spec WHERE n_in >= {min_in}
+  GROUP BY period
+),
+det AS (
+  SELECT *, ampl - quantile_cont(ampl, 0.5) OVER w AS sgnl
+  FROM pp
+  WINDOW w AS (ORDER BY period
+               ROWS BETWEEN {half} PRECEDING AND {half} FOLLOWING)
+),
+ns AS (
+  SELECT *,
+         count(sgnl) OVER w AS n_w,
+         sum(sgnl) OVER w AS s1,
+         sum(sgnl * sgnl) OVER w AS s2,
+         max(sgnl) OVER w AS mx
+  FROM det
+  WINDOW w AS (ORDER BY period
+               ROWS BETWEEN {half} PRECEDING AND {half} FOLLOWING)
+),
+scored AS (
+  SELECT period, dcyc, off, bucket, epoch, n_in, ampl, sgnl,
+         CASE WHEN n_w - 1 > 1 THEN
+           sqrt(greatest(((s2 - mx * mx)
+                          - (n_w - 1) * pow((s1 - mx) / (n_w - 1), 2))
+                         / (n_w - 2), 0.0))
+         END AS noise
+  FROM ns
+)
+SELECT *, CASE WHEN noise > 0 THEN sgnl / noise END AS snr
+FROM scored
+"""
+
+
 def bls_multi_signal(
     df: DataFrame,
     trials: DataFrame,
@@ -314,11 +450,18 @@ def bls_multi_signal(
     time_col: str = "time",
     value_col: str = "value",
     t_ref: float = 0.0,
+    spectrum_snr: bool = True,
+    kernel_size: int = 51,
 ) -> list[dict]:
     """P2 multi-signal loop (miletos/main.py:5630-5651, 5948-5951):
     search → accept if SNR ≥ threshold (`thrss2nr=7.1`,
     miletos/main.py:5322) → subtract the fitted box → re-search, up to
     `max_signals`. Returns the accepted detections as dicts.
+
+    With `spectrum_snr` (default, the reference's scoring) each pass is
+    judged by the post-processed spectrum statistic — `bls_snr_spectrum`
+    local noise — rather than depth over global scatter; the accepted
+    dict carries depth = the winning period's amplitude.
 
     Driver-side loop over cached DataFrames (SURVEY.md §7.4: bound the
     iteration count, keep lineage short — each pass caches the
@@ -330,10 +473,22 @@ def bls_multi_signal(
         spec = bls_search(
             work, trials, time_col=time_col, value_col=value_col, t_ref=t_ref
         )
-        row = bls_best(spec, min_in=min_in).first()
-        if row is None or row["snr"] < snr_threshold:
-            break
-        found.append(row.asDict())
+        if spectrum_snr:
+            snr_spec = bls_snr_spectrum(
+                spec, kernel_size=kernel_size, min_in=min_in
+            )
+            row = bls_best_snr(snr_spec).first()
+            if row is None or row["snr"] < snr_threshold:
+                break
+            d = row.asDict()
+            d["depth"] = d.pop("ampl")
+            found.append(d)
+            row = d
+        else:
+            row = bls_best(spec, min_in=min_in).first()
+            if row is None or row["snr"] < snr_threshold:
+                break
+            found.append(row.asDict())
         # subtract the detected box: add the depth back inside the box
         p, d = float(row["period"]), float(row["dcyc"])
         epoch, depth = float(row["epoch"]), float(row["depth"])

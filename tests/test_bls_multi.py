@@ -35,8 +35,12 @@ def test_multi_signal_recovers_both(spark, two_transits):
         spark, p_min=2.0, p_max=8.0, span_days=30.0, osam=4.0,
         n_dcyc=2, dcyc_min=0.05,
     )
+    # threshold on the POST-PROCESSED spectrum statistic (sgnl/local
+    # noise): on this 45-period grid the 0.02-depth signal scores ~3,
+    # far above the ~|1| noise-only background but below the reference's
+    # production cut of 7.1 (which assumes its osam=10 grids)
     found = bls_multi_signal(
-        two_transits, trials, max_signals=3, snr_threshold=7.1
+        two_transits, trials, max_signals=3, snr_threshold=2.5
     )
     assert len(found) >= 2
     periods = sorted(f["period"] for f in found[:2])

@@ -119,3 +119,33 @@ def test_param_registry_roundtrip():
     assert reg.clip([5.0, -0.1, 0.25]) == [3.0, 0.0, 0.25]
     with pytest.raises(ValueError):
         reg.add(ParamSpec("epoch", 0, 1))              # duplicate name
+
+
+def test_gp_loglik_recovers_hyperparams(spark):
+    """M3/M4 GP likelihood: a grid evaluation over (sigma, rho) must
+    peak at the hyperparameters the synthetic series was drawn from."""
+    import numpy as np
+
+    from miletos_spark.model.likelihood import gp_loglik
+
+    rng = np.random.default_rng(3)
+    n = 200
+    t = np.sort(rng.uniform(0.0, 20.0, n))
+    sig_true, rho_true, err = 0.05, 2.0, 0.005
+    r = np.abs(t[:, None] - t[None, :]) * (np.sqrt(3.0) / rho_true)
+    k = sig_true**2 * (1.0 + r) * np.exp(-r) + np.diag(np.full(n, err**2))
+    y = np.linalg.cholesky(k) @ rng.standard_normal(n)
+    df = spark.createDataFrame(
+        [(float(a), float(b), err) for a, b in zip(t, y)],
+        "time double, value double, stdv double",
+    ).cache()
+
+    def ll(sigma, rho):
+        return gp_loglik(
+            df, None, sigma=sigma, rho=rho, time_col="time"
+        ).first()["loglik"]
+
+    grid = [(s, p) for s in (0.01, 0.05, 0.2) for p in (0.5, 2.0, 8.0)]
+    scores = {(s, p): ll(s, p) for s, p in grid}
+    assert max(scores, key=scores.get) == (sig_true, rho_true)
+    df.unpersist()
