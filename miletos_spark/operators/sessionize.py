@@ -125,8 +125,13 @@ def _sessionize_bucketed(
         - F.col("_n_brk"),
     ).select(*gcols, "_skt", "_off")
 
+    # No broadcast hint: the offsets table has groups × (span /
+    # bucket_width) rows — small for typical series, but exactly the
+    # regime this path targets (long series, fine buckets) can grow it
+    # past driver memory. Let AQE pick broadcast vs shuffle from the
+    # actual size at runtime.
     return (
-        local.join(F.broadcast(offsets), [*gcols, "_skt"])
+        local.join(offsets, [*gcols, "_skt"])
         .withColumn(out_col, F.col("_pref") + F.col("_off"))
         .drop("_skt", "_brk", "_pref", "_off")
     )

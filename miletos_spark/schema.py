@@ -75,6 +75,22 @@ def epoch_seconds_expr(df: DataFrame, ts_name: str = "ts"):
     return F.col(ts_name).cast("double")
 
 
+def epoch_micros_expr(df: DataFrame, ts_name: str = "ts"):
+    """Column of integer epoch MICROSECONDS (BIGINT) for `df[ts_name]`.
+
+    Integer microseconds are the engine-proof time representation: both
+    a micros DuckDB (`epoch_us(ts)`) and a nanos-preserving DuckDB
+    (TIMESTAMP_NS, ≥1.1) truncate to the same integer, and no float
+    rounding is involved — outputs built on them hash identically
+    across engines and versions. Prefer this over rounding epoch
+    seconds (a double needing 16 significant digits) in query outputs.
+    """
+    dtype = dict(df.dtypes)[ts_name]
+    if dtype == "bigint":
+        return F.expr(f"{ts_name} div 1000")
+    return F.unix_micros(F.col(ts_name))
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
 

@@ -116,11 +116,22 @@ def matched_filter_search(
     scored = sess.withColumn("corr", corr).filter(F.col("corr").isNotNull())
 
     if threshold is None:
+        # order-independent moments: plain stddev_pop merges partial
+        # aggregates in partition order, so the threshold — and through
+        # it every trigger decision — would wobble with AQE/partition
+        # layout. DECIMAL(38,18) sums of corr and corr² are exact
+        # integer arithmetic regardless of order; the float ops after
+        # them are a fixed sequence mirrored by the SQL oracle.
         stats = scored.agg(
             F.expr("percentile(corr, 0.5)").alias("med"),
-            F.stddev_pop("corr").alias("sd"),
+            F.sum(F.col("corr").cast("decimal(38,18)")).alias("s1"),
+            F.sum((F.col("corr") * F.col("corr")).cast("decimal(38,18)")).alias("s2"),
+            F.count("corr").alias("n"),
         ).first()
-        threshold = float(stats["med"]) + 7.0 * float(stats["sd"])
+        n = float(stats["n"])
+        m1 = float(stats["s1"]) / n
+        var = float(stats["s2"]) / n - m1 * m1
+        threshold = float(stats["med"]) + 7.0 * math.sqrt(max(var, 0.0))
 
     flagged = scored.withColumn("_trig", F.col("corr") > threshold)
     return cluster_triggers(
