@@ -1383,6 +1383,104 @@ GROUP BY event_type
 """
 
 
+ENER_NBIN, ENER_BIN_DAYS = 4, 1.0
+
+
+def q_ener_spectrum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/X3 energy axis end-to-end: build the (ener, day) cube with
+    the white-light band prepended as ener 0 (miletos/main.py:10591-
+    10604), per-ener median-normalize + linear detrend (X3: same
+    operators, ener appended to the group key, miletos/main.py:12298-
+    12307), then the closed-form depth fit per band — the radius-ratio
+    spectrum (miletos/main.py:12343-12381)."""
+    from miletos_spark.operators.ener import (
+        build_ener_cube,
+        radius_ratio_spectrum,
+    )
+
+    ev = _ev_days(spark, sf_dir)
+    cube = build_ener_cube(
+        ev, n_ener=ENER_NBIN, bin_days=ENER_BIN_DAYS, time_col="t"
+    )
+    spec = radius_ratio_spectrum(
+        cube, MODEL_P, MODEL_EPOCH, MODEL_DURA, bin_days=ENER_BIN_DAYS
+    )
+    return spec.select(
+        "ener",
+        "n_bins",
+        F.round("depth_hat", 4).alias("depth_hat"),
+        F.round("depth_err", 4).alias("depth_err"),
+        F.round("rratio", 4).alias("rratio"),
+    )
+
+
+SQL_ENER_SPECTRUM_EVENTS = f"""
+WITH base AS (
+  SELECT (event_id % {ENER_NBIN}) + 1 AS ener,
+         CAST(floor(({EV_T_DAYS_SQL}) / {ENER_BIN_DAYS!r}) AS BIGINT) AS day,
+         value
+  FROM events
+),
+cube0 AS (
+  SELECT ener, day,
+         CAST(sum(CAST(value AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS flux,
+         count(*) AS n
+  FROM base GROUP BY ener, day
+),
+white AS (
+  SELECT 0 AS ener, day,
+         CAST(sum(CAST(flux AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS flux,
+         sum(n) AS n
+  FROM cube0 GROUP BY day
+),
+cube AS (SELECT * FROM white UNION ALL SELECT * FROM cube0),
+med AS (SELECT ener, quantile_cont(flux, 0.5) AS m FROM cube GROUP BY ener),
+norm AS (
+  SELECT c.ener, (c.day + 0.5) * {ENER_BIN_DAYS!r} AS tc, c.flux / m.m AS rflx
+  FROM cube c JOIN med m USING (ener)
+),
+fit AS (
+  SELECT ener, regr_slope(rflx, tc) AS b, regr_intercept(rflx, tc) AS a
+  FROM norm GROUP BY ener
+),
+det AS (
+  SELECT n.ener, n.tc, 1.0 + n.rflx - (f.a + f.b * n.tc) AS dflx
+  FROM norm n JOIN fit f USING (ener)
+),
+ph0 AS (
+  SELECT ener, dflx,
+         ((tc - {MODEL_EPOCH!r}) % {MODEL_P!r} + {MODEL_P!r}) % {MODEL_P!r}
+           AS p0
+  FROM det
+),
+sh AS (
+  SELECT ener, dflx,
+         abs(p0 - CASE WHEN p0 > {MODEL_P / 2.0!r} THEN {MODEL_P!r}
+                       ELSE 0.0 END) AS dt
+  FROM ph0
+),
+s AS (
+  SELECT ener, dflx, {_sql_trap_shape()} AS shape
+  FROM sh
+),
+d AS (
+  SELECT ener,
+         CAST(sum(CAST(shape * (1.0 - dflx) AS DECIMAL(38,18))) AS DOUBLE)
+           / CAST(sum(CAST(shape * shape AS DECIMAL(38,18))) AS DOUBLE)
+           AS depth_hat,
+         1.0 / sqrt(CAST(sum(CAST(shape * shape AS DECIMAL(38,18))) AS DOUBLE))
+           AS depth_err
+  FROM s GROUP BY ener
+),
+cnt AS (SELECT ener, count(*) AS n_bins FROM cube GROUP BY ener)
+SELECT cnt.ener, cnt.n_bins,
+       round(d.depth_hat, 4) AS depth_hat,
+       round(d.depth_err, 4) AS depth_err,
+       round(sqrt(greatest(d.depth_hat, 0.0)), 4) AS rratio
+FROM cnt JOIN d USING (ener)
+"""
+
+
 def q_derived_features_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 derived physical features + A5 16/50/84 percentile summary:
     per-user proxy params (depth from the series scatter, period keyed
@@ -2768,8 +2866,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "membership_events": q_membership_events,
     "datetime_strings_events": q_datetime_strings_events,
     "asof_join_events": q_asof_join_events,
-    "near_dup_pairs": q_near_dup_pairs,
+    "ener_spectrum_events": q_ener_spectrum_events,
     # -- oracle-backed overflow (judge full sweep only, no driver row) --
+    "near_dup_pairs": q_near_dup_pairs,
     "rollup_pricing": q_rollup_pricing,
     "time_rollup_events": q_time_rollup_events,
     "json_props_events": q_json_props_events,
@@ -2838,6 +2937,7 @@ def _oracles() -> dict[str, str]:
         "detection_stats_events": _sql_detection_stats(),
         "rv_flare_model_events": _sql_rv_flare_model(),
         "asof_join_events": SQL_ASOF_JOIN_EVENTS,
+        "ener_spectrum_events": SQL_ENER_SPECTRUM_EVENTS,
         "rollup_pricing": SQL_ROLLUP_PRICING,
         "time_rollup_events": SQL_TIME_ROLLUP_EVENTS,
         "json_props_events": SQL_JSON_PROPS_EVENTS,
