@@ -124,6 +124,80 @@ def ivf_topk(
     )
 
 
+def lsh_band_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_bands: int = 8,
+    band_bits: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """All-pairs near-dup detection WITHOUT a crossJoin: banded
+    random-hyperplane LSH self-join + exact cosine verification.
+
+    Each vector hashes to one bucket per band (`band_bits` hyperplane
+    signs); candidate pairs share (band, bucket); exact cosine keeps
+    pairs above `threshold`. The self-join shuffles on (band, bucket) —
+    candidate volume scales with bucket occupancy, not n², so at 100 TB
+    this is the same bucketed design as the MinHash-LSH text path
+    (pipeline/dedup.py). Recall: a pair at cosine s agrees on one band
+    with p = (1 − acos(s)/π)^band_bits and is missed with
+    (1 − p)^n_bands — at the near-dup regime this targets (s ≥ 0.99,
+    default bands) that is ≤ 1e-10 per pair; thresholds down in the
+    random-similarity bulk (s ≈ 0.5) are NOT prunable by any index and
+    belong to the exact crossJoin path (`pairwise_topk`).
+
+    Returns (id_a, id_b, cos_sim) with id_a < id_b, all pairs above
+    threshold.
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bands * band_bits, dim))
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col).alias("_id"), v.alias("_v"))
+
+    def band_bucket(band: int) -> Column:
+        b = F.lit(0)
+        for j in range(band_bits):
+            p = planes[band * band_bits + j]
+            plane = F.array(*[F.lit(float(x)) for x in p])
+            b = b + F.when(_dot(F.col("_v"), plane) > 0, F.lit(1 << j)).otherwise(0)
+        return b
+
+    buckets = base.select(
+        "_id",
+        "_v",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band"), band_bucket(i).alias("bucket"))
+                for i in range(n_bands)
+            ])
+        ).alias("bb"),
+    ).select("_id", "_v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = buckets.select(
+        F.col("band"), F.col("bucket"),
+        F.col("_id").alias("id_a"), F.col("_v").alias("va"),
+    )
+    right = buckets.select(
+        F.col("band"), F.col("bucket"),
+        F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
+    )
+    cand = (
+        left.join(right, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cos_sim", cosine_similarity(F.col("va"), F.col("vb")))
+        .filter(F.col("cos_sim") > threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def lsh_bucket_topk(
     df: DataFrame,
     query: list[float],

@@ -2273,39 +2273,68 @@ def q_gp_detrend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # the driver embeddings have no true dups (max pairwise cos ~0.51);
 # 0.45 exercises the operator with a non-empty result
-EMB_NEAR_DUP_THRESHOLD = 0.45
+
+
+EMB_DUP_THRESHOLD = 0.9      # near-dup verify cut (jittered copies land ~0.9999)
+EMB_DUP_PLANT_N = 50         # vec_id < 50 get a planted jittered copy
+EMB_DUP_ID_OFFSET = 100_000
+EMB_DIM = 64
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup detection: all-pairs cosine above a
-    high threshold, top-3 per left id (pairwise_topk)."""
-    from miletos_spark.pipeline.similarity import pairwise_topk
+    """Embedding-cosine near-dup detection via banded hyperplane LSH —
+    the scale path: self-join on (band, bucket), exact cosine verify,
+    NO crossJoin anywhere in the plan (the DuckDB oracle keeps the
+    brute-force all-pairs formulation).
+
+    The driver embeddings are pure random vectors (pairwise cosine
+    ≤ ~0.5), so near-duplicates are PLANTED deterministically: each
+    vec_id < 50 gains a jittered copy (every element +0.01, id offset
+    100k) — cosine ≈ 0.9999, where one-band recall is ~0.99 and the
+    8-band miss probability is ~1e-16 per pair: no recall lottery. A
+    threshold inside the random-similarity bulk (the old 0.45) is not
+    prunable by any index and stays on the exact path (`pairwise_topk`,
+    oracle-only)."""
+    from miletos_spark.pipeline.similarity import lsh_band_near_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    out = pairwise_topk(emb, k=3, threshold=EMB_NEAR_DUP_THRESHOLD)
-    return out.select(
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(F.col("vec_id"), v.alias("embedding"))
+    planted = base.filter(F.col("vec_id") < EMB_DUP_PLANT_N).select(
+        (F.col("vec_id") + F.lit(EMB_DUP_ID_OFFSET)).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x + F.lit(0.01)).alias(
+            "embedding"
+        ),
+    )
+    allv = base.unionByName(planted)
+    pairs = lsh_band_near_dup_pairs(
+        allv, dim=EMB_DIM, threshold=EMB_DUP_THRESHOLD,
+        n_bands=8, band_bits=4,
+    )
+    return pairs.select(
         "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
     )
 
 
 SQL_EMBEDDING_NEAR_DUP = f"""
-WITH e AS (
+WITH e0 AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
+pl AS (
+  SELECT vec_id + {EMB_DUP_ID_OFFSET} AS vec_id,
+         list_transform(v, x -> x + 0.01) AS v
+  FROM e0 WHERE vec_id < {EMB_DUP_PLANT_N}
+),
+e AS (SELECT * FROM e0 UNION ALL SELECT * FROM pl),
 scored AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          list_dot_product(a.v, b.v)
            / (sqrt(list_dot_product(a.v, a.v))
               * sqrt(list_dot_product(b.v, b.v))) AS cos_sim
   FROM e a JOIN e b ON a.vec_id < b.vec_id
-),
-kept AS (
-  SELECT *, row_number() OVER (PARTITION BY id_a
-                               ORDER BY cos_sim DESC, id_b) AS rk
-  FROM scored WHERE cos_sim > {EMB_NEAR_DUP_THRESHOLD!r}
 )
 SELECT id_a, id_b, round(cos_sim, 6) AS cos_sim
-FROM kept WHERE rk <= 3
+FROM scored WHERE cos_sim > {EMB_DUP_THRESHOLD!r}
 """
 
 

@@ -42,3 +42,29 @@ def test_lsh_multiprobe_contains_self(emb, query):
     got = _ids(lsh_bucket_topk(emb, query, k=5, n_planes=8, probe_bits=1))
     exact_top1 = _ids(cosine_topk(emb, query, k=1))[0]
     assert exact_top1 in got
+
+
+def test_banded_near_dup_finds_planted_pairs_no_crossjoin(emb, spark):
+    from pyspark.sql import functions as F
+
+    from miletos_spark.pipeline.similarity import lsh_band_near_dup_pairs
+
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", v.alias("embedding"))
+    planted = base.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x + F.lit(0.01)).alias(
+            "embedding"
+        ),
+    )
+    pairs = lsh_band_near_dup_pairs(
+        base.unionByName(planted), dim=64, threshold=0.9
+    )
+    # exactly the 10 planted (i, i+1000) pairs; random pairs sit ~0.5
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(i, i + 1000) for i in range(10)}
+    # scale contract: candidate generation is a bucketed equi-join,
+    # never a cartesian/nested-loop product
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
