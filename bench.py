@@ -50,12 +50,27 @@ HEADLINE = [
 def main() -> None:
     from miletos_spark.plans.driver_queries import QUERIES
 
+    from miletos_spark.pipeline.landing import (
+        land_dedup_index,
+        land_embedding_index,
+    )
+
     spark = get_spark(app_name="miletos_spark_bench")
     # warm the JVM + parquet footers once so per-query numbers measure
     # the plans, not session startup
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
     timings: dict[str, float] = {}
+    # write-time index landing: on a cluster this runs once at corpus
+    # ingest, so it is timed as its own ingest: entry (forced rebuild —
+    # the memo would otherwise hide it) and the dedup/ANN queries below
+    # measure the warm read path they'd see in steady state.
+    t0 = time.perf_counter()
+    land_dedup_index(spark, SF_DIR, overwrite=True)
+    timings["ingest:land_dedup_index"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    land_embedding_index(spark, SF_DIR, overwrite=True)
+    timings["ingest:land_embedding_index"] = round(time.perf_counter() - t0, 4)
     for name in HEADLINE:
         fn = QUERIES[name]
         t0 = time.perf_counter()

@@ -133,6 +133,52 @@ def minhash_signatures(
     return with_sh.select(F.col(id_col), sig.alias("sig"))
 
 
+def lsh_bands(
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = 8
+) -> DataFrame:
+    """Explode a MinHash signature table into (id, band, bhash) — the
+    LSH join-key table. Shared by the compute-on-read path and the
+    write-time landing job (`pipeline.landing.land_dedup_index`), which
+    persists it partitioned by band."""
+    n = sigs.select(F.size("sig")).first()[0]
+    rows_per_band = n // bands
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("sig")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bhash")
+
+
+def lsh_pairs_from_bands(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Candidate pairs from a (id, band, bhash) table: self-join on the
+    band key, distinct (id_a, id_b) with id_a < id_b. Works identically
+    on the landed band table and a freshly exploded one."""
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=["band", "bhash"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -145,34 +191,7 @@ def minhash_lsh_pairs(
     Shuffle is on (band, band_hash) — bucket sizes are data-dependent
     but bounded by real duplication; AQE skew-join covers hot buckets.
     """
-    n = sigs.select(F.size("sig")).first()[0]
-    rows_per_band = n // bands
-    banded = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-                        ).alias("bhash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bhash")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(b, on=["band", "bhash"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
+    return lsh_pairs_from_bands(lsh_bands(sigs, id_col=id_col, bands=bands), id_col=id_col)
 
 
 def simhash_64(

@@ -1,0 +1,132 @@
+"""Write-time index landing — the dedup/ANN scale path (S9 applied to
+the LLM-pipeline operators).
+
+The MinHash/LSH docstrings in `dedup.py` and `similarity.py` tell a
+partition-pruning story: signatures and bucket ids are computable at
+WRITE time, so queries should read a landed index instead of recomputing
+O(len²) shingling or 64-dim hyperplane projections per query. This
+module is that landing job:
+
+- `land_dedup_index`: per-doc MinHash signatures (plus the exploded
+  (band, band-hash) table, partitioned by band) — the LSH self-join then
+  starts from a columnar read, and candidate verification shingles only
+  the docs that appear in some candidate pair.
+- `land_embedding_index`: embeddings + their hyperplane-LSH bucket id,
+  partitioned by bucket — a bucket-probed top-k prunes the SCAN
+  (partition pruning), not just the compute.
+
+Landing is memoized on (source path, mtime, size, params) — the same
+S11 short-circuit as the streaming landing — so per-query cost after
+the first build is a metadata check. On a real cluster this job runs
+once at corpus ingest; `bench.py` times it separately under an
+`ingest:` label to keep the warm-query numbers honest.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from miletos_spark.schema import load_table
+
+
+def _index_root(src_path: str, tag: str) -> str:
+    try:
+        st = os.stat(src_path)
+        sig = f"{os.path.abspath(src_path)}|{st.st_mtime_ns}|{st.st_size}|{tag}"
+    except OSError:
+        sig = f"{os.path.abspath(src_path)}|{tag}"
+    key = hashlib.md5(sig.encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"miletos_index_{key}")
+
+
+def land_dedup_index(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 9,
+    num_hashes: int = 32,
+    bands: int = 8,
+    overwrite: bool = False,
+) -> dict[str, str]:
+    """Materialize MinHash signatures + LSH band table for the documents
+    corpus. Returns {"sigs": path, "bands": path}."""
+    from miletos_spark.pipeline.dedup import lsh_bands, minhash_signatures
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    root = _index_root(src, f"mh{num_hashes}b{bands}k{k}")
+    paths = {"sigs": os.path.join(root, "sigs"),
+             "bands": os.path.join(root, "bands")}
+    done = os.path.join(root, "_SUCCESS_INDEX")
+    if os.path.exists(done) and not overwrite:
+        return paths
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, k=k, num_hashes=num_hashes)
+    sigs.write.mode("overwrite").parquet(paths["sigs"])
+    landed_sigs = spark.read.parquet(paths["sigs"])
+    banded = lsh_bands(landed_sigs, bands=bands)
+    banded.write.mode("overwrite").partitionBy("band").parquet(paths["bands"])
+    with open(done, "w") as f:
+        f.write("ok")
+    return paths
+
+
+BUCKET_GROUP_DIV = 256  # 2^12 buckets / 256 = 16 partition dirs
+
+
+def land_embedding_index(
+    spark: SparkSession,
+    sf_dir: str,
+    n_planes: int = 12,
+    seed: int = 42,
+    overwrite: bool = False,
+) -> str:
+    """Materialize embeddings with their hyperplane-LSH bucket id.
+
+    Partition layout: directories on `bucket_grp = bucket div 256` (16
+    dirs for 12 planes), files sorted by `bucket` within each group.
+    Partitioning directly on the 4096-value bucket id is the small-files
+    anti-pattern — at this table size it costs more in directory listing
+    and per-file overhead than the probe saves (measured: 22 s write,
+    5.5 s probe vs 1.5 s unpartitioned). The grouped layout prunes
+    directories via bucket_grp AND skips row groups via the min/max
+    stats the within-file sort gives `bucket`. On a PB-scale corpus
+    where every bucket is many files, flip to partitioning on bucket
+    itself. Raw vectors are stored untouched so re-scoring is
+    bit-identical to compute-on-read."""
+    import numpy as np
+
+    from miletos_spark.pipeline.similarity import _dot
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    root = _index_root(src, f"hp{n_planes}s{seed}g{BUCKET_GROUP_DIV}")
+    path = os.path.join(root, "buckets")
+    done = os.path.join(root, "_SUCCESS_INDEX")
+    if os.path.exists(done) and not overwrite:
+        return path
+
+    rng = np.random.default_rng(seed)
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    planes = rng.standard_normal((n_planes, dim))
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    b = F.lit(0)
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        b = b + F.when(_dot(v, plane) > 0, F.lit(1 << i)).otherwise(0)
+    (
+        emb.withColumn("bucket", b)
+        .withColumn("bucket_grp", F.expr(f"bucket div {BUCKET_GROUP_DIV}"))
+        .repartition("bucket_grp")
+        .sortWithinPartitions("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket_grp")
+        .parquet(path)
+    )
+    with open(done, "w") as f:
+        f.write("ok")
+    return path

@@ -124,6 +124,50 @@ def ivf_topk(
     )
 
 
+def lsh_bucket_topk_landed(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 12,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    probe_bits: int = 0,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """`lsh_bucket_topk` over a WRITE-TIME landed index: `df` is the
+    bucket-grouped table from `landing.land_embedding_index`. The probe
+    filters on `bucket_grp` (a partition directory filter — the scan is
+    pruned before any file opens) and on `bucket` (pushed to parquet
+    row-group min/max stats, which the within-file sort makes tight).
+    Scoring reads the stored raw vectors, so results are bit-identical
+    to the compute-on-read path."""
+    from miletos_spark.pipeline.landing import BUCKET_GROUP_DIV
+
+    rng = np.random.default_rng(seed)
+    dim = len(query)
+    planes = rng.standard_normal((n_planes, dim))
+    q_np = np.asarray(query, dtype=float)
+    q_bucket = int(sum((1 << i) for i, p in enumerate(planes) if p @ q_np > 0))
+    targets = {q_bucket}
+    if probe_bits >= 1:
+        for i in range(n_planes):
+            targets.add(q_bucket ^ (1 << i))
+    groups = sorted({t // BUCKET_GROUP_DIV for t in targets})
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        df.filter(
+            F.col("bucket_grp").isin(*groups)
+            & F.col(bucket_col).isin(*targets)
+        )
+        .select(F.col(id_col), cosine_similarity(v, q).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def lsh_band_near_dup_pairs(
     df: DataFrame,
     dim: int,

@@ -1,0 +1,76 @@
+"""Write-time index landing (pipeline/landing.py): landed paths must be
+bit-identical to compute-on-read, and the landed reads must actually
+prune — partition filters on the bucket probe, candidate generation
+from a columnar band-table scan with no per-query shingling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from miletos_spark.pipeline.dedup import (
+    lsh_pairs_from_bands,
+    minhash_lsh_pairs,
+    minhash_signatures,
+)
+from miletos_spark.pipeline.landing import land_dedup_index, land_embedding_index
+from miletos_spark.pipeline.similarity import lsh_bucket_topk, lsh_bucket_topk_landed
+from miletos_spark.schema import load_table
+
+
+def test_landed_minhash_pairs_equal_compute_on_read(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    fresh = minhash_lsh_pairs(minhash_signatures(docs, k=9, num_hashes=32))
+    paths = land_dedup_index(spark, sf_dir, k=9, num_hashes=32, bands=8)
+    landed = lsh_pairs_from_bands(spark.read.parquet(paths["bands"]))
+    a = {(r["id_a"], r["id_b"]) for r in fresh.collect()}
+    b = {(r["id_a"], r["id_b"]) for r in landed.collect()}
+    assert a == b and a
+
+
+def test_landed_band_scan_no_shingling(spark, sf_dir):
+    paths = land_dedup_index(spark, sf_dir)
+    cands = lsh_pairs_from_bands(spark.read.parquet(paths["bands"]))
+    plan = cands._jdf.queryExecution().executedPlan().toString()
+    # candidates come from a parquet scan of the landed index; the
+    # O(len²) shingle expression never appears in the query plan
+    assert "miletos_index" in plan
+    assert "sequence(" not in plan and "substr" not in plan
+
+
+def test_landed_lsh_topk_bit_identical_and_partition_pruned(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = [
+        float(x)
+        for x in emb.orderBy("vec_id").select("embedding").first()["embedding"]
+    ]
+    fresh = lsh_bucket_topk(emb, query, k=10, n_planes=12, probe_bits=1)
+    idx = spark.read.parquet(land_embedding_index(spark, sf_dir, n_planes=12))
+    landed = lsh_bucket_topk_landed(
+        idx, query, k=10, n_planes=12, probe_bits=1
+    )
+    a = [(r["vec_id"], r["cos_sim"]) for r in fresh.collect()]
+    b = [(r["vec_id"], r["cos_sim"]) for r in landed.collect()]
+    assert a == b
+    # the bucket probe must prune the SCAN: bucket_grp is a partition
+    # directory filter, bucket a pushed row-group filter
+    plan = landed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert (
+        "bucket_grp"
+        in plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    )
+    assert "PushedFilters: [" in plan
+    assert "bucket" in plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+
+
+def test_landing_is_memoized(spark, sf_dir, tmp_path):
+    import os
+    import time
+
+    paths = land_dedup_index(spark, sf_dir)
+    t0 = time.perf_counter()
+    again = land_dedup_index(spark, sf_dir)
+    dt = time.perf_counter() - t0
+    assert again == paths
+    assert dt < 0.1  # metadata check only, no Spark job
+    assert os.path.exists(paths["bands"])
