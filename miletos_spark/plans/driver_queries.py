@@ -1500,27 +1500,55 @@ FROM cnt JOIN d USING (ener)
 """
 
 
+# per-user proxy orbit params, one expression string evaluated by BOTH
+# engines (depth comes from a decimal-moment scatter; everything else is
+# integer-keyed arithmetic). cosi stays ≤ 0.02 so no proxy system ever
+# grazes (b = a_rs·cosi ≤ 0.4 < 1 − rratio) and the duration/blend
+# formulas keep a positive domain in both engines.
+# float literals carry e0 so both SQL parsers type them DOUBLE — bare
+# N.N literals are DECIMAL in Spark SQL and DuckDB, whose decimal
+# division scale rules differ (~1e-5 divergence, the verify-skill
+# gotcha)
+_M8_PARAM_EXPRS = [
+    ("period", "1.0e0 + (user_id % 20) * 0.5e0"),
+    ("esin", "0.1e0 * ((user_id % 7) / 7.0e0 - 0.5e0)"),
+    ("ecos", "0.1e0 * ((user_id % 11) / 11.0e0 - 0.5e0)"),
+    ("cosi", "0.02e0 * (user_id % 5) / 5.0e0"),
+    ("rstar", "0.8e0 + (user_id % 5) * 0.1e0"),
+    ("mstar", "0.9e0 + (user_id % 3) * 0.1e0"),
+    ("tstar", "5000.0e0 + (user_id % 8) * 250.0e0"),
+]
+
+
 def q_derived_features_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M8 derived physical features + A5 16/50/84 percentile summary:
-    per-user proxy params (depth from the series scatter, period keyed
-    off the user id) -> feature arithmetic -> percentiles per cohort."""
-    from miletos_spark.model.features import derived_features, percentile_summary
+    """M8 derived physical features (full calc_feat_alle block,
+    miletos/main.py:1231-1585) + A5 16/50/84 percentile summary:
+    per-user proxy params (depth from the series scatter, orbit/star
+    params keyed off the user id) -> ~30 feature columns -> percentiles
+    per cohort. Spark and the oracle evaluate the SAME expression
+    strings (model/features.py FEATURE_EXPRS)."""
+    from miletos_spark.model.features import (
+        FEATURE_NAMES,
+        derived_features,
+        percentile_summary,
+    )
 
     ev = _ev_days(spark, sf_dir)
-    params = (
-        ev.groupBy("user_id")
-        .agg((F.stddev_pop("value") / 1000.0).alias("depth"))
-        .withColumn(
-            "period", F.lit(1.0) + F.pmod(F.col("user_id"), F.lit(20)) * 0.5
-        )
+    # depth from decimal-moment scatter: exact order-independent sums,
+    # then a fixed double sequence mirrored verbatim in the oracle
+    s1 = F.sum(F.col("value").cast("decimal(38,18)")).cast("double")
+    s2 = F.sum((F.col("value") * F.col("value")).cast("decimal(38,18)")).cast(
+        "double"
     )
+    n = F.count("value")
+    params = ev.groupBy("user_id").agg(
+        (F.sqrt(s2 / n - (s1 / n) * (s1 / n)) / F.lit(1000.0)).alias("depth")
+    )
+    for name, expr in _M8_PARAM_EXPRS:
+        params = params.withColumn(name, F.expr(expr))
     feats = derived_features(params)
     cohort = feats.withColumn("cohort", F.pmod(F.col("user_id"), F.lit(4)))
-    out = percentile_summary(
-        cohort,
-        ["rratio", "rp_rearth", "a_au", "a_rs", "teq_k", "insol_earth", "dura_hr"],
-        group_cols=("cohort",),
-    )
+    out = percentile_summary(cohort, FEATURE_NAMES, group_cols=("cohort",))
     rounded = [F.col("cohort")] + [
         F.round(c, 6).alias(c) for c in out.columns if c != "cohort"
     ]
@@ -1528,29 +1556,45 @@ def q_derived_features_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_derived_features() -> str:
-    feats = {
-        "rratio": "sqrt(depth)",
-        "rp_rearth": "sqrt(depth) * 109.076",
-        "a_au": "pow(pow(period / 365.25, 2), 1.0/3.0)",
-        "a_rs": "pow(pow(period / 365.25, 2), 1.0/3.0) * 215.032",
-        "teq_k": "5772.0 * sqrt(1.0 / (2.0 * pow(pow(period / 365.25, 2), 1.0/3.0) * 215.032))",
-        "insol_earth": "1.0 / pow(pow(pow(period / 365.25, 2), 1.0/3.0), 2)",
-        "dura_hr": "period * 24.0 / 3.141592653589793 * asin(1.0 / (pow(pow(period / 365.25, 2), 1.0/3.0) * 215.032))",
-    }
+    from miletos_spark.model.features import (
+        DEFAULT_SCALARS,
+        FEATURE_NAMES,
+        sql_feature_ctes,
+    )
+
+    param_cols = ",\n         ".join(
+        f"{expr} AS {name}" for name, expr in _M8_PARAM_EXPRS
+    )
+    scalar_cols = ",\n         ".join(
+        f"CAST({float(v)!r} AS DOUBLE) AS {k}"
+        for k, v in DEFAULT_SCALARS.items()
+        if k not in dict(_M8_PARAM_EXPRS)
+    )
+    ctes, last = sql_feature_ctes("params")
     cols = ",\n       ".join(
-        f"round(quantile_cont({expr}, {q!r}), 6) AS {name}_{tag}"
-        for name, expr in feats.items()
+        f"round(quantile_cont({name}, {q!r}), 6) AS {name}_{tag}"
+        for name in FEATURE_NAMES
         for q, tag in ((0.16, "p16"), (0.5, "p50"), (0.84, "p84"))
+    )
+    depth_sql = (
+        "sqrt(CAST(sum(CAST(value * value AS DECIMAL(38,18))) AS DOUBLE)"
+        " / count(value)"
+        " - (CAST(sum(CAST(value AS DECIMAL(38,18))) AS DOUBLE)"
+        " / count(value))"
+        " * (CAST(sum(CAST(value AS DECIMAL(38,18))) AS DOUBLE)"
+        " / count(value))) / 1000.0"
     )
     return f"""
 WITH params AS (
   SELECT user_id,
-         stddev_pop(value) / 1000.0 AS depth,
-         1.0 + (user_id % 20) * 0.5 AS period
+         {depth_sql} AS depth,
+         {param_cols},
+         {scalar_cols}
   FROM events GROUP BY user_id
 ),
+{ctes},
 c AS (
-  SELECT *, user_id % 4 AS cohort FROM params
+  SELECT *, user_id % 4 AS cohort FROM {last}
 )
 SELECT cohort,
        {cols}
