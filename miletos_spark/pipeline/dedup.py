@@ -229,6 +229,137 @@ def simhash_64(
     return df.select(F.col(id_col), fp.alias("simhash"))
 
 
+HEX_DIGITS = "0123456789abcdef"
+
+
+def simhash_md5(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "simhash_hex",
+) -> DataFrame:
+    """64-bit SimHash as a 16-hex-char STRING, token hash = md5 prefix.
+
+    The md5hex trick (same as `doc_fingerprint`): DuckDB can compute the
+    identical token hashes, so — unlike the xxhash64 `simhash_64` — the
+    fingerprints themselves are oracle-checkable. All derivation is
+    integer arithmetic (nibble extraction, vote counts, sign), so
+    engine parity is exact by construction, no float rounding anywhere.
+
+    Single pass: one md5 per token (projected to a real attribute
+    first — the HOF-inlining trap), then ONE aggregate with a 64-long
+    vote-vector accumulator (the `minhash_signatures` pattern).
+    """
+    from pyspark.sql import Column
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    hx = F.transform(toks, lambda t: F.substring(F.md5(t), 1, 16))
+    d = df.select(F.col(id_col), hx.alias("_hx"))
+
+    idx = F.array(*[F.lit(i) for i in range(64)])
+
+    def nibble_of(h: Column, j: Column) -> Column:
+        # hex char at position j div 4 (1-based), as its 0-15 value
+        ch = h.substr(F.lit(1) + F.floor(j / 4).cast("int"), F.lit(1))
+        return F.call_function("instr", F.lit(HEX_DIGITS), ch) - F.lit(1)
+
+    def bit_of(h: Column, j: Column) -> Column:
+        # bit j%4 of the nibble; 2^(j%4) over {1,2,4,8} is float-exact
+        p = F.pow(F.lit(2.0), (j % 4).cast("double"))
+        return F.floor(nibble_of(h, j) / p).cast("int") % 2
+
+    votes = F.aggregate(
+        F.col("_hx"),
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc, idx, lambda v, j: v + bit_of(h, j) * 2 - 1
+        ),
+    )
+    dv = d.select(F.col(id_col), votes.alias("_v"))
+
+    chars = []
+    for n in range(16):
+        nib = None
+        for j in range(4):
+            term = F.when(F.col("_v")[4 * n + j] > 0, F.lit(1 << j)).otherwise(0)
+            nib = term if nib is None else nib + term
+        chars.append(F.lit(HEX_DIGITS).substr(nib + F.lit(1), F.lit(1)))
+    return dv.select(F.col(id_col), F.concat(*chars).alias(out_col))
+
+
+def simhash_hamming(a: "F.Column", b: "F.Column") -> "F.Column":
+    """Exact Hamming distance between two 16-hex-char fingerprints —
+    a static 64-term integer sum (no xor operator: its spelling differs
+    between engines, plain arithmetic doesn't)."""
+    total = None
+    for n in range(16):
+        na = F.call_function(
+            "instr", F.lit(HEX_DIGITS), F.substring(a, n + 1, 1)
+        ) - F.lit(1)
+        nb = F.call_function(
+            "instr", F.lit(HEX_DIGITS), F.substring(b, n + 1, 1)
+        ) - F.lit(1)
+        for j in range(4):
+            ba = F.floor(na / F.lit(float(1 << j))).cast("int") % 2
+            bb = F.floor(nb / F.lit(float(1 << j))).cast("int") % 2
+            term = F.abs(ba - bb)
+            total = term if total is None else total + term
+    return total
+
+
+def simhash_band_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs via the banded Hamming join promised at
+    the top of this module: fingerprints split into 4 × 16-bit bands
+    (4 hex chars each); by pigeonhole, any pair at Hamming ≤ 3 agrees
+    EXACTLY on at least one band — the band-equality self-join is a
+    lossless candidate generator (no recall lottery), and the exact
+    64-bit Hamming verification filters false candidates.
+
+    Shuffle is on (band index, 4-hex-char chunk): bucketed like the
+    MinHash-LSH join, never all-pairs. Returns (id_a, id_b, hamming).
+    """
+    fps = simhash_md5(df, text_col=text_col, id_col=id_col).cache()
+    banded = fps.select(
+        F.col(id_col),
+        F.col("simhash_hex"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring("simhash_hex", 1 + 4 * b, 4).alias("chunk"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash_hex", "bb.band", "bb.chunk")
+    a = banded.select(
+        F.col("band"), F.col("chunk"),
+        F.col(id_col).alias("id_a"), F.col("simhash_hex").alias("fp_a"),
+    )
+    b = banded.select(
+        F.col("band"), F.col("chunk"),
+        F.col(id_col).alias("id_b"), F.col("simhash_hex").alias("fp_b"),
+    )
+    cands = (
+        a.join(b, on=["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.withColumn("hamming", simhash_hamming(F.col("fp_a"), F.col("fp_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def near_dup_pairs_bruteforce(
     df: DataFrame,
     threshold: float = 0.5,

@@ -1149,12 +1149,91 @@ FROM sh JOIN fit USING (event_type)
 
 
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 64-bit fingerprints (no SQL oracle: xxhash64 is
-    engine-specific -> rows-only check)."""
-    from miletos_spark.pipeline.dedup import simhash_64
+    """SimHash 64-bit fingerprints, md5-token variant — integer-exact in
+    both engines, so the fingerprints themselves are oracle-checked
+    (the xxhash64 `simhash_64` stays the faster scale path)."""
+    from miletos_spark.pipeline.dedup import simhash_md5
 
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_64(docs).orderBy("doc_id")
+    return simhash_md5(docs).orderBy("doc_id")
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded Hamming join: 4 × 16-bit band-equality self-join
+    (lossless for Hamming ≤ 3 by pigeonhole) + exact 64-bit Hamming
+    verification. All-integer arithmetic; the oracle recomputes the
+    md5-based fingerprints and checks every pair brute-force."""
+    from miletos_spark.pipeline.dedup import simhash_band_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = simhash_band_pairs(docs, max_hamming=3)
+    return out.orderBy("id_a", "id_b")
+
+
+def _sql_simhash_fp_ctes() -> str:
+    """CTE chain computing the md5-based SimHash fingerprint per doc in
+    DuckDB — integer-exact twin of `dedup.simhash_md5`."""
+    hexd = "'0123456789abcdef'"
+    bit = (
+        f"((instr({hexd}, h[1 + (j // 4)]) - 1) >> (j % 4)) & 1"
+    )
+    nib = " + ".join(
+        f"(CASE WHEN v[4*n + {j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(4)
+    )
+    return rf"""
+t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+hx AS (
+  SELECT doc_id, [substr(md5(tk), 1, 16) FOR tk IN toks] AS hs FROM t
+),
+votes AS (
+  SELECT doc_id,
+         [2 * len(list_filter(hs, h -> {bit} = 1)) - len(hs)
+          FOR j IN range(64)] AS v
+  FROM hx
+),
+fp AS (
+  SELECT doc_id,
+         array_to_string([{hexd}[1 + ({nib})] FOR n IN range(16)], '') AS fp
+  FROM votes
+)"""
+
+
+def _sql_simhash_pairs() -> str:
+    hexd = "'0123456789abcdef'"
+
+    def nibble(v: str, n: int) -> str:
+        return f"(instr({hexd}, {v}[{n + 1}]) - 1)"
+
+    terms = []
+    for n in range(16):
+        for j in range(4):
+            terms.append(
+                f"abs((({nibble('fa', n)} >> {j}) & 1)"
+                f" - (({nibble('fb', n)} >> {j}) & 1))"
+            )
+    ham = " + ".join(terms)
+    return f"""
+WITH {_sql_simhash_fp_ctes()},
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.fp AS fa, b.fp AS fb
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT id_a, id_b, {ham} AS hamming FROM pairs
+)
+SELECT id_a, id_b, hamming FROM scored WHERE hamming <= 3
+"""
+
+
+def _sql_simhash_docs() -> str:
+    return f"""
+WITH {_sql_simhash_fp_ctes()}
+SELECT doc_id, fp AS simhash_hex FROM fp
+"""
 
 
 def q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2939,7 +3018,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trigger_clusters_events": q_trigger_clusters_events,
     "topk_outliers_events": q_topk_outliers_events,
     "binned_rms_events": q_binned_rms_events,
-    "rebin_count_events": q_rebin_count_events,
+    "simhash_pairs": q_simhash_pairs,
     "linear_detrend_events": q_linear_detrend_events,
     "fingerprint_docs": q_fingerprint_docs,
     "language_id_docs": q_language_id_docs,
@@ -2960,13 +3039,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_events": q_asof_join_events,
     "ener_spectrum_events": q_ener_spectrum_events,
     # -- oracle-backed overflow (judge full sweep only, no driver row) --
+    "rebin_count_events": q_rebin_count_events,
     "near_dup_pairs": q_near_dup_pairs,
     "rollup_pricing": q_rollup_pricing,
     "time_rollup_events": q_time_rollup_events,
     "json_props_events": q_json_props_events,
+    "simhash_docs": q_simhash_docs,
     # -- rows-only (no SQL oracle by design: iterative/engine-hash) --
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "simhash_docs": q_simhash_docs,
     "transit_fit_events": q_transit_fit_events,
     "media_features": q_media_features,
     "spline_detrend_events": q_spline_detrend_events,
@@ -3029,6 +3109,8 @@ def _oracles() -> dict[str, str]:
         "detection_stats_events": _sql_detection_stats(),
         "rv_flare_model_events": _sql_rv_flare_model(),
         "asof_join_events": SQL_ASOF_JOIN_EVENTS,
+        "simhash_pairs": _sql_simhash_pairs(),
+        "simhash_docs": _sql_simhash_docs(),
         "ener_spectrum_events": SQL_ENER_SPECTRUM_EVENTS,
         "rollup_pricing": SQL_ROLLUP_PRICING,
         "time_rollup_events": SQL_TIME_ROLLUP_EVENTS,
@@ -3039,8 +3121,8 @@ def _oracles() -> dict[str, str]:
         # bls_multi_events: no oracle (iterative driver loop)
         # gp_detrend_events: no oracle (dense GP solve)
         # transit_fit_events: intentionally no oracle (iterative optimizer)
-        # minhash_lsh_pairs, simhash_docs: intentionally no oracle
-        # (engine-specific xxhash64)
+        # minhash_lsh_pairs: intentionally no oracle (engine-specific
+        # xxhash64)
     }
 
 
