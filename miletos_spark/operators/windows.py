@@ -32,11 +32,15 @@ def rolling_std(
     """W1 — `retr_stdvwind`: centered rolling std over ±half_width rows
     (miletos/main.py:6907-6944).
 
-    With ``cut_peak`` the max value in each window is excluded
-    (`boolcuttpeak`) — done with closed-form moments
-    (n, Σx, Σx², max) rather than a UDF:
-        var' = (Σx² − m²)/(n−1) − ((Σx − m)/(n−1))²·(n−1)/(n−1)
-    i.e. recompute mean/variance of the window with the max removed.
+    With ``cut_peak``, reference semantics exactly (`boolcuttpeak`,
+    miletos/main.py:6931-6933 + 6942): remove ALL window elements equal
+    to the window max (`ydat != amax` drops every tie, not one
+    instance) and take the POPULATION std (np.std, ddof=0). Closed
+    form: full-window moments (n, Σx, Σx², max) plus the max-tie count
+    from the frame's element list —
+        n₀ = n − #ties, Σ′ = Σx − #ties·m, Σ″ = Σx² − #ties·m²,
+        var = Σ″/n₀ − (Σ′/n₀)²
+    NULL when every element ties the max (empty remainder).
     """
     w = _win(group_cols, time_col).rowsBetween(-half_width, half_width)
     if not cut_peak:
@@ -45,11 +49,22 @@ def rolling_std(
     s1 = F.sum(value_col).over(w)
     s2 = F.sum(F.pow(F.col(value_col), 2)).over(w)
     mx = F.max(value_col).over(w)
-    n1 = n - 1
-    mean1 = (s1 - mx) / n1
-    # population->sample variance of the peak-removed window
-    var1 = ((s2 - mx * mx) - n1 * mean1 * mean1) / (n1 - 1)
-    return df.withColumn(out_col, F.when(n1 > 1, F.sqrt(F.greatest(var1, F.lit(0.0)))))
+    arr = F.collect_list(F.col(value_col)).over(w)
+    d = (
+        df.withColumn("_n", n)
+        .withColumn("_s1", s1)
+        .withColumn("_s2", s2)
+        .withColumn("_mx", mx)
+        .withColumn("_arr", arr)
+    )
+    cnt = F.size(F.filter(F.col("_arr"), lambda x: x == F.col("_mx")))
+    n0 = F.col("_n") - cnt
+    s1p = F.col("_s1") - cnt * F.col("_mx")
+    s2p = F.col("_s2") - cnt * F.col("_mx") * F.col("_mx")
+    var0 = s2p / n0 - (s1p / n0) * (s1p / n0)
+    return d.withColumn(
+        out_col, F.when(n0 > 0, F.sqrt(F.greatest(var0, F.lit(0.0))))
+    ).drop("_n", "_s1", "_s2", "_mx", "_arr")
 
 
 def rolling_median(

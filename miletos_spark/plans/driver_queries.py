@@ -2259,17 +2259,24 @@ m AS (
          count(value) OVER fr AS n,
          sum(value) OVER fr AS s1,
          sum(value * value) OVER fr AS s2,
-         max(value) OVER fr AS mx
+         max(value) OVER fr AS mx,
+         list(value) OVER fr AS arr
   FROM w
   WINDOW fr AS (PARTITION BY event_type, day ORDER BY ord
                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+c AS (
+  SELECT event_id, n, s1, s2, mx,
+         len(list_filter(arr, x -> x = mx)) AS cnt
+  FROM m
 )
 SELECT event_id,
-       round(CASE WHEN n - 1 > 1 THEN
-         sqrt(greatest(((s2 - mx * mx) - (n - 1) * pow((s1 - mx) / (n - 1), 2))
-                       / (n - 2), 0.0))
+       round(CASE WHEN n - cnt > 0 THEN
+         sqrt(greatest((s2 - cnt * mx * mx) / (n - cnt)
+                       - ((s1 - cnt * mx) / (n - cnt))
+                         * ((s1 - cnt * mx) / (n - cnt)), 0.0))
        END, 6) AS roll_std
-FROM m
+FROM c
 """
 
 
@@ -2373,21 +2380,25 @@ def q_gp_loglik_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M3/M4 GP likelihood path (`typellik='GaussianProcess'`,
     miletos/main.py:771-808): score the trapezoid forward model's
     residuals under a Matern-3/2 GP noise model, block-diagonal over
-    (event_type, day chunk, gap region) — exact dense Cholesky per
-    bounded block in applyInPandas (no SQL oracle: dense linear algebra
-    -> rows-only check)."""
+    (event_type, gap region) — exact dense Cholesky per bounded block
+    in applyInPandas (no SQL oracle: dense linear algebra -> rows-only
+    check).
+
+    Hyperparameters are chosen CONSISTENT with the factorization:
+    rho = 0.02 d ≪ gap = 0.1 d, so the cross-region Matern correlation
+    is e^(−√3·0.1/0.02) ≈ 2e-4 and the block-diagonal likelihood
+    matches the full-series one to that factor (a previous rho = 2.0 d
+    with 1-day chunks left ~0.9 correlation across block edges —
+    materially not the reference likelihood). No day chunking: blocks
+    are gap regions only, exactly where the kernel support ends."""
     from miletos_spark.model.forward import transit_model
     from miletos_spark.model.likelihood import gp_loglik
 
-    ev = (
-        _ev_days(spark, sf_dir)
-        .withColumn("stdv", F.lit(1.0))
-        .withColumn("_day", F.floor(F.col("t")))
-    )
+    ev = _ev_days(spark, sf_dir).withColumn("stdv", F.lit(1.0))
     m = transit_model(F.col("t"), MODEL_P, MODEL_EPOCH, MODEL_DEPTH, MODEL_DURA)
     out = gp_loglik(
-        ev.withColumn("model", m), "model", sigma=0.5, rho=2.0,
-        time_col="t", group_cols=("event_type", "_day"), gap_days=0.1,
+        ev.withColumn("model", m), "model", sigma=0.5, rho=0.02,
+        time_col="t", group_cols=("event_type",), gap_days=0.1,
     )
     return (
         out.groupBy("event_type")
@@ -2411,10 +2422,6 @@ def q_gp_detrend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", F.round("value_detrended", 6).alias("value_detrended")
     ).orderBy("event_id")
-
-
-# the driver embeddings have no true dups (max pairwise cos ~0.51);
-# 0.45 exercises the operator with a non-empty result
 
 
 EMB_DUP_THRESHOLD = 0.9      # near-dup verify cut (jittered copies land ~0.9999)
@@ -2846,10 +2853,13 @@ def q_corpus_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source corpus stats.
 
     Near-dup is the SCALE path: MinHash-LSH candidates (bucketed band
-    join, no all-pairs blowup) verified with exact n-gram Jaccard —
-    16 bands × 2 rows over 32 hashes gives ≥99% recall at J=0.5
-    (1−(1−0.5²)¹⁶). The DuckDB oracle keeps the exact all-pairs join
-    as ground truth, so the check also measures LSH recall."""
+    join, no all-pairs blowup) verified with exact n-gram Jaccard.
+    Against an exact all-pairs oracle, LSH recall must not be a
+    lottery on regenerated data: 32 bands × 2 rows over 64 hashes with
+    the removal cut at J ≥ 0.6 puts the miss probability for a
+    threshold-exact pair at (1−0.6²)³² ≈ 6e-7 (and lower above it) —
+    deterministic agreement in practice, with the margin documented
+    here rather than silently relied on."""
     from miletos_spark.pipeline.dedup import (
         exact_dedup,
         minhash_lsh_pairs,
@@ -2872,14 +2882,14 @@ def q_corpus_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
     keepers = exact_dedup(qual).select(F.col("keep_id").alias("doc_id"))
     uniq = qual.join(keepers, "doc_id", "left_semi").cache()
-    sigs = minhash_signatures(uniq, k=9, num_hashes=32)
-    cands = minhash_lsh_pairs(sigs, bands=16)
+    sigs = minhash_signatures(uniq, k=9, num_hashes=64)
+    cands = minhash_lsh_pairs(sigs, bands=32)
     # cache barrier before thresholding (see near_dup_pairs_prefix):
     # the jaccard filter would otherwise migrate the HOF intersection
     # into the join condition and drop the stage out of codegen
     scored = ngram_jaccard_pairs(uniq, cands, k=9).cache()
     dup_b = (
-        scored.filter(F.col("jaccard") >= 0.5)
+        scored.filter(F.col("jaccard") >= 0.6)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
@@ -2933,7 +2943,7 @@ dup_b AS (
   SELECT DISTINCT b.doc_id
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
   WHERE len(list_intersect(a.s, b.s)) * 1.0
-        / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+        / len(list_distinct(list_concat(a.s, b.s))) >= 0.6
 ),
 clean AS (
   SELECT * FROM uniq WHERE doc_id NOT IN (SELECT doc_id FROM dup_b)

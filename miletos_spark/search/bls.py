@@ -422,19 +422,25 @@ ns AS (
          count(sgnl) OVER w AS n_w,
          sum(sgnl) OVER w AS s1,
          sum(sgnl * sgnl) OVER w AS s2,
-         max(sgnl) OVER w AS mx
+         max(sgnl) OVER w AS mx,
+         list(sgnl) OVER w AS arr
   FROM det
   WINDOW w AS (ORDER BY period
                ROWS BETWEEN {half} PRECEDING AND {half} FOLLOWING)
 ),
+tied AS (
+  SELECT *, len(list_filter(arr, x -> x = mx)) AS cnt FROM ns
+),
 scored AS (
+  -- reference retr_stdvwind semantics (miletos/main.py:6931-6942):
+  -- drop ALL max-tied elements, population std (np.std, ddof=0)
   SELECT period, dcyc, off, bucket, epoch, n_in, ampl, sgnl,
-         CASE WHEN n_w - 1 > 1 THEN
-           sqrt(greatest(((s2 - mx * mx)
-                          - (n_w - 1) * pow((s1 - mx) / (n_w - 1), 2))
-                         / (n_w - 2), 0.0))
+         CASE WHEN n_w - cnt > 0 THEN
+           sqrt(greatest((s2 - cnt * mx * mx) / (n_w - cnt)
+                         - ((s1 - cnt * mx) / (n_w - cnt))
+                           * ((s1 - cnt * mx) / (n_w - cnt)), 0.0))
          END AS noise
-  FROM ns
+  FROM tied
 )
 SELECT *, CASE WHEN noise > 0 THEN sgnl / noise END AS snr
 FROM scored

@@ -140,12 +140,19 @@ def test_sessionize_bucketed_no_series_wide_sort(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     import re
 
-    for m in re.finditer(r"Window .*?windowspecdefinition\(([^)]*)\)", plan):
-        spec = m.group(1)
-        if "grp" in spec and "_skt" not in spec:
-            # the only group-only window allowed is over the per-bucket
-            # summary (its input is the aggregate, bounded by #buckets)
-            assert "_n_brk" in plan or "_bound" in plan
+    specs = [
+        m.group(1)
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan)
+        if "grp" in m.group(1)
+    ]
+    assert specs, "expected group-keyed window specs in the plan"
+    for spec in specs:
+        # EVERY window over the group must involve the bucket key: the
+        # local window partitions on (grp, _skt); the per-bucket-summary
+        # offsets window partitions on grp but ORDERS by _skt. A spec
+        # mentioning grp with no _skt anywhere is the series-wide sort
+        # this path exists to eliminate.
+        assert "_skt" in spec, f"series-wide window spec: {spec}"
 
 
 def test_sigma_clip_removes_outliers(spark):

@@ -69,14 +69,34 @@ def test_scan_heavy_aggregations_one_shuffle(plans):
     assert _shuffles(p) <= 4
     import re
 
-    full_data_keys = [
+    # every WINDOW over the series must involve the bucket or region
+    # key — a spec mentioning event_type alone is the unbounded
+    # partition this path exists to eliminate
+    specs = [
         m.group(1)
-        for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)", p)
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", p)
+        if "event_type" in m.group(1)
     ]
-    for key in full_data_keys:
-        assert ("_skt" in key) or ("region" in key) or ("event_type" in key)
-    # the bucket window exists and no series-wide sort remains
-    assert any("_skt" in k for k in full_data_keys)
+    assert specs
+    for spec in specs:
+        assert ("_skt" in spec) or ("region" in spec), (
+            f"unbounded window spec: {spec}"
+        )
+    # exchanges: the bucket window and the lead/cluster windows key on
+    # (_skt | region); at most ONE exchange may key on event_type alone
+    # (the per-bucket SUMMARY window, whose input is the aggregate —
+    # rows scale with span/bucket_width, not samples)
+    keys = [
+        m.group(1)
+        for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", p)
+    ]
+    bare = [
+        k for k in keys
+        if "event_type" in k and "_skt" not in k and "region" not in k
+    ]
+    assert len(bare) <= 1, f"multiple full-data event_type-only exchanges: {bare}"
+    assert any("_skt" in k for k in keys)
+    assert any("region" in k for k in keys)
 
 
 def test_rolling_windows_partition_on_bounded_keys(spark, sf_dir):
