@@ -2955,6 +2955,30 @@ FROM clean GROUP BY source
 """
 
 
+def q_bls_alt_backend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 alternate BLS backend (astropy BoxLeastSquares when present,
+    NumPy fold+scan twin otherwise) over a coarse period grid — the
+    cross-validation path for the phase-bucket search (rows-only: the
+    per-period scan runs in applyInPandas, no SQL oracle; parity with
+    bls_search is asserted in tests/test_search.py)."""
+    from miletos_spark.search.bls_reference import bls_alt_backend
+
+    ev = _ev_days(spark, sf_dir)
+    periods = [2.0 + 0.25 * i for i in range(13)]
+    out = bls_alt_backend(
+        ev.select(F.col("t").alias("time"), "value"), periods,
+        durations=(0.02, 0.05),
+    )
+    return out.select(
+        "period",
+        F.round("power", 4).alias("power"),
+        F.round("depth", 4).alias("depth"),
+        F.round("epoch_frac", 4).alias("epoch_frac"),
+        "dura_frac",
+        "backend",
+    ).orderBy("period")
+
+
 def q_pipeline_summary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.1 lifecycle: the full orchestrated pipeline (guards → detrend
     loop → BLS/LS/flare analyses → detection gate) on the events series,
@@ -3065,6 +3089,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gp_loglik_events": q_gp_loglik_events,
     "ivf_similarity_topk": q_ivf_similarity_topk,
     "mcmc_transit_events": q_mcmc_transit_events,
+    "bls_alt_backend_events": q_bls_alt_backend_events,
     "pipeline_summary_events": q_pipeline_summary_events,
 }
 

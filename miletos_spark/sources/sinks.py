@@ -51,9 +51,21 @@ def upsert_results(
     (one run summary row per invocation). The merge is written to a
     sibling temp dir and swapped in, so the input path is never read
     and overwritten in the same job (and nothing is collected to the
-    driver — the table can be arbitrarily large)."""
+    driver — the table can be arbitrarily large).
+
+    Promotion is rename-aside, never delete-then-rename: the old table
+    moves to `__old`, the new one renames in, then `__old` is removed —
+    at no point does a crash leave the path without a recoverable copy
+    (a missing path with a surviving `__old` is restored on the next
+    call). Scope: local/POSIX filesystems where directory rename is
+    atomic; on object stores swap this for a table format's
+    transactional commit (Delta/Iceberg)."""
     import shutil
 
+    old = path.rstrip("/") + "__upsert_old"
+    if not os.path.exists(path) and os.path.exists(old):
+        # crashed after rename-aside, before promotion: recover
+        os.rename(old, path)
     if os.path.exists(path):
         existing = spark.read.parquet(path)
         keep = existing.join(
@@ -62,8 +74,11 @@ def upsert_results(
         merged = keep.unionByName(new_rows, allowMissingColumns=True)
         tmp = path.rstrip("/") + "__upsert_tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(path, old)
         os.rename(tmp, path)
+        shutil.rmtree(old)
     else:
         new_rows.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)

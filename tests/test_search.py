@@ -73,3 +73,30 @@ def test_matched_filter_finds_flares(spark):
     times = sorted(r["time"] for r in det.collect())
     for tf in (2.0, 6.5):
         assert any(abs(t - tf) < 0.1 for t in times), (tf, times[:10])
+
+
+def test_alt_bls_backend_cross_validates_phase_bucket(spark):
+    """P4: the independent fold+scan BLS (astropy when present, NumPy
+    twin otherwise) must recover the injected period AND agree with the
+    phase-bucket bls_search's best period within grid resolution."""
+    from miletos_spark.datagen.fixtures import transit_injected
+    from miletos_spark.search.bls import bls_best, bls_search
+    from miletos_spark.search.bls_reference import bls_alt_backend
+
+    inj_p = 3.7
+    df = transit_injected(
+        spark, period=inj_p, depth=0.01, noise=0.0005, t0=0.0
+    ).select("time", "value")
+    periods = [3.1 + 0.1 * i for i in range(13)]  # 3.1..4.3
+    alt = bls_alt_backend(df, periods, durations=(0.02, 0.05))
+    alt_best = alt.orderBy(F.col("power").desc()).first()
+    assert abs(alt_best["period"] - inj_p) < 0.051
+    assert alt_best["depth"] > 0.005  # sign convention: dip depth > 0
+
+    trials = spark.createDataFrame(
+        [(p, d, o) for p in periods for d in (0.02, 0.05) for o in (0.0, 0.5)],
+        "period double, dcyc double, off double",
+    )
+    spec = bls_search(df, trials, time_col="time", value_col="value", t_ref=0.0)
+    pb_best = bls_best(spec, min_in=3).first()
+    assert abs(pb_best["period"] - alt_best["period"]) < 0.051

@@ -70,6 +70,27 @@ def test_upsert_results(spark, tmp_path):
     assert got == {"t1": 1.0, "t2": 9.0, "t3": 3.0}  # t2 replaced, t1 kept
 
 
+def test_upsert_recovers_from_crash_window(spark, tmp_path):
+    """Simulate a crash between rename-aside and promotion: the table
+    dir is gone but `__old` survives — the next upsert must restore it
+    and apply the merge as if nothing happened."""
+    import os
+
+    path = str(tmp_path / "results")
+    r1 = spark.createDataFrame(
+        [("t1", 1.0), ("t2", 2.0)], "strgtarg string, score double"
+    )
+    upsert_results(spark, path, r1)
+    # crash window: table renamed aside, promotion never happened
+    os.rename(path, path + "__upsert_old")
+    assert not os.path.exists(path)
+    r2 = spark.createDataFrame([("t3", 3.0)], "strgtarg string, score double")
+    merged = upsert_results(spark, path, r2)
+    got = {r["strgtarg"]: r["score"] for r in merged.collect()}
+    assert got == {"t1": 1.0, "t2": 2.0, "t3": 3.0}
+    assert not os.path.exists(path + "__upsert_old")
+
+
 def test_memoize_parquet(spark, tmp_path):
     path = str(tmp_path / "memo")
     calls = []
