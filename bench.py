@@ -58,7 +58,10 @@ def main() -> None:
     spark = get_spark(app_name="miletos_spark_bench")
     # warm the JVM + parquet footers once so per-query numbers measure
     # the plans, not session startup
-    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    from miletos_spark.schema import load_table
+
+    for tbl in ("lineitem", "events", "documents", "embeddings"):
+        load_table(spark, SF_DIR, tbl).count()
 
     timings: dict[str, float] = {}
     # write-time index landing: on a cluster this runs once at corpus
