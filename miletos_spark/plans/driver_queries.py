@@ -2979,6 +2979,150 @@ def q_bls_alt_backend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("period")
 
 
+# M10 pseudo-observation derivations: every expression lives once and
+# is evaluated by BOTH engines (textually identical — features.py
+# pattern). Inputs: vmean (decimal-exact per-type mean of value) and
+# event_type itself.
+_M10_SPEC_OBS_EXPRS = [
+    ("dept_obs", "0.1e0 + 0.3e0 * (vmean - floor(vmean))"),
+    ("dept_err", "0.02e0"),
+    ("rratio", "0.1e0"),
+    ("tstar", "5772.0e0"),
+]
+# Injected ON-GRID truth per event_type: the fit must recover exactly
+# (albb_true, epsi_true) — the oracle check therefore doubles as a
+# parameter-recovery proof.
+_M10_ALBB_OBS_EXPRS = [
+    ("tequi", "1400.0e0 + 150.0e0 * (length(event_type) % 3)"),
+    ("albb_true", "0.05e0 * (length(event_type) % 7)"),
+    ("epsi_true", "0.05e0 * (1 + (length(event_type) % 9))"),
+    ("psii_obs", "pow(1.0e0 - albb_true, 0.25e0)"),
+    ("tirr_true", "tequi * psii_obs"),
+    ("tday_obs",
+     "tirr_true * pow(greatest(2.0e0/3.0e0 - 5.0e0 * epsi_true / 12.0e0,"
+     " 0.0e0), 0.25e0)"),
+    ("tnight_obs", "tirr_true * pow(epsi_true / 4.0e0, 0.25e0)"),
+    ("tday_err", "20.0e0"),
+    ("tnight_err", "20.0e0"),
+    ("psii_err", "0.03e0"),
+]
+
+_M10_VMEAN_SQL = (
+    "CAST(sum(CAST(value AS DECIMAL(38,18))) AS DOUBLE) / count(value)"
+)
+
+
+def _m10_obs(spark: SparkSession, sf_dir: str, exprs) -> DataFrame:
+    ev = _ev_days(spark, sf_dir)
+    s1 = F.sum(F.col("value").cast("decimal(38,18)")).cast("double")
+    obs = ev.groupBy("event_type").agg((s1 / F.count("value")).alias("vmean"))
+    for name, expr in exprs:
+        obs = obs.withColumn(name, F.expr(expr))
+    return obs
+
+
+def q_brightness_temp_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10 brightness-temperature sampler (retr_llik_spec,
+    miletos/main.py:987-996) as a declarative grid-scan MAP fit: the
+    per-type occultation depth (derived from the series mean) is
+    matched against a blackbody depth model over a broadcast T grid;
+    deterministic window argmax. Fully SQL-expressible — the oracle
+    runs the same expression strings."""
+    from miletos_spark.model.secondary import brightness_temp_fit
+
+    obs = _m10_obs(spark, sf_dir, _M10_SPEC_OBS_EXPRS)
+    out = brightness_temp_fit(obs)
+    return out.select(
+        "event_type",
+        F.round("tmpt", 4).alias("tmpt_bright_k"),
+        F.round("dept_modl", 4).alias("dept_modl_ppt"),
+        F.round("llik", 4).alias("llik"),
+    ).orderBy("event_type")
+
+
+def _sql_brightness_temp() -> str:
+    from miletos_spark.model.secondary import sql_brightness_temp_ctes
+
+    obs_cols = ",\n         ".join(
+        f"{e} AS {n}" for n, e in _M10_SPEC_OBS_EXPRS
+    )
+    return f"""
+WITH obs0 AS (
+  SELECT event_type, {_M10_VMEAN_SQL} AS vmean
+  FROM events GROUP BY event_type
+),
+obs AS (SELECT *, {obs_cols} FROM obs0),
+{sql_brightness_temp_ctes("obs").lstrip()}
+SELECT event_type,
+       round(tmpt, 4) AS tmpt_bright_k,
+       round(dept_modl, 4) AS dept_modl_ppt,
+       round(llik, 4) AS llik
+FROM scored WHERE rn = 1
+"""
+
+
+def q_albedo_recirc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10 albedo/recirculation sampler (retr_llik_albbepsi,
+    miletos/main.py:941-966) as a declarative 2-D grid-scan MAP fit
+    with on-grid injected truth per event_type — the oracle match is
+    simultaneously an exact parameter-recovery check (Cowan & Agol 2011
+    day/night temperature formulas)."""
+    from miletos_spark.model.secondary import albedo_recirc_fit
+
+    obs = _m10_obs(spark, sf_dir, _M10_ALBB_OBS_EXPRS)
+    out = albedo_recirc_fit(obs)
+    return out.select(
+        "event_type",
+        F.round("albb", 4).alias("albb"),
+        F.round("epsi", 4).alias("epsi"),
+        F.round("psii", 4).alias("psii"),
+        F.round("tday", 4).alias("tday_k"),
+        F.round("tnight", 4).alias("tnight_k"),
+        F.round("llik", 4).alias("llik"),
+    ).orderBy("event_type")
+
+
+def _sql_albedo_recirc() -> str:
+    from miletos_spark.model.secondary import sql_albedo_recirc_ctes
+
+    obs_cols = ",\n         ".join(
+        f"{e} AS {n}" for n, e in _M10_ALBB_OBS_EXPRS
+    )
+    return f"""
+WITH obs0 AS (
+  SELECT event_type, {_M10_VMEAN_SQL} AS vmean
+  FROM events GROUP BY event_type
+),
+obs AS (SELECT *, {obs_cols} FROM obs0),
+{sql_albedo_recirc_ctes("obs").lstrip()}
+SELECT event_type,
+       round(albb, 4) AS albb,
+       round(epsi, 4) AS epsi,
+       round(psii, 4) AS psii,
+       round(tday, 4) AS tday_k,
+       round(tnight, 4) AS tnight_k,
+       round(llik, 4) AS llik
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_mcmc_albedo_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10 sampler role proper: seeded stretch-move posterior over the
+    albedo/recirculation likelihood, 16/50/84 percentiles per
+    event_type (rows-only: stochastic sampler, no SQL oracle; recovery
+    asserted in tests/test_model.py)."""
+    from miletos_spark.model.secondary import sample_albedo_groups
+
+    obs = _m10_obs(spark, sf_dir, _M10_ALBB_OBS_EXPRS)
+    out = sample_albedo_groups(obs)
+    cols = [F.col("event_type")] + [
+        F.round(c, 5).alias(c)
+        for c in out.columns
+        if c not in ("event_type", "n_samples")
+    ] + [F.col("n_samples")]
+    return out.select(*cols).orderBy("event_type")
+
+
 def q_pipeline_summary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.1 lifecycle: the full orchestrated pipeline (guards → detrend
     loop → BLS/LS/flare analyses → detection gate) on the events series,
@@ -3079,6 +3223,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_rollup_events": q_time_rollup_events,
     "json_props_events": q_json_props_events,
     "simhash_docs": q_simhash_docs,
+    "brightness_temp_events": q_brightness_temp_events,
+    "albedo_recirc_events": q_albedo_recirc_events,
     # -- rows-only (no SQL oracle by design: iterative/engine-hash) --
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "transit_fit_events": q_transit_fit_events,
@@ -3089,6 +3235,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gp_loglik_events": q_gp_loglik_events,
     "ivf_similarity_topk": q_ivf_similarity_topk,
     "mcmc_transit_events": q_mcmc_transit_events,
+    "mcmc_albedo_events": q_mcmc_albedo_events,
     "bls_alt_backend_events": q_bls_alt_backend_events,
     "pipeline_summary_events": q_pipeline_summary_events,
 }
@@ -3147,6 +3294,8 @@ def _oracles() -> dict[str, str]:
         "simhash_pairs": _sql_simhash_pairs(),
         "simhash_docs": _sql_simhash_docs(),
         "ener_spectrum_events": SQL_ENER_SPECTRUM_EVENTS,
+        "brightness_temp_events": _sql_brightness_temp(),
+        "albedo_recirc_events": _sql_albedo_recirc(),
         "rollup_pricing": SQL_ROLLUP_PRICING,
         "time_rollup_events": SQL_TIME_ROLLUP_EVENTS,
         "json_props_events": SQL_JSON_PROPS_EVENTS,

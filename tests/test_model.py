@@ -149,3 +149,67 @@ def test_gp_loglik_recovers_hyperparams(spark):
     scores = {(s, p): ll(s, p) for s, p in grid}
     assert max(scores, key=scores.get) == (sig_true, rho_true)
     df.unpersist()
+
+
+def test_brightness_temp_grid_recovers_on_grid_truth(spark):
+    """M10 retr_llik_spec analog: depth generated from a known on-grid
+    temperature must be recovered exactly by the grid-scan MAP fit."""
+    from miletos_spark.model.secondary import (
+        brightness_temp_fit,
+        depth_model_expr,
+    )
+    from pyspark.sql import functions as F
+
+    t_true = 1800.0
+    obs = spark.createDataFrame(
+        [("a", 0.1, 5772.0, 0.02)],
+        "grp string, rratio double, tstar double, dept_err double",
+    ).withColumn(
+        "dept_obs", F.expr(depth_model_expr(t_expr=repr(t_true)))
+    )
+    got = brightness_temp_fit(obs, group_cols=("grp",)).first()
+    assert got["tmpt"] == t_true
+    assert abs(got["llik"]) < 1e-18
+
+
+def test_albedo_recirc_grid_recovers_on_grid_truth(spark):
+    """M10 retr_llik_albbepsi analog: on-grid (A, eps) injected through
+    the Cowan & Agol day/night formulas is recovered exactly."""
+    from miletos_spark.model.secondary import albedo_recirc_fit
+
+    a_true, e_true, tequi = 0.30000000000000004, 0.25, 1500.0
+    psii = (1.0 - a_true) ** 0.25
+    tirr = tequi * psii
+    tday = tirr * (2.0 / 3.0 - 5.0 * e_true / 12.0) ** 0.25
+    tnight = tirr * (e_true / 4.0) ** 0.25
+    obs = spark.createDataFrame(
+        [("a", tequi, tday, 20.0, tnight, 20.0, psii, 0.03)],
+        "grp string, tequi double, tday_obs double, tday_err double,"
+        " tnight_obs double, tnight_err double, psii_obs double,"
+        " psii_err double",
+    )
+    got = albedo_recirc_fit(obs, group_cols=("grp",)).first()
+    assert (got["albb"], got["epsi"]) == (a_true, e_true)
+
+
+def test_mcmc_albedo_posterior_covers_truth(spark):
+    """M10 sampler role: the stretch-move posterior over the albedo
+    likelihood must bracket the injected truth within its 16-84 band
+    (generous tolerance: short deterministic chain)."""
+    from miletos_spark.model.secondary import sample_albedo_groups
+
+    a_true, e_true, tequi = 0.25, 0.3, 1500.0
+    psii = (1.0 - a_true) ** 0.25
+    tirr = tequi * psii
+    tday = tirr * (2.0 / 3.0 - 5.0 * e_true / 12.0) ** 0.25
+    tnight = tirr * (e_true / 4.0) ** 0.25
+    obs = spark.createDataFrame(
+        [("a", tequi, tday, 10.0, tnight, 10.0, psii, 0.02)],
+        "grp string, tequi double, tday_obs double, tday_err double,"
+        " tnight_obs double, tnight_err double, psii_obs double,"
+        " psii_err double",
+    )
+    got = sample_albedo_groups(obs, group_cols=("grp",)).first()
+    assert got["albb_p16"] - 0.1 <= a_true <= got["albb_p84"] + 0.1
+    assert got["epsi_p16"] - 0.1 <= e_true <= got["epsi_p84"] + 0.1
+    assert got["n_samples"] > 0
