@@ -3106,6 +3106,66 @@ FROM ranked WHERE rn = 1
 """
 
 
+# M11 pseudo-targets: one sky position per event_type, derived from the
+# type string so both engines compute identical doubles.
+_M11_TARGET_EXPRS = [
+    ("ra_deg", "30.0e0 * (length(event_type) % 12)"),
+    ("dec_deg", "-60.0e0 + 20.0e0 * (length(event_type) % 7)"),
+]
+_M11_JD0 = 2460310.5  # 2024-01-01 00:00 UT
+
+
+def q_visibility_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11 visibility calculator (miletos/main.py:11766-11852): 24 h
+    alt/airmass/Sun-altitude curve per target at 10-minute steps
+    (Meeus spherical trig, see operators/visibility.py), reduced to the
+    planning summary the reference prints — dark/astro-dark/observable
+    step counts, best airmass, peak altitude."""
+    from miletos_spark.operators.visibility import (
+        visibility_grid,
+        visibility_summary,
+    )
+
+    ev = _ev_days(spark, sf_dir)
+    targets = ev.select("event_type").distinct()
+    for name, expr in _M11_TARGET_EXPRS:
+        targets = targets.withColumn(name, F.expr(expr))
+    curve = visibility_grid(targets, jd0=_M11_JD0)
+    out = visibility_summary(curve, group_cols=("event_type",))
+    return out.select(
+        "event_type",
+        "n_dark",
+        "n_astro_dark",
+        "n_observable",
+        F.round("best_airmass", 4).alias("best_airmass"),
+        F.round("peak_alt_deg", 4).alias("peak_alt_deg"),
+    ).orderBy("event_type")
+
+
+def _sql_visibility() -> str:
+    from miletos_spark.operators.visibility import sql_visibility_ctes
+
+    target_cols = ",\n         ".join(
+        f"{e} AS {n}" for n, e in _M11_TARGET_EXPRS
+    )
+    ctes, last = sql_visibility_ctes("targets", jd0=_M11_JD0)
+    return f"""
+WITH targets AS (
+  SELECT DISTINCT event_type, {target_cols}
+  FROM events
+),
+{ctes}
+SELECT event_type,
+       count(CASE WHEN is_dark THEN 1 END) AS n_dark,
+       count(CASE WHEN is_astro_dark THEN 1 END) AS n_astro_dark,
+       count(CASE WHEN is_observable THEN 1 END) AS n_observable,
+       round(min(CASE WHEN is_astro_dark THEN airmass END), 4)
+         AS best_airmass,
+       round(max(alt_deg), 4) AS peak_alt_deg
+FROM {last} GROUP BY event_type
+"""
+
+
 def q_mcmc_albedo_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M10 sampler role proper: seeded stretch-move posterior over the
     albedo/recirculation likelihood, 16/50/84 percentiles per
@@ -3225,6 +3285,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_docs": q_simhash_docs,
     "brightness_temp_events": q_brightness_temp_events,
     "albedo_recirc_events": q_albedo_recirc_events,
+    "visibility_events": q_visibility_events,
     # -- rows-only (no SQL oracle by design: iterative/engine-hash) --
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "transit_fit_events": q_transit_fit_events,
@@ -3296,6 +3357,7 @@ def _oracles() -> dict[str, str]:
         "ener_spectrum_events": SQL_ENER_SPECTRUM_EVENTS,
         "brightness_temp_events": _sql_brightness_temp(),
         "albedo_recirc_events": _sql_albedo_recirc(),
+        "visibility_events": _sql_visibility(),
         "rollup_pricing": SQL_ROLLUP_PRICING,
         "time_rollup_events": SQL_TIME_ROLLUP_EVENTS,
         "json_props_events": SQL_JSON_PROPS_EVENTS,

@@ -161,3 +161,43 @@ def test_sigma_clip_removes_outliers(spark):
     out = sigma_clip(df, max_iter=3)
     assert out.count() == 100
     assert out.agg(F.max("value")).first()[0] == 0.0
+
+
+def test_visibility_culmination_and_airmass(spark):
+    """M11 sanity: a target at dec == observer latitude culminates at
+    ~90 deg altitude sometime in a sidereal day; airmass is always
+    >= 1 where defined; the Sun spends part of a 24 h grid below the
+    horizon and part above at a mid-latitude site."""
+    from pyspark.sql import functions as F
+
+    from miletos_spark.operators.visibility import (
+        visibility_grid,
+        visibility_summary,
+    )
+
+    lat = 28.3
+    targets = spark.createDataFrame(
+        [("zenith", 123.4, lat), ("southpole", 10.0, -89.0)],
+        "name string, ra_deg double, dec_deg double",
+    )
+    curve = visibility_grid(
+        targets, jd0=2460310.5, n_steps=289, step_hours=1.0 / 12.0,
+        lat_deg=lat,
+    ).cache()
+    summ = {
+        r["name"]: r
+        for r in visibility_summary(curve, ("name",)).collect()
+    }
+    # near a zenith pass altitude falls ~linearly with hour angle, so a
+    # 5-minute grid can miss the true 90 deg peak by up to ~0.6 deg
+    assert summ["zenith"]["peak_alt_deg"] > 89.3
+    # circumpolar-from-the-south target never rises at +28 latitude
+    assert summ["southpole"]["peak_alt_deg"] < 0.0
+    assert summ["southpole"]["n_observable"] == 0
+    am = curve.agg(F.min("airmass")).first()[0]
+    assert am >= 1.0
+    sun = curve.filter(F.col("name") == "zenith").agg(
+        F.min("sun_alt_deg"), F.max("sun_alt_deg")
+    ).first()
+    assert sun[0] < -18.0 and sun[1] > 0.0
+    curve.unpersist()
