@@ -3,9 +3,10 @@
 Spark-first stance: light curves land as columnar tables (parquet/CSV);
 the FITS-specific steps of `read_tesskplr_file` (miletos/main.py:
 7407-7502) — quality mask, BJD offset, median normalization — are
-DataFrame transformations applied at read. A FITS binary parser needs
-astropy (not in this environment), so `read_tess_fits` documents the
-mapping and raises; a landing job converts FITS → parquet upstream.
+DataFrame transformations applied at read. Native FITS files are read
+for real via the minimal pure-numpy BINTABLE parser in
+`sources/fits.py` (binaryFile scan → mapInPandas parse), no astropy
+required.
 """
 
 from __future__ import annotations
@@ -121,16 +122,15 @@ def read_magnitude_series(
     )
 
 
-def read_tess_fits(*_args, **_kwargs):
-    """S1 — native FITS ingestion stub. The binary FITS parse requires
-    astropy (`astropy.io.fits`), absent here; in production the landing
-    job maps HDU1 columns TIME/PDCSAP_FLUX/PDCSAP_FLUX_ERR/QUALITY to
-    the (time, flux, flux_err, quality) parquet schema that
-    `read_lightcurve_table` consumes (miletos/main.py:7427-7446)."""
-    raise NotImplementedError(
-        "FITS parsing needs astropy; convert to parquet upstream and use "
-        "read_lightcurve_table (see docstring for the column mapping)."
-    )
+def read_tess_fits(spark, path, **kwargs):
+    """S1 — native FITS ingestion (miletos/main.py:7407-7502), real:
+    a minimal pure-numpy BINTABLE parser (sources/fits.py) runs inside
+    `mapInPandas` over a `binaryFile` scan, then the shared quality-
+    mask / BJD-offset / median-normalize pipeline. See
+    `miletos_spark.sources.fits.read_tess_fits`."""
+    from miletos_spark.sources.fits import read_tess_fits as _impl
+
+    return _impl(spark, path, **kwargs)
 
 
 def available_chunks(

@@ -45,9 +45,81 @@ def test_read_lightcurve_table(spark, tmp_path):
     assert rows[0]["value"] == pytest.approx(1.0)       # median-normalized
 
 
-def test_read_tess_fits_stub():
-    with pytest.raises(NotImplementedError):
-        read_tess_fits("x.fits")
+def test_fits_roundtrip(tmp_path):
+    """The minimal BINTABLE writer/parser round-trips every supported
+    dtype bit-exactly (big-endian on disk, native in memory)."""
+    import numpy as np
+
+    from miletos_spark.sources.fits import (
+        read_fits_tables,
+        write_fits_table,
+    )
+
+    cols = {
+        "TIME": np.array([0.0, 1.5, np.nan], dtype=np.float64),
+        "PDCSAP_FLUX": np.array([1.0, 2.0, 3.0], dtype=np.float32),
+        "QUALITY": np.array([0, 8, 0], dtype=np.int32),
+        "CADENCENO": np.array([10, 11, 12], dtype=np.int64),
+        "FLAG": np.array([1, 0, 1], dtype=np.uint8),
+    }
+    p = str(tmp_path / "lc.fits")
+    write_fits_table(p, cols)
+    with open(p, "rb") as f:
+        raw = f.read()
+    assert len(raw) % 2880 == 0
+    (tab,) = read_fits_tables(raw)
+    assert set(tab) == set(cols)
+    for name, want in cols.items():
+        np.testing.assert_array_equal(tab[name], want)
+
+
+def test_read_tess_fits_matches_parquet_path(spark, tmp_path):
+    """S1 on native FITS: two fixture files through the binaryFile →
+    mapInPandas parse must yield the same masked/offset/normalized
+    series as the columnar path over the equivalent parquet."""
+    import numpy as np
+
+    from miletos_spark.sources.fits import write_fits_table
+
+    fits_dir = tmp_path / "fits"
+    fits_dir.mkdir()
+    rows = []
+    for i, name in enumerate(("s1.fits", "s2.fits")):
+        t = np.arange(5, dtype=np.float64) + 10.0 * i
+        flux = np.array([2.0, 2.2, 1.8, 99.0, np.nan]) + i
+        qual = np.array([0, 0, 0, 8, 0], dtype=np.int32)
+        write_fits_table(
+            str(fits_dir / name),
+            {"TIME": t, "PDCSAP_FLUX": flux,
+             "PDCSAP_FLUX_ERR": np.full(5, 0.02), "QUALITY": qual},
+        )
+        rows += [
+            (float(a), float(b), 0.02, int(q), name)
+            for a, b, q in zip(t, flux, qual)
+        ]
+    out = read_tess_fits(spark, str(fits_dir) + "/*.fits")
+    got = out.orderBy("time").collect()
+    # per file: 5 rows - 1 quality-flagged - 1 NaN = 3
+    assert len(got) == 6
+    assert got[0]["time"] == pytest.approx(2457000.0)  # BJD offset
+    # per-file median normalization: median row -> 1.0
+    vals = sorted(round(r["value"], 6) for r in got)
+    assert vals.count(1.0) == 2
+    # equivalence with the columnar path on the same data
+    pq = str(tmp_path / "lc_pq")
+    spark.createDataFrame(
+        rows, "time double, flux double, flux_err double, quality int,"
+        " file string",
+    ).write.parquet(pq)
+    ref = read_lightcurve_table(
+        spark, pq, inst="TESS", normalize=False
+    ).select("time", "value")
+    mine = out.select("time")
+    assert mine.count() == ref.count()
+    assert (
+        sorted(r["time"] for r in got)
+        == sorted(r["time"] for r in ref.collect())
+    )
 
 
 def test_write_stage_and_chunks(spark, tmp_path):
