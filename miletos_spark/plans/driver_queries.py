@@ -3106,6 +3106,183 @@ FROM ranked WHERE rn = 1
 """
 
 
+_M7_FINE_DT = 0.05  # fine-grid step, days
+
+
+def q_derived_outputs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 per-sample derived outputs (retr_dictderi_mile,
+    miletos/main.py:860-938): the forward model evaluated on the data
+    grid AND a regular fine grid, residuals against the data, and the
+    binned-residual std over every rebin width — composed from the
+    existing forward-model column expressions (M1), the A6 rebin-std
+    pattern, and an X6-style sequence/explode fine grid. One row per
+    (event_type, width): residual-bin std + data/fine model RMS."""
+    from miletos_spark.model.forward import transit_model
+
+    ev = _ev_days(spark, sf_dir)
+    m = transit_model(F.col("t"), MODEL_P, MODEL_EPOCH, MODEL_DEPTH, MODEL_DURA)
+    base = (
+        ev.withColumn("model", m)
+        .withColumn("resi", F.col("value") - F.col("model"))
+    )
+    t0 = float(ev.agg(F.min("t")).first()[0])  # O(1) action
+
+    widths = F.array(*[F.lit(w) for w in RMS_WIDTHS])
+    per_bin = (
+        base.select(
+            "event_type", "t", "resi", F.explode(widths).alias("width")
+        )
+        .withColumn("bin", F.floor((F.col("t") - F.lit(t0)) / F.col("width")))
+        .groupBy("event_type", "width", "bin")
+        .agg(F.avg("resi").alias("bin_mean"))
+    )
+    stdv = per_bin.groupBy("event_type", "width").agg(
+        F.round(F.stddev_pop("bin_mean"), 6).alias("stdv_resi"),
+        F.count("*").alias("n_bins"),
+    )
+    comp = base.groupBy("event_type").agg(
+        F.round(
+            F.sqrt(F.avg(F.pow(F.col("model") - F.lit(1.0), F.lit(2.0)))), 6
+        ).alias("model_rms"),
+        F.count("*").alias("n_data"),
+    )
+    rng = base.groupBy("event_type").agg(
+        F.min("t").alias("tmin"), F.max("t").alias("tmax")
+    )
+    step = F.lit(_M7_FINE_DT)
+    fine = (
+        rng.select(
+            "event_type",
+            "tmin",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.floor((F.col("tmax") - F.col("tmin")) / step).cast(
+                        "long"
+                    ),
+                )
+            ).alias("i"),
+        )
+        .withColumn(
+            "tf", F.col("tmin") + F.col("i").cast("double") * step
+        )
+        .withColumn(
+            "model_fine",
+            transit_model(
+                F.col("tf"), MODEL_P, MODEL_EPOCH, MODEL_DEPTH, MODEL_DURA
+            ),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.avg(F.pow(F.col("model_fine") - F.lit(1.0), F.lit(2.0)))
+                ),
+                6,
+            ).alias("model_fine_rms"),
+            F.count("*").alias("n_fine"),
+        )
+    )
+    out = (
+        stdv.join(F.broadcast(comp), "event_type")
+        .join(F.broadcast(fine), "event_type")
+    )
+    return out.select(
+        "event_type",
+        F.round("width", 2).alias("width"),
+        "stdv_resi",
+        "n_bins",
+        "model_rms",
+        "n_data",
+        "model_fine_rms",
+        "n_fine",
+    ).orderBy("event_type", "width")
+
+
+def _sql_derived_outputs() -> str:
+    shape = _sql_trap_shape()
+    shape_f = shape.replace(" dt", " dtf")  # fine-grid twin reads dtf
+    return f"""
+WITH e AS (
+  SELECT event_type, value, {EV_T_DAYS_SQL} AS t FROM events
+),
+ph0 AS (
+  SELECT *, ((t - {MODEL_EPOCH!r}) % {MODEL_P!r} + {MODEL_P!r})
+            % {MODEL_P!r} AS p0
+  FROM e
+),
+sh AS (
+  SELECT *, abs(p0 - CASE WHEN p0 > {MODEL_P / 2.0!r} THEN {MODEL_P!r}
+                          ELSE 0.0 END) AS dt
+  FROM ph0
+),
+s AS (
+  SELECT *, 1.0 - {MODEL_DEPTH!r} * ({shape}) AS model FROM sh
+),
+b AS (SELECT *, value - model AS resi FROM s),
+t0 AS (SELECT min(t) AS t0 FROM e),
+ex AS (
+  SELECT event_type, t, resi, w.width
+  FROM b, (SELECT unnest({RMS_WIDTHS!r}) AS width) w
+),
+pb AS (
+  SELECT event_type, width,
+         CAST(floor((t - (SELECT t0 FROM t0)) / width) AS BIGINT) AS bin,
+         avg(resi) AS bin_mean
+  FROM ex GROUP BY event_type, width, bin
+),
+sres AS (
+  SELECT event_type, width, round(stddev_pop(bin_mean), 6) AS stdv_resi,
+         count(*) AS n_bins
+  FROM pb GROUP BY event_type, width
+),
+comp AS (
+  SELECT event_type, round(sqrt(avg(pow(model - 1.0, 2.0))), 6)
+           AS model_rms,
+         count(*) AS n_data
+  FROM s GROUP BY event_type
+),
+rng AS (
+  SELECT event_type, min(t) AS tmin, max(t) AS tmax
+  FROM e GROUP BY event_type
+),
+fg AS (
+  SELECT event_type,
+         tmin + CAST(i AS DOUBLE) * {_M7_FINE_DT!r} AS tf
+  FROM rng,
+       unnest(generate_series(0,
+         CAST(floor((tmax - tmin) / {_M7_FINE_DT!r}) AS BIGINT))) u(i)
+),
+fph AS (
+  SELECT event_type,
+         ((tf - {MODEL_EPOCH!r}) % {MODEL_P!r} + {MODEL_P!r})
+           % {MODEL_P!r} AS p0f
+  FROM fg
+),
+fsh AS (
+  SELECT event_type,
+         abs(p0f - CASE WHEN p0f > {MODEL_P / 2.0!r} THEN {MODEL_P!r}
+                        ELSE 0.0 END) AS dtf
+  FROM fph
+),
+fmod AS (
+  SELECT event_type, 1.0 - {MODEL_DEPTH!r} * ({shape_f}) AS model_fine
+  FROM fsh
+),
+fine AS (
+  SELECT event_type,
+         round(sqrt(avg(pow(model_fine - 1.0, 2.0))), 6)
+           AS model_fine_rms,
+         count(*) AS n_fine
+  FROM fmod GROUP BY event_type
+)
+SELECT s.event_type, round(s.width, 2) AS width, s.stdv_resi, s.n_bins,
+       c.model_rms, c.n_data, f.model_fine_rms, f.n_fine
+FROM sres s JOIN comp c ON s.event_type = c.event_type
+JOIN fine f ON s.event_type = f.event_type
+"""
+
+
 # M11 pseudo-targets: one sky position per event_type, derived from the
 # type string so both engines compute identical doubles.
 _M11_TARGET_EXPRS = [
@@ -3286,6 +3463,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "brightness_temp_events": q_brightness_temp_events,
     "albedo_recirc_events": q_albedo_recirc_events,
     "visibility_events": q_visibility_events,
+    "derived_outputs_events": q_derived_outputs_events,
     # -- rows-only (no SQL oracle by design: iterative/engine-hash) --
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "transit_fit_events": q_transit_fit_events,
@@ -3358,6 +3536,7 @@ def _oracles() -> dict[str, str]:
         "brightness_temp_events": _sql_brightness_temp(),
         "albedo_recirc_events": _sql_albedo_recirc(),
         "visibility_events": _sql_visibility(),
+        "derived_outputs_events": _sql_derived_outputs(),
         "rollup_pricing": SQL_ROLLUP_PRICING,
         "time_rollup_events": SQL_TIME_ROLLUP_EVENTS,
         "json_props_events": SQL_JSON_PROPS_EVENTS,
