@@ -3106,6 +3106,106 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q_stream_trigger_clusters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 custom stateful streaming (applyInPandasWithState): online
+    W5 trigger clustering with a time-gap rule — per-group O(1) state,
+    clusters emitted exactly when a later trigger proves the gap (see
+    streaming/stateful.py). The landing appends one far-future sentinel
+    trigger per event_type so every real cluster closes regardless of
+    micro-batching; the sentinel's own cluster stays open and is never
+    emitted, so the output equals the batch gap-clustering of the real
+    data — which is what the DuckDB oracle computes."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    from miletos_spark.streaming.stateful import (
+        run_available_now,
+        stream_trigger_clusters,
+    )
+
+    gap_us = int(round(SESSION_GAP_SEC * 1_000_000))
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"trig|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        sig = "trig|" + os.path.abspath(sf_dir)
+    key = hashlib.md5(sig.encode()).hexdigest()[:12]
+    land = os.path.join(
+        tempfile.gettempdir(), f"miletos_trigland_{key}", "data"
+    )
+    if not os.path.exists(land):
+        ev = load_table(spark, sf_dir, "events")
+        evm = ev.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+        sent = (
+            evm.groupBy("event_type")
+            .agg(F.max(F.unix_micros(F.col("ts"))).alias("mx_us"))
+            .select(
+                F.lit(-1).cast("long").alias("event_id"),
+                F.timestamp_micros(
+                    F.col("mx_us") + F.lit(10 * gap_us)
+                ).alias("ts"),
+                F.lit(-1).cast("long").alias("user_id"),
+                "event_type",
+                F.lit(TRIGGER_THRESHOLD + 1000.0).alias("value"),
+                F.lit("{}").alias("props"),
+            )
+        )
+        evm.select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        ).unionByName(sent).write.parquet(land)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = spark.readStream.schema(schema).parquet(land)
+    sdf = stream_trigger_clusters(
+        stream, TRIGGER_THRESHOLD, SESSION_GAP_SEC
+    )
+    name = "stream_trig_" + uuid.uuid4().hex[:8]
+    run_available_now(sdf, name)
+    return (
+        spark.table(name)
+        .select(
+            "event_type", "t_start_us", "t_end_us", "n_triggers",
+            "t_peak_us", "peak_value",
+        )
+        .orderBy("event_type", "t_start_us")
+    )
+
+
+SQL_STREAM_TRIGGER_CLUSTERS_EVENTS = f"""
+WITH f AS (
+  SELECT event_type, event_id, epoch_us(ts) AS t_us, value
+  FROM events WHERE value > {TRIGGER_THRESHOLD!r}
+),
+s AS (
+  SELECT *, CASE WHEN lag(t_us) OVER w IS NULL
+                   OR t_us - lag(t_us) OVER w > {int(SESSION_GAP_SEC * 1_000_000)}
+                 THEN 1 ELSE 0 END AS strt
+  FROM f
+  WINDOW w AS (PARTITION BY event_type ORDER BY t_us, event_id)
+),
+c AS (
+  SELECT *, sum(strt) OVER (PARTITION BY event_type ORDER BY t_us, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS cluster
+  FROM s
+)
+SELECT event_type,
+       min(t_us) AS t_start_us,
+       max(t_us) AS t_end_us,
+       count(*) AS n_triggers,
+       -(max(struct_pack(m := value, tneg := -t_us))).tneg AS t_peak_us,
+       (max(struct_pack(m := value, tneg := -t_us))).m AS peak_value
+FROM c GROUP BY event_type, cluster
+"""
+
+
 _M7_FINE_DT = 0.05  # fine-grid step, days
 
 
@@ -3464,6 +3564,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "albedo_recirc_events": q_albedo_recirc_events,
     "visibility_events": q_visibility_events,
     "derived_outputs_events": q_derived_outputs_events,
+    "stream_trigger_clusters_events": q_stream_trigger_clusters_events,
     # -- rows-only (no SQL oracle by design: iterative/engine-hash) --
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "transit_fit_events": q_transit_fit_events,
@@ -3537,6 +3638,7 @@ def _oracles() -> dict[str, str]:
         "albedo_recirc_events": _sql_albedo_recirc(),
         "visibility_events": _sql_visibility(),
         "derived_outputs_events": _sql_derived_outputs(),
+        "stream_trigger_clusters_events": SQL_STREAM_TRIGGER_CLUSTERS_EVENTS,
         "rollup_pricing": SQL_ROLLUP_PRICING,
         "time_rollup_events": SQL_TIME_ROLLUP_EVENTS,
         "json_props_events": SQL_JSON_PROPS_EVENTS,

@@ -29,6 +29,9 @@ QUERIES = [
     "trigger_clusters_events",
     "depth_fit_events",
     "matched_filter_events",
+    # order-dependent float aggs (avg/stddev over bins) — guard the new
+    # M7 composition too
+    "derived_outputs_events",
 ]
 
 # driver-ish defaults vs an adversarial layout: tiny partition count,

@@ -241,3 +241,54 @@ def test_read_magnitude_series(spark, tmp_path):
     assert set(rows) == {0.0, 1.0, 2.0}          # qflag!=0 dropped
     assert rows[0.0] == pytest.approx(1.0)        # at-median -> flux 1
     assert rows[2.0] == pytest.approx(10 ** (-2.5 / 2.5))  # 2.5 mag fainter
+
+
+def test_stream_trigger_clusters_incremental(spark, tmp_path):
+    """applyInPandasWithState: state survives a stream restart (same
+    checkpoint) — a cluster left open by run 1 is closed by run 2's
+    data, and a cluster spanning both runs merges. Gap rule: 2 s."""
+    from datetime import datetime, timezone
+
+    from miletos_spark.streaming.stateful import stream_trigger_clusters
+
+    def ts(sec):
+        return datetime.fromtimestamp(sec, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    land = tmp_path / "land"
+    ckpt = str(tmp_path / "ckpt")
+    schema = "ts timestamp, event_type string, value double"
+    collected = []
+
+    def run_once(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(land))
+        src = spark.readStream.schema(schema).parquet(str(land))
+        sdf = stream_trigger_clusters(
+            src, threshold=1.0, gap_sec=2.0, group_col="event_type",
+        )
+        q = (
+            sdf.writeStream.foreachBatch(
+                lambda df, _id: collected.extend(df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: cluster A at t=0..1 stays OPEN (nothing after it yet)
+    run_once([(ts(0.0), "a", 5.0), (ts(1.0), "a", 7.0)])
+    assert collected == []
+    # run 2: t=2.5 is within 2 s of t=1 -> merges into A (spanning
+    # restart); t=10 proves the gap -> A emitted; t=10's own cluster
+    # stays open
+    run_once([(ts(2.5), "a", 6.0), (ts(10.0), "a", 9.0)])
+    assert len(collected) == 1
+    c = collected[0]
+    assert c["event_type"] == "a"
+    assert (c["t_start_us"], c["t_end_us"]) == (0, 2_500_000)
+    assert c["n_triggers"] == 3
+    assert (c["t_peak_us"], c["peak_value"]) == (1_000_000, 7.0)
