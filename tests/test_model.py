@@ -213,3 +213,25 @@ def test_mcmc_albedo_posterior_covers_truth(spark):
     assert got["albb_p16"] - 0.1 <= a_true <= got["albb_p84"] + 0.1
     assert got["epsi_p16"] - 0.1 <= e_true <= got["epsi_p84"] + 0.1
     assert got["n_samples"] > 0
+
+
+def test_dilution_correction(spark):
+    """X7 (miletos/main.py:11919-11931): contrati=1 is the identity;
+    contrati>1 deepens a transit by exactly that factor."""
+    from pyspark.sql import functions as F
+
+    from miletos_spark.model.forward import dilution_correction
+
+    df = spark.createDataFrame(
+        [(1.0,), (0.99,), (0.95,)], "flux double"
+    )
+    same = df.select(dilution_correction(F.col("flux"), 1.0).alias("f"))
+    assert [r["f"] for r in same.collect()] == [1.0, 0.99, 0.95]
+    deep = {
+        r["flux"]: r["f"]
+        for r in df.select(
+            "flux", dilution_correction(F.col("flux"), 2.0).alias("f")
+        ).collect()
+    }
+    assert deep[1.0] == 1.0
+    assert abs(deep[0.99] - 0.98) < 1e-12  # depth 0.01 -> 0.02

@@ -24,6 +24,9 @@ def plans(spark, sf_dir):
         "pricing_summary",
         "matched_filter_events",
         "similarity_topk",
+        "brightness_temp_events",
+        "albedo_recirc_events",
+        "visibility_events",
     ):
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
@@ -149,3 +152,18 @@ def test_pushdown_reaches_scan(spark, sf_dir):
     assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
         "l_orderkey", "l_quantity",
     }
+
+
+def test_grid_fits_broadcast_the_grid(plans):
+    """M10/M11 grid scans: the parameter/time grid must be the
+    broadcast side of the crossJoin (never a shuffled big side), and
+    the only hash exchanges are the per-group aggregate/argmax keys —
+    so the scan count stays row-count-bound at any corpus size."""
+    for name in (
+        "brightness_temp_events",
+        "albedo_recirc_events",
+        "visibility_events",
+    ):
+        p = plans[name]
+        assert "BroadcastNestedLoopJoin BuildRight, Cross" in p, name
+        assert _shuffles(p) <= 2, (name, _shuffles(p))
