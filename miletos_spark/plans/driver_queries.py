@@ -3106,6 +3106,99 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q_fits_ingest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 end-to-end in the driver contract: an executor-side landing
+    job materializes the events series as one FITS file per event_type
+    (simulating instrument downloads; written via applyInPandas — no
+    driver collect), then the native read path (binaryFile →
+    pure-numpy BINTABLE parse → quality mask → BJD offset → per-file
+    median normalize, sources/fits.py) ingests them back. The summary
+    per file is oracle-checked against the same mask/normalize/summary
+    computed relationally from the events table. Quality flags are
+    synthesized as value > 4 → 8 (QUALITY != 0 rows must vanish)."""
+    import hashlib
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from miletos_spark.sources.fits import read_tess_fits, write_fits_table
+
+    ev = _ev_days(spark, sf_dir)
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"fits|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        sig = "fits|" + os.path.abspath(sf_dir)
+    key = hashlib.md5(sig.encode()).hexdigest()[:12]
+    land = os.path.join(tempfile.gettempdir(), f"miletos_fitsland_{key}")
+    if not os.path.exists(land):
+        tmp = land + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+
+        def write_one(keyt: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            et = keyt[0]
+            pdf = pdf.sort_values(["t", "event_id"])
+            qual = np.where(
+                pdf["value"].to_numpy() > 4.0, 8, 0
+            ).astype(np.int32)
+            write_fits_table(
+                os.path.join(tmp, f"{et}.fits"),
+                {
+                    "TIME": pdf["t"].to_numpy(dtype=np.float64),
+                    "PDCSAP_FLUX": pdf["value"].to_numpy(dtype=np.float64),
+                    "PDCSAP_FLUX_ERR": np.full(len(pdf), 0.01),
+                    "QUALITY": qual,
+                },
+            )
+            return pd.DataFrame([[et, len(pdf)]], columns=["event_type", "n"])
+
+        ev.groupBy("event_type").applyInPandas(
+            write_one, "event_type string, n long"
+        ).collect()  # O(|types|) landing action
+        os.rename(tmp, land)
+
+    out = read_tess_fits(spark, land + "/*.fits")
+    s1 = F.sum(F.col("value").cast("decimal(38,18)")).cast("double")
+    summ = out.groupBy("chunk").agg(
+        F.count("*").alias("n_samples"),
+        F.round(s1 / F.count("*"), 6).alias("mean_norm"),
+        F.round(F.min("time"), 6).alias("t_min"),
+        F.round(F.max("time"), 6).alias("t_max"),
+    )
+    # drop the engine-specific chunk hash: rows stay distinguishable by
+    # their aggregates, which is what the order-insensitive compare keys
+    return summ.select("n_samples", "mean_norm", "t_min", "t_max").orderBy(
+        "n_samples"
+    )
+
+
+SQL_FITS_INGEST_EVENTS = f"""
+WITH e AS (
+  SELECT event_type, value, {EV_T_DAYS_SQL} AS t FROM events
+),
+f AS (
+  SELECT * FROM e WHERE NOT (value > 4.0)
+),
+med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM f GROUP BY event_type
+),
+n AS (
+  SELECT f.event_type, f.value / med.m AS nv, f.t + 2457000.0e0 AS time
+  FROM f JOIN med USING (event_type)
+)
+SELECT count(*) AS n_samples,
+       round(CAST(sum(CAST(nv AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6)
+         AS mean_norm,
+       round(min(time), 6) AS t_min,
+       round(max(time), 6) AS t_max
+FROM n GROUP BY event_type
+"""
+
+
 def q_stream_trigger_clusters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.12 custom stateful streaming (applyInPandasWithState): online
     W5 trigger clustering with a time-gap rule — per-group O(1) state,
@@ -3565,6 +3658,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "visibility_events": q_visibility_events,
     "derived_outputs_events": q_derived_outputs_events,
     "stream_trigger_clusters_events": q_stream_trigger_clusters_events,
+    "fits_ingest_events": q_fits_ingest_events,
     # -- rows-only (no SQL oracle by design: iterative/engine-hash) --
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "transit_fit_events": q_transit_fit_events,
@@ -3639,6 +3733,7 @@ def _oracles() -> dict[str, str]:
         "visibility_events": _sql_visibility(),
         "derived_outputs_events": _sql_derived_outputs(),
         "stream_trigger_clusters_events": SQL_STREAM_TRIGGER_CLUSTERS_EVENTS,
+        "fits_ingest_events": SQL_FITS_INGEST_EVENTS,
         "rollup_pricing": SQL_ROLLUP_PRICING,
         "time_rollup_events": SQL_TIME_ROLLUP_EVENTS,
         "json_props_events": SQL_JSON_PROPS_EVENTS,
