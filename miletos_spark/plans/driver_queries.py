@@ -3199,6 +3199,129 @@ FROM n GROUP BY event_type
 """
 
 
+def _memo_land(spark, sf_dir: str, tag: str, build) -> str:
+    """Source-fixture landing memo: derive an immutable landing dir
+    from the events file identity; `build(path)` writes it once."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{tag}|{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        sig = f"{tag}|" + os.path.abspath(sf_dir)
+    key = hashlib.md5(sig.encode()).hexdigest()[:12]
+    land = os.path.join(tempfile.gettempdir(), f"miletos_{tag}land_{key}")
+    if not os.path.exists(land):
+        tmp = land + ".tmp"
+        build(tmp)
+        os.rename(tmp, land)
+    return land
+
+
+def q_qlp_ingest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 end-to-end in the driver contract: the events series lands as
+    a QLP-style magnitude table (mag derived from value, QFLAG
+    synthesized as value > 4 → 1), then `read_magnitude_series` runs
+    the mag→relative-flux conversion 10^(−(m − median)/2.5)
+    (miletos/main.py:6420-6453); the flux summary is oracle-checked
+    against the same conversion computed relationally."""
+    from miletos_spark.sources.readers import read_magnitude_series
+
+    ev = _ev_days(spark, sf_dir)
+
+    def build(tmp: str) -> None:
+        ev.select(
+            F.col("t").alias("time"),
+            (F.lit(10.0) + F.col("value") / F.lit(10.0)).alias("tmag"),
+            F.when(F.col("value") > 4.0, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("qflag"),
+        ).write.parquet(tmp)
+
+    land = _memo_land(spark, sf_dir, "qlp", build)
+    out = read_magnitude_series(spark, land)
+    s1 = F.sum(F.col("value").cast("decimal(38,18)")).cast("double")
+    return out.agg(
+        F.count("*").alias("n_samples"),
+        F.round(s1 / F.count("*"), 6).alias("mean_flux"),
+        F.round(F.min("value"), 6).alias("min_flux"),
+        F.round(F.max("value"), 6).alias("max_flux"),
+    )
+
+
+SQL_QLP_INGEST_EVENTS = """
+WITH m AS (
+  SELECT 10.0e0 + value / 10.0e0 AS tmag
+  FROM events WHERE NOT (value > 4.0)
+),
+med AS (SELECT quantile_cont(tmag, 0.5) AS md FROM m),
+fx AS (
+  SELECT pow(10.0e0, -(tmag - (SELECT md FROM med)) / 2.5e0) AS flux
+  FROM m
+)
+SELECT count(*) AS n_samples,
+       round(CAST(sum(CAST(flux AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6)
+         AS mean_flux,
+       round(min(flux), 6) AS min_flux,
+       round(max(flux), 6) AS max_flux
+FROM fx
+"""
+
+
+def q_csv_ingest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+S8 end-to-end in the driver contract: the events series lands
+    as a FOLDER of CSV part files (S2's multi-file concat), every third
+    row with a null stdv, then `read_series_csv` applies the fixed
+    schema, synthesizes 1e-4 errors for the nulls, and drops
+    |value| ≥ 1e6 rows (miletos/main.py:10222-10233). CSV doubles
+    round-trip exactly (shortest-repr write, nearest-double read), so
+    the summary is oracle-checkable."""
+    from miletos_spark.sources.readers import read_series_csv
+
+    ev = _ev_days(spark, sf_dir)
+
+    def build(tmp: str) -> None:
+        ev.select(
+            F.col("t").alias("time"),
+            F.col("value"),
+            F.when(F.col("event_id") % 3 == 0, F.lit(None)).otherwise(
+                F.lit(0.01)
+            ).alias("stdv"),
+        ).repartition(4).write.option("header", True).csv(tmp)
+
+    land = _memo_land(spark, sf_dir, "csv", build)
+    out = read_series_csv(spark, land + "/*.csv")
+    s1 = F.sum(F.col("value").cast("decimal(38,18)")).cast("double")
+    sstd = F.sum(F.col("stdv").cast("decimal(38,18)")).cast("double")
+    return out.agg(
+        F.count("*").alias("n_samples"),
+        F.round(s1 / F.count("*"), 6).alias("mean_value"),
+        F.round(sstd / F.count("*"), 8).alias("mean_stdv"),
+        F.round(F.min("time"), 6).alias("t_min"),
+        F.round(F.max("time"), 6).alias("t_max"),
+    )
+
+
+SQL_CSV_INGEST_EVENTS = f"""
+WITH e AS (
+  SELECT {EV_T_DAYS_SQL} AS time, value,
+         CASE WHEN event_id % 3 = 0 THEN 1e-4 ELSE 0.01e0 END AS stdv
+  FROM events
+)
+SELECT count(*) AS n_samples,
+       round(CAST(sum(CAST(value AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6)
+         AS mean_value,
+       round(CAST(sum(CAST(stdv AS DECIMAL(38,18))) AS DOUBLE) / count(*), 8)
+         AS mean_stdv,
+       round(min(time), 6) AS t_min,
+       round(max(time), 6) AS t_max
+FROM e
+"""
+
+
 def q_stream_trigger_clusters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.12 custom stateful streaming (applyInPandasWithState): online
     W5 trigger clustering with a time-gap rule — per-group O(1) state,
@@ -3659,6 +3782,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "derived_outputs_events": q_derived_outputs_events,
     "stream_trigger_clusters_events": q_stream_trigger_clusters_events,
     "fits_ingest_events": q_fits_ingest_events,
+    "qlp_ingest_events": q_qlp_ingest_events,
+    "csv_ingest_events": q_csv_ingest_events,
     # -- rows-only (no SQL oracle by design: iterative/engine-hash) --
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "transit_fit_events": q_transit_fit_events,
@@ -3734,6 +3859,8 @@ def _oracles() -> dict[str, str]:
         "derived_outputs_events": _sql_derived_outputs(),
         "stream_trigger_clusters_events": SQL_STREAM_TRIGGER_CLUSTERS_EVENTS,
         "fits_ingest_events": SQL_FITS_INGEST_EVENTS,
+        "qlp_ingest_events": SQL_QLP_INGEST_EVENTS,
+        "csv_ingest_events": SQL_CSV_INGEST_EVENTS,
         "rollup_pricing": SQL_ROLLUP_PRICING,
         "time_rollup_events": SQL_TIME_ROLLUP_EVENTS,
         "json_props_events": SQL_JSON_PROPS_EVENTS,
