@@ -44,6 +44,9 @@ HEADLINE = [
     "lsh_similarity_topk",
     "minhash_lsh_pairs",
     "stream_sessions_events",
+    "stream_trigger_clusters_events",
+    "brightness_temp_events",
+    "visibility_events",
 ]
 
 

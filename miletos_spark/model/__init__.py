@@ -8,6 +8,11 @@ from miletos_spark.model.forward import (
 from miletos_spark.model.likelihood import depth_fit_closed_form, gaussian_loglik
 from miletos_spark.model.features import derived_features, percentile_summary
 from miletos_spark.model.infer import fit_transit_groups
+from miletos_spark.model.secondary import (
+    albedo_recirc_fit,
+    brightness_temp_fit,
+    sample_albedo_groups,
+)
 
 __all__ = [
     "transit_model",
@@ -20,4 +25,7 @@ __all__ = [
     "derived_features",
     "percentile_summary",
     "fit_transit_groups",
+    "brightness_temp_fit",
+    "albedo_recirc_fit",
+    "sample_albedo_groups",
 ]

@@ -42,3 +42,7 @@ from miletos_spark.operators.scale import (  # noqa: F401
     salted_join,
     write_bucketed,
 )
+from miletos_spark.operators.visibility import (  # noqa: F401
+    visibility_grid,
+    visibility_summary,
+)
