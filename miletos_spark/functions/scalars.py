@@ -35,9 +35,23 @@ def unix_seconds_from_jd(jd: Column) -> Column:
 
 def iso_from_epoch_us(us: Column) -> Column:
     """Epoch microseconds → ISO timestamp string (second precision),
-    UTC session timezone (the transit-time listing conversion,
-    miletos/main.py:2098-2105)."""
-    return F.date_format(F.timestamp_micros(us), "yyyy-MM-dd HH:mm:ss")
+    timezone-FREE (the transit-time listing conversion,
+    miletos/main.py:2098-2105).
+
+    Built on TIMESTAMP_NTZ arithmetic rather than
+    date_format(timestamp_micros(us)) so the rendered wall clock is
+    identical under any session timezone (the driver's session conf is
+    not ours to set). floor(us/1e6) is exact-safe: us < 2^53 so the
+    division is correctly rounded, and any non-integer quotient is
+    ≥1e-6 away from an integer while the rounding error is ~2e-7.
+    """
+    epoch_ntz = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    secs = F.floor(us / F.lit(1_000_000))
+    return F.date_format(
+        epoch_ntz
+        + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), secs.cast("double")),
+        "yyyy-MM-dd HH:mm:ss",
+    )
 
 
 def digitize(x: Column, edges: list[float]) -> Column:

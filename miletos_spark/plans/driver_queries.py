@@ -30,7 +30,7 @@ from miletos_spark.pipeline.text import text_stats
 from miletos_spark.search.bls import bls_sql, bls_search
 from miletos_spark.search.lombscargle import freq_grid, lomb_scargle, lomb_scargle_sql
 from miletos_spark.search.outlier_period import outlier_period_search, outlier_period_sql
-from miletos_spark.schema import load_table
+from miletos_spark.schema import epoch_micros_expr, load_table
 
 # --- shared constants (identical in both engines) ---------------------------
 
@@ -1734,11 +1734,11 @@ def q_stream_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     land = os.path.join(tempfile.gettempdir(), f"miletos_land_{key}", "data")
     if not os.path.exists(land):
         ev = load_table(spark, sf_dir, "events")
-        # integer `div` — float division of epoch-nanos (~1.7e18)
-        # exceeds double mantissa and lands 1 µs off DuckDB's
-        # nanos→µs truncation
+        # integer epoch-micros (type-robust: nanos-bigint, NTZ, or
+        # TIMESTAMP reads all land on the same integer) re-encoded as
+        # a session-tz TIMESTAMP the streaming reader's schema expects
         ev.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            "ts", F.timestamp_micros(epoch_micros_expr(ev, "ts"))
         ).write.parquet(land)
     schema = (
         "event_id long, ts timestamp, user_id long, event_type string, "
@@ -2315,7 +2315,7 @@ def q_datetime_strings_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from miletos_spark.schema import epoch_seconds_expr
 
     t_sec = epoch_seconds_expr(ev, "ts")
-    us = F.expr("ts div 1000")
+    us = epoch_micros_expr(ev, "ts")
     out = ev.select(
         "event_id",
         iso_from_epoch_us(us).alias("iso_ts"),
@@ -3355,7 +3355,7 @@ def q_stream_trigger_clusters_events(spark: SparkSession, sf_dir: str) -> DataFr
     if not os.path.exists(land):
         ev = load_table(spark, sf_dir, "events")
         evm = ev.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            "ts", F.timestamp_micros(epoch_micros_expr(ev, "ts"))
         )
         sent = (
             evm.groupBy("event_type")

@@ -50,8 +50,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver parquet table (columnar scan; Catalyst handles
     filter pushdown + column pruning downstream)."""
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); Spark rejects it unless
-        # read as raw nanos (session conf, safe to set lazily)
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) in some
+        # driver datasets; Spark rejects NANOS unless read as raw
+        # nanos (session conf, safe to set lazily, no effect on MICROS
+        # files — those read as TIMESTAMP_NTZ and the epoch_* helpers
+        # below branch on the observed dtype)
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
@@ -63,15 +66,25 @@ def epoch_seconds_expr(df: DataFrame, ts_name: str = "ts"):
     """Column of epoch seconds (DOUBLE) for `df[ts_name]` with exact
     DuckDB parity.
 
-    DuckDB reads parquet NANOS timestamps truncated to microseconds and
-    computes epoch() = double(us)/1e6; we reproduce bit-for-bit:
-    - LongType (nanosAsLong read): integer `div 1000` (exact, stays
-      under 2^53) -> cast double -> /1e6
+    DuckDB computes epoch() = double(us)/1e6 whatever the parquet
+    physical unit; we reproduce bit-for-bit for every type Spark may
+    hand us for the same column:
+    - LongType (legacy nanosAsLong read of NANOS parquet): integer
+      `div 1000` (exact, stays under 2^53) -> cast double -> /1e6
+    - TimestampNTZType (MICROS parquet, isAdjustedToUTC=false — what
+      pyarrow writes for tz-naive data): no cast to numeric exists, so
+      go through wall-clock micros-since-epoch (timezone-free, exactly
+      DuckDB's naive-timestamp semantics) -> cast double -> /1e6
     - TimestampType (micros internally): cast to double = us/1e6
     """
     dtype = dict(df.dtypes)[ts_name]
     if dtype == "bigint":
         return F.expr(f"cast({ts_name} div 1000 as double) / 1e6")
+    if dtype == "timestamp_ntz":
+        return F.expr(
+            f"cast(timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ'1970-01-01 00:00:00', {ts_name}) as double) / 1e6"
+        )
     return F.col(ts_name).cast("double")
 
 
@@ -88,6 +101,14 @@ def epoch_micros_expr(df: DataFrame, ts_name: str = "ts"):
     dtype = dict(df.dtypes)[ts_name]
     if dtype == "bigint":
         return F.expr(f"{ts_name} div 1000")
+    if dtype == "timestamp_ntz":
+        # unix_micros() rejects NTZ; wall-clock diff from the NTZ epoch
+        # is the timezone-free equivalent (matches DuckDB epoch_us on
+        # naive timestamps)
+        return F.expr(
+            f"timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ'1970-01-01 00:00:00', {ts_name})"
+        )
     return F.unix_micros(F.col(ts_name))
 
 

@@ -179,13 +179,16 @@ def test_memoize_parquet(spark, tmp_path):
 
 @pytest.fixture(scope="module")
 def events_dir(spark, sf_dir, tmp_path_factory):
-    # land events as a clean TIMESTAMP(MICROS) parquet dir: the driver
-    # files are TIMESTAMP(NANOS), which Spark can only read as raw longs
-    from miletos_spark.schema import load_table
+    # land events as a clean session-tz TIMESTAMP(MICROS) parquet dir,
+    # whatever flavor the driver files use (nanos-bigint, NTZ, or
+    # TIMESTAMP)
+    from miletos_spark.schema import epoch_micros_expr, load_table
 
     d = str(tmp_path_factory.mktemp("stream") / "events")
     ev = load_table(spark, sf_dir, "events")
-    ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).write.parquet(d)
+    ev.withColumn(
+        "ts", F.timestamp_micros(epoch_micros_expr(ev, "ts"))
+    ).write.parquet(d)
     return d
 
 
