@@ -110,6 +110,107 @@ def dilution_correction(flux: Column, contrati: float) -> Column:
     return F.lit(1.0) - F.lit(float(contrati)) * (F.lit(1.0) - flux)
 
 
+def orbital_phase(time: Column, period: float, epoch: float) -> Column:
+    """Orbital phase in [0, 1): 0 at transit center, 0.5 at
+    occultation (circular orbit)."""
+    p = F.lit(float(period))
+    return (((time - F.lit(float(epoch))) % p + p) % p) / p
+
+
+def phase_curve_total(
+    time: Column,
+    period: float,
+    epoch: float,
+    depth: float,
+    dura: float,
+    a_beam: float,
+    a_elli: float,
+    a_day: float,
+    a_night: float,
+    cons: float = 0.0,
+) -> Column:
+    """M9-class full phase-curve model (the model the reference fits via
+    its external-package bridge, miletos/main.py:1588-2683, and whose
+    median evaluation it decomposes at miletos/main.py:1950-2025):
+
+      total(t) = 1 + cons
+               + [transit dip]                       (depth, dura trapezoid)
+               + a_beam·sin(2πφ)                     (Doppler beaming)
+               − a_elli·cos(4πφ)                     (ellipsoidal variation)
+               + F_p(φ)·(1 − occ(t))                 (planetary flux,
+                                                      occulted at φ=0.5)
+      F_p(φ) = a_night + (a_day − a_night)·(1 − cos 2πφ)/2
+
+    φ = orbital phase (0 = transit). All terms are small-amplitude
+    additive (the standard phase-curve linearization); every term is
+    closed-form column arithmetic — codegen, no UDF."""
+    phi = orbital_phase(time, period, epoch)
+    two_pi = 2.0 * math.pi
+    dip = transit_model(time, period, epoch, depth, dura) - F.lit(1.0)
+    occ = trapezoid_depth(time, period, epoch + period / 2.0, dura)
+    beam = F.lit(float(a_beam)) * F.sin(F.lit(two_pi) * phi)
+    elli = -F.lit(float(a_elli)) * F.cos(F.lit(2.0 * two_pi) * phi)
+    fp = F.lit(float(a_night)) + F.lit(float(a_day - a_night)) * (
+        F.lit(1.0) - F.cos(F.lit(two_pi) * phi)
+    ) / 2.0
+    return (
+        F.lit(1.0 + float(cons)) + dip + beam + elli + fp * (F.lit(1.0) - occ)
+    )
+
+
+def phase_curve_components(
+    time: Column,
+    period: float,
+    epoch: float,
+    depth: float,
+    dura: float,
+    a_beam: float,
+    a_elli: float,
+    a_day: float,
+    a_night: float,
+    cons: float = 0.0,
+) -> dict[str, Column]:
+    """The reference's component decomposition (miletos/main.py:1950-2025):
+    re-evaluate the model with selected amplitudes zeroed and subtract
+    the stellar baseline —
+
+      stel = eval(beam=elli=planet=0)          (baseline + transit)
+      elli = eval(beam=planet=0) − stel
+      beam = eval(elli=planet=0) − stel
+      plan = totl − stel − elli − beam         (planetary flux)
+      nigh = eval(beam=elli=0, day:=night) − stel   (nightside floor)
+      pmod = plan − nigh                       (day-night modulation)
+
+    The reference operates on posterior-median params of a fitted model;
+    here the same decomposition runs on explicit params. Zero-and-
+    subtract (rather than emitting each closed form directly) keeps the
+    identity totl = stel + elli + beam + plan true BY CONSTRUCTION, as
+    in the reference. Returns {'totl','stel','elli','beam','plan',
+    'nigh','pmod'}; the reference's occultation-window mean offset
+    (`offsdays`) is applied by the caller (it needs an aggregation)."""
+
+    def ev(ab: float, ae: float, ad: float, an: float) -> Column:
+        return phase_curve_total(
+            time, period, epoch, depth, dura, ab, ae, ad, an, cons
+        )
+
+    totl = ev(a_beam, a_elli, a_day, a_night)
+    stel = ev(0.0, 0.0, 0.0, 0.0)
+    elli = ev(0.0, a_elli, 0.0, 0.0) - stel
+    beam = ev(a_beam, 0.0, 0.0, 0.0) - stel
+    plan = totl - stel - elli - beam
+    nigh = ev(0.0, 0.0, a_night, a_night) - stel
+    return {
+        "totl": totl,
+        "stel": stel,
+        "elli": elli,
+        "beam": beam,
+        "plan": plan,
+        "nigh": nigh,
+        "pmod": plan - nigh,
+    }
+
+
 def trapezoid_depth(
     time: Column,
     period: float,

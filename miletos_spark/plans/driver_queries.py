@@ -3422,6 +3422,137 @@ FROM c GROUP BY event_type, cluster
 """
 
 
+# --- M9 phase-curve component decomposition ---------------------------------
+
+PC2_ABEAM, PC2_AELLI, PC2_ADAY, PC2_ANIGHT = 2e-4, 1e-4, 3e-4, 1e-4
+
+
+def q_phase_components_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9 (core semantics, SURVEY §2.11): the reference fits its
+    phase-curve model through an external-package bridge and then
+    decomposes the median model by zeroing parameter groups and
+    re-evaluating (miletos/main.py:1950-2025). The decomposition is the
+    engine-relevant part — pure re-evaluations of the forward model —
+    so it runs here as closed-form column arithmetic on the events time
+    axis: stellar baseline (transit included), ellipsoidal, beaming,
+    planetary (mean-offset over the occultation window, the reference's
+    `offsdays`), nightside, and day-night modulation, with
+    totl = stel + elli + beam + plan holding by construction."""
+    from miletos_spark.model.forward import phase_curve_components
+
+    ev = _ev_days(spark, sf_dir)
+    comps = phase_curve_components(
+        F.col("t"), MODEL_P, MODEL_EPOCH, MODEL_DEPTH, MODEL_DURA,
+        PC2_ABEAM, PC2_AELLI, PC2_ADAY, PC2_ANIGHT,
+    )
+    base = ev.select("event_id", "t", *[c.alias(k) for k, c in comps.items()])
+
+    # offsdays (miletos/main.py:2000-2001): mean of the planetary
+    # component over the occultation window, via an order-independent
+    # decimal fixed-sum (O(1) driver action, broadcast as a literal)
+    epoch2 = MODEL_EPOCH + MODEL_P / 2.0
+    p0 = ((F.col("t") - F.lit(epoch2)) % MODEL_P + MODEL_P) % MODEL_P
+    dt2 = F.abs(p0 - F.when(p0 > MODEL_P / 2.0, F.lit(MODEL_P)).otherwise(F.lit(0.0)))
+    occ_win = base.withColumn("_dt2", dt2).filter(F.col("_dt2") <= _M_T14H)
+    offs = occ_win.agg(
+        (F.sum(F.col("plan").cast("decimal(38,18)")).cast("double")
+         / F.count("plan")).alias("o")
+    ).first()["o"]
+    offs = float(offs) if offs is not None else 0.0
+
+    return base.select(
+        "event_id",
+        F.round("totl", 9).alias("totl"),
+        F.round("stel", 9).alias("stel"),
+        F.round("elli", 9).alias("elli"),
+        F.round("beam", 9).alias("beam"),
+        F.round(F.col("plan") - F.lit(offs), 9).alias("plan"),
+        F.round("nigh", 9).alias("nigh"),
+        # reference order: offset first, then pmod = plan − nigh
+        # (miletos/main.py:2000-2021)
+        F.round((F.col("plan") - F.lit(offs)) - F.col("nigh"), 9).alias("pmod"),
+    )
+
+
+def _sql_phase_components() -> str:
+    import math as _m
+
+    tp = 2.0 * _m.pi
+    fp = 2.0 * tp
+    e2 = MODEL_EPOCH + MODEL_P / 2.0
+
+    def ev_expr(ab: float, ae: float, ad: float, an: float) -> str:
+        """Mirror phase_curve_total's op order exactly: ((((base + dip)
+        + beam) + elli) + fp*(1-occ)); zeroed amplitudes still multiply
+        (0.0·sin = 0.0, bit-exact in both engines)."""
+        return (
+            f"(((((1.0 + dip) "
+            f"+ ({ab!r} * sin({tp!r} * phi))) "
+            f"+ (-({ae!r}) * cos({fp!r} * phi))) "
+            f"+ (({an!r} + (({ad - an!r} * (1.0 - cos({tp!r} * phi))) / 2.0))"
+            f" * (1.0 - occ))))"
+        )
+
+    a, b_, d_, n_ = PC2_ABEAM, PC2_AELLI, PC2_ADAY, PC2_ANIGHT
+    return f"""
+WITH t0 AS (
+  SELECT event_id, ({EV_T_DAYS_SQL}) AS t FROM events
+),
+ph AS (
+  SELECT event_id, t,
+         (((t - {MODEL_EPOCH!r}) % {MODEL_P!r} + {MODEL_P!r}) % {MODEL_P!r})
+           / {MODEL_P!r} AS phi,
+         ((t - {MODEL_EPOCH!r}) % {MODEL_P!r} + {MODEL_P!r}) % {MODEL_P!r} AS p0,
+         ((t - {e2!r}) % {MODEL_P!r} + {MODEL_P!r}) % {MODEL_P!r} AS q0
+  FROM t0
+),
+sh AS (
+  SELECT event_id, phi,
+         abs(p0 - CASE WHEN p0 > {MODEL_P / 2.0!r} THEN {MODEL_P!r}
+                       ELSE 0.0 END) AS dt,
+         abs(q0 - CASE WHEN q0 > {MODEL_P / 2.0!r} THEN {MODEL_P!r}
+                       ELSE 0.0 END) AS dt2
+  FROM ph
+),
+shapes AS (
+  SELECT event_id, phi, dt2,
+         ((CASE WHEN dt <= {_M_T23H!r} THEN {1.0 - MODEL_DEPTH!r}
+                WHEN dt < {_M_T14H!r}
+                  THEN 1.0 - {MODEL_DEPTH!r} * (({_M_T14H!r} - dt) / {_M_DEN!r})
+                ELSE 1.0 END) - 1.0) AS dip,
+         (CASE WHEN dt2 <= {_M_T23H!r} THEN 1.0
+               WHEN dt2 < {_M_T14H!r} THEN ({_M_T14H!r} - dt2) / {_M_DEN!r}
+               ELSE 0.0 END) AS occ
+  FROM sh
+),
+comp AS (
+  SELECT event_id, dt2,
+         {ev_expr(a, b_, d_, n_)} AS totl,
+         {ev_expr(0.0, 0.0, 0.0, 0.0)} AS stel,
+         ({ev_expr(0.0, b_, 0.0, 0.0)} - {ev_expr(0.0, 0.0, 0.0, 0.0)}) AS elli,
+         ({ev_expr(a, 0.0, 0.0, 0.0)} - {ev_expr(0.0, 0.0, 0.0, 0.0)}) AS beam,
+         ({ev_expr(0.0, 0.0, n_, n_)} - {ev_expr(0.0, 0.0, 0.0, 0.0)}) AS nigh
+  FROM shapes
+),
+comp2 AS (
+  SELECT *, ((totl - stel) - elli) - beam AS plan FROM comp
+),
+offs AS (
+  SELECT CAST(sum(CAST(plan AS DECIMAL(38,18))) AS DOUBLE) / count(plan) AS o
+  FROM comp2 WHERE dt2 <= {_M_T14H!r}
+)
+SELECT event_id,
+       round(totl, 9) AS totl,
+       round(stel, 9) AS stel,
+       round(elli, 9) AS elli,
+       round(beam, 9) AS beam,
+       round(plan - (SELECT o FROM offs), 9) AS plan,
+       round(nigh, 9) AS nigh,
+       round((plan - (SELECT o FROM offs)) - nigh, 9) AS pmod
+FROM comp2
+"""
+
+
 _M7_FINE_DT = 0.05  # fine-grid step, days
 
 
@@ -3784,6 +3915,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fits_ingest_events": q_fits_ingest_events,
     "qlp_ingest_events": q_qlp_ingest_events,
     "csv_ingest_events": q_csv_ingest_events,
+    "phase_components_events": q_phase_components_events,
     # -- rows-only (no SQL oracle by design: iterative/engine-hash) --
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "transit_fit_events": q_transit_fit_events,
@@ -3866,6 +3998,7 @@ def _oracles() -> dict[str, str]:
         "json_props_events": SQL_JSON_PROPS_EVENTS,
         "bls_multires_events": _sql_bls_multires(),
         "corpus_cleanup": _sql_corpus_cleanup(),
+        "phase_components_events": _sql_phase_components(),
         # spline_detrend_events: no oracle (iterative LSQ fit)
         # bls_multi_events: no oracle (iterative driver loop)
         # gp_detrend_events: no oracle (dense GP solve)

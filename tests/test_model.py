@@ -235,3 +235,32 @@ def test_dilution_correction(spark):
     }
     assert deep[1.0] == 1.0
     assert abs(deep[0.99] - 0.98) < 1e-12  # depth 0.01 -> 0.02
+
+
+def test_phase_curve_decomposition_identity(spark):
+    """M9 component decomposition (miletos/main.py:1950-2025):
+    totl = stel + elli + beam + plan by construction; components carry
+    the injected amplitudes at their phase extremes."""
+    from miletos_spark.model.forward import phase_curve_components
+
+    p, e, dep, dur = 4.0, 0.5, 0.01, 0.3
+    ab, ae, ad, an = 2e-4, 1e-4, 3e-4, 1e-4
+    n = 4000
+    df = spark.range(n).select((F.col("id") * (8.0 / n)).alias("t"))
+    comps = phase_curve_components(F.col("t"), p, e, dep, dur, ab, ae, ad, an)
+    out = df.select("t", *[c.alias(k) for k, c in comps.items()])
+    rows = out.collect()
+    for r in rows:
+        assert r["totl"] == pytest.approx(
+            r["stel"] + r["elli"] + r["beam"] + r["plan"], abs=1e-12
+        )
+        assert r["pmod"] == pytest.approx(r["plan"] - r["nigh"], abs=1e-12)
+    # quarter phase (phi=0.25): beaming at +ab, ellipsoidal at +ae
+    quarter = min(rows, key=lambda r: abs(((r["t"] - e) / p) % 1.0 - 0.25))
+    assert quarter["beam"] == pytest.approx(ab, rel=1e-2)
+    assert quarter["elli"] == pytest.approx(ae, rel=1e-2)
+    # near transit center (phi=0): nightside facing -> plan ~ an,
+    # stellar shows the transit dip
+    tc = min(rows, key=lambda r: abs(((r["t"] - e) / p) % 1.0))
+    assert tc["plan"] == pytest.approx(an, rel=0.05)
+    assert tc["stel"] == pytest.approx(1.0 - dep, abs=1e-9)
