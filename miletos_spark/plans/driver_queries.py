@@ -3422,6 +3422,158 @@ FROM c GROUP BY event_type, cluster
 """
 
 
+# --- S6 ZTF cone-search source ----------------------------------------------
+
+ZTF_RA0, ZTF_DEC0, ZTF_RADIUS = 150.03, 2.03, 0.0251
+_ZTF_RAD = math.pi / 180.0
+
+
+def q_ztf_ingest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 end-to-end in the driver contract: the events series lands as
+    a ZTF-style table (oid/ra/dec/mjd/mag/catflags; ra/dec snapped to a
+    1e-3-degree lattice so no source sits within ~1e-5 deg of the cone
+    boundary — cross-engine trig differs in the last ulp and the cone
+    PREDICATE must not sit on that knife edge), then `read_ztf_cone`
+    applies the reference's source semantics (miletos/main.py:8780-8792):
+    great-circle cone filter, catflags==0, MJD→JD, mag→relative flux."""
+    from miletos_spark.sources.readers import read_ztf_cone
+
+    ev = _ev_days(spark, sf_dir)
+
+    def build(tmp: str) -> None:
+        ev.select(
+            F.col("event_id").alias("oid"),
+            (F.lit(150.0) + (F.col("event_id") % 100) / 1000.0).alias("ra"),
+            (F.lit(2.0) + (F.col("user_id") % 100) / 1000.0).alias("dec"),
+            F.col("t").alias("mjd"),
+            (F.lit(15.0) + F.col("value") / F.lit(10.0)).alias("mag"),
+            F.when(F.col("value") > 6.0, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("catflags"),
+        ).write.parquet(tmp)
+
+    land = _memo_land(spark, sf_dir, "ztf", build)
+    out = read_ztf_cone(spark, land, ZTF_RA0, ZTF_DEC0, ZTF_RADIUS)
+    s1 = F.sum(F.col("value").cast("decimal(38,18)")).cast("double")
+    return out.agg(
+        F.count("*").alias("n_samples"),
+        F.round(s1 / F.count("*"), 6).alias("mean_flux"),
+        F.round(F.min("value"), 6).alias("min_flux"),
+        F.round(F.max("value"), 6).alias("max_flux"),
+        F.round(F.min("time"), 6).alias("t_min"),
+        F.round(F.max("time"), 6).alias("t_max"),
+    )
+
+
+def _sql_ztf_ingest() -> str:
+    """DuckDB twin: same fake-landing construction, same haversine op
+    order as `angular_separation_deg` (data point first, center
+    literal second)."""
+    r = _ZTF_RAD
+    return f"""
+WITH z AS (
+  SELECT (150.0e0 + (event_id % 100) / 1000.0e0) AS ra,
+         (2.0e0 + (user_id % 100) / 1000.0e0) AS dec,
+         ({EV_T_DAYS_SQL}) AS mjd,
+         (15.0e0 + value / 10.0e0) AS mag
+  FROM events WHERE NOT (value > 6.0)
+),
+cone AS (
+  SELECT * FROM z
+  WHERE dec >= {ZTF_DEC0 - ZTF_RADIUS!r} AND dec <= {ZTF_DEC0 + ZTF_RADIUS!r}
+    AND ra >= {ZTF_RA0 - ZTF_RADIUS / math.cos(math.radians(ZTF_DEC0))!r}
+    AND ra <= {ZTF_RA0 + ZTF_RADIUS / math.cos(math.radians(ZTF_DEC0))!r}
+    AND (2.0 * asin(least(sqrt(
+          pow(sin((({ZTF_DEC0!r} - dec) * {r!r}) / 2.0), 2.0)
+          + (cos(dec * {r!r}) * cos({ZTF_DEC0 * _ZTF_RAD!r})
+             * pow(sin((({ZTF_RA0!r} - ra) * {r!r}) / 2.0), 2.0))
+        ), 1.0)) / {r!r}) <= {ZTF_RADIUS!r}
+),
+med AS (SELECT quantile_cont(mag, 0.5) AS md FROM cone),
+fx AS (
+  SELECT pow(10.0e0, -(mag - (SELECT md FROM med)) / 2.5e0) AS flux,
+         (mjd + 2400000.5e0) AS time
+  FROM cone
+)
+SELECT count(*) AS n_samples,
+       round(CAST(sum(CAST(flux AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6)
+         AS mean_flux,
+       round(min(flux), 6) AS min_flux,
+       round(max(flux), 6) AS max_flux,
+       round(min(time), 6) AS t_min,
+       round(max(time), 6) AS t_max
+FROM fx
+"""
+
+
+# --- S4 catalog crossmatch (zones algorithm) --------------------------------
+
+XM_RADIUS = 0.002  # deg
+
+
+def q_crossmatch_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 end-to-end in the driver contract: customers become the
+    landed sky catalog (TIC analog), suppliers the query targets, both
+    on a 1e-3-degree lattice (+ sub-step target offsets so distances
+    are boundary-safe); `crossmatch_closest` runs the zones equi-join
+    nearest-neighbor association (miletos/main.py:8548-8567). The
+    DuckDB oracle is the brute-force all-pairs nearest neighbor — the
+    pass proves the zone stencil loses no match."""
+    from miletos_spark.sources.crossmatch import crossmatch_closest
+
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    cat = cust.select(
+        F.col("c_custkey").alias("cat_id"),
+        (F.lit(150.0) + (F.col("c_custkey") % 200) / F.lit(1000.0)).alias("ra"),
+        (F.lit(2.0) + (F.expr("c_custkey div 200") % 100) / F.lit(1000.0)).alias("dec"),
+    )
+    tgt = supp.select(
+        F.col("s_suppkey").alias("tgt_id"),
+        (F.lit(150.0) + (F.col("s_suppkey") % 200) / F.lit(1000.0)
+         + F.lit(0.0001)).alias("ra"),
+        (F.lit(2.0) + ((F.col("s_suppkey") * 7) % 100) / F.lit(1000.0)
+         + F.lit(0.00005)).alias("dec"),
+    )
+    out = crossmatch_closest(cat, tgt, XM_RADIUS)
+    return out.select("tgt_id", "cat_id", "sep_deg")
+
+
+def _sql_crossmatch_catalog() -> str:
+    r = _ZTF_RAD
+    return f"""
+WITH cat AS (
+  SELECT c_custkey AS cid,
+         150.0e0 + (c_custkey % 200) / 1000.0e0 AS cra,
+         2.0e0 + ((c_custkey // 200) % 100) / 1000.0e0 AS cdec
+  FROM customer
+),
+tgt AS (
+  SELECT s_suppkey AS tid,
+         150.0e0 + (s_suppkey % 200) / 1000.0e0 + 0.0001e0 AS tra,
+         2.0e0 + ((s_suppkey * 7) % 100) / 1000.0e0 + 0.00005e0 AS tdec
+  FROM supplier
+),
+pairs AS (
+  SELECT tid, cid,
+         round((2.0 * asin(least(sqrt(
+             pow(sin(((tdec - cdec) * {r!r}) / 2.0), 2.0)
+             + (cos(cdec * {r!r}) * cos(tdec * {r!r})
+                * pow(sin(((tra - cra) * {r!r}) / 2.0), 2.0))
+           ), 1.0)) / {r!r}), 9) AS sep
+  FROM tgt, cat
+),
+inrad AS (SELECT * FROM pairs WHERE sep <= {XM_RADIUS!r}),
+best AS (
+  SELECT tid, cid, sep,
+         row_number() OVER (PARTITION BY tid ORDER BY sep, cid) AS rn
+  FROM inrad
+)
+SELECT tid AS tgt_id, cid AS cat_id, sep AS sep_deg
+FROM best WHERE rn = 1
+"""
+
+
 # --- M9 phase-curve component decomposition ---------------------------------
 
 PC2_ABEAM, PC2_AELLI, PC2_ADAY, PC2_ANIGHT = 2e-4, 1e-4, 3e-4, 1e-4
@@ -3915,6 +4067,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fits_ingest_events": q_fits_ingest_events,
     "qlp_ingest_events": q_qlp_ingest_events,
     "csv_ingest_events": q_csv_ingest_events,
+    "ztf_ingest_events": q_ztf_ingest_events,
+    "crossmatch_catalog": q_crossmatch_catalog,
     "phase_components_events": q_phase_components_events,
     # -- rows-only (no SQL oracle by design: iterative/engine-hash) --
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -3999,6 +4153,8 @@ def _oracles() -> dict[str, str]:
         "bls_multires_events": _sql_bls_multires(),
         "corpus_cleanup": _sql_corpus_cleanup(),
         "phase_components_events": _sql_phase_components(),
+        "ztf_ingest_events": _sql_ztf_ingest(),
+        "crossmatch_catalog": _sql_crossmatch_catalog(),
         # spline_detrend_events: no oracle (iterative LSQ fit)
         # bls_multi_events: no oracle (iterative driver loop)
         # gp_detrend_events: no oracle (dense GP solve)

@@ -11,9 +11,10 @@ required.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -114,6 +115,74 @@ def read_magnitude_series(
     flux = F.pow(F.lit(10.0), -(F.col(mag_col) - F.lit(float(med))) / 2.5)
     return df.select(
         F.col(time_col).alias("time"),
+        F.lit(0).alias("ener"),
+        flux.alias("value"),
+        F.lit(0.0).alias("stdv"),
+        F.lit(inst).alias("inst"),
+        F.lit(0).alias("chunk"),
+    )
+
+
+def angular_separation_deg(
+    ra1: Column, dec1: Column, ra2: Column, dec2: Column
+) -> Column:
+    """Great-circle separation in degrees (haversine — numerically
+    stable at the small radii cone searches use). All inputs degrees."""
+    rad = math.pi / 180.0
+    dra2 = (ra2 - ra1) * rad / 2.0
+    ddec2 = (dec2 - dec1) * rad / 2.0
+    a = F.pow(F.sin(ddec2), 2.0) + (
+        F.cos(dec1 * rad) * F.cos(dec2 * rad) * F.pow(F.sin(dra2), 2.0)
+    )
+    return 2.0 * F.asin(F.least(F.sqrt(a), F.lit(1.0))) / rad
+
+
+def read_ztf_cone(
+    spark: SparkSession,
+    path: str,
+    ra_deg: float,
+    dec_deg: float,
+    radius_deg: float = 0.01,
+    mag_col: str = "mag",
+    time_col: str = "mjd",
+    flags_col: str | None = "catflags",
+    inst: str = "ZTF",
+) -> DataFrame:
+    """S6 — ZTF source (miletos/main.py:8780-8792): the reference
+    cone-searches ZTF (`LCQuery.download_data(circle=[ra, dec, 0.01])`)
+    and takes the (mjd, mag) series. The remote download is an upstream
+    landing job (SURVEY §2.2); this reads the landed table and applies
+    the engine-side semantics: exact great-circle cone predicate
+    (pushed to the scan as ra/dec range guards plus the haversine
+    filter), quality flags == 0, MJD → JD (+2400000.5, the reference's
+    absolute-days convention), and the S3 magnitude → relative-flux
+    conversion 10^(−(m − median)/2.5)."""
+    df = spark.read.parquet(path)
+    # bounding-box pre-filter: min/max-pushable to the parquet scan,
+    # so the trig only runs on row groups that can match
+    dec_pad = float(radius_deg)
+    ra_pad = float(radius_deg) / max(
+        math.cos(math.radians(dec_deg)), 1e-9
+    )
+    df = df.filter(
+        (F.col("dec") >= dec_deg - dec_pad)
+        & (F.col("dec") <= dec_deg + dec_pad)
+        & (F.col("ra") >= ra_deg - ra_pad)
+        & (F.col("ra") <= ra_deg + ra_pad)
+    )
+    sep = angular_separation_deg(
+        F.col("ra"), F.col("dec"), F.lit(float(ra_deg)), F.lit(float(dec_deg))
+    )
+    df = df.filter(sep <= float(radius_deg))
+    if flags_col and flags_col in df.columns:
+        df = df.filter(F.col(flags_col) == 0)
+    df = df.filter(F.col(mag_col).isNotNull() & ~F.isnan(F.col(mag_col)))
+    med = df.agg(F.expr(f"percentile({mag_col}, 0.5)")).first()[0]
+    if med is None:
+        med = 0.0
+    flux = F.pow(F.lit(10.0), -(F.col(mag_col) - F.lit(float(med))) / 2.5)
+    return df.select(
+        (F.col(time_col) + F.lit(2400000.5)).alias("time"),
         F.lit(0).alias("ener"),
         flux.alias("value"),
         F.lit(0.0).alias("stdv"),
