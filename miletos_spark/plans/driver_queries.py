@@ -3574,6 +3574,82 @@ FROM best WHERE rn = 1
 """
 
 
+# --- S5 photometry sub-pipeline ---------------------------------------------
+
+
+def q_photometry_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 end-to-end in the driver contract: each events row becomes a
+    5×5 target-pixel frame (background 100 + a Gaussian PSF scaled by
+    the sample value — deterministic, relational, no landing needed),
+    then `aperture_photometry` extracts the background-subtracted
+    light curve (radius-2 aperture, out-of-aperture median background)
+    and the F4 finite guard applies — the lygos sub-pipeline semantics
+    (miletos/main.py:9315-9484) with the extraction done as one
+    map-side-combinable aggregation per frame."""
+    from miletos_spark.sources.photometry import (
+        aperture_photometry,
+        finite_photometry,
+    )
+
+    ev = _ev_days(spark, sf_dir)
+    px = (
+        ev.select(
+            "event_id", "value",
+            F.explode(F.sequence(F.lit(0), F.lit(4))).alias("pixr"),
+        )
+        .select(
+            "event_id", "value", "pixr",
+            F.explode(F.sequence(F.lit(0), F.lit(4))).alias("pixc"),
+        )
+    )
+    d2 = (F.col("pixr") - F.lit(2.0)) ** 2 + (F.col("pixc") - F.lit(2.0)) ** 2
+    psf = F.exp(-d2 / F.lit(2.0))
+    px = px.select(
+        "event_id",
+        "pixr",
+        "pixc",
+        (F.lit(100.0) + psf * F.col("value")).alias("flux"),
+    )
+    phot = aperture_photometry(
+        px, center_r=2.0, center_c=2.0, radius_pix=2.0,
+        frame_cols=("event_id",),
+    )
+    out = finite_photometry(phot)
+    return out.select(
+        "event_id",
+        "n_aper",
+        F.round("bg_med", 6).alias("bg_med"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+SQL_PHOTOMETRY_EVENTS = f"""
+WITH px AS (
+  SELECT event_id, value, tr.pixr AS pixr, tc.pixc AS pixc
+  FROM events, range(5) tr(pixr), range(5) tc(pixc)
+),
+fx AS (
+  SELECT event_id,
+         (100.0e0 + exp(-(pow(pixr - 2.0, 2.0) + pow(pixc - 2.0, 2.0)) / 2.0)
+            * value) AS flux,
+         ((pow(pixr - 2.0, 2.0) + pow(pixc - 2.0, 2.0)) <= 4.0) AS isin
+  FROM px
+),
+ph AS (
+  SELECT event_id,
+         sum(CASE WHEN isin THEN 1 ELSE 0 END) AS n_aper,
+         CAST(sum(CAST(flux AS DECIMAL(38,18))) FILTER (WHERE isin) AS DOUBLE)
+           AS apersum,
+         quantile_cont(flux, 0.5) FILTER (WHERE NOT isin) AS bg_med
+  FROM fx GROUP BY event_id
+)
+SELECT event_id, n_aper,
+       round(bg_med, 6) AS bg_med,
+       round(apersum - bg_med * n_aper, 6) AS value
+FROM ph
+"""
+
+
 # --- M9 phase-curve component decomposition ---------------------------------
 
 PC2_ABEAM, PC2_AELLI, PC2_ADAY, PC2_ANIGHT = 2e-4, 1e-4, 3e-4, 1e-4
@@ -4069,6 +4145,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "csv_ingest_events": q_csv_ingest_events,
     "ztf_ingest_events": q_ztf_ingest_events,
     "crossmatch_catalog": q_crossmatch_catalog,
+    "photometry_events": q_photometry_events,
     "phase_components_events": q_phase_components_events,
     # -- rows-only (no SQL oracle by design: iterative/engine-hash) --
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -4155,6 +4232,7 @@ def _oracles() -> dict[str, str]:
         "phase_components_events": _sql_phase_components(),
         "ztf_ingest_events": _sql_ztf_ingest(),
         "crossmatch_catalog": _sql_crossmatch_catalog(),
+        "photometry_events": SQL_PHOTOMETRY_EVENTS,
         # spline_detrend_events: no oracle (iterative LSQ fit)
         # bls_multi_events: no oracle (iterative driver loop)
         # gp_detrend_events: no oracle (dense GP solve)

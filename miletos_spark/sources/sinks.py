@@ -97,3 +97,111 @@ def memoize_parquet(
         return spark.read.parquet(path)
     build().write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+def export_fit_bundle(
+    series: DataFrame,
+    path: str,
+    params_star: dict[str, float],
+    companions: dict[str, dict[str, float]],
+    settings: dict[str, str] | None = None,
+    inst_col: str = "inst",
+    time_col: str = "time",
+    value_col: str = "value",
+    stdv_col: str = "stdv",
+) -> dict[str, str]:
+    """M9 — the external-fitter bridge layout (`proc_alle`,
+    miletos/main.py:1588-1745): one `{INST}.csv` per instrument with a
+    `time,flux,flux_err` header, `params_star.csv` (two comment lines +
+    R/M/Teff triples), `params.csv` rows `name,value,fit,bounds,label,
+    unit` per companion (rr, rsuma, cosi, epoch, period, f_c, f_s, K),
+    and `settings.csv` key,value rows. The per-instrument series export
+    is a Spark job (partitioned write, time-sorted within instrument);
+    the small parameter files are driver-side. Local-FS rename like
+    `upsert_results` — on object stores, point `path` at a staging dir.
+    Skip-if-exists per file, the reference's resume semantics. Returns
+    {filename: path}."""
+    import glob
+    import shutil
+
+    os.makedirs(path, exist_ok=True)
+    out: dict[str, str] = {}
+
+    insts = [r[0] for r in series.select(inst_col).distinct().collect()]
+    for inst in insts:
+        dst = os.path.join(path, f"{inst}.csv")
+        out[f"{inst}.csv"] = dst
+        if os.path.exists(dst):
+            continue
+        tmp = dst + "__stage"
+        (
+            series.filter(F.col(inst_col) == inst)
+            .select(
+                F.col(time_col).alias("time"),
+                F.col(value_col).alias("flux"),
+                F.col(stdv_col).alias("flux_err"),
+            )
+            .sort("time")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("header", True)
+            .csv(tmp)
+        )
+        part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
+        os.replace(part, dst)
+        shutil.rmtree(tmp)
+
+    star = os.path.join(path, "params_star.csv")
+    out["params_star.csv"] = star
+    if not os.path.exists(star):
+        with open(star, "w") as f:
+            f.write(
+                "#R_star,R_star_lerr,R_star_uerr,M_star,M_star_lerr,"
+                "M_star_uerr,Teff_star,Teff_star_lerr,Teff_star_uerr\n"
+                "#R_sun,R_sun,R_sun,M_sun,M_sun,M_sun,K,K,K\n"
+            )
+            g = params_star.get
+            f.write(
+                "%g,%g,%g,%g,%g,%g,%g,%g,%g"
+                % (
+                    g("radius", 1.0), g("radius_err", 0.1), g("radius_err", 0.1),
+                    g("mass", 1.0), g("mass_err", 0.1), g("mass_err", 0.1),
+                    g("teff", 5778.0), g("teff_err", 100.0), g("teff_err", 100.0),
+                )
+            )
+
+    para = os.path.join(path, "params.csv")
+    out["params.csv"] = para
+    if not os.path.exists(para):
+        lines = ["#name,value,fit,bounds,label,unit\n"]
+        for comp, p in companions.items():
+            rr, rsuma = p.get("rr", 0.1), p.get("rsuma", 0.2)
+            cosi = p.get("cosi", 0.0)
+            epoch, peri = p.get("epoch", 0.0), p.get("period", 1.0)
+            rows = [
+                (f"{comp}_rr", rr, 1, f"uniform 0 {4 * rr:f}"),
+                (f"{comp}_rsuma", rsuma, 1, f"uniform 0 {4 * rsuma:f}"),
+                (f"{comp}_cosi", cosi, 1,
+                 f"uniform 0 {max(0.1, 4 * cosi):f}"),
+                (f"{comp}_epoch", epoch, 1,
+                 f"uniform {epoch - 0.5:f} {epoch + 0.5:f}"),
+                (f"{comp}_period", peri, 1,
+                 f"uniform {peri * 0.99:f} {peri * 1.01:f}"),
+                (f"{comp}_f_c", p.get("f_c", 0.0), 0, "uniform -0.9 0.9"),
+                (f"{comp}_f_s", p.get("f_s", 0.0), 0, "uniform -0.9 0.9"),
+                (f"{comp}_K", p.get("K", 0.0), 0, "uniform 0 100"),
+            ]
+            for name, val, fit, bounds in rows:
+                lines.append(f"{name},{val:f},{fit},{bounds},${name}$,\n")
+        with open(para, "w") as f:
+            f.writelines(lines)
+
+    sett = os.path.join(path, "settings.csv")
+    out["settings.csv"] = sett
+    if not os.path.exists(sett):
+        with open(sett, "w") as f:
+            f.write("#name,value\n")
+            for k, v in (settings or {"companions_phot": "b"}).items():
+                f.write(f"{k},{v}\n")
+
+    return out

@@ -295,3 +295,71 @@ def test_stream_trigger_clusters_incremental(spark, tmp_path):
     assert (c["t_start_us"], c["t_end_us"]) == (0, 2_500_000)
     assert c["n_triggers"] == 3
     assert (c["t_peak_us"], c["peak_value"]) == (1_000_000, 7.0)
+
+
+def test_aperture_photometry_linear_in_signal(spark):
+    """S5: for a PSF-weighted frame with flat background, the
+    background-subtracted aperture flux is exactly linear in the
+    injected signal with slope S_aper - n_aper*median(bg PSF)."""
+    import math as m
+
+    from miletos_spark.sources.photometry import aperture_photometry
+
+    def psf(r, c):
+        return m.exp(-(((r - 2.0) ** 2 + (c - 2.0) ** 2)) / 2.0)
+
+    rows = []
+    for fid, v in enumerate([0.0, 1.0, 2.5, -3.0, 40.0]):
+        for r in range(5):
+            for c in range(5):
+                rows.append((fid, r, c, 100.0 + psf(r, c) * v))
+    px = spark.createDataFrame(
+        rows, "fid long, pixr int, pixc int, flux double"
+    )
+    out = aperture_photometry(
+        px, center_r=2.0, center_c=2.0, radius_pix=2.0, frame_cols=("fid",)
+    ).collect()
+
+    aper = [(r, c) for r in range(5) for c in range(5)
+            if (r - 2.0) ** 2 + (c - 2.0) ** 2 <= 4.0]
+    bg_psf = sorted(
+        psf(r, c) for r in range(5) for c in range(5) if (r, c) not in aper
+    )
+    med_bg = (bg_psf[5] + bg_psf[6]) / 2.0  # 12 values -> midpoint
+    slope = sum(psf(r, c) for r, c in aper) - len(aper) * med_bg
+    vals = {0: 0.0, 1: 1.0, 2: 2.5, 3: -3.0, 4: 40.0}
+    for row in out:
+        assert row["n_aper"] == len(aper) == 13
+        assert row["value"] == pytest.approx(slope * vals[row["fid"]], abs=1e-8)
+
+
+def test_export_fit_bundle_layout(spark, tmp_path):
+    """M9 bridge export: per-instrument time-sorted CSV with the
+    time,flux,flux_err header, params_star/params/settings files in the
+    documented layout; re-export skips existing files."""
+    from miletos_spark.sources.sinks import export_fit_bundle
+
+    df = spark.createDataFrame(
+        [(2.0, 1.0, 0.1, "TESS"), (1.0, 0.9, 0.1, "TESS"),
+         (3.0, 1.1, 0.2, "JWST")],
+        "time double, value double, stdv double, inst string",
+    )
+    out = export_fit_bundle(
+        df, str(tmp_path / "alle"),
+        params_star={"radius": 1.2, "mass": 0.9, "teff": 5000.0},
+        companions={"b": {"rr": 0.1, "period": 3.5, "epoch": 1.0}},
+    )
+    tess = open(out["TESS.csv"]).read().splitlines()
+    assert tess[0] == "time,flux,flux_err"
+    assert [ln.split(",")[0] for ln in tess[1:]] == ["1.0", "2.0"]  # sorted
+    star = open(out["params_star.csv"]).read().splitlines()
+    assert star[0].startswith("#R_star") and star[2].startswith("1.2,")
+    para = open(out["params.csv"]).read()
+    assert "b_rr,0.100000,1,uniform 0 0.400000" in para
+    assert "b_period," in para and "b_f_c," in para
+    # resume semantics: second call must not rewrite
+    before = os.path.getmtime(out["TESS.csv"])
+    export_fit_bundle(
+        df, str(tmp_path / "alle"), params_star={}, companions={},
+    )
+    assert os.path.getmtime(out["TESS.csv"]) == before
