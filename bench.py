@@ -47,6 +47,9 @@ HEADLINE = [
     "stream_trigger_clusters_events",
     "brightness_temp_events",
     "visibility_events",
+    "crossmatch_catalog",
+    "photometry_events",
+    "phase_components_events",
 ]
 
 
