@@ -4074,14 +4074,16 @@ def q_pipeline_summary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   2. all rows-only (no-oracle) entries sit at the END;
 #   3. oracle-backed overflow beyond 50 (judge-verified in its full
 #      sweep, but without a driver row) sits between the two blocks —
-#      currently the GROUPING SETS/JSON variants whose machinery is
-#      already covered by checked queries.
+#      variants whose machinery is already covered by a checked query
+#      (GROUPING SETS/JSON, the W1 peak-cut twin inside
+#      bls_snr_spectrum, the 0-row anti-join, small semi-join/argmax
+#      twins) — each window slot goes to a distinct operator family.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- driver-checked window (positions 0-49, all oracle-backed) --
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
-    "customers_without_orders": q_customers_without_orders,
-    "top_events": q_top_events,
+    "crossmatch_catalog": q_crossmatch_catalog,
+    "photometry_events": q_photometry_events,
     "rebin_events": q_rebin_events,
     "median_normalize_events": q_median_normalize_events,
     "sessionize_events": q_sessionize_events,
@@ -4123,12 +4125,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clip_detrend_events": q_clip_detrend_events,
     "interp_grid_events": q_interp_grid_events,
     "transit_epochs_events": q_transit_epochs_events,
-    "rolling_std_peakcut_events": q_rolling_std_peakcut_events,
-    "membership_events": q_membership_events,
+    "ztf_ingest_events": q_ztf_ingest_events,
+    "phase_components_events": q_phase_components_events,
     "datetime_strings_events": q_datetime_strings_events,
     "asof_join_events": q_asof_join_events,
     "ener_spectrum_events": q_ener_spectrum_events,
     # -- oracle-backed overflow (judge full sweep only, no driver row) --
+    "customers_without_orders": q_customers_without_orders,
+    "top_events": q_top_events,
+    "rolling_std_peakcut_events": q_rolling_std_peakcut_events,
+    "membership_events": q_membership_events,
     "rebin_count_events": q_rebin_count_events,
     "near_dup_pairs": q_near_dup_pairs,
     "rollup_pricing": q_rollup_pricing,
@@ -4143,10 +4149,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fits_ingest_events": q_fits_ingest_events,
     "qlp_ingest_events": q_qlp_ingest_events,
     "csv_ingest_events": q_csv_ingest_events,
-    "ztf_ingest_events": q_ztf_ingest_events,
-    "crossmatch_catalog": q_crossmatch_catalog,
-    "photometry_events": q_photometry_events,
-    "phase_components_events": q_phase_components_events,
     # -- rows-only (no SQL oracle by design: iterative/engine-hash) --
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "transit_fit_events": q_transit_fit_events,
