@@ -1900,6 +1900,70 @@ GROUP BY event_type, region, cluster
 """
 
 
+STREAM_REBIN_US = 3_600_000_000  # 1-hour tumbling bins
+
+
+def q_stream_rebin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 A1 online: the rebin operator as a streaming
+    tumbling-window aggregate with a watermark (`stream_rebin`),
+    drained availableNow into a memory sink. Tumbling windows align to
+    the epoch, so the DuckDB oracle is the batch floor-division bin —
+    the streaming and batch forms must agree exactly (bin means run as
+    decimal fixed-order sums on both sides)."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    from miletos_spark.streaming.ingest import stream_rebin
+
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        sig = os.path.abspath(sf_dir)
+    key = hashlib.md5(sig.encode()).hexdigest()[:12]
+    land = os.path.join(tempfile.gettempdir(), f"miletos_land_{key}", "data")
+    if not os.path.exists(land):
+        ev = load_table(spark, sf_dir, "events")
+        ev.withColumn(
+            "ts", F.timestamp_micros(epoch_micros_expr(ev, "ts"))
+        ).write.parquet(land)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    name = "stream_rebin_" + uuid.uuid4().hex[:8]
+    sdf = stream_rebin(spark, land, schema, bin_width="1 hour")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.table(name)
+    return out.select(
+        "event_type",
+        F.unix_micros(F.col("bin_start")).alias("bin_start_us"),
+        F.round("value", 6).alias("value"),
+        "n",
+    )
+
+
+SQL_STREAM_REBIN_EVENTS = f"""
+SELECT event_type,
+       (epoch_us(ts) // {STREAM_REBIN_US}) * {STREAM_REBIN_US} AS bin_start_us,
+       round(CAST(sum(CAST(value AS DECIMAL(38,18))) AS DOUBLE)
+             / count(*), 6) AS value,
+       count(*) AS n
+FROM events
+GROUP BY event_type, (epoch_us(ts) // {STREAM_REBIN_US}) * {STREAM_REBIN_US}
+"""
+
+
 PC_BINS_FULL, PC_BINS_ZOOM = 50, 20
 
 
@@ -4146,6 +4210,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "visibility_events": q_visibility_events,
     "derived_outputs_events": q_derived_outputs_events,
     "stream_trigger_clusters_events": q_stream_trigger_clusters_events,
+    "stream_rebin_events": q_stream_rebin_events,
     "fits_ingest_events": q_fits_ingest_events,
     "qlp_ingest_events": q_qlp_ingest_events,
     "csv_ingest_events": q_csv_ingest_events,
@@ -4223,6 +4288,7 @@ def _oracles() -> dict[str, str]:
         "visibility_events": _sql_visibility(),
         "derived_outputs_events": _sql_derived_outputs(),
         "stream_trigger_clusters_events": SQL_STREAM_TRIGGER_CLUSTERS_EVENTS,
+        "stream_rebin_events": SQL_STREAM_REBIN_EVENTS,
         "fits_ingest_events": SQL_FITS_INGEST_EVENTS,
         "qlp_ingest_events": SQL_QLP_INGEST_EVENTS,
         "csv_ingest_events": SQL_CSV_INGEST_EVENTS,

@@ -67,7 +67,12 @@ def stream_rebin(
         src.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), bin_width), F.col(group_col))
         .agg(
-            F.avg("value").alias("value"),
+            # decimal fixed-order sum: bin means are identical across
+            # micro-batch boundaries, partition layouts, and engines
+            (
+                F.sum(F.col("value").cast("decimal(38,18)")).cast("double")
+                / F.count("*")
+            ).alias("value"),
             F.count("*").alias("n"),
         )
         .select(
