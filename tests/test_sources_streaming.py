@@ -363,3 +363,29 @@ def test_export_fit_bundle_layout(spark, tmp_path):
         df, str(tmp_path / "alle"), params_star={}, companions={},
     )
     assert os.path.getmtime(out["TESS.csv"]) == before
+
+
+def test_read_ztf_cone_filters_and_converts(spark, tmp_path):
+    """S6: cone predicate keeps only in-radius sources, flags filter
+    applies, MJD->JD offset and mag->flux median conversion hold."""
+    import math as m
+
+    from miletos_spark.sources.readers import read_ztf_cone
+
+    rows = [
+        # (oid, ra, dec, mjd, mag, catflags)
+        (1, 10.0, 5.0, 58000.0, 15.0, 0),        # at center
+        (2, 10.0, 5.005, 58001.0, 15.5, 0),      # inside (0.005 deg)
+        (3, 10.0, 5.5, 58002.0, 14.0, 0),        # far outside
+        (4, 10.002, 5.0, 58003.0, 16.0, 1),      # inside but flagged
+    ]
+    d = str(tmp_path / "ztf")
+    spark.createDataFrame(
+        rows, "oid long, ra double, dec double, mjd double, mag double, catflags int"
+    ).write.parquet(d)
+    out = read_ztf_cone(spark, d, ra_deg=10.0, dec_deg=5.0, radius_deg=0.01)
+    got = {r["time"]: r["value"] for r in out.collect()}
+    assert set(got) == {58000.0 + 2400000.5, 58001.0 + 2400000.5}
+    med = (15.0 + 15.5) / 2.0
+    assert got[58000.0 + 2400000.5] == pytest.approx(10 ** (-(15.0 - med) / 2.5))
+    assert got[58001.0 + 2400000.5] == pytest.approx(10 ** (-(15.5 - med) / 2.5))
