@@ -80,6 +80,18 @@ def main() -> None:
     t0 = time.perf_counter()
     land_embedding_index(spark, SF_DIR, overwrite=True)
     timings["ingest:land_embedding_index"] = round(time.perf_counter() - t0, 4)
+    # streaming landings (memoized — first container run pays the
+    # write, later runs a stat call; timed here so streaming query
+    # numbers measure the stream, not a parquet rewrite)
+    from miletos_spark.plans.driver_queries import (
+        land_stream_events,
+        land_trigger_events,
+    )
+
+    t0 = time.perf_counter()
+    land_stream_events(spark, SF_DIR)
+    land_trigger_events(spark, SF_DIR)
+    timings["ingest:land_stream_events"] = round(time.perf_counter() - t0, 4)
     # settle the ingest jobs' allocation debt now, inside the ingest
     # section: the shingling/projection stages above leave the old gen
     # full, and without this the first 32-thread query after them pays
