@@ -167,3 +167,30 @@ def test_grid_fits_broadcast_the_grid(plans):
         p = plans[name]
         assert "BroadcastNestedLoopJoin BuildRight, Cross" in p, name
         assert _shuffles(p) <= 2, (name, _shuffles(p))
+
+
+def test_ztf_cone_bounding_box_reaches_scan(spark, tmp_path):
+    """S6: the cone's bounding-box range guards must be pushed to the
+    parquet scan (row-group pruning at scale); the haversine itself is
+    post-scan."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from miletos_spark.sources.readers import read_ztf_cone
+
+    d = str(tmp_path / "ztf_plan")
+    spark.createDataFrame(
+        [(1, 10.0, 5.0, 58000.0, 15.0, 0), (2, 11.0, 6.0, 58001.0, 15.5, 0)],
+        "oid long, ra double, dec double, mjd double, mag double, catflags int",
+    ).write.parquet(d)
+    out = read_ztf_cone(spark, d, ra_deg=10.0, dec_deg=5.0, radius_deg=0.01)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan
+    # both range guards on the scan (explain may elide mid-list — the
+    # dec lower bound and the ra bounds' values pin all four)
+    assert "dec,4.99" in plan and "ra,9.98" in plan and "ra,10.01" in plan
