@@ -44,7 +44,9 @@ def _shuffles(plan):
 
 def test_bls_broadcasts_trials_single_shuffle(plans):
     p = plans["bls_spectrum_events"]
-    assert p.count("BroadcastExchange") == 1      # the trial grid
+    # the trial grid is broadcast twice: once into the crossJoin, once
+    # to rejoin (period,dcyc,off) onto the int-keyed aggregate output
+    assert p.count("BroadcastExchange") == 2
     assert _shuffles(p) == 1                      # the bucket aggregation
     assert "BroadcastNestedLoopJoin" in p         # crossJoin streams
 
