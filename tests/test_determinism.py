@@ -32,6 +32,13 @@ QUERIES = [
     # order-dependent float aggs (avg/stddev over bins) — guard the new
     # M7 composition too
     "derived_outputs_events",
+    # round-3 window promotions: argmin-join, percentile-per-frame,
+    # cone predicate, decimal-offset map — each config-sensitive in a
+    # different way
+    "crossmatch_catalog",
+    "photometry_events",
+    "ztf_ingest_events",
+    "phase_components_events",
 ]
 
 # driver-ish defaults vs an adversarial layout: tiny partition count,
