@@ -1,5 +1,8 @@
 from miletos_spark.model.forward import (
     flare_model,
+    orbital_phase,
+    phase_curve_components,
+    phase_curve_total,
     rv_model,
     step_baseline,
     transit_model,
@@ -16,6 +19,9 @@ from miletos_spark.model.secondary import (
 
 __all__ = [
     "transit_model",
+    "orbital_phase",
+    "phase_curve_total",
+    "phase_curve_components",
     "flare_model",
     "rv_model",
     "step_baseline",
