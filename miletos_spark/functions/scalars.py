@@ -54,6 +54,45 @@ def iso_from_epoch_us(us: Column) -> Column:
     )
 
 
+PREALIGN_DECIMALS = 12
+
+
+def quantize(col: Column, decimals: int = 6) -> Column:
+    """Tie-immune cross-engine fixed-point quantization.
+
+    `round()` is NOT cross-engine-safe: a bin mean like 40.6303125
+    (2-decimal inputs over a power-of-two count) sits EXACTLY on the
+    6-decimal tie, the two engines deliver it as doubles 1 ulp apart
+    (Spark's double→decimal cast is shortest-repr, DuckDB's is the
+    exact binary expansion; decimal→double casts differ again), and
+    the tie then breaks differently. Two explicit steps fix both
+    layers:
+
+    1. pre-align at 12 decimals: floor(x·1e12 + 0.5)/1e12 — the
+       combined input-ulp + multiply rounding error is ~1e-2 of a
+       boundary step there, while every terminating bin mean (sums of
+       ≤3-decimal values over 2^a·5^b counts, a+b ≤ 10) has digit 0 at
+       the 12th place, so BOTH engines floor to the same integer and
+       emerge with the IDENTICAL double;
+    2. quantize that shared double at the target precision — identical
+       inputs through identical IEEE ops give identical outputs, so
+       however the 6-decimal tie breaks, it breaks the same way.
+
+    Same op sequence in the SQL twin `quantize_sql`."""
+    pa = float(10 ** PREALIGN_DECIMALS)
+    s = float(10 ** decimals)
+    aligned = F.floor(col * F.lit(pa) + F.lit(0.5)) / F.lit(pa)
+    return F.floor(aligned * F.lit(s) + F.lit(0.5)) / F.lit(s)
+
+
+def quantize_sql(expr: str, decimals: int = 6) -> str:
+    """DuckDB twin of `quantize` — same op order, same literals."""
+    pa = float(10 ** PREALIGN_DECIMALS)
+    s = float(10 ** decimals)
+    aligned = f"(floor(({expr}) * {pa!r} + 0.5) / {pa!r})"
+    return f"(floor({aligned} * {s!r} + 0.5) / {s!r})"
+
+
 def digitize(x: Column, edges: list[float]) -> Column:
     """np.digitize(x, edges) with right-open bins: index of the first
     edge greater than x (0 = below all edges, len(edges) = above all) —

@@ -68,7 +68,12 @@ def phase_bins(
         df.select(*group_cols, binc, F.col(value_col).alias("_v"), F.col(stdv_col).alias("_e"))
         .groupBy(*group_cols, "bin")
         .agg(
-            F.avg("_v").alias("value"),
+            # decimal fixed-order sum (see rebin.py): tie-stable bin
+            # means across partition layouts and engines
+            (
+                F.sum(F.col("_v").cast("decimal(38,18)")).cast("double")
+                / F.count("_v")
+            ).alias("value"),
             F.coalesce(F.stddev_pop("_v"), F.lit(0.0)).alias("_sc"),
             F.sqrt(F.sum(F.pow(F.col("_e"), 2))).alias("_es"),
             F.count("_v").alias("n"),

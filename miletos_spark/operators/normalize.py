@@ -57,7 +57,14 @@ def white_light(
     return (
         df.groupBy(*gb)
         .agg(
-            F.avg(value_col).alias("value"),
+            # decimal fixed-order sum: the collapsed mean is exact and
+            # partition-layout-independent (power-of-two bin counts
+            # make exact decimal ties common, and a 1-ulp partial-sum
+            # wobble flips them)
+            (
+                F.sum(F.col(value_col).cast("decimal(38,18)")).cast("double")
+                / F.count(value_col)
+            ).alias("value"),
             (F.sqrt(F.sum(F.pow(F.col(stdv_col), 2))) / F.count("*")).alias("stdv"),
         )
         .withColumn("ener", F.lit(0))

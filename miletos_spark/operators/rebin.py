@@ -45,7 +45,14 @@ def rebin(
         df.select(*group_cols, binc, F.col(value_col).alias("_v"), F.col(stdv_col).alias("_e"))
         .groupBy(*gb)
         .agg(
-            F.avg("_v").alias("value"),
+            # decimal fixed-order sum: bin means of exact-decimal data
+            # are reproducible bit-for-bit across partition layouts and
+            # engines (plain avg wobbles by partial-sum order, which
+            # flips exact rounding ties)
+            (
+                F.sum(F.col("_v").cast("decimal(38,18)")).cast("double")
+                / F.count("_v")
+            ).alias("value"),
             F.coalesce(F.stddev_pop("_v"), F.lit(0.0)).alias("_scatter"),
             F.sqrt(F.sum(F.pow(F.col("_e"), 2))).alias("_esum"),
             F.count("_v").alias("n"),

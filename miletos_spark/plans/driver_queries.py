@@ -30,6 +30,7 @@ from miletos_spark.pipeline.text import text_stats
 from miletos_spark.search.bls import bls_sql, bls_search
 from miletos_spark.search.lombscargle import freq_grid, lomb_scargle, lomb_scargle_sql
 from miletos_spark.search.outlier_period import outlier_period_search, outlier_period_sql
+from miletos_spark.functions.scalars import quantize, quantize_sql
 from miletos_spark.schema import epoch_micros_expr, load_table
 
 # --- shared constants (identical in both engines) ---------------------------
@@ -46,6 +47,19 @@ MASK_WINDOWS = [(19730.0, 19733.0), (19740.0, 19741.0)]
 FOLD_PERIOD = 7.0
 LS_FMIN, LS_DF, LS_NFREQ = 0.05, 0.01, 146
 SESSION_GAP_SEC = 14400.0
+
+
+def _dec_mean_sql(col: str = "value", cnt: str = "count(*)") -> str:
+    """DuckDB twin of the Spark decimal fixed-order mean. The VARCHAR
+    hop matters: Spark's double→decimal cast goes through the SHORTEST
+    decimal representation, DuckDB's direct cast through the exact
+    binary expansion — their sums differ ~1e-15/row, which flips exact
+    rounding ties. VARCHAR formatting is DuckDB's shortest-repr path,
+    so the two decimal sums are equal digit-for-digit."""
+    return (
+        f"CAST(sum(CAST(CAST({col} AS VARCHAR) AS DECIMAL(38,18)))"
+        f" AS DOUBLE) / {cnt}"
+    )
 
 
 def _ev_days(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -194,11 +208,14 @@ def q_rebin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, delt=1.0, time_col="t", value_col="value", stdv_col="stdv",
         group_cols=("event_type",),
     )
+    # value = mean of exact-decimal data → quantize (tie-immune);
+    # time (epoch-derived, non-terminating) and stdv (through sqrt)
+    # can't land on decimal ties → round() stays
     return out.select(
         "event_type",
         "bin",
         F.round("time", 6).alias("time"),
-        F.round("value", 6).alias("value"),
+        quantize(F.col("value"), 6).alias("value"),
         F.round("stdv", 6).alias("stdv"),
         "n",
     )
@@ -212,7 +229,7 @@ t0 AS (SELECT min(t) AS t0 FROM s),
 b AS (
   SELECT s.event_type,
          CAST(floor((s.t - t0.t0) / 1.0) AS BIGINT) AS bin,
-         avg(s.value) AS mean_v,
+         {_dec_mean_sql("s.value", "count(s.value)")} AS mean_v,
          coalesce(stddev_pop(s.value), 0.0) AS scatter,
          sqrt(sum(s.stdv * s.stdv)) AS esum,
          count(*) AS n,
@@ -222,7 +239,7 @@ b AS (
 )
 SELECT event_type, bin,
        round(t0 + (bin + 0.5) * 1.0, 6) AS time,
-       round(mean_v, 6) AS value,
+       {quantize_sql("mean_v", 6)} AS value,
        round(sqrt(pow(esum / n, 2) + pow(scatter, 2)), 6) AS stdv,
        n
 FROM b
@@ -235,14 +252,15 @@ def q_median_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev_days(spark, sf_dir).withColumn("stdv", F.lit(1.0))
     out = median_normalize(ev, value_col="value", stdv_col="stdv",
                            group_cols=("event_type",))
-    return out.select("event_id", F.round("value", 6).alias("value_norm"))
+    # value/median is a ratio of exact decimals — quantize, not round
+    return out.select("event_id", quantize(F.col("value"), 6).alias("value_norm"))
 
 
-SQL_MEDIAN_NORMALIZE_EVENTS = """
+SQL_MEDIAN_NORMALIZE_EVENTS = f"""
 WITH med AS (
   SELECT event_type, quantile_cont(value, 0.5) AS m FROM events GROUP BY event_type
 )
-SELECT e.event_id, round(e.value / med.m, 6) AS value_norm
+SELECT e.event_id, {quantize_sql("e.value / med.m", 6)} AS value_norm
 FROM events e JOIN med USING (event_type)
 """
 
@@ -298,7 +316,7 @@ def q_fold_phase_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "bin",
         F.round("phase", 6).alias("phase"),
-        F.round("value", 6).alias("value"),
+        quantize(F.col("value"), 6).alias("value"),
         F.round("stdv", 6).alias("stdv"),
         "n",
     )
@@ -318,7 +336,7 @@ ph AS (
 ),
 b AS (
   SELECT least(CAST(floor(phase * 50) AS INT), 49) AS bin,
-         avg(value) AS mean_v,
+         {_dec_mean_sql("value", "count(value)")} AS mean_v,
          coalesce(stddev_pop(value), 0.0) AS scatter,
          sqrt(sum(stdv * stdv)) AS esum,
          count(*) AS n
@@ -326,7 +344,7 @@ b AS (
 )
 SELECT bin,
        round(0.0 + (bin + 0.5) / 50.0, 6) AS phase,
-       round(mean_v, 6) AS value,
+       {quantize_sql("mean_v", 6)} AS value,
        round(sqrt(pow(esum / n, 2) + pow(scatter, 2)), 6) AS stdv,
        n
 FROM b
@@ -792,24 +810,35 @@ def q_white_light_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         hr, time_col="hour", value_col="value", stdv_col="stdv",
         group_cols=("event_type",),
     )
+    from miletos_spark.functions.scalars import quantize
+
+    # quantize, not round: hour bins hold power-of-two counts at some
+    # scales, whose decimal-sum means land EXACTLY on 6-decimal ties —
+    # round() resolves those differently per engine (sf0.1 regression)
     return out.select(
         "event_type",
         "hour",
         "ener",
-        F.round("value", 6).alias("value"),
-        F.round("stdv", 6).alias("stdv"),
+        quantize(F.col("value"), 6).alias("value"),
+        quantize(F.col("stdv"), 6).alias("stdv"),
     )
 
 
-SQL_WHITE_LIGHT_EVENTS = """
+def _sql_white_light() -> str:
+    mean = _dec_mean_sql("value", "count(value)")
+    stdv = "sqrt(count(*)) / count(*)"
+    return f"""
 SELECT event_type,
        CAST(floor((CAST(epoch_us(ts) AS DOUBLE)/1e6) / 3600.0) AS BIGINT) AS hour,
        0 AS ener,
-       round(avg(value), 6) AS value,
-       round(sqrt(count(*)) / count(*), 6) AS stdv
+       {quantize_sql(mean, 6)} AS value,
+       {quantize_sql(stdv, 6)} AS stdv
 FROM events
 GROUP BY event_type, CAST(floor((CAST(epoch_us(ts) AS DOUBLE)/1e6) / 3600.0) AS BIGINT)
 """
+
+
+SQL_WHITE_LIGHT_EVENTS = _sql_white_light()
 
 
 TRANSIT_P, TRANSIT_EPOCH, TRANSIT_DURA = 7.0, 0.0, 0.7
@@ -1072,7 +1101,7 @@ def q_rebin_count_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "bin",
         F.round("time", 6).alias("time"),
-        F.round("value", 6).alias("value"),
+        quantize(F.col("value"), 6).alias("value"),
         F.round("stdv", 6).alias("stdv"),
         "n",
     )
@@ -1091,14 +1120,14 @@ b AS (
   FROM events, p
 ),
 g AS (
-  SELECT bin, avg(value) AS mean_v,
+  SELECT bin, {_dec_mean_sql("value", "count(value)")} AS mean_v,
          coalesce(stddev_pop(value), 0.0) AS scatter,
          sqrt(sum(stdv * stdv)) AS esum, count(*) AS n
   FROM b GROUP BY bin
 )
 SELECT bin,
        round((SELECT lo FROM p) + (bin + 0.5) * (SELECT delt FROM p), 6) AS time,
-       round(mean_v, 6) AS value,
+       {quantize_sql("mean_v", 6)} AS value,
        round(sqrt(pow(esum / n, 2) + pow(scatter, 2)), 6) AS stdv,
        n
 FROM g
@@ -1772,7 +1801,7 @@ def q_stream_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("t_start")).alias("t_start_us"),
         F.unix_micros(F.col("t_end")).alias("t_end_us"),
         "n_events",
-        F.round("mean_value", 6).alias("mean_value"),
+        quantize(F.col("mean_value"), 6).alias("mean_value"),
     )
 
 
@@ -1795,7 +1824,7 @@ SELECT user_id,
        min(t_us) AS t_start_us,
        max(t_us) + {int(SESSION_GAP_SEC * 1_000_000)} AS t_end_us,
        count(*) AS n_events,
-       round(avg(value), 6) AS mean_value
+       {quantize_sql(_dec_mean_sql("value"), 6)} AS mean_value
 FROM r GROUP BY user_id, region
 """
 
@@ -1937,23 +1966,32 @@ def q_stream_rebin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     out = spark.table(name)
+    from miletos_spark.functions.scalars import quantize
+
+    # quantize, not round: 1-hour bins hold exactly 32 samples at this
+    # cadence, so decimal-sum means sit on exact 6-decimal ties that
+    # round() resolves differently per engine (sf0.1 regression)
     return out.select(
         "event_type",
         F.unix_micros(F.col("bin_start")).alias("bin_start_us"),
-        F.round("value", 6).alias("value"),
+        quantize(F.col("value"), 6).alias("value"),
         "n",
     )
 
 
-SQL_STREAM_REBIN_EVENTS = f"""
+def _sql_stream_rebin() -> str:
+    mean = _dec_mean_sql("value")
+    return f"""
 SELECT event_type,
        (epoch_us(ts) // {STREAM_REBIN_US}) * {STREAM_REBIN_US} AS bin_start_us,
-       round(CAST(sum(CAST(value AS DECIMAL(38,18))) AS DOUBLE)
-             / count(*), 6) AS value,
+       {quantize_sql(mean, 6)} AS value,
        count(*) AS n
 FROM events
 GROUP BY event_type, (epoch_us(ts) // {STREAM_REBIN_US}) * {STREAM_REBIN_US}
 """
+
+
+SQL_STREAM_REBIN_EVENTS = _sql_stream_rebin()
 
 
 PC_BINS_FULL, PC_BINS_ZOOM = 50, 20
@@ -1983,7 +2021,11 @@ def q_phase_curve_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .groupBy("bin")
-        .agg(F.avg("value").alias("value"), F.count("*").alias("n"))
+        .agg(
+            (F.sum(F.col("value").cast("decimal(38,18)")).cast("double")
+             / F.count("value")).alias("value"),
+            F.count("*").alias("n"),
+        )
         .withColumn("phase", -half + (F.col("bin") + 0.5) * zoom_w)
         .withColumn("bundle", F.lit("primary_zoom"))
     )
@@ -2000,7 +2042,11 @@ def q_phase_curve_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .groupBy("bin")
-        .agg(F.avg("value").alias("value"), F.count("*").alias("n"))
+        .agg(
+            (F.sum(F.col("value").cast("decimal(38,18)")).cast("double")
+             / F.count("value")).alias("value"),
+            F.count("*").alias("n"),
+        )
         .withColumn("phase", -half + (F.col("bin") + 0.5) * zoom_w)
         .withColumn("bundle", F.lit("secondary_zoom"))
     )
@@ -2008,7 +2054,7 @@ def q_phase_curve_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = lambda d: d.select(  # noqa: E731
         "bundle", "bin",
         F.round("phase", 6).alias("phase"),
-        F.round("value", 6).alias("value"),
+        quantize(F.col("value"), 6).alias("value"),
         "n",
     )
     return sel(full_b).unionByName(sel(zoom_b)).unionByName(sel(seco_b))
@@ -2039,7 +2085,7 @@ full_b AS (
   SELECT 'primary' AS bundle,
          least(CAST(floor((phase + 0.5) * {PC_BINS_FULL}) AS INT),
                {PC_BINS_FULL - 1}) AS bin,
-         avg(value) AS mean_v, count(*) AS n,
+         {_dec_mean_sql("value", "count(value)")} AS mean_v, count(*) AS n,
          coalesce(stddev_pop(value), 0.0) AS scatter
   FROM prim GROUP BY 2
 ),
@@ -2047,29 +2093,29 @@ zoom_b AS (
   SELECT 'primary_zoom' AS bundle,
          least(CAST(floor((phase + {half!r}) / {zoom_w!r}) AS INT),
                {PC_BINS_ZOOM - 1}) AS bin,
-         avg(value) AS mean_v, count(*) AS n
+         {_dec_mean_sql("value", "count(value)")} AS mean_v, count(*) AS n
   FROM prim WHERE abs(phase) < {half!r} GROUP BY 2
 ),
 seco_b AS (
   SELECT 'secondary_zoom' AS bundle,
          least(CAST(floor((phase + {half!r}) / {zoom_w!r}) AS INT),
                {PC_BINS_ZOOM - 1}) AS bin,
-         avg(value) AS mean_v, count(*) AS n
+         {_dec_mean_sql("value", "count(value)")} AS mean_v, count(*) AS n
   FROM seco WHERE abs(phase) < {half!r} GROUP BY 2
 )
 SELECT bundle, bin,
        round(-0.5 + (bin + 0.5) / {PC_BINS_FULL}.0, 6) AS phase,
-       round(mean_v, 6) AS value, n
+       {quantize_sql("mean_v", 6)} AS value, n
 FROM full_b
 UNION ALL
 SELECT bundle, bin,
        round(-{half!r} + (bin + 0.5) * {zoom_w!r}, 6) AS phase,
-       round(mean_v, 6) AS value, n
+       {quantize_sql("mean_v", 6)} AS value, n
 FROM zoom_b
 UNION ALL
 SELECT bundle, bin,
        round(-{half!r} + (bin + 0.5) * {zoom_w!r}, 6) AS phase,
-       round(mean_v, 6) AS value, n
+       {quantize_sql("mean_v", 6)} AS value, n
 FROM seco_b
 """
 

@@ -39,7 +39,12 @@ def stream_sessions(
         .groupBy(F.session_window(F.col(ts_col), gap), F.col(group_col))
         .agg(
             F.count("*").alias("n_events"),
-            F.avg("value").alias("mean_value"),
+            # decimal fixed-order sum: micro-batch order can't move the
+            # session mean (see rebin.py)
+            (
+                F.sum(F.col("value").cast("decimal(38,18)")).cast("double")
+                / F.count("*")
+            ).alias("mean_value"),
         )
         .select(
             group_col,
