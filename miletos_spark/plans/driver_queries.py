@@ -865,12 +865,14 @@ def q_transit_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = F.sum(F.when(cond, F.col("value").cast("decimal(38,18)")))
         return s.cast("double") / F.sum(cond.cast("long"))
 
+    # quantize, not round: these are means/ratios of exact-decimal
+    # data — the tie-prone class (see functions/scalars.quantize)
     return folded.groupBy("event_type").agg(
         F.sum(in_t.cast("long")).alias("n_in"),
         F.sum((~in_t).cast("long")).alias("n_out"),
-        F.round(dmean(in_t), 4).alias("mean_in"),
-        F.round(dmean(~in_t), 4).alias("mean_out"),
-        F.round(dmean(ingress) / dmean(egress), 4).alias("frac_ineg"),
+        quantize(dmean(in_t), 4).alias("mean_in"),
+        quantize(dmean(~in_t), 4).alias("mean_out"),
+        quantize(dmean(ingress) / dmean(egress), 4).alias("frac_ineg"),
     )
 
 
@@ -894,14 +896,22 @@ fl AS (
 SELECT event_type,
        sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS n_in,
        sum(CASE WHEN in_t THEN 0 ELSE 1 END) AS n_out,
-       round(CAST(sum(CASE WHEN in_t THEN CAST(value AS DECIMAL(38,18)) END) AS DOUBLE)
-             / sum(CASE WHEN in_t THEN 1 ELSE 0 END), 4) AS mean_in,
-       round(CAST(sum(CASE WHEN NOT in_t THEN CAST(value AS DECIMAL(38,18)) END) AS DOUBLE)
-             / sum(CASE WHEN in_t THEN 0 ELSE 1 END), 4) AS mean_out,
-       round((CAST(sum(CASE WHEN in_t AND phase < 0 THEN CAST(value AS DECIMAL(38,18)) END) AS DOUBLE)
-              / sum(CASE WHEN in_t AND phase < 0 THEN 1 ELSE 0 END))
-             / (CAST(sum(CASE WHEN in_t AND phase >= 0 THEN CAST(value AS DECIMAL(38,18)) END) AS DOUBLE)
-                / sum(CASE WHEN in_t AND phase >= 0 THEN 1 ELSE 0 END)), 4) AS frac_ineg
+       {quantize_sql(
+           "CAST(sum(CASE WHEN in_t THEN"
+           " CAST(CAST(value AS VARCHAR) AS DECIMAL(38,18)) END) AS DOUBLE)"
+           " / sum(CASE WHEN in_t THEN 1 ELSE 0 END)", 4)} AS mean_in,
+       {quantize_sql(
+           "CAST(sum(CASE WHEN NOT in_t THEN"
+           " CAST(CAST(value AS VARCHAR) AS DECIMAL(38,18)) END) AS DOUBLE)"
+           " / sum(CASE WHEN in_t THEN 0 ELSE 1 END)", 4)} AS mean_out,
+       {quantize_sql(
+           "(CAST(sum(CASE WHEN in_t AND phase < 0 THEN"
+           " CAST(CAST(value AS VARCHAR) AS DECIMAL(38,18)) END) AS DOUBLE)"
+           " / sum(CASE WHEN in_t AND phase < 0 THEN 1 ELSE 0 END))"
+           " / (CAST(sum(CASE WHEN in_t AND phase >= 0 THEN"
+           " CAST(CAST(value AS VARCHAR) AS DECIMAL(38,18)) END) AS DOUBLE)"
+           " / sum(CASE WHEN in_t AND phase >= 0 THEN 1 ELSE 0 END))", 4)}
+         AS frac_ineg
 FROM fl
 GROUP BY event_type
 """
