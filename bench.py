@@ -88,6 +88,15 @@ def main() -> None:
         land_trigger_events,
     )
 
+    # cold build forced (memo dropped) so the number is comparable
+    # round-over-round regardless of what ran earlier in this
+    # container; the separate warm entry shows the steady-state cost
+    t0 = time.perf_counter()
+    land_stream_events(spark, SF_DIR, overwrite=True)
+    land_trigger_events(spark, SF_DIR, overwrite=True)
+    timings["ingest:land_stream_events_cold"] = round(
+        time.perf_counter() - t0, 4
+    )
     t0 = time.perf_counter()
     land_stream_events(spark, SF_DIR)
     land_trigger_events(spark, SF_DIR)

@@ -296,9 +296,13 @@ WITH s AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
 ),
 r AS (
-  SELECT user_id, t_us,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY t_us, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS region
+  -- CAST: DuckDB sum(INT) is HUGEINT -> float64 through the driver's
+  -- pandas fetch; Spark emits BIGINT. Cast every integer sum that
+  -- reaches the output so dtypes match (round-3 root cause).
+  SELECT user_id, t_us, event_id,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS region
   FROM s
 )
 SELECT user_id, region, count(*) AS n_events,
@@ -894,8 +898,8 @@ fl AS (
   FROM ph
 )
 SELECT event_type,
-       sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS n_in,
-       sum(CASE WHEN in_t THEN 0 ELSE 1 END) AS n_out,
+       CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_in,
+       CAST(sum(CASE WHEN in_t THEN 0 ELSE 1 END) AS BIGINT) AS n_out,
        {quantize_sql(
            "CAST(sum(CASE WHEN in_t THEN"
            " CAST(CAST(value AS VARCHAR) AS DECIMAL(38,18)) END) AS DOUBLE)"
@@ -1001,9 +1005,9 @@ s AS (
   WINDOW w AS (PARTITION BY event_type ORDER BY t_us, event_id)
 ),
 c AS (
-  SELECT *, sum(strt) OVER (PARTITION BY event_type ORDER BY t_us, event_id
+  SELECT *, CAST(sum(strt) OVER (PARTITION BY event_type ORDER BY t_us, event_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              AS cluster
+              AS BIGINT) AS cluster
   FROM s
 )
 SELECT event_type, cluster,
@@ -1514,7 +1518,7 @@ SELECT event_type,
        round(CAST(sum(CAST(shape * (1.0 - value) AS DECIMAL(38,18))) AS DOUBLE)
              / CAST(sum(CAST(shape * shape AS DECIMAL(38,18))) AS DOUBLE), 4) AS depth_hat,
        round(1.0 / sqrt(CAST(sum(CAST(shape * shape AS DECIMAL(38,18))) AS DOUBLE)), 4) AS depth_err,
-       sum(CASE WHEN shape > 0 THEN 1 ELSE 0 END) AS n_in_shape
+       CAST(sum(CASE WHEN shape > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_shape
 FROM s
 GROUP BY event_type
 """
@@ -1751,15 +1755,20 @@ STREAM_SCHEMA = (
 )
 
 
-def land_stream_events(spark: SparkSession, sf_dir: str) -> str:
+def land_stream_events(
+    spark: SparkSession, sf_dir: str, overwrite: bool = False
+) -> str:
     """Memoized streaming landing (S11 pattern): one micros-timestamp
     parquet copy of the events source per container — the copy is
     immutable, keyed on source path+mtime+size so regenerated testdata
     invalidates it. On a cluster this is the ingest job that feeds the
     stream; `bench.py` times it under an `ingest:` label so the
-    streaming query numbers measure the stream, not a parquet rewrite."""
+    streaming query numbers measure the stream, not a parquet rewrite.
+    `overwrite=True` drops the memo first (bench uses it to time the
+    cold build deterministically)."""
     import hashlib
     import os
+    import shutil
     import tempfile
 
     src = os.path.join(sf_dir, "events.parquet")
@@ -1770,6 +1779,8 @@ def land_stream_events(spark: SparkSession, sf_dir: str) -> str:
         sig = os.path.abspath(sf_dir)
     key = hashlib.md5(sig.encode()).hexdigest()[:12]
     land = os.path.join(tempfile.gettempdir(), f"miletos_land_{key}", "data")
+    if overwrite and os.path.exists(land):
+        shutil.rmtree(os.path.dirname(land), ignore_errors=True)
     if not os.path.exists(land):
         ev = load_table(spark, sf_dir, "events")
         # integer epoch-micros (type-robust: nanos-bigint, NTZ, or
@@ -1898,9 +1909,9 @@ sess0 AS (
   FROM base
 ),
 sess AS (
-  SELECT *, sum(brk) OVER (PARTITION BY event_type ORDER BY t, event_id
+  SELECT *, CAST(sum(brk) OVER (PARTITION BY event_type ORDER BY t, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              AS region
+              AS BIGINT) AS region
   FROM sess0
 ),
 scored AS (
@@ -1935,9 +1946,9 @@ st AS (
   FROM flagged
 ),
 cl AS (
-  SELECT *, sum(strt) OVER (PARTITION BY event_type, region ORDER BY t, event_id
+  SELECT *, CAST(sum(strt) OVER (PARTITION BY event_type, region ORDER BY t, event_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              AS cluster
+              AS BIGINT) AS cluster
   FROM st
 )
 SELECT event_type, region, cluster,
@@ -3375,8 +3386,8 @@ fx AS (
   FROM m
 )
 SELECT count(*) AS n_samples,
-       round(CAST(sum(CAST(flux AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6)
-         AS mean_flux,
+       round(CAST(sum(CAST(CAST(flux AS VARCHAR) AS DECIMAL(38,18))) AS DOUBLE)
+             / count(*), 6) AS mean_flux,
        round(min(flux), 6) AS min_flux,
        round(max(flux), 6) AS max_flux
 FROM fx
@@ -3434,7 +3445,9 @@ FROM e
 """
 
 
-def land_trigger_events(spark: SparkSession, sf_dir: str) -> str:
+def land_trigger_events(
+    spark: SparkSession, sf_dir: str, overwrite: bool = False
+) -> str:
     """Memoized landing for the stateful trigger stream: the micros
     copy of events plus one far-future sentinel trigger per event_type
     (so every real cluster provably closes under availableNow
@@ -3442,6 +3455,7 @@ def land_trigger_events(spark: SparkSession, sf_dir: str) -> str:
     timed by bench under an `ingest:` label."""
     import hashlib
     import os
+    import shutil
     import tempfile
 
     gap_us = int(round(SESSION_GAP_SEC * 1_000_000))
@@ -3455,6 +3469,8 @@ def land_trigger_events(spark: SparkSession, sf_dir: str) -> str:
     land = os.path.join(
         tempfile.gettempdir(), f"miletos_trigland_{key}", "data"
     )
+    if overwrite and os.path.exists(land):
+        shutil.rmtree(os.path.dirname(land), ignore_errors=True)
     if not os.path.exists(land):
         ev = load_table(spark, sf_dir, "events")
         evm = ev.withColumn(
@@ -3526,9 +3542,9 @@ s AS (
   WINDOW w AS (PARTITION BY event_type ORDER BY t_us, event_id)
 ),
 c AS (
-  SELECT *, sum(strt) OVER (PARTITION BY event_type ORDER BY t_us, event_id
+  SELECT *, CAST(sum(strt) OVER (PARTITION BY event_type ORDER BY t_us, event_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              AS cluster
+              AS BIGINT) AS cluster
   FROM s
 )
 SELECT event_type,
@@ -3615,8 +3631,8 @@ fx AS (
   FROM cone
 )
 SELECT count(*) AS n_samples,
-       round(CAST(sum(CAST(flux AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6)
-         AS mean_flux,
+       round(CAST(sum(CAST(CAST(flux AS VARCHAR) AS DECIMAL(38,18))) AS DOUBLE)
+             / count(*), 6) AS mean_flux,
        round(min(flux), 6) AS min_flux,
        round(max(flux), 6) AS max_flux,
        round(min(time), 6) AS t_min,
@@ -3756,8 +3772,9 @@ fx AS (
 ),
 ph AS (
   SELECT event_id,
-         sum(CASE WHEN isin THEN 1 ELSE 0 END) AS n_aper,
-         CAST(sum(CAST(flux AS DECIMAL(38,18))) FILTER (WHERE isin) AS DOUBLE)
+         CAST(sum(CASE WHEN isin THEN 1 ELSE 0 END) AS BIGINT) AS n_aper,
+         CAST(sum(CAST(CAST(flux AS VARCHAR) AS DECIMAL(38,18)))
+                FILTER (WHERE isin) AS DOUBLE)
            AS apersum,
          quantile_cont(flux, 0.5) FILTER (WHERE NOT isin) AS bg_med
   FROM fx GROUP BY event_id
@@ -3885,7 +3902,10 @@ comp2 AS (
   SELECT *, ((totl - stel) - elli) - beam AS plan FROM comp
 ),
 offs AS (
-  SELECT CAST(sum(CAST(plan AS DECIMAL(38,18))) AS DOUBLE) / count(plan) AS o
+  -- VARCHAR hop = DuckDB's shortest-repr double->decimal path,
+  -- matching Spark's cast (see _dec_mean_sql)
+  SELECT CAST(sum(CAST(CAST(plan AS VARCHAR) AS DECIMAL(38,18))) AS DOUBLE)
+           / count(plan) AS o
   FROM comp2 WHERE dt2 <= {_M_T14H!r}
 )
 SELECT event_id,

@@ -365,7 +365,8 @@ SELECT tr.period, tr.dcyc, tr.off,
        CAST(floor((((((b.tc - {t_ref!r}) % tr.period + tr.period) % tr.period)
                     / tr.period - tr.off * tr.dcyc) % 1.0 + 1.0) % 1.0
                   / tr.dcyc) AS INT) AS bucket,
-       sum(b.n) AS n_in, CAST(sum(b.s) AS DOUBLE) / sum(b.n) AS mean_in
+       CAST(sum(b.n) AS BIGINT) AS n_in,
+       CAST(sum(b.s) AS DOUBLE) / sum(b.n) AS mean_in
 FROM (
   SELECT (SELECT t0 FROM g) + (bb + 0.5) * {delt!r} AS tc, s, n
   FROM (

@@ -48,20 +48,45 @@ def cone_search(
     closest first (miletos/main.py:8552: `query_region` + dstArcSec
     ordering)."""
     dec_pad = float(radius_deg)
-    ra_pad = float(radius_deg) / max(math.cos(math.radians(dec_deg)), 1e-9)
+    ra_pad = float(radius_deg) / max(
+        math.cos(math.radians(min(abs(dec_deg) + radius_deg, 89.999))), 1e-9
+    )
     sep = angular_separation_deg(
         F.col(ra_col), F.col(dec_col), F.lit(float(ra_deg)), F.lit(float(dec_deg))
     )
+    # RA band with 0/360 wraparound: when the band crosses the seam,
+    # OR in the wrapped range (still min/max range predicates, so the
+    # whole disjunction stays pushable to the parquet scan; the
+    # haversine sep is 2π-periodic so no correction is needed there)
+    ra_lo, ra_hi = ra_deg - ra_pad, ra_deg + ra_pad
+    ra_band = (F.col(ra_col) >= ra_lo) & (F.col(ra_col) <= ra_hi)
+    if ra_lo < 0.0:
+        ra_band = ra_band | (F.col(ra_col) >= ra_lo + 360.0)
+    if ra_hi > 360.0:
+        ra_band = ra_band | (F.col(ra_col) <= ra_hi - 360.0)
+    if ra_pad >= 180.0:  # polar cap: the band is the full circle
+        ra_band = F.lit(True)
     return (
         catalog.filter(
             (F.col(dec_col) >= dec_deg - dec_pad)
             & (F.col(dec_col) <= dec_deg + dec_pad)
-            & (F.col(ra_col) >= ra_deg - ra_pad)
-            & (F.col(ra_col) <= ra_deg + ra_pad)
+            & ra_band
         )
         .withColumn("sep_deg", sep)
         .filter(F.col("sep_deg") <= float(radius_deg))
         .orderBy("sep_deg")
+    )
+
+
+def _ra_pad_expr(dec_col, radius_deg: float):
+    """RA half-width (deg) that bounds any true match at this row's
+    declination: the pair partner can sit up to one radius further
+    from the equator, so evaluate sec(dec) at |dec|+radius, clamped
+    short of the pole (where the pad degrades to zone-only banding —
+    still correct, just less selective)."""
+    edge = F.least(F.abs(dec_col) + F.lit(float(radius_deg)), F.lit(89.999))
+    return F.lit(float(radius_deg)) / F.greatest(
+        F.cos(F.radians(edge)), F.lit(1e-9)
     )
 
 
@@ -71,27 +96,45 @@ def crossmatch_closest(
     radius_deg: float,
     cat_id: str = "cat_id",
     tgt_id: str = "tgt_id",
-    max_abs_dec: float = 66.0,
 ) -> DataFrame:
     """Per-target closest catalog source within `radius_deg`, via the
     zones equi-join (no crossJoin). Column convention: both inputs
     carry (id, ra, dec); output (tgt_id, cat_id, sep_deg) with sep
     rounded to 9 decimals (the argmin key). Targets with no source in
     range are absent (the reference's no-association branch,
-    miletos/main.py:8566-8567)."""
+    miletos/main.py:8566-8567).
+
+    The RA band is exact per row (no fixed max-|dec| precondition: the
+    pad is derived from each target's own declination), and RA
+    wraparound at 0/360 is handled by duplicating border sources
+    shifted by ±360° — the haversine separation is 2π-periodic, so a
+    shifted copy scores identically and the argmin dedups."""
     zh = float(radius_deg)
-    ra_pad = float(radius_deg) / max(math.cos(math.radians(max_abs_dec)), 1e-9)
 
     cat = catalog.select(
         F.col(cat_id).alias("_cid"),
         F.col("ra").alias("_cra"),
         F.col("dec").alias("_cdec"),
-        F.floor(F.col("dec") / zh).cast("long").alias("_z0"),
     )
-    cat3 = cat.select(
+    # border duplication: a source within one (dec-local) pad of the
+    # 0/360 seam must also be visible at ra±360 for targets across it
+    cpad = _ra_pad_expr(F.col("_cdec"), zh)
+    cat_wrapped = cat.unionByName(
+        cat.filter(F.col("_cra") <= cpad).withColumn(
+            "_cra", F.col("_cra") + F.lit(360.0)
+        )
+    ).unionByName(
+        cat.filter(F.col("_cra") >= F.lit(360.0) - cpad).withColumn(
+            "_cra", F.col("_cra") - F.lit(360.0)
+        )
+    )
+    cat3 = cat_wrapped.select(
         "_cid", "_cra", "_cdec",
         F.explode(
-            F.array(F.col("_z0") - 1, F.col("_z0"), F.col("_z0") + 1)
+            F.sequence(
+                F.floor(F.col("_cdec") / zh).cast("long") - 1,
+                F.floor(F.col("_cdec") / zh).cast("long") + 1,
+            )
         ).alias("_z"),
     )
     tgt = targets.select(
@@ -108,7 +151,8 @@ def crossmatch_closest(
             cat3,
             on=[
                 tgt["_z"] == cat3["_z"],
-                F.abs(F.col("_cra") - F.col("_tra")) <= ra_pad,
+                F.abs(F.col("_cra") - F.col("_tra"))
+                <= _ra_pad_expr(F.col("_tdec"), zh),
             ],
         )
         .withColumn("_sep", F.round(sep, 9))

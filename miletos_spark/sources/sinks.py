@@ -147,14 +147,22 @@ def export_fit_bundle(
             .option("header", True)
             .csv(tmp)
         )
-        part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
-        os.replace(part, dst)
+        parts = glob.glob(os.path.join(tmp, "part-*.csv"))
+        if not parts:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(
+                f"export_fit_bundle: coalesced CSV write for {inst!r} "
+                f"produced no part file under {tmp}"
+            )
+        os.replace(parts[0], dst)
         shutil.rmtree(tmp)
 
     star = os.path.join(path, "params_star.csv")
     out["params_star.csv"] = star
     if not os.path.exists(star):
-        with open(star, "w") as f:
+        # temp + rename: skip-if-exists resume semantics require that
+        # an existing file is always a COMPLETE file
+        with open(star + "__stage", "w") as f:
             f.write(
                 "#R_star,R_star_lerr,R_star_uerr,M_star,M_star_lerr,"
                 "M_star_uerr,Teff_star,Teff_star_lerr,Teff_star_uerr\n"
@@ -169,6 +177,7 @@ def export_fit_bundle(
                     g("teff", 5778.0), g("teff_err", 100.0), g("teff_err", 100.0),
                 )
             )
+        os.replace(star + "__stage", star)
 
     para = os.path.join(path, "params.csv")
     out["params.csv"] = para
@@ -193,15 +202,17 @@ def export_fit_bundle(
             ]
             for name, val, fit, bounds in rows:
                 lines.append(f"{name},{val:f},{fit},{bounds},${name}$,\n")
-        with open(para, "w") as f:
+        with open(para + "__stage", "w") as f:
             f.writelines(lines)
+        os.replace(para + "__stage", para)
 
     sett = os.path.join(path, "settings.csv")
     out["settings.csv"] = sett
     if not os.path.exists(sett):
-        with open(sett, "w") as f:
+        with open(sett + "__stage", "w") as f:
             f.write("#name,value\n")
             for k, v in (settings or {"companions_phot": "b"}).items():
                 f.write(f"{k},{v}\n")
+        os.replace(sett + "__stage", sett)
 
     return out

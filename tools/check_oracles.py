@@ -14,6 +14,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import numpy as np
 
 import __spark_entry__ as e
 from miletos_spark.schema import TESTDATA_TABLES
@@ -21,14 +22,29 @@ from miletos_spark.session import get_spark
 
 
 def canon(rows: list[dict]) -> list[tuple]:
+    """Dtype-sensitive canonicalization mirroring the driver's hash.
+
+    The driver hashes representation, not Python equality: Spark BIGINT
+    13 vs DuckDB HUGEINT-as-float64 13.0 is a FAIL there even though
+    13 == 13.0 in Python. Tag every value with its concrete type so the
+    local check reproduces exactly that behavior (round-3 lesson: a
+    `==`-based canon let 7 dtype mismatches through for two rounds).
+    """
+
     def norm(v):
+        if isinstance(v, np.generic):
+            v = v.item()
+        elif isinstance(v, np.ndarray):
+            v = list(v)
         if isinstance(v, float):
             if math.isnan(v):
-                return "NaN"
+                return ("float", "NaN")
             if v == 0.0:
-                return 0.0  # -0.0 == 0.0
-            return v
-        return v
+                return ("float", 0.0)  # -0.0 == 0.0
+            return ("float", v)
+        if isinstance(v, list):
+            return ("list", tuple(norm(x) for x in v))
+        return (type(v).__name__, v)
 
     out = []
     for r in rows:
@@ -55,7 +71,14 @@ def main() -> None:
             continue
         try:
             sdf = fn(spark, sf_dir)
-            srows = [r.asDict() for r in sdf.collect()]
+            # toPandas, mirroring the DuckDB fetchdf below: the driver
+            # compares pandas-to-pandas, where a NULL in a double
+            # column is NaN on BOTH engines (collect() would give None
+            # on the Spark side only — false alarms), while an all-
+            # non-null BIGINT stays int64 so the int-vs-float dtype
+            # trap is still caught.
+            spdf = sdf.toPandas()
+            srows = spdf.to_dict("records")
         except Exception as ex:
             print(f"FAIL {name}: spark error: {ex}")
             n_fail += 1
@@ -64,15 +87,19 @@ def main() -> None:
             print(f"ROWS-ONLY {name}: {len(srows)} rows (no oracle)")
             continue
         try:
-            cur = con.execute(oracles[name])
-            cols = [d[0] for d in cur.description]
-            drows = [dict(zip(cols, row)) for row in cur.fetchall()]
+            # fetchdf, not fetchall: the driver fetches through pandas,
+            # where DuckDB HUGEINT (sum over INTEGER) lands as float64.
+            # fetchall would hand back Python ints and mask exactly the
+            # dtype mismatch the driver hash flags.
+            ddf = con.execute(oracles[name]).fetchdf()
+            cols = list(ddf.columns)
+            drows = ddf.to_dict("records")
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {ex}")
             n_fail += 1
             continue
 
-        scols = sorted(srows[0].keys()) if srows else sorted(sdf.columns)
+        scols = sorted(spdf.columns)
         dcols = sorted(cols)
         if scols != dcols:
             print(f"FAIL {name}: column mismatch spark={scols} duck={dcols}")
