@@ -2499,6 +2499,174 @@ def q_bls_multi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bmr_params() -> tuple:
+    """Injected two-signal parameters for `bls_multi_recovery_events`.
+    Both (period, dcyc) sit EXACTLY on the `_bls_trials()` grid and
+    each box exactly fills one phase bucket of the off=0.0 tiling, so
+    the per-iteration argmax margin is ~1.5x in SNR — far beyond any
+    cross-engine ulp — and the loop's winners are grid values (exact
+    floats), robust to testdata regeneration at any sf."""
+    from miletos_spark.search.bls import duty_cycle_grid, period_grid
+
+    ps = period_grid(2.0, 10.0, span_days=30.0, osam=2.0)
+    p1, p2 = ps[12], ps[5]
+    dc1 = duty_cycle_grid(p1, n_dcyc=2, dcyc_min=0.05)[0]
+    dc2 = duty_cycle_grid(p2, n_dcyc=2, dcyc_min=0.05)[0]
+    return p1, dc1, 3, 0.08, p2, dc2, 5, 0.04
+
+
+def q_bls_multi_recovery_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 multi-signal BLS loop with a FULL SQL oracle: two noiseless
+    box signals on the events time axis; search -> deterministic argmax
+    -> subtract fitted box -> re-search must recover both, in SNR order
+    (miletos/main.py:5630-5651). The DuckDB oracle replays the
+    identical two iterations as CTEs (spectrum -> argmax -> box
+    subtraction -> spectrum), so the driver hash checks the RECOVERED
+    parameters end-to-end — the iterative loop's first hard driver row
+    (VERDICT r3 missing-#4)."""
+    from miletos_spark.search.bls import bls_multi_signal
+
+    p1, dc1, k1, d1, p2, dc2, k2, d2 = _bmr_params()
+    ev = _ev_days(spark, sf_dir)
+
+    def bucket(p: float, dc: float):
+        # mirror bls_search's phase-bucket op order exactly (off=0.0)
+        t_ = F.col("t") - F.lit(0.0)
+        phase = ((t_ % F.lit(p)) + F.lit(p)) % F.lit(p) / F.lit(p)
+        shifted = phase - F.lit(0.0) * F.lit(dc)
+        wrapped = ((shifted % F.lit(1.0)) + F.lit(1.0)) % F.lit(1.0)
+        return F.floor(wrapped / F.lit(dc)).cast("int")
+
+    c1 = F.when(bucket(p1, dc1) == k1, F.lit(d1)).otherwise(F.lit(0.0))
+    c2 = F.when(bucket(p2, dc2) == k2, F.lit(d2)).otherwise(F.lit(0.0))
+    inj = ev.select("t", ((F.lit(1.0) - c1) - c2).alias("value"))
+
+    trials = spark.createDataFrame(
+        _bls_trials(), "period double, dcyc double, off double"
+    )
+    found = bls_multi_signal(
+        inj, trials, max_signals=2, snr_threshold=5.0,
+        time_col="t", spectrum_snr=False,
+    )
+    rows = [
+        (i, f["period"], f["dcyc"], f["epoch"], f["depth"], f["snr"],
+         f["n_in"])
+        for i, f in enumerate(found)
+    ]
+    df = spark.createDataFrame(
+        rows, "rank int, period double, dcyc double, epoch double, "
+              "depth double, snr double, n_in long",
+    )
+    return df.select(
+        "rank",
+        F.round("period", 9).alias("period"),
+        F.round("dcyc", 9).alias("dcyc"),
+        F.round("epoch", 6).alias("epoch"),
+        quantize(F.col("depth"), 4).alias("depth"),
+        quantize(F.col("snr"), 2).alias("snr"),
+        "n_in",
+    )
+
+
+def _sql_bls_multi_recovery() -> str:
+    from miletos_spark.search.bls import bls_sql
+
+    p1, dc1, k1, d1, p2, dc2, k2, d2 = _bmr_params()
+
+    def bucket_sql(p: float, dc: float) -> str:
+        return (
+            f"CAST(floor((((((t - 0.0) % {p!r} + {p!r}) % {p!r}) / {p!r}"
+            f" - 0.0 * {dc!r}) % 1.0 + 1.0) % 1.0 / {dc!r}) AS INT)"
+        )
+
+    spec1 = bls_sql("t", "v", "inj", _bls_trials())
+    spec2 = bls_sql("t", "v", "inj2", _bls_trials())
+    best_cols = "period, dcyc, off, bucket, epoch, depth, snr, n_in"
+    pick = (
+        "WHERE n_in >= 3 ORDER BY snr DESC, period, dcyc, off, bucket "
+        "LIMIT 1"
+    )
+    out = (
+        "round(period, 9) AS period, round(dcyc, 9) AS dcyc, "
+        "round(epoch, 6) AS epoch, "
+        f"{quantize_sql('depth', 4)} AS depth, "
+        f"{quantize_sql('snr', 2)} AS snr, n_in"
+    )
+    # CAST AS DOUBLE on the depth literals: a bare decimal literal is
+    # DECIMAL in DuckDB and would run the (1.0 - d1) - d2 chain in
+    # decimal arithmetic instead of Spark's IEEE double sequence
+    return f"""
+WITH tdays AS (SELECT ({EV_T_DAYS_SQL}) AS t FROM events),
+inj AS (
+  SELECT t,
+         ((1.0 - CASE WHEN {bucket_sql(p1, dc1)} = {k1}
+                      THEN CAST({d1!r} AS DOUBLE) ELSE 0.0 END)
+              - CASE WHEN {bucket_sql(p2, dc2)} = {k2}
+                     THEN CAST({d2!r} AS DOUBLE) ELSE 0.0 END) AS v
+  FROM tdays
+),
+spec1 AS (
+{spec1}
+),
+best1 AS (SELECT {best_cols} FROM spec1 {pick}),
+inj2 AS (
+  SELECT i.t,
+         CASE WHEN ((((i.t - b.epoch) % b.period) + b.period) % b.period)
+                   / b.period < b.dcyc / 2.0
+                OR ((((i.t - b.epoch) % b.period) + b.period) % b.period)
+                   / b.period >= 1.0 - b.dcyc / 2.0
+              THEN i.v + b.depth ELSE i.v END AS v
+  FROM inj i CROSS JOIN best1 b
+),
+spec2 AS (
+{spec2}
+),
+best2 AS (SELECT {best_cols} FROM spec2 {pick})
+SELECT 0 AS rank, {out} FROM best1
+UNION ALL
+SELECT 1 AS rank, {out} FROM best2
+"""
+
+
+def q_spline_recovery_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 spline backend made driver-visible (VERDICT r3 missing-#4):
+    inject a pure CUBIC baseline on the events time axis — a cubic lies
+    exactly in the span of the LSQ cubic-spline basis, so detrending
+    must return 1.0 at every sample to numerical precision, for ANY
+    time sampling (robust to testdata regeneration at any sf).
+    gap_days=10 keeps each event_type one fit region at every sf, so
+    the degenerate-region mean fallback cannot engage. The oracle
+    states the ground truth (per-type counts, zero residuals): the
+    RECOVERED baseline is the oracle row."""
+    from miletos_spark.operators.detrend import spline_detrend
+
+    ev = _ev_days(spark, sf_dir)
+    x = (F.col("t") - F.lit(19700.0)) / F.lit(10.0)
+    trend = (
+        F.lit(0.5) + F.lit(0.02) * x + F.lit(0.003) * (x * x)
+        - F.lit(0.0001) * (x * x * x)
+    )
+    inj = ev.select("event_id", "event_type", "t", trend.alias("value"))
+    out = spline_detrend(
+        inj, knot_spacing_days=2.0, gap_days=10.0, time_col="t",
+        group_cols=("event_type",),
+    )
+    resid = F.abs(F.col("value_detrended") - F.lit(1.0))
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.max(resid), 6).alias("max_abs_resid"),
+        F.round(F.avg(resid), 6).alias("mean_abs_resid"),
+    )
+
+
+SQL_SPLINE_RECOVERY_EVENTS = """
+SELECT event_type, count(*) AS n,
+       CAST(0.0 AS DOUBLE) AS max_abs_resid,
+       CAST(0.0 AS DOUBLE) AS mean_abs_resid
+FROM events GROUP BY event_type
+"""
+
+
 def q_gp_loglik_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M3/M4 GP likelihood path (`typellik='GaussianProcess'`,
     miletos/main.py:771-808): score the trapezoid forward model's
@@ -4229,13 +4397,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fold_phase_bins": q_fold_phase_bins,
     "mask_windows_events": q_mask_windows_events,
     "rolling_std_events": q_rolling_std_events,
-    "rolling_median_events": q_rolling_median_events,
+    "spline_recovery_events": q_spline_recovery_events,
     "sigma_clip_events": q_sigma_clip_events,
     "largest_gap_events": q_largest_gap_events,
     "lomb_scargle_events": q_lomb_scargle_events,
     "bls_spectrum_events": q_bls_spectrum_events,
     "bls_snr_spectrum_events": q_bls_snr_spectrum_events,
-    "bls_multires_events": q_bls_multires_events,
+    "bls_multi_recovery_events": q_bls_multi_recovery_events,
     "outlier_period_events": q_outlier_period_events,
     "dedup_exact_docs": q_dedup_exact_docs,
     "text_stats_docs": q_text_stats_docs,
@@ -4270,6 +4438,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_events": q_asof_join_events,
     "ener_spectrum_events": q_ener_spectrum_events,
     # -- oracle-backed overflow (judge full sweep only, no driver row) --
+    "bls_multires_events": q_bls_multires_events,
+    "rolling_median_events": q_rolling_median_events,
     "customers_without_orders": q_customers_without_orders,
     "top_events": q_top_events,
     "rolling_std_peakcut_events": q_rolling_std_peakcut_events,
@@ -4376,6 +4546,8 @@ def _oracles() -> dict[str, str]:
         "ztf_ingest_events": _sql_ztf_ingest(),
         "crossmatch_catalog": _sql_crossmatch_catalog(),
         "photometry_events": SQL_PHOTOMETRY_EVENTS,
+        "bls_multi_recovery_events": _sql_bls_multi_recovery(),
+        "spline_recovery_events": SQL_SPLINE_RECOVERY_EVENTS,
         # spline_detrend_events: no oracle (iterative LSQ fit)
         # bls_multi_events: no oracle (iterative driver loop)
         # gp_detrend_events: no oracle (dense GP solve)

@@ -39,6 +39,10 @@ QUERIES = [
     "photometry_events",
     "ztf_ingest_events",
     "phase_components_events",
+    # round-4 window promotions: iterative argmax loop (avg/stddev
+    # moments feed an ORDER BY), applyInPandas LSQ fit per region
+    "bls_multi_recovery_events",
+    "spline_recovery_events",
 ]
 
 # driver-ish defaults vs an adversarial layout: tiny partition count,
