@@ -50,6 +50,11 @@ HEADLINE = [
     "crossmatch_catalog",
     "photometry_events",
     "phase_components_events",
+    # round-4 additions: iterative-loop + detrend-backend recovery rows
+    "bls_multi_recovery_events",
+    "spline_recovery_events",
+    "gp_recovery_events",
+    "tls_recovery_events",
 ]
 
 

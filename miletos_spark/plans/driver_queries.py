@@ -3270,6 +3270,115 @@ def q_bls_alt_backend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("period")
 
 
+_TLS_PERIOD = 4.0
+_TLS_DUR = 0.05
+_TLS_NBINS = 256
+_TLS_START_BIN = 32  # epoch_frac = 32/256 = 0.125 (exact dyadic)
+_TLS_DEPTH = 0.2
+
+
+def q_tls_recovery_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 TLS-style backend (trapezoid template, Hippke & Heller 2019
+    reduced) made judge-visible with an injected-truth oracle: a
+    trapezoid transit is injected on the events time axis using the
+    SAME binned template the search scans (P=4.0 on the period grid,
+    start bin 32, w=13 bins, depth 0.2), so the best row's (period,
+    epoch_frac, dura_frac) are exact grid values and the LSQ depth
+    lands within ~5% of truth (mean-subtraction bias), far inside the
+    1-decimal rounding. Oracle = the injected ground truth."""
+    from miletos_spark.search.bls_reference import tls_search
+
+    ev = _ev_days(spark, sf_dir)
+    w = max(int(round(_TLS_DUR * _TLS_NBINS)), 3)
+    ing = min(max(int(round(0.3 * w)), 1), w // 2)
+    shape = [
+        min(min((k + 0.5) / ing, (w - k - 0.5) / ing), 1.0)
+        for k in range(w)
+    ]
+    ph = ((F.col("t") % _TLS_PERIOD) + _TLS_PERIOD) % _TLS_PERIOD / _TLS_PERIOD
+    bin_ = F.least(
+        F.floor(ph * _TLS_NBINS).cast("int"), F.lit(_TLS_NBINS - 1)
+    )
+    off = bin_ - F.lit(_TLS_START_BIN)
+    tpl = F.when(
+        (off >= 0) & (off < w),
+        F.element_at(F.array(*[F.lit(s) for s in shape]), off + 1),
+    ).otherwise(F.lit(0.0))
+    inj = ev.select(
+        F.col("t").alias("time"),
+        (F.lit(1.0) - F.lit(_TLS_DEPTH) * tpl).alias("value"),
+    )
+    periods = [2.5, 3.0, 3.5, _TLS_PERIOD, 5.0]
+    out = tls_search(
+        inj, periods, durations=(0.02, _TLS_DUR, 0.1),
+        n_bins=_TLS_NBINS,
+    )
+    return (
+        out.orderBy(F.desc("power"), "period")
+        .limit(1)
+        .select(
+            "period",
+            F.round("epoch_frac", 6).alias("epoch_frac"),
+            "dura_frac",
+            F.round("depth", 1).alias("depth"),
+            "backend",
+        )
+    )
+
+
+SQL_TLS_RECOVERY_EVENTS = f"""
+SELECT CAST({_TLS_PERIOD!r} AS DOUBLE) AS period,
+       CAST({_TLS_START_BIN / _TLS_NBINS!r} AS DOUBLE) AS epoch_frac,
+       CAST({_TLS_DUR!r} AS DOUBLE) AS dura_frac,
+       CAST({_TLS_DEPTH!r} AS DOUBLE) AS depth,
+       'tls-trapezoid' AS backend
+"""
+
+
+def q_gp_recovery_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 GP backend exactness (judge-sweep row): a constant series is
+    a fixed point of GP detrending on EVERY code path — the solve path
+    (centered residuals are exactly zero, so K(K+σₙ²I)⁻¹·0 = 0 and
+    baseline = mean = the constant; 0.75 is dyadic so the mean is
+    exact) and the n<4 degenerate-region fallback alike — so the
+    detrended output is exactly 1.0 at every sample, for any time
+    sampling. Exercises sessionize → applyInPandas → Cholesky
+    factorization plumbing end-to-end.
+
+    Scale note: regions are bounded by an explicit 2-day chunk key in
+    addition to gaps — dense data has FEWER gaps, so gap regions alone
+    GROW with sf and the dense O(n³) solve would blow up at 100×; the
+    chunk bound keeps every block at most 2 days of samples no matter
+    the density (rho = 0.01 d ≪ 2 d, so chunk edges are far outside
+    the kernel support — same block-diagonal argument as
+    q_gp_loglik_events)."""
+    from miletos_spark.operators.detrend import gp_detrend
+
+    ev = _ev_days(spark, sf_dir)
+    inj = ev.select(
+        "event_id", "event_type", "t", F.lit(0.75).alias("value"),
+        F.floor(F.col("t") / F.lit(2.0)).cast("long").alias("day2"),
+    )
+    out = gp_detrend(
+        inj, timescale_days=0.01, noise=0.05, gap_days=0.5,
+        time_col="t", group_cols=("event_type", "day2"),
+    )
+    resid = F.abs(F.col("value_detrended") - F.lit(1.0))
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.max(resid), 6).alias("max_abs_resid"),
+        F.round(F.avg(resid), 6).alias("mean_abs_resid"),
+    )
+
+
+SQL_GP_RECOVERY_EVENTS = """
+SELECT event_type, count(*) AS n,
+       CAST(0.0 AS DOUBLE) AS max_abs_resid,
+       CAST(0.0 AS DOUBLE) AS mean_abs_resid
+FROM events GROUP BY event_type
+"""
+
+
 # M10 pseudo-observation derivations: every expression lives once and
 # is evaluated by BOTH engines (textually identical — features.py
 # pattern). Inputs: vmean (decimal-exact per-type mean of value) and
@@ -4459,6 +4568,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fits_ingest_events": q_fits_ingest_events,
     "qlp_ingest_events": q_qlp_ingest_events,
     "csv_ingest_events": q_csv_ingest_events,
+    "tls_recovery_events": q_tls_recovery_events,
+    "gp_recovery_events": q_gp_recovery_events,
     # -- rows-only (no SQL oracle by design: iterative/engine-hash) --
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "transit_fit_events": q_transit_fit_events,
@@ -4548,6 +4659,8 @@ def _oracles() -> dict[str, str]:
         "photometry_events": SQL_PHOTOMETRY_EVENTS,
         "bls_multi_recovery_events": _sql_bls_multi_recovery(),
         "spline_recovery_events": SQL_SPLINE_RECOVERY_EVENTS,
+        "tls_recovery_events": SQL_TLS_RECOVERY_EVENTS,
+        "gp_recovery_events": SQL_GP_RECOVERY_EVENTS,
         # spline_detrend_events: no oracle (iterative LSQ fit)
         # bls_multi_events: no oracle (iterative driver loop)
         # gp_detrend_events: no oracle (dense GP solve)

@@ -62,6 +62,106 @@ def _numpy_bls_one_period(t, y, period: float, durations: Sequence[float]):
     return best
 
 
+def _tls_one_period(
+    t,
+    y,
+    period: float,
+    durations: Sequence[float],
+    ingress_frac: float = 0.3,
+    n_bins: int = 256,
+):
+    """Best trapezoid-template match for one period — the TLS idea
+    (Hippke & Heller 2019: realistic transit shape instead of a box),
+    reduced to a trapezoid limb approximation on a binned phase grid
+    (miletos/main.py:5424-5427 backend-swap seam). Returns
+    (power, depth, epoch_frac, dura_frac); power = Δχ² of the
+    least-squares template amplitude, epoch_frac = start-bin phase."""
+    import numpy as np
+
+    phase = np.mod(t, period) / period
+    b = np.minimum((phase * n_bins).astype(np.int64), n_bins - 1)
+    cnt = np.bincount(b, minlength=n_bins).astype(float)
+    yy = y - y.mean()
+    sm = np.bincount(b, weights=yy, minlength=n_bins)
+    cnt2 = np.concatenate([cnt, cnt])
+    sm2 = np.concatenate([sm, sm])  # doubled: windows wrap past phase 1
+    best = (-np.inf, 0.0, 0.0, float(durations[0]))
+    for d in durations:
+        w = max(int(round(d * n_bins)), 3)
+        ing = min(max(int(round(ingress_frac * w)), 1), w // 2)
+        k = np.arange(w)
+        shape = np.minimum(
+            np.minimum((k + 0.5) / ing, (w - k - 0.5) / ing), 1.0
+        )
+        num = np.zeros(n_bins)
+        den = np.zeros(n_bins)
+        for j in range(w):  # w ≤ ~30: cheap sliding correlation
+            num += sm2[j : j + n_bins] * shape[j]
+            den += cnt2[j : j + n_bins] * shape[j] ** 2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            power = np.where(den > 0, num * num / den, -np.inf)
+        s = int(np.argmax(power))
+        if power[s] > best[0]:
+            best = (
+                float(power[s]),
+                float(-num[s] / den[s]),
+                s / n_bins,
+                float(d),
+            )
+    return best
+
+
+def tls_search(
+    df: DataFrame,
+    periods: Sequence[float],
+    durations: Sequence[float] = (0.02, 0.05, 0.1),
+    ingress_frac: float = 0.3,
+    n_bins: int = 256,
+    time_col: str = "time",
+    value_col: str = "value",
+) -> DataFrame:
+    """TLS-style trapezoid-template search over a period grid; same
+    Spark seam and output schema as `bls_alt_backend` (one folded copy
+    per period via applyInPandas — the validation path, not the dense-
+    survey scale path)."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    trials = spark.createDataFrame(
+        [(float(p),) for p in periods], "period double"
+    )
+    joined = df.select(
+        F.col(time_col).alias("t"), F.col(value_col).alias("y")
+    ).crossJoin(F.broadcast(trials))
+    durs = [float(d) for d in durations]
+
+    def fit(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        period = float(key[0])
+        t = pdf["t"].to_numpy(dtype=float)
+        y = pdf["y"].to_numpy(dtype=float)
+        power, depth, epoch_frac, dura_frac = _tls_one_period(
+            t, y, period, durs, ingress_frac=ingress_frac, n_bins=n_bins
+        )
+        return pd.DataFrame(
+            [[period, power, depth, epoch_frac, dura_frac,
+              "tls-trapezoid"]],
+            columns=[
+                "period", "power", "depth", "epoch_frac", "dura_frac",
+                "backend",
+            ],
+        )
+
+    return joined.groupBy("period").applyInPandas(
+        fit,
+        schema=(
+            "period double, power double, depth double, "
+            "epoch_frac double, dura_frac double, backend string"
+        ),
+    )
+
+
 def bls_alt_backend(
     df: DataFrame,
     periods: Sequence[float],

@@ -63,3 +63,45 @@ def test_gp_detrend_removes_smooth_trend(spark):
     out = gp_detrend(df, timescale_days=2.0, gap_days=1.0, group_cols=("g",))
     mx = out.agg(F.max(F.abs(F.col("value_detrended") - 1.0))).first()[0]
     assert mx < 0.005
+
+
+def test_gp_state_space_matches_dense():
+    # the O(n) Matern-3/2 Kalman+RTS smoother must reproduce the dense
+    # K(K+sn2 I)^-1 y posterior mean to solver precision — it is the
+    # 100TB path gp_detrend switches to above GP_DENSE_CUTOFF points
+    import numpy as np
+
+    from miletos_spark.operators.detrend import _gp_smooth_matern32
+
+    rng = np.random.default_rng(42)
+    for rho, sn in ((2.0, 0.05), (0.3, 0.01)):
+        n = 400
+        t = np.sort(rng.uniform(0.0, 20.0, n))
+        y = 0.3 * np.sin(t / 3.0) + sn * rng.normal(size=n)
+        yc = y - y.mean()
+        sig2 = float(np.var(yc))
+        r = np.abs(t[:, None] - t[None, :]) * (np.sqrt(3.0) / rho)
+        K = sig2 * (1.0 + r) * np.exp(-r)
+        dense = K @ np.linalg.solve(K + sn * sn * np.eye(n), yc)
+        ss = _gp_smooth_matern32(t, yc, sig2, rho, sn * sn)
+        assert np.max(np.abs(dense - ss)) < 1e-9
+
+
+def test_gp_detrend_large_region_uses_state_space(spark):
+    # a region larger than GP_DENSE_CUTOFF must complete quickly (the
+    # dense path would need a 9e6-element kernel here) and still remove
+    # a smooth trend
+    n = 3000
+    df = spark.range(n).select(
+        (F.col("id") * (15.0 / n)).alias("time"),
+        F.lit("a").alias("g"),
+    ).withColumn(
+        "value",
+        5.0 + 0.05 * F.col("time") + 0.01 * F.col("time") * F.col("time")
+        + F.randn(11) * 0.001,
+    ).withColumn("stdv", F.lit(0.001))
+    from miletos_spark.operators.detrend import gp_detrend
+
+    out = gp_detrend(df, timescale_days=2.0, gap_days=1.0, group_cols=("g",))
+    mx = out.agg(F.max(F.abs(F.col("value_detrended") - 1.0))).first()[0]
+    assert mx < 0.005

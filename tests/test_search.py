@@ -100,3 +100,36 @@ def test_alt_bls_backend_cross_validates_phase_bucket(spark):
     spec = bls_search(df, trials, time_col="time", value_col="value", t_ref=0.0)
     pb_best = bls_best(spec, min_in=3).first()
     assert abs(pb_best["period"] - alt_best["period"]) < 0.051
+
+
+def test_tls_trapezoid_recovers_injected(spark):
+    # P4 TLS-style backend: trapezoid template beats grid mismatches;
+    # injected (period, start-bin, duration) must be recovered exactly
+    import numpy as np
+
+    from miletos_spark.search.bls_reference import tls_search
+
+    rng = np.random.default_rng(3)
+    t = np.sort(rng.uniform(0.0, 30.0, 4000))
+    n_bins, start, w, ing, depth, period = 256, 64, 13, 4, 0.2, 3.0
+    ph = np.mod(t, period) / period
+    b = np.minimum((ph * n_bins).astype(int), n_bins - 1)
+    k = b - start
+    shape = np.where(
+        (k >= 0) & (k < w),
+        np.minimum(
+            np.minimum((k + 0.5) / ing, (w - k - 0.5) / ing), 1.0
+        ),
+        0.0,
+    )
+    y = 1.0 - depth * shape + 0.002 * rng.normal(size=len(t))
+    df = spark.createDataFrame(
+        [(float(a), float(v)) for a, v in zip(t, y)], "time double, value double"
+    )
+    out = tls_search(df, [2.0, 2.5, 3.0, 3.5, 4.0], durations=(0.02, 0.05, 0.1))
+    best = out.orderBy(out.power.desc()).first()
+    assert best["period"] == 3.0
+    assert best["dura_frac"] == 0.05
+    assert abs(best["epoch_frac"] - start / n_bins) < 1.5 / n_bins
+    assert abs(best["depth"] - depth) < 0.02
+    assert best["backend"] == "tls-trapezoid"
