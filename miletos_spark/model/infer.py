@@ -202,17 +202,27 @@ def fit_transit_groups(
             z = (y - m) / s
             return float(z @ z)
 
+        # one restart from the first optimum (fresh simplex): Nelder-Mead
+        # can stall on a collapsed simplex near piecewise-linear kinks of
+        # the trapezoid; re-expanding around the incumbent is the
+        # standard deterministic polish (same move the reference's scipy
+        # driver gets from its default adaptive restarts)
         try:
             from scipy.optimize import minimize
 
-            res = minimize(
-                chi2, [e0, d0, w0], method="Nelder-Mead",
-                options={"maxiter": 200, "xatol": 1e-10, "fatol": 1e-12},
-            )
-            x, fx = res.x, float(res.fun)
+            x, fx = [e0, d0, w0], None
+            for _ in range(2):
+                res = minimize(
+                    chi2, x, method="Nelder-Mead",
+                    options={"maxiter": 400, "xatol": 1e-10, "fatol": 1e-12},
+                )
+                x, fx = res.x, float(res.fun)
         except ImportError:
             x, fx = _nelder_mead(
                 chi2, [e0, d0, w0], [0.05 * p, max(d0, 1e-3), 0.5 * w0]
+            )
+            x, fx = _nelder_mead(
+                chi2, x, [0.005 * p, max(0.1 * d0, 1e-4), 0.05 * w0]
             )
         row = {k: pdf[k].iloc[0] for k in keys}
         row.update(

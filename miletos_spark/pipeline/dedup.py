@@ -207,26 +207,39 @@ def simhash_64(
     """
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     h = F.transform(toks, lambda t: F.xxhash64(t))
+    d = df.select(F.col(id_col), h.alias("_h"))
+
+    # ONE aggregate with a 64-long vote-vector accumulator (the
+    # `simhash_md5`/`minhash_signatures` pattern) — NOT 64 separate
+    # folds: that shape re-walks the token array per bit (64x compute)
+    # and its expression tree overflows the JVM 64KB codegen method
+    # limit, dropping the whole stage to interpreted eval.
+    idx = F.array(*[F.lit(i) for i in range(64)])
+    masks = F.array(*[
+        F.lit(-(2**63) if bit == 63 else (1 << bit)).cast("long")
+        for bit in range(64)
+    ])
+    votes = F.aggregate(
+        F.col("_h"),
+        F.array_repeat(F.lit(0), 64),
+        # bit test via the mask array: element_at is 1-based; bitwiseAND
+        # is a Column method (F.shiftright mis-dispatches inside HOF
+        # lambdas). Bit 63's mask is long.min in two's complement.
+        lambda acc, x: F.zip_with(
+            acc, idx,
+            lambda v, j: v + F.when(
+                x.bitwiseAND(F.element_at(masks, j + F.lit(1))) != 0, 1
+            ).otherwise(-1),
+        ),
+    )
+    dv = d.select(F.col(id_col), votes.alias("_v"))
     fp = F.lit(0).cast("long")
-
-    # Closure factory, NOT a default-arg lambda: pyspark derives the
-    # higher-order-function arity from the Python signature, so a
-    # `lambda acc, x, m=mask` registers as a 3-arg lambda and the
-    # "default" gets clobbered with the index column.
-    def vote_fn(m: int):
-        return lambda acc, x: acc + F.when(
-            x.bitwiseAND(F.lit(m).cast("long")) != 0, 1
-        ).otherwise(-1)
-
     for bit in range(64):
-        # literal mask + bitwiseAND (a Column method, safe inside the
-        # lambda; F.shiftright mis-dispatches there). Bit 63 is the sign
-        # bit: its mask is long.min in two's complement.
         mask = -(2**63) if bit == 63 else (1 << bit)
-        vote = F.aggregate(h, F.lit(0), vote_fn(mask))
-        weight = F.lit(mask).cast("long")
-        fp = fp + F.when(vote > 0, weight).otherwise(F.lit(0).cast("long"))
-    return df.select(F.col(id_col), fp.alias("simhash"))
+        fp = fp + F.when(
+            F.col("_v")[bit] > 0, F.lit(mask).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return dv.select(F.col(id_col), fp.alias("simhash"))
 
 
 HEX_DIGITS = "0123456789abcdef"
@@ -288,22 +301,20 @@ def simhash_md5(
 
 
 def simhash_hamming(a: "F.Column", b: "F.Column") -> "F.Column":
-    """Exact Hamming distance between two 16-hex-char fingerprints —
-    a static 64-term integer sum (no xor operator: its spelling differs
-    between engines, plain arithmetic doesn't)."""
+    """Exact Hamming distance between two 16-hex-char fingerprints:
+    per 16-bit band, parse hex (conv), XOR, popcount (bit_count) — four
+    compact JVM-side terms. The previous 64-term substr/floor spelling
+    was correct but its expression tree, inlined into the join stage's
+    filter AND projection, overflowed the 64KB codegen method limit and
+    dropped the whole banded join to interpreted eval. (The DuckDB
+    oracle keeps its own arithmetic spelling; only the integer result
+    must agree.)"""
     total = None
-    for n in range(16):
-        na = F.call_function(
-            "instr", F.lit(HEX_DIGITS), F.substring(a, n + 1, 1)
-        ) - F.lit(1)
-        nb = F.call_function(
-            "instr", F.lit(HEX_DIGITS), F.substring(b, n + 1, 1)
-        ) - F.lit(1)
-        for j in range(4):
-            ba = F.floor(na / F.lit(float(1 << j))).cast("int") % 2
-            bb = F.floor(nb / F.lit(float(1 << j))).cast("int") % 2
-            term = F.abs(ba - bb)
-            total = term if total is None else total + term
+    for n in range(4):
+        ia = F.conv(F.substring(a, 1 + 4 * n, 4), 16, 10).cast("long")
+        ib = F.conv(F.substring(b, 1 + 4 * n, 4), 16, 10).cast("long")
+        term = F.bit_count(ia.bitwiseXOR(ib))
+        total = term if total is None else total + term
     return total
 
 

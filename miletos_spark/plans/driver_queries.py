@@ -1747,6 +1747,60 @@ def q_transit_fit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_transit_fit_recovery_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 'opti' recovery (driver-checkable twin of transit_fit_events):
+    a NOISELESS trapezoid (P=7, epoch=1, depth=0.01, dura=0.5 on the
+    tmin-shifted events time axis) is injected per event_type, so the
+    chi² surface has an exact zero at the truth; the Nelder–Mead fit
+    (xtol 1e-10 / ftol 1e-12) must land within ~1e-6 of it — far inside
+    the output rounding — and the oracle states the injected ground
+    truth. This makes the iterative-optimizer path (miletos/main.py:
+    3928-4169 `typeinfe='opti'`) a hash-checked driver row; the
+    real-data variant stays rows-only."""
+    from miletos_spark.model.forward import transit_model
+    from miletos_spark.model.infer import fit_transit_groups
+
+    ev = _ev_days(spark, sf_dir)
+    tmin = ev.agg(F.min("t")).first()[0]
+    sh = ev.withColumn("t", F.col("t") - F.lit(float(tmin)))
+    # POOLED series (one group), not per-type: at sparse sf the chi2=0
+    # set of a trapezoid is a plateau (edges fall between samples) and
+    # per-type sampling leaves it wide enough to outgrow any rounding;
+    # pooling multiplies in-transit edge constraints by 5 x n_transits,
+    # so the zero set collapses to ~half the minimum edge-local gap.
+    inj = sh.select(
+        F.lit("all").alias("series"), "t",
+        transit_model(F.col("t"), _FITREC_P, _FITREC_EPOCH,
+                      _FITREC_DEPTH, _FITREC_DURA).alias("value"),
+        F.lit(1.0).alias("stdv"),
+    )
+    out = fit_transit_groups(
+        inj, period=_FITREC_P, epoch0=1.05, depth0=0.012, dura0=0.45,
+        group_cols=("series",), time_col="t",
+    )
+    return out.select(
+        "series",
+        F.round("epoch_hat", 3).alias("epoch_hat"),
+        F.round("depth_hat", 4).alias("depth_hat"),
+        F.round("dura_hat", 3).alias("dura_hat"),
+        F.round("chi2", 6).alias("chi2"),
+        "n",
+    ).orderBy("series")
+
+
+_FITREC_P, _FITREC_EPOCH, _FITREC_DEPTH, _FITREC_DURA = 7.0, 1.0, 0.01, 0.5
+
+SQL_TRANSIT_FIT_RECOVERY_EVENTS = f"""
+SELECT 'all' AS series,
+       CAST({_FITREC_EPOCH!r} AS DOUBLE) AS epoch_hat,
+       CAST({_FITREC_DEPTH!r} AS DOUBLE) AS depth_hat,
+       CAST({_FITREC_DURA!r} AS DOUBLE) AS dura_hat,
+       CAST(0.0 AS DOUBLE) AS chi2,
+       count(*) AS n
+FROM events
+"""
+
+
 # --- streaming (§2.12) ------------------------------------------------------
 
 STREAM_SCHEMA = (
@@ -2144,9 +2198,13 @@ FROM seco_b
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline: synthesize binary media payloads, decode to
     per-frame pixel blocks (mapInPandas; codec seam is a deterministic
-    fake), sample every 2nd video frame, block-mean resize, per-frame
-    brightness/contrast features (no SQL oracle: binary byte-level ops
-    -> rows-only check)."""
+    fake), sample every 2nd video frame, per-frame brightness/contrast
+    features. Oracle: a byte-level SQL replay — DuckDB rebuilds the
+    payload (repeat(md5(id))), parses each hex pair back to a uint8
+    pixel and aggregates the same features, so the ENTIRE binary
+    plumbing (payload synthesis, mapInPandas decode reshape, frame
+    sampling, aggregate-HOF features) is hash-checked end-to-end.
+    All sums are over exact small integers, so no float-order noise."""
     from miletos_spark.pipeline.multimodal import (
         decode_media,
         frame_sample,
@@ -2163,6 +2221,46 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("contrast", 6).alias("contrast"),
         "px_min", "px_max",
     ).orderBy("media_id", "frame")
+
+
+# Byte-level replay of synth_media -> decode -> frame_sample ->
+# media_features: payload hex = repeat(md5(media_id)); byte i = hex
+# chars [2i+1, 2i+2]; frame f pixel p = byte f*64+p. Integer sums are
+# exact, so brightness/contrast carry no cross-engine float noise.
+SQL_MEDIA_FEATURES = """
+WITH ids AS (SELECT range AS media_id FROM range(64)),
+m AS (
+  SELECT media_id,
+         CASE WHEN media_id % 3 = 0 THEN 'video' ELSE 'image' END AS kind,
+         CASE WHEN media_id % 3 = 0 THEN 6 ELSE 1 END AS n_frames,
+         repeat(md5(CAST(media_id AS VARCHAR)),
+                CASE WHEN media_id % 3 = 0 THEN 24 ELSE 4 END) AS hx
+  FROM ids),
+fr AS (
+  SELECT media_id, kind, CAST(f.range AS INT) AS frame, hx
+  FROM m, range(6) f
+  WHERE f.range < n_frames
+    AND (kind <> 'video' OR f.range % 2 = 0)),
+px AS (
+  SELECT media_id, kind, frame,
+         (strpos('0123456789abcdef',
+                 substr(hx, 2*(frame*64 + CAST(p.range AS INT)) + 1, 1)) - 1) * 16
+       + (strpos('0123456789abcdef',
+                 substr(hx, 2*(frame*64 + CAST(p.range AS INT)) + 2, 1)) - 1) AS val
+  FROM fr, range(64) p),
+agg AS (
+  SELECT media_id, kind, frame,
+         CAST(sum(val) AS DOUBLE) / 64 AS mean,
+         CAST(sum(val*val) AS DOUBLE) / 64 AS sq,
+         CAST(min(val) AS DOUBLE) AS px_min,
+         CAST(max(val) AS DOUBLE) AS px_max
+  FROM px GROUP BY media_id, kind, frame)
+SELECT CAST(media_id AS BIGINT) AS media_id, kind, frame,
+       round(mean, 6) AS brightness,
+       round(sqrt(greatest(sq - mean * mean, 0.0)), 6) AS contrast,
+       px_min, px_max
+FROM agg ORDER BY media_id, frame
+"""
 
 
 # --- X2/X4 detrending + X6 interpolation ------------------------------------
@@ -2699,6 +2797,81 @@ def q_gp_loglik_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GPPAIR_SIG2 = 0.25      # sigma = 0.5
+_GPPAIR_RHO = 0.02
+_GPPAIR_DT = 0.01        # r = sqrt(3)*dt/rho ~ 0.87 -> corr ~ 0.66
+
+
+def q_gp_pair_loglik_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 GP likelihood made driver-checkable: per event_type take the
+    two earliest samples (row_number over (t, event_id) — deterministic
+    in both engines), place them dt=0.01 d apart so the Matern-3/2
+    correlation is 0.66 (the kernel genuinely matters), and evaluate
+    the SAME gp_loglik applyInPandas/Cholesky path the full query uses
+    on the n=2 block. A 2x2 covariance has a closed form, so the DuckDB
+    oracle states the marginal likelihood exactly — the dense-solve
+    path (miletos/main.py:771-808) gets a hash-checked row while the
+    full-size variant stays rows-only."""
+    from miletos_spark.model.likelihood import gp_loglik
+
+    ev = _ev_days(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("t", "event_id")
+    two = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select(
+            "event_type",
+            (F.col("rn") * F.lit(_GPPAIR_DT)).alias("t"),
+            F.col("value"),
+            F.lit(1.0).alias("stdv"),
+        )
+    )
+    out = gp_loglik(
+        two, None, sigma=math.sqrt(_GPPAIR_SIG2), rho=_GPPAIR_RHO,
+        time_col="t", group_cols=("event_type",),
+    )
+    return out.select(
+        "event_type", F.round("loglik", 3).alias("loglik"), "n"
+    ).orderBy("event_type")
+
+
+def _sql_gp_pair_loglik() -> str:
+    r = math.sqrt(3.0) * _GPPAIR_DT / _GPPAIR_RHO
+    return f"""
+WITH b AS (
+  SELECT event_type, event_id, {EV_T_DAYS_SQL} AS t, value FROM events
+),
+r2 AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY t, event_id) AS rn
+  FROM b QUALIFY rn <= 2
+),
+p AS (
+  SELECT event_type,
+         max(CASE WHEN rn = 1 THEN value END) AS y1,
+         max(CASE WHEN rn = 2 THEN value END) AS y2
+  FROM r2 GROUP BY event_type
+),
+k AS (
+  SELECT event_type, y1, y2,
+         {_GPPAIR_SIG2!r} + 1.0 + 1e-12 AS c11,
+         {_GPPAIR_SIG2!r} * (1.0 + {r!r}) * exp(-{r!r}) AS c12
+  FROM p
+),
+d AS (
+  SELECT event_type,
+         (c11 * (y1*y1 + y2*y2) - 2.0 * c12 * y1 * y2)
+           / (c11*c11 - c12*c12) AS quad,
+         c11*c11 - c12*c12 AS det
+  FROM k
+)
+SELECT event_type,
+       round(-0.5 * quad - 0.5 * ln(det) - ln(2 * pi()), 3) AS loglik,
+       CAST(2 AS BIGINT) AS n
+FROM d ORDER BY event_type
+"""
+
+
 def q_gp_detrend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 'GaussianProcess' backend (the reference default): per-region
     Matern-3/2 GP baseline in applyInPandas (no SQL oracle: dense linear
@@ -2932,6 +3105,23 @@ def q_ivf_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrow = emb.orderBy("vec_id").select("embedding").first()
     query = [float(x) for x in qrow["embedding"]]
     out = ivf_topk(emb, query, k=10, n_clusters=8, n_probe=2)
+    return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+def q_ivf_recovery_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF exactness recovery (driver-checkable twin of
+    ivf_similarity_topk): with n_probe == n_clusters every cell is
+    probed, so the IVF path must reproduce the brute-force top-k
+    EXACTLY — the oracle is the same brute-force cosine SQL as
+    similarity_topk. The engine-specific part (trained centroids) only
+    decides which cells get pruned; probing all of them removes it
+    while still exercising the full fit → assign → probe → score plan."""
+    from miletos_spark.pipeline.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.orderBy("vec_id").select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    out = ivf_topk(emb, query, k=10, n_clusters=8, n_probe=8)
     return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
@@ -4507,16 +4697,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mask_windows_events": q_mask_windows_events,
     "rolling_std_events": q_rolling_std_events,
     "spline_recovery_events": q_spline_recovery_events,
-    "sigma_clip_events": q_sigma_clip_events,
+    "transit_fit_recovery_events": q_transit_fit_recovery_events,
     "largest_gap_events": q_largest_gap_events,
     "lomb_scargle_events": q_lomb_scargle_events,
     "bls_spectrum_events": q_bls_spectrum_events,
-    "bls_snr_spectrum_events": q_bls_snr_spectrum_events,
+    "gp_pair_loglik_events": q_gp_pair_loglik_events,
     "bls_multi_recovery_events": q_bls_multi_recovery_events,
     "outlier_period_events": q_outlier_period_events,
     "dedup_exact_docs": q_dedup_exact_docs,
     "text_stats_docs": q_text_stats_docs,
-    "similarity_topk": q_similarity_topk,
+    "ivf_recovery_topk": q_ivf_recovery_topk,
     "lsh_similarity_topk": q_lsh_similarity_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "corpus_cleanup": q_corpus_cleanup,
@@ -4527,7 +4717,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_outliers_events": q_topk_outliers_events,
     "binned_rms_events": q_binned_rms_events,
     "simhash_pairs": q_simhash_pairs,
-    "linear_detrend_events": q_linear_detrend_events,
+    "media_features": q_media_features,
     "fingerprint_docs": q_fingerprint_docs,
     "language_id_docs": q_language_id_docs,
     "model_loglik_events": q_model_loglik_events,
@@ -4547,6 +4737,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_events": q_asof_join_events,
     "ener_spectrum_events": q_ener_spectrum_events,
     # -- oracle-backed overflow (judge full sweep only, no driver row) --
+    "sigma_clip_events": q_sigma_clip_events,
+    "similarity_topk": q_similarity_topk,
+    "bls_snr_spectrum_events": q_bls_snr_spectrum_events,
+    "linear_detrend_events": q_linear_detrend_events,
     "bls_multires_events": q_bls_multires_events,
     "rolling_median_events": q_rolling_median_events,
     "customers_without_orders": q_customers_without_orders,
@@ -4573,7 +4767,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- rows-only (no SQL oracle by design: iterative/engine-hash) --
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "transit_fit_events": q_transit_fit_events,
-    "media_features": q_media_features,
     "spline_detrend_events": q_spline_detrend_events,
     "bls_multi_events": q_bls_multi_events,
     "gp_detrend_events": q_gp_detrend_events,
@@ -4661,6 +4854,10 @@ def _oracles() -> dict[str, str]:
         "spline_recovery_events": SQL_SPLINE_RECOVERY_EVENTS,
         "tls_recovery_events": SQL_TLS_RECOVERY_EVENTS,
         "gp_recovery_events": SQL_GP_RECOVERY_EVENTS,
+        "transit_fit_recovery_events": SQL_TRANSIT_FIT_RECOVERY_EVENTS,
+        "gp_pair_loglik_events": _sql_gp_pair_loglik(),
+        "ivf_recovery_topk": SQL_SIMILARITY_TOPK,
+        "media_features": SQL_MEDIA_FEATURES,
         # spline_detrend_events: no oracle (iterative LSQ fit)
         # bls_multi_events: no oracle (iterative driver loop)
         # gp_detrend_events: no oracle (dense GP solve)

@@ -43,6 +43,12 @@ QUERIES = [
     # moments feed an ORDER BY), applyInPandas LSQ fit per region
     "bls_multi_recovery_events",
     "spline_recovery_events",
+    # round-4 second wave: NM optimizer polish, 2x2 GP Cholesky,
+    # KMeans-probe ANN, binary decode plumbing
+    "transit_fit_recovery_events",
+    "gp_pair_loglik_events",
+    "ivf_recovery_topk",
+    "media_features",
 ]
 
 # driver-ish defaults vs an adversarial layout: tiny partition count,
