@@ -194,8 +194,12 @@ def _gp_smooth_matern32(t_s, yc, sig2: float, rho: float, sn2: float):
 
 
 # above this many points, a region's dense O(n³) solve switches to the
-# O(n) state-space smoother (agreement asserted in tests)
-GP_DENSE_CUTOFF = 2000
+# O(n) state-space smoother (agreement asserted in tests). Measured
+# crossover on this container: dense n=400 ~13 ms vs smoother ~3 ms,
+# dense n=1250 ~400 ms vs smoother ~7 ms — the smoother wins from a few
+# hundred points, so keep dense only for blocks small enough that the
+# n×n kernel is literally cheaper than the Python-loop constant.
+GP_DENSE_CUTOFF = 256
 
 
 def gp_detrend(

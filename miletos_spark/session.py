@@ -28,6 +28,14 @@ def get_spark(
     - UTC session timezone: parity with the DuckDB oracle on
       timestamp->double conversions.
     """
+    # One BLAS thread per Python worker: numpy inside applyInPandas
+    # otherwise spawns a full OpenBLAS thread pool PER concurrently
+    # running task (32 tasks x 32 threads on this box) and the
+    # oversubscription thrash dwarfs the actual linear algebra. Task
+    # parallelism comes from Spark; the kernels stay single-threaded.
+    for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(_v, "1")
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
         master = f"local[{cpus}]"
@@ -46,6 +54,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # cluster twin of the os.environ defaults above (executors do
+        # not inherit the driver env on a real deployment)
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -151,6 +151,35 @@ def test_gp_loglik_recovers_hyperparams(spark):
     df.unpersist()
 
 
+def test_gp_llik_state_space_matches_dense():
+    """The O(n) Kalman prediction-error likelihood must equal the dense
+    Cholesky marginal likelihood to solver precision — it is the 100TB
+    path gp_loglik switches to above GP_LLIK_DENSE_CUTOFF points (dense
+    series have FEW gaps, so gap regions grow with data density and the
+    O(n³) solve blows up exactly where data is richest)."""
+    import numpy as np
+
+    from miletos_spark.model.likelihood import _gp_llik_matern32_ss
+
+    rng = np.random.default_rng(7)
+    for rho, base_err in ((2.0, 0.05), (0.02, 0.5)):
+        n = 400
+        t = np.sort(rng.uniform(0.0, 20.0, n))
+        y = 0.3 * np.sin(t / 3.0) + 0.1 * rng.normal(size=n)
+        e = base_err * (1.0 + 0.5 * rng.uniform(size=n))  # heteroscedastic
+        sig2 = 0.25
+        r = np.abs(t[:, None] - t[None, :]) * (np.sqrt(3.0) / rho)
+        c = sig2 * (1.0 + r) * np.exp(-r) + np.diag(e * e + 1e-12)
+        ll = np.linalg.cholesky(c)
+        dense = (
+            -0.5 * float(y @ np.linalg.solve(c, y))
+            - float(np.log(np.diag(ll)).sum())
+            - 0.5 * n * np.log(2.0 * np.pi)
+        )
+        ss = _gp_llik_matern32_ss(t, y, sig2, rho, e * e + 1e-12)
+        assert abs(dense - ss) < 1e-8 * max(1.0, abs(dense))
+
+
 def test_brightness_temp_grid_recovers_on_grid_truth(spark):
     """M10 retr_llik_spec analog: depth generated from a known on-grid
     temperature must be recovered exactly by the grid-scan MAP fit."""
