@@ -55,6 +55,13 @@ HEADLINE = [
     "spline_recovery_events",
     "gp_recovery_events",
     "tls_recovery_events",
+    # round-4 second wave: the newly driver-checked paths
+    "transit_fit_recovery_events",
+    "gp_pair_loglik_events",
+    "gp_loglik_events",
+    "ivf_recovery_topk",
+    "media_features",
+    "simhash_pairs",
 ]
 
 

@@ -92,6 +92,42 @@ def language_id(
     )
 
 
+def doc_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style document quality scoring (Rae et al. 2021 rule
+    family): BPE-ish subword token count, English stopword ratio,
+    symbol-to-char ratio, and the composite keep/drop flag a training
+    corpus filter would apply. Pure column expressions (codegen'd);
+    the flag thresholds are the public Gopher-ish defaults scaled to
+    the short synthetic docs."""
+    t = F.col(text_col)
+    toks = token_count(t)
+    bpe = bpe_ish_token_count(t)
+    words = F.split(F.lower(F.trim(t)), r"\s+")
+    sw = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+    n_chars = F.length(t)
+    non_word = F.length(F.regexp_replace(t, r"[\w\s]", ""))
+    non_ws = F.length(F.regexp_replace(t, r"\s", ""))
+    mean_wl = F.when(toks > 0, non_ws / toks).otherwise(F.lit(0.0))
+    stop_ratio = stop_hits / F.greatest(toks, F.lit(1))
+    symbol_ratio = F.when(n_chars > 0, non_word / n_chars).otherwise(F.lit(0.0))
+    quality_ok = (
+        (toks >= 5)
+        & (mean_wl >= 2.0) & (mean_wl <= 12.0)
+        & (stop_hits >= 1)
+        & (symbol_ratio < 0.3)
+    )
+    return df.select(
+        F.col(id_col),
+        bpe.alias("n_tokens_bpe"),
+        stop_ratio.alias("stop_ratio"),
+        symbol_ratio.alias("symbol_ratio"),
+        quality_ok.alias("quality_ok"),
+    )
+
+
 def doc_fingerprint(
     df: DataFrame,
     text_col: str = "text",

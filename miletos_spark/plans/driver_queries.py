@@ -1347,6 +1347,62 @@ FROM m
 """
 
 
+def q_doc_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style corpus quality filter: BPE-ish subword token count,
+    English stopword ratio, symbol ratio, composite keep/drop flag —
+    the per-doc scoring pass of a training-data pipeline."""
+    from miletos_spark.pipeline.text import doc_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = doc_quality(docs)
+    return out.select(
+        "doc_id", "n_tokens_bpe",
+        F.round("stop_ratio", 6).alias("stop_ratio"),
+        F.round("symbol_ratio", 6).alias("symbol_ratio"),
+        "quality_ok",
+    )
+
+
+def _sql_doc_quality() -> str:
+    from miletos_spark.pipeline.text import STOPWORDS
+
+    sw = repr(list(STOPWORDS["en"]))
+    # BPE-ish equivalence note: Spark splits on `(?=[^\w\s])|\s+`
+    # (lookahead — unsupported by DuckDB's RE2), which yields exactly
+    # the non-whitespace pieces that start with at most one punctuation
+    # char; those are precisely the matches of `[^\w\s]\w*|\w+`.
+    return rf"""
+WITH b AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks,
+         len(regexp_extract_all(trim(text), '[^\w\s]\w*|\w+')) AS bpe,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                         w -> list_contains({sw}, w))) AS stop_hits,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[\w\s]', '', 'g')) AS non_word,
+         length(regexp_replace(text, '\s', '', 'g')) AS non_ws
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+         CAST(bpe AS INT) AS n_tokens_bpe,
+         stop_hits * 1.0 / greatest(toks, 1) AS stop_ratio,
+         CASE WHEN n_chars > 0 THEN non_word * 1.0 / n_chars
+              ELSE 0.0 END AS symbol_ratio,
+         CASE WHEN toks > 0 THEN non_ws * 1.0 / toks ELSE 0.0 END AS mwl,
+         toks, stop_hits
+  FROM b
+)
+SELECT doc_id, n_tokens_bpe,
+       round(stop_ratio, 6) AS stop_ratio,
+       round(symbol_ratio, 6) AS symbol_ratio,
+       (toks >= 5 AND mwl >= 2.0 AND mwl <= 12.0
+        AND stop_hits >= 1 AND symbol_ratio < 0.3) AS quality_ok
+FROM q
+"""
+
+
 LSH_N_PLANES, LSH_SEED = 8, 42
 
 
@@ -4739,6 +4795,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- oracle-backed overflow (judge full sweep only, no driver row) --
     "sigma_clip_events": q_sigma_clip_events,
     "similarity_topk": q_similarity_topk,
+    "doc_quality_docs": q_doc_quality_docs,
     "bls_snr_spectrum_events": q_bls_snr_spectrum_events,
     "linear_detrend_events": q_linear_detrend_events,
     "bls_multires_events": q_bls_multires_events,
@@ -4858,6 +4915,7 @@ def _oracles() -> dict[str, str]:
         "gp_pair_loglik_events": _sql_gp_pair_loglik(),
         "ivf_recovery_topk": SQL_SIMILARITY_TOPK,
         "media_features": SQL_MEDIA_FEATURES,
+        "doc_quality_docs": _sql_doc_quality(),
         # spline_detrend_events: no oracle (iterative LSQ fit)
         # bls_multi_events: no oracle (iterative driver loop)
         # gp_detrend_events: no oracle (dense GP solve)
