@@ -62,6 +62,8 @@ HEADLINE = [
     "ivf_recovery_topk",
     "media_features",
     "simhash_pairs",
+    "doc_quality_docs",
+    "pipeline_summary_events",
 ]
 
 

@@ -4697,23 +4697,36 @@ def q_mcmc_albedo_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(*cols).orderBy("event_type")
 
 
+# frozen grid baseline for the pipeline query (~the events span): makes
+# the BLS/LS search grids a pure function of config, so the oracle can
+# embed the IDENTICAL Python-computed grid literals; the reported
+# span_days stays measured from the detrended data (exact min/max —
+# order-independent, so bit-equal across engines).
+_PIPE_GRID_SPAN = 30.0
+_PIPE_CFG = dict(
+    detrend_half_width=10, detrend_max_iter=1,
+    bls_p_min=2.0, bls_p_max=10.0, bls_osam=2.0, bls_n_dcyc=2,
+    bls_dcyc_min=0.05, bls_max_signals=1, bls_snr_accept=2.0,
+    fit_on_detection=False, grid_span_days=_PIPE_GRID_SPAN,
+)
+
+
 def q_pipeline_summary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§3.1 lifecycle: the full orchestrated pipeline (guards → detrend
-    loop → BLS/LS/flare analyses → detection gate) on the events series,
-    returning the O(1) summary row (no SQL oracle: composes iterative
-    stages -> rows-only check)."""
+    """§3.1 lifecycle: the full orchestrated pipeline (guards → clip ↔
+    detrend loop → BLS multi-signal / Lomb-Scargle / flare analyses →
+    detection gate) on the events series, returning the O(1) summary
+    row. Oracle: a full CTE replay — every stage (median detrend, 3σ
+    clip, re-detrend, box spectrum on the frozen trial grid, kernel-51
+    SNR post-processing, argmax acceptance, LS power at the best
+    frequency, rolling-band flare trigger starts, the gate booleans) is
+    restated in DuckDB from the same component twins the stage queries
+    use, so the ENTIRE orchestrated lifecycle is hash-checked."""
     from miletos_spark.plans.orchestrator import RunConfig, run_pipeline
 
     ev = _ev_days(spark, sf_dir).select(
         F.col("t").alias("time"), F.col("value")
     )
-    cfg = RunConfig(
-        detrend_half_width=10, detrend_max_iter=1,
-        bls_p_min=2.0, bls_p_max=10.0, bls_osam=2.0, bls_n_dcyc=2,
-        bls_dcyc_min=0.05, bls_max_signals=1, bls_snr_accept=2.0,
-        fit_on_detection=False,
-    )
-    res = run_pipeline(spark, ev, cfg)
+    res = run_pipeline(spark, ev, RunConfig(**_PIPE_CFG))
     s = res.summary
     return spark.createDataFrame(
         [(
@@ -4725,6 +4738,99 @@ def q_pipeline_summary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_samples long, span_days double, n_bls_signals int, "
         "best_bls_snr double, ls_power double, n_flares long, detected boolean",
     )
+
+
+def _sql_pipeline_summary() -> str:
+    from miletos_spark.search.bls import (
+        bls_snr_sql,
+        duty_cycle_grid,
+        period_grid,
+    )
+
+    c = _PIPE_CFG
+    trials = [
+        (p, d, off)
+        for p in period_grid(
+            c["bls_p_min"], c["bls_p_max"], _PIPE_GRID_SPAN, c["bls_osam"]
+        )
+        for d in duty_cycle_grid(p, c["bls_n_dcyc"], c["bls_dcyc_min"])
+        for off in (0.0, 0.5)
+    ]
+    f_lo = 1.0 / _PIPE_GRID_SPAN
+    df_step = f_lo / 3.0                      # cfg.ls_osam
+    n_freq = min(max(int((2.0 - f_lo) / df_step), 2), 2000)
+    hw = c["detrend_half_width"]
+    snr_spec = bls_snr_sql(
+        bls_sql("t", "v", "d2", trials, t_ref=0.0), kernel_size=51, min_in=3
+    )
+    ls_spec = lomb_scargle_sql("t", "v", "shifted", f_lo, df_step, n_freq)
+    flare_w = 1.0 / 24.0                      # cfg.flare_window
+    return f"""
+WITH base AS (
+  SELECT {EV_T_DAYS_SQL} AS t, value
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) AND abs(value) < 1e10
+),
+d1 AS (
+  SELECT t, value, 1.0 + value - quantile_cont(value, 0.5) OVER (
+    ORDER BY t ROWS BETWEEN {hw} PRECEDING AND {hw} FOLLOWING) AS vd
+  FROM base
+),
+st AS (SELECT avg(vd) AS mu, stddev_pop(vd) AS sd FROM d1),
+kept AS (
+  SELECT t, value FROM d1, st
+  WHERE vd > mu - 3 * sd AND vd < mu + 3 * sd
+),
+d2 AS (
+  SELECT t, 1.0 + value - quantile_cont(value, 0.5) OVER (
+    ORDER BY t ROWS BETWEEN {hw} PRECEDING AND {hw} FOLLOWING) AS v
+  FROM kept
+),
+sp AS (SELECT min(t) AS lo, max(t) AS hi, count(*) AS n FROM d2),
+snrspec AS (
+{snr_spec}
+),
+blsbest AS (
+  SELECT snr FROM snrspec WHERE snr IS NOT NULL
+  ORDER BY snr DESC, period LIMIT 1
+),
+shifted AS (SELECT t - (SELECT lo FROM sp) AS t, v FROM d2),
+lsspec AS (
+{ls_spec}
+),
+lsbest AS (SELECT power FROM lsspec ORDER BY power DESC, freq LIMIT 1),
+band AS (
+  SELECT t, v,
+         quantile_cont(v, 0.05) OVER w AS band_lo,
+         quantile_cont(v, 0.5) OVER w AS band_med,
+         quantile_cont(v, 0.95) OVER w AS band_hi
+  FROM d2
+  WINDOW w AS (ORDER BY t
+               RANGE BETWEEN {flare_w!r} PRECEDING AND {flare_w!r} FOLLOWING)
+),
+trig AS (
+  SELECT t, coalesce((v - band_med) / nullif(band_hi - band_lo, 0.0)
+                     > 7.0, false) AS tr
+  FROM band
+),
+starts AS (
+  SELECT count(*) AS n_flares FROM (
+    SELECT tr, lag(tr) OVER (ORDER BY t) AS pr FROM trig
+  ) WHERE tr AND NOT coalesce(pr, false)
+)
+SELECT sp.n AS n_samples,
+       round(sp.hi - sp.lo, 4) AS span_days,
+       CASE WHEN coalesce(b.snr, 0.0) >= {c["bls_snr_accept"]!r}
+            THEN 1 ELSE 0 END AS n_bls_signals,
+       CASE WHEN coalesce(b.snr, 0.0) >= {c["bls_snr_accept"]!r}
+            THEN round(b.snr, 2) ELSE 0.0 END AS best_bls_snr,
+       round(l.power, 4) AS ls_power,
+       s.n_flares AS n_flares,
+       (coalesce(b.snr, 0.0) > 10.0 OR l.power > 0.2) AS detected
+FROM sp, starts s
+LEFT JOIN blsbest b ON true
+LEFT JOIN lsbest l ON true
+"""
 
 
 # --- registry ---------------------------------------------------------------
@@ -4766,7 +4872,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_similarity_topk": q_lsh_similarity_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "corpus_cleanup": q_corpus_cleanup,
-    "white_light_events": q_white_light_events,
+    "pipeline_summary_events": q_pipeline_summary_events,
     "transit_windows_events": q_transit_windows_events,
     "flare_band_events": q_flare_band_events,
     "trigger_clusters_events": q_trigger_clusters_events,
@@ -4793,6 +4899,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_events": q_asof_join_events,
     "ener_spectrum_events": q_ener_spectrum_events,
     # -- oracle-backed overflow (judge full sweep only, no driver row) --
+    "white_light_events": q_white_light_events,
     "sigma_clip_events": q_sigma_clip_events,
     "similarity_topk": q_similarity_topk,
     "doc_quality_docs": q_doc_quality_docs,
@@ -4832,7 +4939,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mcmc_transit_events": q_mcmc_transit_events,
     "mcmc_albedo_events": q_mcmc_albedo_events,
     "bls_alt_backend_events": q_bls_alt_backend_events,
-    "pipeline_summary_events": q_pipeline_summary_events,
 }
 
 
@@ -4916,6 +5022,7 @@ def _oracles() -> dict[str, str]:
         "ivf_recovery_topk": SQL_SIMILARITY_TOPK,
         "media_features": SQL_MEDIA_FEATURES,
         "doc_quality_docs": _sql_doc_quality(),
+        "pipeline_summary_events": _sql_pipeline_summary(),
         # spline_detrend_events: no oracle (iterative LSQ fit)
         # bls_multi_events: no oracle (iterative driver loop)
         # gp_detrend_events: no oracle (dense GP solve)

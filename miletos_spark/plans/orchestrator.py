@@ -68,6 +68,12 @@ class RunConfig:
     gate_ls_power: float = 0.2           # thrslspecosc
     # fitting (M5)
     fit_on_detection: bool = True
+    # optional frozen baseline for GRID construction (BLS trial table,
+    # LS frequency grid). None = measure from the detrended data (the
+    # reference's behavior). Freezing it makes the search grids a pure
+    # function of config — reproducible across runs and replayable by
+    # an external oracle — while the reported span stays measured.
+    grid_span_days: float | None = None
 
 
 @dataclass
@@ -120,8 +126,9 @@ def run_pipeline(
     )
 
     # --- analyses (P1, P2, P7) ---------------------------------------
+    grid_span = cfg.grid_span_days if cfg.grid_span_days else span
     trials = trial_table(
-        spark, cfg.bls_p_min, cfg.bls_p_max, span_days=span,
+        spark, cfg.bls_p_min, cfg.bls_p_max, span_days=grid_span,
         osam=cfg.bls_osam, n_dcyc=cfg.bls_n_dcyc, dcyc_min=cfg.bls_dcyc_min,
     )
     bls_found = bls_multi_signal(
@@ -129,7 +136,7 @@ def run_pipeline(
         snr_threshold=cfg.bls_snr_accept,
     )
 
-    f_lo = 1.0 / span
+    f_lo = 1.0 / grid_span
     df_step = f_lo / cfg.ls_osam
     n_freq = max(int((cfg.ls_max_freq - f_lo) / df_step), 2)
     shifted = det.select(

@@ -49,6 +49,9 @@ QUERIES = [
     "gp_pair_loglik_events",
     "ivf_recovery_topk",
     "media_features",
+    # the full orchestrated lifecycle: clip boundary, spectrum argmax,
+    # LS trig sums, and flare trigger starts all in one row
+    "pipeline_summary_events",
 ]
 
 # driver-ish defaults vs an adversarial layout: tiny partition count,
