@@ -64,6 +64,7 @@ HEADLINE = [
     "simhash_pairs",
     "doc_quality_docs",
     "pipeline_summary_events",
+    "stream_bls_events",
 ]
 
 

@@ -2125,6 +2125,86 @@ GROUP BY event_type, (epoch_us(ts) // {STREAM_REBIN_US}) * {STREAM_REBIN_US}
 SQL_STREAM_REBIN_EVENTS = _sql_stream_rebin()
 
 
+def q_stream_bls_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 P2 online: the BLS box spectrum as an INCREMENTAL
+    streaming aggregate (`stream_bls`) — bounded (trial, bucket) state,
+    decimal fixed-order in-box means — drained availableNow, then
+    scored against the global moments in an O(|spectrum|) batch step.
+    The oracle is the batch box spectrum with the same decimal means:
+    streaming arrival order must not move a single box."""
+    import uuid
+
+    from miletos_spark.streaming.ingest import stream_bls
+
+    land = land_stream_events(spark, sf_dir)
+    name = "stream_bls_" + uuid.uuid4().hex[:8]
+    sdf = stream_bls(spark, land, STREAM_SCHEMA, _bls_trials(), t_ref=0.0)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    spec = spark.table(name)
+
+    ev = _ev_days(spark, sf_dir)
+    g = ev.agg(
+        (
+            F.sum(F.col("value").cast("decimal(38,18)")).cast("double")
+            / F.count("*")
+        ).alias("mu"),
+        F.stddev_pop("value").alias("sd"),
+    )
+    out = spec.crossJoin(F.broadcast(g))
+    depth = F.col("mu") - F.col("mean_in")
+    # quantize, not round: decimal means over power-of-two box counts
+    # terminate at 6 decimals, so round() resolves the resulting exact
+    # ties differently per engine (the stream_rebin lesson)
+    return out.select(
+        F.round("period", 9).alias("period"),
+        F.round("dcyc", 9).alias("dcyc"),
+        F.round("off", 1).alias("off"),
+        "bucket",
+        "n_in",
+        quantize(F.col("mean_in"), 6).alias("mean_in"),
+        quantize(depth, 6).alias("depth"),
+        F.round(depth / (F.col("sd") / F.sqrt(F.col("n_in"))), 4).alias("snr"),
+    )
+
+
+def _sql_stream_bls() -> str:
+    values = ", ".join(
+        f"(CAST({p!r} AS DOUBLE), CAST({d!r} AS DOUBLE), CAST({o!r} AS DOUBLE))"
+        for p, d, o in _bls_trials()
+    )
+    mean_in = _dec_mean_sql("s.v", "count(*)")
+    mu = _dec_mean_sql("value", "count(*)")
+    return f"""
+WITH samples AS (
+  SELECT {EV_T_DAYS_SQL} AS t, value AS v FROM events
+),
+g AS (SELECT {mu} AS mu, stddev_pop(value) AS sd FROM events),
+trials(period, dcyc, off) AS (VALUES {values}),
+boxes AS (
+  SELECT tr.period, tr.dcyc, tr.off,
+         CAST(floor(((((s.t % tr.period + tr.period) % tr.period)
+                      / tr.period - tr.off * tr.dcyc) % 1.0 + 1.0) % 1.0
+                    / tr.dcyc) AS INT) AS bucket,
+         count(*) AS n_in, {mean_in} AS mean_in
+  FROM samples s CROSS JOIN trials tr
+  GROUP BY 1, 2, 3, 4
+)
+SELECT round(b.period, 9) AS period, round(b.dcyc, 9) AS dcyc,
+       round(b.off, 1) AS off, b.bucket, b.n_in,
+       {quantize_sql("b.mean_in", 6)} AS mean_in,
+       {quantize_sql("g.mu - b.mean_in", 6)} AS depth,
+       round((g.mu - b.mean_in) / (g.sd / sqrt(b.n_in)), 4) AS snr
+FROM boxes b CROSS JOIN g
+"""
+
+
 PC_BINS_FULL, PC_BINS_ZOOM = 50, 20
 
 
@@ -4923,6 +5003,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "derived_outputs_events": q_derived_outputs_events,
     "stream_trigger_clusters_events": q_stream_trigger_clusters_events,
     "stream_rebin_events": q_stream_rebin_events,
+    "stream_bls_events": q_stream_bls_events,
     "fits_ingest_events": q_fits_ingest_events,
     "qlp_ingest_events": q_qlp_ingest_events,
     "csv_ingest_events": q_csv_ingest_events,
@@ -5001,6 +5082,7 @@ def _oracles() -> dict[str, str]:
         "derived_outputs_events": _sql_derived_outputs(),
         "stream_trigger_clusters_events": SQL_STREAM_TRIGGER_CLUSTERS_EVENTS,
         "stream_rebin_events": SQL_STREAM_REBIN_EVENTS,
+        "stream_bls_events": _sql_stream_bls(),
         "fits_ingest_events": SQL_FITS_INGEST_EVENTS,
         "qlp_ingest_events": SQL_QLP_INGEST_EVENTS,
         "csv_ingest_events": SQL_CSV_INGEST_EVENTS,

@@ -89,6 +89,62 @@ def stream_rebin(
     )
 
 
+def stream_bls(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    trials: list[tuple[float, float, float]],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    t_ref: float = 0.0,
+) -> DataFrame:
+    """P2 as an INCREMENTAL streaming aggregate: the box spectrum is an
+    algebraic aggregate keyed on (trial, phase-bucket) — a bounded key
+    space independent of row count — so it streams naturally: each
+    arriving sector updates the per-box partial sums and the spectrum
+    is always current, with state = |trials| x O(1/dcyc) rows no matter
+    how much data has flowed. This is the streaming-native form of the
+    reference's per-new-sector full re-search (miletos/main.py:
+    9966-9999 + 5282-5965): instead of recomputing the whole spectrum
+    per sector, only the partial sums advance.
+
+    Stream-static broadcast join against the trial grid; the in-box
+    means run as decimal fixed-order sums (micro-batch arrival order
+    cannot move them — the `stream_rebin` discipline), so the drained
+    spectrum is bit-equal to the batch/oracle form. Returns the
+    streaming DataFrame of (period, dcyc, off, bucket, n_in, mean_in);
+    the caller attaches sink/trigger and scores depth/SNR against the
+    global moments (an O(|spectrum|) batch step)."""
+    src = spark.readStream.schema(schema).parquet(input_dir)
+    trials_df = spark.createDataFrame(
+        trials, "period double, dcyc double, off double"
+    ).withColumn("_k", F.lit(1))
+
+    t = F.unix_micros(F.col(ts_col)).cast("double") / 1e6 / 86400.0
+    joined = (
+        src.withColumn("_k", F.lit(1))
+        .withColumn("_t", t - F.lit(float(t_ref)))
+        .join(F.broadcast(trials_df), "_k")
+    )
+    phase = ((F.col("_t") % F.col("period")) + F.col("period")) % F.col(
+        "period"
+    ) / F.col("period")
+    shifted = phase - F.col("off") * F.col("dcyc")
+    wrapped = ((shifted % 1.0) + 1.0) % 1.0
+    bucket = F.floor(wrapped / F.col("dcyc")).cast("int")
+    return (
+        joined.withColumn("bucket", bucket)
+        .groupBy("period", "dcyc", "off", "bucket")
+        .agg(
+            F.count("*").alias("n_in"),
+            (
+                F.sum(F.col(value_col).cast("decimal(38,18)")).cast("double")
+                / F.count("*")
+            ).alias("mean_in"),
+        )
+    )
+
+
 def incremental_analysis(
     spark: SparkSession,
     input_dir: str,

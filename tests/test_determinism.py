@@ -52,6 +52,9 @@ QUERIES = [
     # the full orchestrated lifecycle: clip boundary, spectrum argmax,
     # LS trig sums, and flare trigger starts all in one row
     "pipeline_summary_events",
+    # streaming incremental BLS: micro-batch boundaries are the whole
+    # point of the decimal-sum discipline
+    "stream_bls_events",
 ]
 
 # driver-ish defaults vs an adversarial layout: tiny partition count,

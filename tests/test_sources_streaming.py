@@ -216,6 +216,48 @@ def test_stream_sessions_matches_batch(spark, events_dir, tmp_path):
     ).first()[0]
 
 
+def test_stream_bls_matches_batch(spark, events_dir):
+    """The incremental streaming box spectrum must equal the batch
+    spectrum EXACTLY (decimal fixed-order means — micro-batch arrival
+    order cannot move a box)."""
+    from miletos_spark.streaming.ingest import stream_bls
+
+    trials = [(3.5, 0.05, 0.0), (3.5, 0.05, 0.5), (7.0, 0.1, 0.0)]
+    sdf = stream_bls(spark, events_dir, EV_SCHEMA, trials)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("sbls_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["period"], r["dcyc"], r["off"], r["bucket"]): (r["n_in"], r["mean_in"])
+        for r in spark.table("sbls_out").collect()
+    }
+    ev = spark.read.schema(EV_SCHEMA).parquet(events_dir)
+    t = F.unix_micros(F.col("ts")).cast("double") / 1e6 / 86400.0
+    td = spark.createDataFrame(trials, "period double, dcyc double, off double")
+    phase = ((t % F.col("period")) + F.col("period")) % F.col("period") / F.col("period")
+    wrapped = (((phase - F.col("off") * F.col("dcyc")) % 1.0) + 1.0) % 1.0
+    batch = (
+        ev.crossJoin(F.broadcast(td))
+        .withColumn("bucket", F.floor(wrapped / F.col("dcyc")).cast("int"))
+        .groupBy("period", "dcyc", "off", "bucket")
+        .agg(
+            F.count("*").alias("n_in"),
+            (F.sum(F.col("value").cast("decimal(38,18)")).cast("double")
+             / F.count("*")).alias("mean_in"),
+        )
+    )
+    want = {
+        (r["period"], r["dcyc"], r["off"], r["bucket"]): (r["n_in"], r["mean_in"])
+        for r in batch.collect()
+    }
+    assert got == want  # bit-equal, not approximately
+
+
 def test_incremental_analysis_foreachbatch(spark, events_dir, tmp_path):
     from miletos_spark.streaming.ingest import incremental_analysis
 
