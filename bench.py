@@ -65,6 +65,7 @@ HEADLINE = [
     "doc_quality_docs",
     "pipeline_summary_events",
     "stream_bls_events",
+    "stream_ls_events",
 ]
 
 

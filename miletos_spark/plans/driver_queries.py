@@ -2125,6 +2125,86 @@ GROUP BY event_type, (epoch_us(ts) // {STREAM_REBIN_US}) * {STREAM_REBIN_US}
 SQL_STREAM_REBIN_EVENTS = _sql_stream_rebin()
 
 
+LS_STREAM_TREF = 19723.0      # fixed reference epoch (~data start): a
+                              # stream cannot shift by the data min it
+                              # has not yet seen
+
+
+def q_stream_ls_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 P1 online: Lomb-Scargle as an incremental streaming
+    aggregate (`stream_ls_moments`) — per-frequency uncentered trig
+    moments in bounded state, decimal fixed-order sums — drained
+    availableNow, mean-corrected and scored at read-out
+    (`finish_ls_power`). Oracle: the identical raw-moment formulation
+    in DuckDB; arrival order cannot move a single moment."""
+    import uuid
+
+    from miletos_spark.streaming.ingest import finish_ls_power, stream_ls_moments
+
+    land = land_stream_events(spark, sf_dir)
+    name = "stream_ls_" + uuid.uuid4().hex[:8]
+    sdf = stream_ls_moments(
+        spark, land, STREAM_SCHEMA, LS_FMIN, LS_DF, LS_NFREQ,
+        t_ref=LS_STREAM_TREF,
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = finish_ls_power(spark.table(name))
+    return out.select(
+        F.round("freq", 9).alias("freq"), F.round("power", 6).alias("power")
+    )
+
+
+def _sql_stream_ls() -> str:
+    return f"""
+WITH grid AS (
+  SELECT CAST({LS_FMIN!r} AS DOUBLE) + k * CAST({LS_DF!r} AS DOUBLE) AS freq
+  FROM (SELECT unnest(range({LS_NFREQ})) AS k)
+),
+samples AS (
+  SELECT {EV_T_DAYS_SQL} - {LS_STREAM_TREF!r} AS t, value AS v FROM events
+),
+proj AS (
+  SELECT g.freq, s.v,
+         cos(2*pi()*g.freq*s.t) AS c,
+         sin(2*pi()*g.freq*s.t) AS s
+  FROM samples s CROSS JOIN grid g
+),
+m AS (
+  SELECT freq,
+         count(*) AS n,
+         sum(v) AS sv,
+         sum(v * v) AS svv,
+         sum(c) AS sc,
+         sum(s) AS ss,
+         sum(c * c - s * s) AS c2,
+         sum(2.0 * s * c) AS s2,
+         sum(v * c) AS ycr,
+         sum(v * s) AS ysr
+  FROM proj
+  GROUP BY freq
+),
+fin AS (
+  SELECT freq,
+         ( pow((ycr - (sv/n)*sc) * cos(atan2(s2,c2)/2)
+             + (ysr - (sv/n)*ss) * sin(atan2(s2,c2)/2), 2)
+             / ((n + c2*cos(atan2(s2,c2)) + s2*sin(atan2(s2,c2)))/2)
+         + pow((ysr - (sv/n)*ss) * cos(atan2(s2,c2)/2)
+             - (ycr - (sv/n)*sc) * sin(atan2(s2,c2)/2), 2)
+             / ((n - c2*cos(atan2(s2,c2)) - s2*sin(atan2(s2,c2)))/2)
+         ) / (svv - 2*(sv/n)*sv + n*(sv/n)*(sv/n)) AS power
+  FROM m
+)
+SELECT round(freq, 9) AS freq, round(power, 6) AS power FROM fin
+"""
+
+
 def q_stream_bls_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.12 P2 online: the BLS box spectrum as an INCREMENTAL
     streaming aggregate (`stream_bls`) — bounded (trial, bucket) state,
@@ -5004,6 +5084,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_trigger_clusters_events": q_stream_trigger_clusters_events,
     "stream_rebin_events": q_stream_rebin_events,
     "stream_bls_events": q_stream_bls_events,
+    "stream_ls_events": q_stream_ls_events,
     "fits_ingest_events": q_fits_ingest_events,
     "qlp_ingest_events": q_qlp_ingest_events,
     "csv_ingest_events": q_csv_ingest_events,
@@ -5083,6 +5164,7 @@ def _oracles() -> dict[str, str]:
         "stream_trigger_clusters_events": SQL_STREAM_TRIGGER_CLUSTERS_EVENTS,
         "stream_rebin_events": SQL_STREAM_REBIN_EVENTS,
         "stream_bls_events": _sql_stream_bls(),
+        "stream_ls_events": _sql_stream_ls(),
         "fits_ingest_events": SQL_FITS_INGEST_EVENTS,
         "qlp_ingest_events": SQL_QLP_INGEST_EVENTS,
         "csv_ingest_events": SQL_CSV_INGEST_EVENTS,

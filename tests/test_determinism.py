@@ -55,6 +55,7 @@ QUERIES = [
     # streaming incremental BLS: micro-batch boundaries are the whole
     # point of the decimal-sum discipline
     "stream_bls_events",
+    "stream_ls_events",
 ]
 
 # driver-ish defaults vs an adversarial layout: tiny partition count,
