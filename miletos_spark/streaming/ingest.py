@@ -124,6 +124,9 @@ def stream_bls(
     joined = (
         src.withColumn("_k", F.lit(1))
         .withColumn("_t", t - F.lit(float(t_ref)))
+        # cast ONCE per sample, before the |trials|x row multiplication
+        # (double→decimal goes through BigDecimal string formatting)
+        .withColumn("_vdec", F.col(value_col).cast("decimal(38,18)"))
         .join(F.broadcast(trials_df), "_k")
     )
     phase = ((F.col("_t") % F.col("period")) + F.col("period")) % F.col(
@@ -137,10 +140,7 @@ def stream_bls(
         .groupBy("period", "dcyc", "off", "bucket")
         .agg(
             F.count("*").alias("n_in"),
-            (
-                F.sum(F.col(value_col).cast("decimal(38,18)")).cast("double")
-                / F.count("*")
-            ).alias("mean_in"),
+            (F.sum("_vdec").cast("double") / F.count("*")).alias("mean_in"),
         )
     )
 
