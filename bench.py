@@ -66,6 +66,7 @@ HEADLINE = [
     "pipeline_summary_events",
     "stream_bls_events",
     "stream_ls_events",
+    "vocab_topk_docs",
 ]
 
 

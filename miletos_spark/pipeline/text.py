@@ -128,6 +128,27 @@ def doc_quality(
     )
 
 
+def vocab_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus vocabulary statistics (the tokenizer-training precursor):
+    explode lowercased whitespace tokens, count term and document
+    frequency per token. One explode + one map-side-combinable groupBy
+    — the canonical corpus-scale shuffle, |vocab| keys."""
+    toks = F.explode(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    ).alias("token")
+    return (
+        df.select(F.col(id_col), toks)
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("term_freq"),
+            F.countDistinct(id_col).alias("doc_freq"),
+        )
+    )
+
+
 def doc_fingerprint(
     df: DataFrame,
     text_col: str = "text",

@@ -1363,6 +1363,36 @@ def q_doc_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-50 (tokenizer-training precursor): term +
+    document frequency per lowercased whitespace token, ranked by
+    (term_freq desc, token) — explode, one combinable groupBy, one
+    TakeOrderedAndProject."""
+    from miletos_spark.pipeline.text import vocab_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        vocab_counts(docs)
+        .orderBy(F.col("term_freq").desc(), "token")
+        .limit(50)
+    )
+
+
+SQL_VOCAB_TOPK_DOCS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+  FROM documents
+)
+SELECT token, count(*) AS term_freq,
+       count(DISTINCT doc_id) AS doc_freq
+FROM toks WHERE length(token) > 0
+GROUP BY token
+ORDER BY term_freq DESC, token
+LIMIT 50
+"""
+
+
 def _sql_doc_quality() -> str:
     from miletos_spark.pipeline.text import STOPWORDS
 
@@ -5063,6 +5093,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sigma_clip_events": q_sigma_clip_events,
     "similarity_topk": q_similarity_topk,
     "doc_quality_docs": q_doc_quality_docs,
+    "vocab_topk_docs": q_vocab_topk_docs,
     "bls_snr_spectrum_events": q_bls_snr_spectrum_events,
     "linear_detrend_events": q_linear_detrend_events,
     "bls_multires_events": q_bls_multires_events,
@@ -5186,6 +5217,7 @@ def _oracles() -> dict[str, str]:
         "ivf_recovery_topk": SQL_SIMILARITY_TOPK,
         "media_features": SQL_MEDIA_FEATURES,
         "doc_quality_docs": _sql_doc_quality(),
+        "vocab_topk_docs": SQL_VOCAB_TOPK_DOCS,
         "pipeline_summary_events": _sql_pipeline_summary(),
         # spline_detrend_events: no oracle (iterative LSQ fit)
         # bls_multi_events: no oracle (iterative driver loop)
