@@ -45,63 +45,23 @@ def gaussian_loglik(
     )
 
 
-# above this many points, a region's dense O(n³) likelihood switches to
-# the O(n) state-space filter (same crossover reasoning as
-# detrend.GP_DENSE_CUTOFF; agreement asserted in tests)
-GP_LLIK_DENSE_CUTOFF = 256
+# single cutoff shared with the detrend smoother (crossover
+# measurements: model/statespace.py)
+from miletos_spark.model.statespace import GP_DENSE_CUTOFF as GP_LLIK_DENSE_CUTOFF  # noqa: E501
 
 
 def _gp_llik_matern32_ss(t_s, y, sig2: float, rho: float, r_diag) -> float:
     """O(n) Matern-3/2 GP marginal log-likelihood via the state-space
-    prediction-error decomposition (Hartikainen & Sarkka 2010): run the
-    Kalman filter over state x = [f, f'] and sum the innovation terms
+    prediction-error decomposition: run the Kalman filter (shared core:
+    `model.statespace`) and sum the innovation terms
     −½(ν²/S + ln S + ln 2π). Exactly equals the dense
     −½yᵀC⁻¹y − ½ln|C| − n/2·ln 2π (same model, exact inference;
     agreement asserted in tests), at O(n) instead of O(n³) — the scale
     path for DENSE series where gap regions grow with data density.
     `r_diag` is the per-sample measurement variance (heteroscedastic)."""
-    import numpy as np
+    from miletos_spark.model.statespace import kalman_forward
 
-    n = len(t_s)
-    lam = np.sqrt(3.0) / rho
-    s0, s1 = sig2, sig2 * lam * lam
-
-    dt = np.empty(n)
-    dt[0] = 0.0
-    dt[1:] = np.asarray(t_s[1:], dtype=float) - np.asarray(t_s[:-1], dtype=float)
-    e = np.exp(-lam * dt)
-    Aa = e * (1.0 + lam * dt)
-    Ab = e * dt
-    Ac = e * (-lam * lam * dt)
-    Ad = e * (1.0 - lam * dt)
-
-    m0 = m1 = 0.0
-    p00, p01, p11 = s0, 0.0, s1
-    ll = 0.0
-    log2pi = np.log(2.0 * np.pi)
-    for i in range(n):
-        if i > 0:
-            a, b, c, d = Aa[i], Ab[i], Ac[i], Ad[i]
-            m0, m1 = a * m0 + b * m1, c * m0 + d * m1
-            u0 = a * p00 + b * p01
-            u1 = a * p01 + b * p11
-            v0 = c * p00 + d * p01
-            v1 = c * p01 + d * p11
-            # A P Aᵀ + (P∞ − A P∞ Aᵀ)
-            p00 = a * u0 + b * u1 + s0 - (a * a * s0 + b * b * s1)
-            p01 = c * u0 + d * u1 - (a * c * s0 + b * d * s1)
-            p11 = c * v0 + d * v1 + s1 - (c * c * s0 + d * d * s1)
-        S = p00 + r_diag[i]
-        innov = y[i] - m0
-        ll += -0.5 * (innov * innov / S + np.log(S) + log2pi)
-        k0 = p00 / S
-        k1 = p01 / S
-        m0 += k0 * innov
-        m1 += k1 * innov
-        p11 -= k1 * p01
-        p01 -= k0 * p01
-        p00 -= k0 * p00
-    return float(ll)
+    return kalman_forward(t_s, y, sig2, rho, r_diag)["loglik"]
 
 
 def gp_loglik(

@@ -107,99 +107,27 @@ def spline_detrend(
 
 
 def _gp_smooth_matern32(t_s, yc, sig2: float, rho: float, sn2: float):
-    """O(n) Matern-3/2 GP posterior mean via the state-space form
-    (Hartikainen & Sarkka 2010; the same trick celerite exploits,
-    miletos/main.py:707-732 kernel): Kalman filter forward + RTS
-    smoother backward over state x = [f, f']. Equals the dense
+    """O(n) Matern-3/2 GP posterior mean via the state-space form:
+    Kalman filter forward + RTS smoother backward over state x =
+    [f, f'] (shared core: `model.statespace`). Equals the dense
     K(K+σₙ²I)⁻¹y posterior mean to solver precision, at O(n·2²)
     instead of O(n³) — the 100 TB path for long-timescale baselines
     where gap regions grow with data density."""
     import numpy as np
 
+    from miletos_spark.model.statespace import kalman_forward, rts_posterior_mean
+
     n = len(t_s)
-    lam = np.sqrt(3.0) / rho
-    s0, s1 = sig2, sig2 * lam * lam
-
-    # transition coefficients, vectorized once (exp dominates the
-    # scalar loop otherwise): A_i = e·[[1+λdt, dt], [−λ²dt, 1−λdt]]
-    dt = np.empty(n)
-    dt[0] = 0.0
-    dt[1:] = np.asarray(t_s[1:], dtype=float) - np.asarray(
-        t_s[:-1], dtype=float
+    fwd = kalman_forward(
+        t_s, yc, sig2, rho, np.full(n, float(sn2)), keep_paths=True
     )
-    e = np.exp(-lam * dt)
-    Aa = e * (1.0 + lam * dt)
-    Ab = e * dt
-    Ac = e * (-lam * lam * dt)
-    Ad = e * (1.0 - lam * dt)
-    Aa[0], Ab[0], Ac[0], Ad[0] = 1.0, 0.0, 0.0, 1.0
-
-    mp0 = np.empty(n); mp1 = np.empty(n)          # predicted mean
-    pp00 = np.empty(n); pp01 = np.empty(n); pp11 = np.empty(n)
-    mf0 = np.empty(n); mf1 = np.empty(n)          # filtered mean
-    pf00 = np.empty(n); pf01 = np.empty(n); pf11 = np.empty(n)
-
-    m0 = m1 = 0.0
-    p00, p01, p11 = s0, 0.0, s1
-    for i in range(n):
-        if i > 0:
-            a, b, c, d = Aa[i], Ab[i], Ac[i], Ad[i]
-            m0, m1 = a * m0 + b * m1, c * m0 + d * m1
-            u0 = a * p00 + b * p01
-            u1 = a * p01 + b * p11
-            v0 = c * p00 + d * p01
-            v1 = c * p01 + d * p11
-            # A P Aᵀ + (P∞ − A P∞ Aᵀ)
-            p00 = a * u0 + b * u1 + s0 - (a * a * s0 + b * b * s1)
-            p01 = c * u0 + d * u1 - (a * c * s0 + b * d * s1)
-            p11 = c * v0 + d * v1 + s1 - (c * c * s0 + d * d * s1)
-        mp0[i], mp1[i] = m0, m1
-        pp00[i], pp01[i], pp11[i] = p00, p01, p11
-        S = p00 + sn2
-        k0 = p00 / S
-        k1 = p01 / S
-        innov = yc[i] - m0
-        m0 += k0 * innov
-        m1 += k1 * innov
-        p11 -= k1 * p01
-        p01 -= k0 * p01
-        p00 -= k0 * p00
-        mf0[i], mf1[i] = m0, m1
-        pf00[i], pf01[i], pf11[i] = p00, p01, p11
-
-    # RTS backward smoother (mean only): G = P_f Aᵀ P_p⁻¹
-    out = np.empty(n)
-    ms0, ms1 = mf0[n - 1], mf1[n - 1]
-    out[n - 1] = ms0
-    for i in range(n - 2, -1, -1):
-        j = i + 1
-        a, b, c, d = Aa[j], Ab[j], Ac[j], Ad[j]
-        q00, q01, q11 = pp00[j], pp01[j], pp11[j]
-        det = q00 * q11 - q01 * q01
-        f00, f01, f11 = pf00[i], pf01[i], pf11[i]
-        t00 = f00 * a + f01 * b
-        t01 = f00 * c + f01 * d
-        t10 = f01 * a + f11 * b
-        t11 = f01 * c + f11 * d
-        g00 = (t00 * q11 - t01 * q01) / det
-        g01 = (t01 * q00 - t00 * q01) / det
-        g10 = (t10 * q11 - t11 * q01) / det
-        g11 = (t11 * q00 - t10 * q01) / det
-        dm0 = ms0 - mp0[j]
-        dm1 = ms1 - mp1[j]
-        ms0 = mf0[i] + g00 * dm0 + g01 * dm1
-        ms1 = mf1[i] + g10 * dm0 + g11 * dm1
-        out[i] = ms0
-    return out
+    return rts_posterior_mean(fwd, n)
 
 
 # above this many points, a region's dense O(n³) solve switches to the
-# O(n) state-space smoother (agreement asserted in tests). Measured
-# crossover on this container: dense n=400 ~13 ms vs smoother ~3 ms,
-# dense n=1250 ~400 ms vs smoother ~7 ms — the smoother wins from a few
-# hundred points, so keep dense only for blocks small enough that the
-# n×n kernel is literally cheaper than the Python-loop constant.
-GP_DENSE_CUTOFF = 256
+# O(n) state-space smoother (single source of truth + crossover
+# measurements: model/statespace.py)
+from miletos_spark.model.statespace import GP_DENSE_CUTOFF  # noqa: E402
 
 
 def gp_detrend(

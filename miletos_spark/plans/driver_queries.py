@@ -1895,6 +1895,35 @@ STREAM_SCHEMA = (
 )
 
 
+def _drain_memory_stream(spark: SparkSession, sdf: DataFrame, prefix: str) -> DataFrame:
+    """availableNow-drain a streaming DataFrame into a memory sink and
+    return the (bounded) result as a plain local DataFrame.
+
+    - RAISES if the drain does not finish inside the timeout: a silently
+      partial spectrum would otherwise surface as an unexplained hash
+      mismatch downstream, not as the timeout it is.
+    - Materializes and DROPS the uuid-named sink view, so repeated
+      invocations in a long-lived session don't accumulate memory-sink
+      tables (all callers return bounded state: spectra/sessions)."""
+    import uuid
+
+    name = prefix + uuid.uuid4().hex[:8]
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(f"streaming drain '{name}' exceeded 300 s")
+    tbl = spark.table(name)
+    out = spark.createDataFrame(tbl.collect(), tbl.schema)
+    spark.catalog.dropTempView(name)
+    return out
+
+
 def land_stream_events(
     spark: SparkSession, sf_dir: str, overwrite: bool = False
 ) -> str:
@@ -1938,23 +1967,14 @@ def q_stream_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream into a memory sink, return the drained result. Semantics are
     exactly batch gap-sessionization (session end = last event + gap),
     so the DuckDB oracle verifies the streaming output."""
-    import uuid
 
     from miletos_spark.streaming.ingest import stream_sessions
 
     land = land_stream_events(spark, sf_dir)
     schema = STREAM_SCHEMA
-    name = "stream_sessions_" + uuid.uuid4().hex[:8]
     sdf = stream_sessions(spark, land, schema, gap_sec=SESSION_GAP_SEC)
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    out = spark.table(name)
+    out_raw = _drain_memory_stream(spark, sdf, "stream_sessions_")
+    out = out_raw
     # exact integer microseconds: epoch-seconds doubles at ~1.7e9 run
     # out of mantissa for 6-decimal rounding parity
     return out.select(
@@ -2110,23 +2130,14 @@ def q_stream_rebin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the epoch, so the DuckDB oracle is the batch floor-division bin —
     the streaming and batch forms must agree exactly (bin means run as
     decimal fixed-order sums on both sides)."""
-    import uuid
 
     from miletos_spark.streaming.ingest import stream_rebin
 
     land = land_stream_events(spark, sf_dir)
     schema = STREAM_SCHEMA
-    name = "stream_rebin_" + uuid.uuid4().hex[:8]
     sdf = stream_rebin(spark, land, schema, bin_width="1 hour")
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    out = spark.table(name)
+    out_raw = _drain_memory_stream(spark, sdf, "stream_rebin_")
+    out = out_raw
     from miletos_spark.functions.scalars import quantize
 
     # quantize, not round: 1-hour bins hold exactly 32 samples at this
@@ -2167,25 +2178,15 @@ def q_stream_ls_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow, mean-corrected and scored at read-out
     (`finish_ls_power`). Oracle: the identical raw-moment formulation
     in DuckDB; arrival order cannot move a single moment."""
-    import uuid
-
     from miletos_spark.streaming.ingest import finish_ls_power, stream_ls_moments
 
     land = land_stream_events(spark, sf_dir)
-    name = "stream_ls_" + uuid.uuid4().hex[:8]
     sdf = stream_ls_moments(
         spark, land, STREAM_SCHEMA, LS_FMIN, LS_DF, LS_NFREQ,
         t_ref=LS_STREAM_TREF,
     )
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    out = finish_ls_power(spark.table(name))
+    out_raw = _drain_memory_stream(spark, sdf, "stream_ls_")
+    out = finish_ls_power(out_raw)
     return out.select(
         F.round("freq", 9).alias("freq"), F.round("power", 6).alias("power")
     )
@@ -2242,22 +2243,13 @@ def q_stream_bls_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored against the global moments in an O(|spectrum|) batch step.
     The oracle is the batch box spectrum with the same decimal means:
     streaming arrival order must not move a single box."""
-    import uuid
 
     from miletos_spark.streaming.ingest import stream_bls
 
     land = land_stream_events(spark, sf_dir)
-    name = "stream_bls_" + uuid.uuid4().hex[:8]
     sdf = stream_bls(spark, land, STREAM_SCHEMA, _bls_trials(), t_ref=0.0)
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    spec = spark.table(name)
+    out_raw = _drain_memory_stream(spark, sdf, "stream_bls_")
+    spec = out_raw
 
     ev = _ev_days(spark, sf_dir)
     g = ev.agg(
@@ -3062,9 +3054,15 @@ def q_gp_pair_loglik_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _ev_days(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy("t", "event_id")
+    wc = Window.partitionBy("event_type")
     two = (
         ev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 2)
+        # drop event_types with a single event: the closed-form oracle
+        # states the 2x2 marginal, so a 1-point block (possible at a
+        # sparse regenerated sf) must be excluded on BOTH sides
+        .withColumn("_npair", F.count("*").over(wc))
+        .filter(F.col("_npair") == 2)
         .select(
             "event_type",
             (F.col("rn") * F.lit(_GPPAIR_DT)).alias("t"),
@@ -3097,6 +3095,7 @@ p AS (
          max(CASE WHEN rn = 1 THEN value END) AS y1,
          max(CASE WHEN rn = 2 THEN value END) AS y2
   FROM r2 GROUP BY event_type
+  HAVING count(*) = 2
 ),
 k AS (
   SELECT event_type, y1, y2,
@@ -4232,9 +4231,11 @@ def q_stream_trigger_clusters_events(spark: SparkSession, sf_dir: str) -> DataFr
     )
     name = "stream_trig_" + uuid.uuid4().hex[:8]
     run_available_now(sdf, name)
+    tbl = spark.table(name)
+    out = spark.createDataFrame(tbl.collect(), tbl.schema)
+    spark.catalog.dropTempView(name)
     return (
-        spark.table(name)
-        .select(
+        out.select(
             "event_type", "t_start_us", "t_end_us", "n_triggers",
             "t_peak_us", "peak_value",
         )

@@ -126,7 +126,7 @@ def run_pipeline(
     )
 
     # --- analyses (P1, P2, P7) ---------------------------------------
-    grid_span = cfg.grid_span_days if cfg.grid_span_days else span
+    grid_span = cfg.grid_span_days if cfg.grid_span_days is not None else span
     trials = trial_table(
         spark, cfg.bls_p_min, cfg.bls_p_max, span_days=grid_span,
         osam=cfg.bls_osam, n_dcyc=cfg.bls_n_dcyc, dcyc_min=cfg.bls_dcyc_min,

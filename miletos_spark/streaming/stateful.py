@@ -147,4 +147,8 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    # raise on timeout: a silently partial drain would surface as an
+    # unexplained downstream mismatch, not as the timeout it is
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(f"streaming drain '{name}' exceeded {timeout_sec} s")
