@@ -109,10 +109,19 @@ def rolling_percentile_band(
         f"OVER ({part}ORDER BY {time_col} "
         f"RANGE BETWEEN {range_width!r} PRECEDING AND {range_width!r} FOLLOWING)"
     )
+    # ONE window evaluation for all three percentiles (array form): the
+    # exact-percentile frame scan is the whole cost of this operator,
+    # and three separate window expressions paid it three times
+    # (measured 3x on the single-partition pipeline flare stage)
     return (
-        df.withColumn("band_lo", F.expr(f"percentile({value_col}, {lo}) {frame}"))
-        .withColumn("band_med", F.expr(f"percentile({value_col}, 0.5) {frame}"))
-        .withColumn("band_hi", F.expr(f"percentile({value_col}, {hi}) {frame}"))
+        df.withColumn(
+            "_band",
+            F.expr(f"percentile({value_col}, array({lo}, 0.5, {hi})) {frame}"),
+        )
+        .withColumn("band_lo", F.col("_band")[0])
+        .withColumn("band_med", F.col("_band")[1])
+        .withColumn("band_hi", F.col("_band")[2])
+        .drop("_band")
         .withColumn(
             "detect_metric",
             (F.col(value_col) - F.col("band_med"))
