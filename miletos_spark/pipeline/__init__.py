@@ -16,10 +16,14 @@ from miletos_spark.pipeline.dedup import (  # noqa: F401
 from miletos_spark.pipeline.text import (  # noqa: F401
     text_stats,
     token_count,
+    bpe_ish_token_count,
+    doc_quality,
+    vocab_counts,
     language_id,
     doc_fingerprint,
 )
 from miletos_spark.pipeline.similarity import (  # noqa: F401
     cosine_topk,
     lsh_bucket_topk,
+    ivf_topk,
 )
