@@ -1,0 +1,124 @@
+"""Scale probe: replicate the sf0.1 events table K× (shifted event ids,
+jittered values, SAME time span — density scaling, the hard axis for
+window/GP/session operators) into a temp dir, then time a set of
+representative queries at 1× and K× and report the wall-clock scaling
+factor per query.
+
+Density scaling is the adversarial direction: gap regions merge, window
+frames hold K× more rows, per-(trial,bucket) box counts grow K× — an
+operator that is accidentally super-linear in density shows up here
+long before a cluster run would catch it. A factor ≲ K is linear;
+≫ K means a density bomb (the round-4 gp_loglik hang is the class of
+bug this exists to catch).
+
+Usage: python tools/scale_probe.py [K] [query ...]
+Writes one JSON line: {"k": K, "queries": {name: {"t1": s, "tk": s,
+"factor": tk/t1}}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as e
+from miletos_spark.session import get_spark
+
+BASE = "/root/testdata/sf0.1"
+
+# events-axis queries spanning the operator families with density risk:
+# windows/sessions, GP blocks, BLS fan-out, percentile bands, streaming
+DEFAULT_QUERIES = [
+    "sessionize_events",
+    "rolling_std_events",
+    "flare_band_events",
+    "clip_detrend_events",
+    "bls_spectrum_events",
+    "lomb_scargle_events",
+    "gp_recovery_events",
+    "gp_loglik_events",
+    "photometry_events",
+    "matched_filter_events",
+]
+
+
+def synth_scaled(spark, k: int) -> str:
+    from pyspark.sql import functions as F
+
+    from miletos_spark.schema import epoch_micros_expr, load_table
+
+    out = os.path.join(tempfile.gettempdir(), f"miletos_scale_{k}x")
+    if os.path.exists(os.path.join(out, "events.parquet", "_SUCCESS")):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    ev = load_table(spark, BASE, "events")
+    n = ev.count()
+    us = epoch_micros_expr(ev, "ts")
+    copies = []
+    for i in range(k):
+        # shift ids into a fresh range; jitter time by i microseconds so
+        # copies don't collide on the ordering tiebreak; perturb value
+        # deterministically so per-copy rows aren't bit-identical
+        c = ev.select(
+            (F.col("event_id") + F.lit(i * 10 * n)).alias("event_id"),
+            F.timestamp_micros(us + F.lit(i)).alias("ts"),
+            (F.col("user_id") + F.lit(i * 1000)).alias("user_id"),
+            "event_type",
+            F.round(F.col("value") + F.lit(i * 0.001), 3).alias("value"),
+            "props",
+        )
+        copies.append(c)
+    allc = copies[0]
+    for c in copies[1:]:
+        allc = allc.unionByName(c)
+    allc.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+    # non-events tables: symlink to the base so load_table works
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "documents", "embeddings"):
+        src = os.path.join(BASE, f"{t}.parquet")
+        dst = os.path.join(out, f"{t}.parquet")
+        if os.path.exists(src) and not os.path.exists(dst):
+            os.symlink(src, dst)
+    return out
+
+
+def time_query(fn, spark, sf_dir: str) -> float:
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        el = time.perf_counter() - t0
+        best = el if best is None or el < best else best
+    return best
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    names = sys.argv[2:] or DEFAULT_QUERIES
+    spark = get_spark(app_name="scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    scaled = synth_scaled(spark, k)
+    qs = e.queries()
+    out = {}
+    for name in names:
+        fn = qs[name]
+        t1 = time_query(fn, spark, BASE)
+        tk = time_query(fn, spark, scaled)
+        out[name] = {
+            "t1": round(t1, 3), "tk": round(tk, 3),
+            "factor": round(tk / max(t1, 1e-9), 2),
+        }
+        print(f"# {name}: {t1:.2f}s -> {tk:.2f}s (x{out[name]['factor']})",
+              file=sys.stderr)
+    print(json.dumps({"k": k, "queries": out}))
+
+
+if __name__ == "__main__":
+    main()
