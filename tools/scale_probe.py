@@ -48,44 +48,101 @@ DEFAULT_QUERIES = [
 ]
 
 
+CORPUS_QUERIES = [
+    "dedup_exact_docs",
+    "text_stats_docs",
+    "doc_quality_docs",
+    "vocab_topk_docs",
+    "fingerprint_docs",
+    "language_id_docs",
+    "simhash_docs",
+    "similarity_topk",
+    "lsh_similarity_topk",
+]
+
+
 def synth_scaled(spark, k: int) -> str:
     from pyspark.sql import functions as F
 
     from miletos_spark.schema import epoch_micros_expr, load_table
 
     out = os.path.join(tempfile.gettempdir(), f"miletos_scale_{k}x")
-    if os.path.exists(os.path.join(out, "events.parquet", "_SUCCESS")):
+    if os.path.exists(os.path.join(out, "_SUCCESS_SCALE")):
         return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
+
+    def replicate(df, mapper, name):
+        copies = [mapper(df, i) for i in range(k)]
+        allc = copies[0]
+        for c in copies[1:]:
+            allc = allc.unionByName(c)
+        allc.write.mode("overwrite").parquet(os.path.join(out, name))
+
     ev = load_table(spark, BASE, "events")
     n = ev.count()
     us = epoch_micros_expr(ev, "ts")
-    copies = []
-    for i in range(k):
-        # shift ids into a fresh range; jitter time by i microseconds so
-        # copies don't collide on the ordering tiebreak; perturb value
-        # deterministically so per-copy rows aren't bit-identical
-        c = ev.select(
+    # shift ids into a fresh range; jitter time by i microseconds so
+    # copies don't collide on the ordering tiebreak; perturb value
+    # deterministically so per-copy rows aren't bit-identical
+    replicate(
+        ev,
+        lambda df, i: df.select(
             (F.col("event_id") + F.lit(i * 10 * n)).alias("event_id"),
             F.timestamp_micros(us + F.lit(i)).alias("ts"),
             (F.col("user_id") + F.lit(i * 1000)).alias("user_id"),
             "event_type",
             F.round(F.col("value") + F.lit(i * 0.001), 3).alias("value"),
             "props",
+        ),
+        "events.parquet",
+    )
+
+    # documents: copy i prefixes every ~6th word with a copy marker, so
+    # replicas are NOT near-dups of the originals (otherwise each
+    # original's K copies form a clique and pair counts grow K² — real
+    # behavior for duplicated corpora, but it would measure output
+    # growth, not operator scaling)
+    docs = load_table(spark, BASE, "documents")
+    nd = docs.count()
+
+    def doc_map(df, i):
+        jitter = F.regexp_replace(
+            F.col("text"),
+            r"((\S+\s+){5})\S+",
+            r"$1cp" + str(i),
         )
-        copies.append(c)
-    allc = copies[0]
-    for c in copies[1:]:
-        allc = allc.unionByName(c)
-    allc.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
-    # non-events tables: symlink to the base so load_table works
+        return df.select(
+            (F.col("doc_id") + F.lit(i * 10 * nd)).alias("doc_id"),
+            (jitter if i else F.col("text")).alias("text"),
+            *[c for c in df.columns if c not in ("doc_id", "text")],
+        )
+
+    replicate(docs, doc_map, "documents.parquet")
+
+    emb = load_table(spark, BASE, "embeddings")
+    ne = emb.count()
+    replicate(
+        emb,
+        lambda df, i: df.select(
+            (F.col("vec_id") + F.lit(i * 10 * ne)).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x + F.lit(float(i)) * F.lit(0.0003)
+            ).alias("embedding"),
+            *[c for c in df.columns if c not in ("vec_id", "embedding")],
+        ),
+        "embeddings.parquet",
+    )
+
+    # remaining tables: symlink to the base so load_table works
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "documents", "embeddings"):
+              "lineitem"):
         src = os.path.join(BASE, f"{t}.parquet")
         dst = os.path.join(out, f"{t}.parquet")
         if os.path.exists(src) and not os.path.exists(dst):
             os.symlink(src, dst)
+    with open(os.path.join(out, "_SUCCESS_SCALE"), "w") as f:
+        f.write("ok")
     return out
 
 
@@ -101,7 +158,11 @@ def time_query(fn, spark, sf_dir: str) -> float:
 
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    names = sys.argv[2:] or DEFAULT_QUERIES
+    args = sys.argv[2:]
+    if args == ["corpus"]:
+        names = CORPUS_QUERIES
+    else:
+        names = args or DEFAULT_QUERIES
     spark = get_spark(app_name="scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
     scaled = synth_scaled(spark, k)
