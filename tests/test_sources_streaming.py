@@ -216,6 +216,64 @@ def test_stream_sessions_matches_batch(spark, events_dir, tmp_path):
     ).first()[0]
 
 
+def test_stream_watermark_drops_late_data(spark, tmp_path):
+    """§2.12 late-data semantics: rows older than the 1-day watermark
+    (a re-downloaded sector) are DROPPED from the stream — they belong
+    in a batch backfill. Three checkpointed availableNow runs: (1) the
+    on-time file advances the watermark, (2) a 5-day-late file arrives
+    below it and must not contribute, (3) a later file closes the
+    on-time windows. The final sink holds exactly the on-time windows."""
+    import datetime
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    base = 1_700_000_000
+
+    def ts(s):
+        return datetime.datetime.utcfromtimestamp(s)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, EV_SCHEMA)
+
+    def run():
+        stream = spark.readStream.schema(EV_SCHEMA).parquet(src)
+        agg = (
+            stream.withWatermark("ts", "1 day")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("window.start").alias("w"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    on_time = [(i, ts(base + i * 600), 1, "a", 1.0, "") for i in range(12)]
+    late = [(100 + i, ts(base - 5 * 86400 + i * 600), 1, "a", 1.0, "")
+            for i in range(6)]
+    closer = [(200 + i, ts(base + 2 * 86400 + i * 600), 1, "a", 1.0, "")
+              for i in range(3)]
+
+    mk(on_time).coalesce(1).write.mode("append").parquet(src)
+    run()                                     # watermark -> max(A) - 1d
+    mk(late).coalesce(1).write.mode("append").parquet(src)
+    run()                                     # below watermark: dropped
+    mk(closer).coalesce(1).write.mode("append").parquet(src)
+    run()                                     # closes the on-time windows
+
+    got = {str(r["w"]): r["n"] for r in spark.read.parquet(sink).collect()}
+    # on-time windows emitted with full counts (5 + 6 + 1 = 12 rows)...
+    assert sum(got.values()) == 12 and len(got) == 3
+    # ...and NOTHING from the late file's day made it through
+    assert all(not w.startswith("2023-11-09") for w in got)
+
+
 def test_stream_bls_matches_batch(spark, events_dir):
     """The incremental streaming box spectrum must equal the batch
     spectrum EXACTLY (decimal fixed-order means — micro-batch arrival
