@@ -54,14 +54,16 @@ def matern32_transition(t_s, sig2: float, rho: float):
 
 
 def kalman_forward(t_s, y, sig2: float, rho: float, r_diag,
-                   keep_paths: bool = False):
+                   keep_paths: bool = False, with_loglik: bool = True):
     """Kalman filter forward pass over the sorted series.
 
     `r_diag` is the per-sample measurement variance (array). Returns a
     dict with `loglik` (the prediction-error-decomposition marginal
-    log-likelihood, −½Σ(ν²/S + ln S + ln 2π)) and, when `keep_paths`,
-    the predicted/filtered mean/covariance arrays plus the transition
-    coefficients the RTS backward pass needs."""
+    log-likelihood, −½Σ(ν²/S + ln S + ln 2π); None when `with_loglik`
+    is off — the smoother path discards it, and the per-sample np.log
+    is measurable inside this pure-Python hot loop) and, when
+    `keep_paths`, the predicted/filtered mean/covariance arrays plus
+    the transition coefficients the RTS backward pass needs."""
     n = len(t_s)
     Aa, Ab, Ac, Ad, s0, s1 = matern32_transition(t_s, sig2, rho)
 
@@ -92,7 +94,8 @@ def kalman_forward(t_s, y, sig2: float, rho: float, r_diag,
             pp00[i], pp01[i], pp11[i] = p00, p01, p11
         S = p00 + r_diag[i]
         innov = y[i] - m0
-        ll += -0.5 * (innov * innov / S + np.log(S) + log2pi)
+        if with_loglik:
+            ll += -0.5 * (innov * innov / S + np.log(S) + log2pi)
         k0 = p00 / S
         k1 = p01 / S
         m0 += k0 * innov
@@ -104,7 +107,7 @@ def kalman_forward(t_s, y, sig2: float, rho: float, r_diag,
             mf0[i], mf1[i] = m0, m1
             pf00[i], pf01[i], pf11[i] = p00, p01, p11
 
-    out = {"loglik": float(ll)}
+    out = {"loglik": float(ll) if with_loglik else None}
     if keep_paths:
         out.update(
             A=(Aa, Ab, Ac, Ad),

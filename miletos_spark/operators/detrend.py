@@ -119,7 +119,8 @@ def _gp_smooth_matern32(t_s, yc, sig2: float, rho: float, sn2: float):
 
     n = len(t_s)
     fwd = kalman_forward(
-        t_s, yc, sig2, rho, np.full(n, float(sn2)), keep_paths=True
+        t_s, yc, sig2, rho, np.full(n, float(sn2)),
+        keep_paths=True, with_loglik=False,
     )
     return rts_posterior_mean(fwd, n)
 

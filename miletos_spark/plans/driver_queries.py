@@ -1895,29 +1895,32 @@ STREAM_SCHEMA = (
 )
 
 
-def _drain_memory_stream(spark: SparkSession, sdf: DataFrame, prefix: str) -> DataFrame:
+def _drain_memory_stream(
+    spark: SparkSession,
+    sdf: DataFrame,
+    prefix: str,
+    output_mode: str = "complete",
+) -> DataFrame:
     """availableNow-drain a streaming DataFrame into a memory sink and
     return the (bounded) result as a plain local DataFrame.
 
     - RAISES if the drain does not finish inside the timeout: a silently
       partial spectrum would otherwise surface as an unexplained hash
       mismatch downstream, not as the timeout it is.
-    - Materializes and DROPS the uuid-named sink view, so repeated
-      invocations in a long-lived session don't accumulate memory-sink
-      tables (all callers return bounded state: spectra/sessions)."""
+    - Materializes and DROPS the uuid-named sink view (on the timeout
+      path too), so repeated invocations in a long-lived session don't
+      accumulate memory-sink tables (all callers return bounded state:
+      spectra/sessions)."""
     import uuid
 
+    from miletos_spark.streaming.stateful import run_available_now
+
     name = prefix + uuid.uuid4().hex[:8]
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(f"streaming drain '{name}' exceeded 300 s")
+    try:
+        run_available_now(sdf, name, output_mode=output_mode)
+    except TimeoutError:
+        spark.catalog.dropTempView(name)
+        raise
     tbl = spark.table(name)
     out = spark.createDataFrame(tbl.collect(), tbl.schema)
     spark.catalog.dropTempView(name)
@@ -1973,8 +1976,7 @@ def q_stream_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     land = land_stream_events(spark, sf_dir)
     schema = STREAM_SCHEMA
     sdf = stream_sessions(spark, land, schema, gap_sec=SESSION_GAP_SEC)
-    out_raw = _drain_memory_stream(spark, sdf, "stream_sessions_")
-    out = out_raw
+    out = _drain_memory_stream(spark, sdf, "stream_sessions_")
     # exact integer microseconds: epoch-seconds doubles at ~1.7e9 run
     # out of mantissa for 6-decimal rounding parity
     return out.select(
@@ -2136,8 +2138,7 @@ def q_stream_rebin_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     land = land_stream_events(spark, sf_dir)
     schema = STREAM_SCHEMA
     sdf = stream_rebin(spark, land, schema, bin_width="1 hour")
-    out_raw = _drain_memory_stream(spark, sdf, "stream_rebin_")
-    out = out_raw
+    out = _drain_memory_stream(spark, sdf, "stream_rebin_")
     from miletos_spark.functions.scalars import quantize
 
     # quantize, not round: 1-hour bins hold exactly 32 samples at this
@@ -2248,8 +2249,7 @@ def q_stream_bls_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     land = land_stream_events(spark, sf_dir)
     sdf = stream_bls(spark, land, STREAM_SCHEMA, _bls_trials(), t_ref=0.0)
-    out_raw = _drain_memory_stream(spark, sdf, "stream_bls_")
-    spec = out_raw
+    spec = _drain_memory_stream(spark, sdf, "stream_bls_")
 
     ev = _ev_days(spark, sf_dir)
     g = ev.agg(
@@ -4217,23 +4217,14 @@ def q_stream_trigger_clusters_events(spark: SparkSession, sf_dir: str) -> DataFr
     micro-batching; the sentinel's own cluster stays open and is never
     emitted, so the output equals the batch gap-clustering of the real
     data — which is what the DuckDB oracle computes."""
-    import uuid
-
-    from miletos_spark.streaming.stateful import (
-        run_available_now,
-        stream_trigger_clusters,
-    )
+    from miletos_spark.streaming.stateful import stream_trigger_clusters
 
     land = land_trigger_events(spark, sf_dir)
     stream = spark.readStream.schema(STREAM_SCHEMA).parquet(land)
     sdf = stream_trigger_clusters(
         stream, TRIGGER_THRESHOLD, SESSION_GAP_SEC
     )
-    name = "stream_trig_" + uuid.uuid4().hex[:8]
-    run_available_now(sdf, name)
-    tbl = spark.table(name)
-    out = spark.createDataFrame(tbl.collect(), tbl.schema)
-    spark.catalog.dropTempView(name)
+    out = _drain_memory_stream(spark, sdf, "stream_trig_", output_mode="append")
     return (
         out.select(
             "event_type", "t_start_us", "t_end_us", "n_triggers",

@@ -126,6 +126,10 @@ def run_pipeline(
     )
 
     # --- analyses (P1, P2, P7) ---------------------------------------
+    if cfg.grid_span_days is not None and cfg.grid_span_days <= 0:
+        raise ValueError(
+            f"grid_span_days must be positive or None, got {cfg.grid_span_days!r}"
+        )
     grid_span = cfg.grid_span_days if cfg.grid_span_days is not None else span
     trials = trial_table(
         spark, cfg.bls_p_min, cfg.bls_p_max, span_days=grid_span,

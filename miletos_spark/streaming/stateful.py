@@ -136,14 +136,15 @@ def stream_trigger_clusters(
 
 
 def run_available_now(
-    sdf: DataFrame, name: str, timeout_sec: int = 300
+    sdf: DataFrame, name: str, timeout_sec: int = 300,
+    output_mode: str = "append",
 ) -> None:
     """Drain a static backlog through a streaming plan into a memory
     sink (availableNow) and wait for completion."""
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -61,12 +61,31 @@ CORPUS_QUERIES = [
 ]
 
 
+def _base_sig() -> str:
+    import hashlib
+
+    parts = []
+    for t in ("events", "documents", "embeddings"):
+        p = os.path.join(BASE, f"{t}.parquet")
+        try:
+            st = os.stat(p)
+            parts.append(f"{t}|{st.st_mtime_ns}|{st.st_size}")
+        except OSError:
+            parts.append(t)
+    return hashlib.md5("::".join(parts).encode()).hexdigest()[:10]
+
+
 def synth_scaled(spark, k: int) -> str:
     from pyspark.sql import functions as F
 
     from miletos_spark.schema import epoch_micros_expr, load_table
 
-    out = os.path.join(tempfile.gettempdir(), f"miletos_scale_{k}x")
+    # memo keyed on the BASE identity too: a regenerated testdata dir
+    # must invalidate the replicas, or factors silently compare t1 on
+    # new data against tk on replicas of the old
+    out = os.path.join(
+        tempfile.gettempdir(), f"miletos_scale_{k}x_{_base_sig()}"
+    )
     if os.path.exists(os.path.join(out, "_SUCCESS_SCALE")):
         return out
     shutil.rmtree(out, ignore_errors=True)
@@ -120,19 +139,35 @@ def synth_scaled(spark, k: int) -> str:
 
     replicate(docs, doc_map, "documents.parquet")
 
+    # embeddings: copy i>0 gets FRESH deterministic pseudo-random
+    # vectors (hash of (vec_id, copy, dim) -> [-1, 1]), not jittered
+    # clones — a constant shift keeps cosine ~0.9998 to the original,
+    # so jittered copies WOULD be near-dups and any pair-counting query
+    # would measure K² output growth instead of operator scaling. The
+    # base embeddings are themselves random vectors, so hash replicas
+    # match the data distribution.
     emb = load_table(spark, BASE, "embeddings")
     ne = emb.count()
-    replicate(
-        emb,
-        lambda df, i: df.select(
+    maxlong = float(2**63)
+
+    def emb_map(df, i):
+        if i == 0:
+            return df
+        idx = F.sequence(F.lit(0), F.size("embedding") - 1)
+        fresh = F.transform(
+            idx,
+            lambda j: (
+                F.xxhash64(F.col("vec_id"), j, F.lit(i)).cast("double")
+                / F.lit(maxlong)
+            ).cast("float"),
+        )
+        return df.select(
             (F.col("vec_id") + F.lit(i * 10 * ne)).alias("vec_id"),
-            F.transform(
-                "embedding", lambda x: x + F.lit(float(i)) * F.lit(0.0003)
-            ).alias("embedding"),
+            fresh.alias("embedding"),
             *[c for c in df.columns if c not in ("vec_id", "embedding")],
-        ),
-        "embeddings.parquet",
-    )
+        )
+
+    replicate(emb, emb_map, "embeddings.parquet")
 
     # remaining tables: symlink to the base so load_table works
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
@@ -157,10 +192,11 @@ def time_query(fn, spark, sf_dir: str) -> float:
 
 
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    args = sys.argv[2:]
-    if args == ["corpus"]:
-        names = CORPUS_QUERIES
+    args = sys.argv[1:]
+    k = int(args.pop(0)) if args and args[0].isdigit() else 10
+    if args and args[0] == "corpus":
+        args.pop(0)
+        names = args or CORPUS_QUERIES          # corpus [name ...]
     else:
         names = args or DEFAULT_QUERIES
     spark = get_spark(app_name="scale_probe")
