@@ -67,6 +67,7 @@ HEADLINE = [
     "stream_bls_events",
     "stream_ls_events",
     "vocab_topk_docs",
+    "ivf_landed_topk",
 ]
 
 
@@ -76,6 +77,7 @@ def main() -> None:
     from miletos_spark.pipeline.landing import (
         land_dedup_index,
         land_embedding_index,
+        land_ivf_index,
     )
 
     spark = get_spark(app_name="miletos_spark_bench")
@@ -97,6 +99,9 @@ def main() -> None:
     t0 = time.perf_counter()
     land_embedding_index(spark, SF_DIR, overwrite=True)
     timings["ingest:land_embedding_index"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    land_ivf_index(spark, SF_DIR, overwrite=True)
+    timings["ingest:land_ivf_index"] = round(time.perf_counter() - t0, 4)
     # streaming landings (memoized — first container run pays the
     # write, later runs a stat call; timed here so streaming query
     # numbers measure the stream, not a parquet rewrite)

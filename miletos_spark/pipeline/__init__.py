@@ -26,4 +26,10 @@ from miletos_spark.pipeline.similarity import (  # noqa: F401
     cosine_topk,
     lsh_bucket_topk,
     ivf_topk,
+    ivf_topk_landed,
+)
+from miletos_spark.pipeline.landing import (  # noqa: F401
+    land_dedup_index,
+    land_embedding_index,
+    land_ivf_index,
 )

@@ -130,3 +130,61 @@ def land_embedding_index(
     with open(done, "w") as f:
         f.write("ok")
     return path
+
+
+def land_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    n_clusters: int = 8,
+    seed: int = 42,
+    overwrite: bool = False,
+) -> dict[str, str]:
+    """Materialize the IVF (inverted-file) index: fit the KMeans coarse
+    quantizer ONCE at ingest, store vectors partitioned by their cell
+    id, and persist the centroids alongside. A probe then (1) ranks the
+    tiny centroid table driver-side, (2) reads ONLY the probed cells —
+    `_cell` is a partition directory filter, so the scan itself is
+    pruned — and (3) scores exactly within them. This is the write-time
+    half the `similarity.ivf_topk` docstring promises; the compute-on-
+    read form refits the quantizer per query (measured ~15x the probe
+    cost at sf0.1).
+
+    Cell count is small (coarse quantizer), so partitioning directly on
+    `_cell` has no small-files pathology. Returns {"cells": path,
+    "centers": path}."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    root = _index_root(src, f"ivf{n_clusters}s{seed}")
+    paths = {"cells": os.path.join(root, "cells"),
+             "centers": os.path.join(root, "centers")}
+    done = os.path.join(root, "_SUCCESS_INDEX")
+    if os.path.exists(done) and not overwrite:
+        return paths
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    feat = emb.withColumn("_feat", array_to_vector(v))
+    model = KMeans(
+        k=n_clusters, seed=seed, featuresCol="_feat", predictionCol="_cell"
+    ).fit(feat)
+    (
+        model.transform(feat)
+        .withColumn("embedding", vector_to_array("_feat"))
+        .drop("_feat")
+        .repartition("_cell")
+        .write.mode("overwrite")
+        .partitionBy("_cell")
+        .parquet(paths["cells"])
+    )
+    centers = [
+        (int(i), [float(x) for x in c])
+        for i, c in enumerate(model.clusterCenters())
+    ]
+    spark.createDataFrame(
+        centers, "cell int, center array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(paths["centers"])
+    with open(done, "w") as f:
+        f.write("ok")
+    return paths

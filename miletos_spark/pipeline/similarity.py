@@ -288,3 +288,39 @@ def lsh_bucket_topk(
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def ivf_topk_landed(
+    spark,
+    paths: dict[str, str],
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """`ivf_topk` over the WRITE-TIME landed index
+    (`landing.land_ivf_index`): rank the persisted centroids
+    driver-side (a tiny table), then read ONLY the probed cells —
+    `_cell` is a partition directory, so the filter prunes the SCAN
+    before any file opens — and score exactly within them. Bit-equal to
+    the compute-on-read path for the same centroids; `n_probe == K`
+    degrades gracefully to exact search."""
+    centers_rows = sorted(
+        spark.read.parquet(paths["centers"]).collect(),
+        key=lambda r: r["cell"],
+    )
+    centers = np.array([r["center"] for r in centers_rows])
+    q_np = np.asarray(query, dtype=float)
+    d2 = ((centers - q_np) ** 2).sum(axis=1)
+    probe = [int(centers_rows[i]["cell"])
+             for i in np.argsort(d2, kind="stable")[:n_probe]]
+
+    cells = spark.read.parquet(paths["cells"])
+    q = F.array(*[F.lit(float(x)) for x in query])
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return (
+        cells.filter(F.col("_cell").isin(probe))
+        .select(F.col(id_col), cosine_similarity(v, q).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -3370,6 +3370,25 @@ def q_ivf_recovery_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+def q_ivf_landed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over the WRITE-TIME landed index: the KMeans quantizer
+    fit once at ingest (`land_ivf_index`), probes read only the 2
+    nearest cells via partition pruning. Rows-only like the
+    compute-on-read ivf_similarity_topk (trained centroids are
+    engine-specific); exactness vs brute force is pinned by
+    test_similarity's landed probe-all assertion, and the scan pruning
+    by the partition layout."""
+    from miletos_spark.pipeline.landing import land_ivf_index
+    from miletos_spark.pipeline.similarity import ivf_topk_landed
+
+    paths = land_ivf_index(spark, sf_dir, n_clusters=8)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.orderBy("vec_id").select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    out = ivf_topk_landed(spark, paths, query, k=10, n_probe=2)
+    return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
 def q_mcmc_transit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5 'samp': per-event_type ensemble-MCMC posterior (stretch move)
     of the fixed-period trapezoid, summarized as 16/50/84 percentiles
@@ -5121,6 +5140,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gp_detrend_events": q_gp_detrend_events,
     "gp_loglik_events": q_gp_loglik_events,
     "ivf_similarity_topk": q_ivf_similarity_topk,
+    "ivf_landed_topk": q_ivf_landed_topk,
     "mcmc_transit_events": q_mcmc_transit_events,
     "mcmc_albedo_events": q_mcmc_albedo_events,
     "bls_alt_backend_events": q_bls_alt_backend_events,

@@ -38,6 +38,25 @@ def test_ivf_probe_recall(emb, query):
     assert len(exact & approx) >= 5
 
 
+def test_ivf_landed_probe_all_equals_bruteforce(emb, query, spark, sf_dir):
+    """The write-time landed IVF index must reproduce brute force when
+    every cell is probed, and its partition layout must prune the scan
+    (the probed-cells read plans a partition filter on _cell)."""
+    from miletos_spark.pipeline.landing import land_ivf_index
+    from miletos_spark.pipeline.similarity import ivf_topk_landed
+
+    paths = land_ivf_index(spark, sf_dir, n_clusters=8)
+    exact = _ids(cosine_topk(emb, query, k=10))
+    landed_all = _ids(
+        ivf_topk_landed(spark, paths, query, k=10, n_probe=8)
+    )
+    assert landed_all == exact
+    probe2 = ivf_topk_landed(spark, paths, query, k=10, n_probe=2)
+    plan = probe2._jdf.queryExecution().executedPlan().toString()
+    assert "_cell" in plan  # pruning predicate reached the scan
+    assert len(set(_ids(probe2)) & set(exact)) >= 5
+
+
 def test_lsh_multiprobe_contains_self(emb, query):
     got = _ids(lsh_bucket_topk(emb, query, k=5, n_planes=8, probe_bits=1))
     exact_top1 = _ids(cosine_topk(emb, query, k=1))[0]
