@@ -68,6 +68,7 @@ HEADLINE = [
     "stream_ls_events",
     "vocab_topk_docs",
     "ivf_landed_topk",
+    "mcmc_recovery_events",
 ]
 
 

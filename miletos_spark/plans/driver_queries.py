@@ -3370,6 +3370,61 @@ def q_ivf_recovery_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+_MCMCREC_STDV = 2e-4     # posterior sigma ~ stdv/sqrt(n_constraining):
+                         # measured worst percentile deviation 6.8e-4
+                         # (dura, sf0.001) vs 2dp half-step 5e-3 -> 7x
+                         # margin; depth dev 2.5e-5 vs 3dp -> 20x
+
+
+def q_mcmc_recovery_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 'samp' made driver-checkable: a noiseless trapezoid with a
+    tiny measurement error makes the posterior concentrate so sharply
+    at the injected truth that ALL THREE percentiles (16/50/84) of
+    every parameter round to it — the oracle states the truth. Checks
+    posterior concentration and the percentile machinery of the seeded
+    stretch-move ensemble (walkers START at the truth; global search
+    convergence is covered by the BLS/NM recovery rows). Pooled series
+    for the same sparse-sf reason as transit_fit_recovery_events."""
+    from miletos_spark.model.forward import transit_model
+    from miletos_spark.model.infer import sample_transit_groups
+
+    ev = _ev_days(spark, sf_dir)
+    tmin = ev.agg(F.min("t")).first()[0]
+    sh = ev.withColumn("t", F.col("t") - F.lit(float(tmin)))
+    inj = sh.select(
+        F.lit("all").alias("series"), "t",
+        transit_model(F.col("t"), _FITREC_P, _FITREC_EPOCH,
+                      _FITREC_DEPTH, _FITREC_DURA).alias("value"),
+        F.lit(_MCMCREC_STDV).alias("stdv"),
+    )
+    out = sample_transit_groups(
+        inj, period=_FITREC_P, epoch0=_FITREC_EPOCH, depth0=_FITREC_DEPTH,
+        dura0=_FITREC_DURA, group_cols=("series",), time_col="t",
+    )
+    cols = [F.col("series")]
+    for p in ("epoch", "depth", "dura"):
+        nd = 3 if p == "depth" else 2
+        cols += [F.round(f"{p}_{t}", nd).alias(f"{p}_{t}")
+                 for t in ("p16", "p50", "p84")]
+    return out.select(*cols, "n_samples").orderBy("series")
+
+
+def _sql_mcmc_recovery() -> str:
+    vals = {"epoch": _FITREC_EPOCH, "depth": _FITREC_DEPTH,
+            "dura": _FITREC_DURA}
+    cols = ",\n       ".join(
+        f"CAST({vals[p]!r} AS DOUBLE) AS {p}_{t}"
+        for p in ("epoch", "depth", "dura")
+        for t in ("p16", "p50", "p84")
+    )
+    # n_samples = n_walkers*n_steps*(1-burn) = 24*200 - floor(4800*0.3)
+    return f"""
+SELECT 'all' AS series,
+       {cols},
+       CAST(3360 AS BIGINT) AS n_samples
+"""
+
+
 def q_ivf_landed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over the WRITE-TIME landed index: the KMeans quantizer
     fit once at ingest (`land_ivf_index`), probes read only the 2
@@ -5132,6 +5187,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "csv_ingest_events": q_csv_ingest_events,
     "tls_recovery_events": q_tls_recovery_events,
     "gp_recovery_events": q_gp_recovery_events,
+    "mcmc_recovery_events": q_mcmc_recovery_events,
     # -- rows-only (no SQL oracle by design: iterative/engine-hash) --
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "transit_fit_events": q_transit_fit_events,
@@ -5231,6 +5287,7 @@ def _oracles() -> dict[str, str]:
         "doc_quality_docs": _sql_doc_quality(),
         "vocab_topk_docs": SQL_VOCAB_TOPK_DOCS,
         "pipeline_summary_events": _sql_pipeline_summary(),
+        "mcmc_recovery_events": _sql_mcmc_recovery(),
         # spline_detrend_events: no oracle (iterative LSQ fit)
         # bls_multi_events: no oracle (iterative driver loop)
         # gp_detrend_events: no oracle (dense GP solve)

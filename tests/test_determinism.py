@@ -56,6 +56,9 @@ QUERIES = [
     # point of the decimal-sum discipline
     "stream_bls_events",
     "stream_ls_events",
+    # seeded stretch-move chain: coarse rounding must absorb any
+    # partition-order float noise in the pooled log-likelihood
+    "mcmc_recovery_events",
 ]
 
 # driver-ish defaults vs an adversarial layout: tiny partition count,
