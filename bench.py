@@ -69,6 +69,8 @@ HEADLINE = [
     "vocab_topk_docs",
     "ivf_landed_topk",
     "mcmc_recovery_events",
+    # round-5: population orchestration (N targets in one job)
+    "pipeline_population_events",
 ]
 
 

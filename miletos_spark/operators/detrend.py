@@ -211,6 +211,7 @@ def clip_detrend_loop(
     value_col: str = "value",
     time_col: str = "time",
     group_cols: Sequence[str] = (),
+    clip_per_group: bool = False,
 ) -> DataFrame:
     """X4 — alternate 3σ clip (on the detrended residual) and median
     re-detrend until the kept row count is stable or `max_iter`
@@ -219,6 +220,12 @@ def clip_detrend_loop(
     Driver loop over cached DataFrames; each pass = one window job +
     one agg + one filter. Final pass evaluates the trend on the
     surviving rows and returns them with `value_detrended`.
+
+    With `clip_per_group` the σ-clip thresholds are computed PER
+    `group_cols` group (broadcast-joined back) instead of pooled — the
+    population-run semantics, where each target clips on its own
+    residual scatter. Default stays the pooled clip the single-series
+    driver queries document.
     """
     work = df
     prev = None
@@ -231,6 +238,26 @@ def clip_detrend_loop(
         if prev is not None and n == prev:
             return det
         prev = n
+        if clip_per_group and group_cols:
+            keys = list(group_cols)
+            gstats = det.groupBy(*keys).agg(
+                F.avg("value_detrended").alias("_cmu"),
+                F.stddev_pop("value_detrended").alias("_csd"),
+            )
+            work = (
+                det.join(F.broadcast(gstats), keys)
+                .filter(
+                    (F.col("_csd") == 0.0)
+                    | (
+                        (F.col("value_detrended")
+                         > F.col("_cmu") - low * F.col("_csd"))
+                        & (F.col("value_detrended")
+                           < F.col("_cmu") + high * F.col("_csd"))
+                    )
+                )
+                .drop("value_detrended", "_cmu", "_csd")
+            )
+            continue
         stats = det.agg(
             F.avg("value_detrended").alias("mu"),
             F.stddev_pop("value_detrended").alias("sd"),

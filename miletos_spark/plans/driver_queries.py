@@ -5012,6 +5012,16 @@ def _sql_pipeline_summary() -> str:
     )
 
     c = _PIPE_CFG
+    # The CTE below replays exactly ONE BLS pass, so its
+    # `n_bls_signals IN (0, 1)` arithmetic is only correct while the
+    # config caps the multi-signal loop at a single iteration. Fail
+    # loudly if someone raises the cap without extending the oracle
+    # (the 2-iteration pattern lives in `_sql_bls_multi_recovery`).
+    assert c["bls_max_signals"] == 1, (
+        "pipeline oracle replays one BLS pass; extend the CTE (see "
+        "_sql_bls_multi_recovery) before raising bls_max_signals "
+        f"(got {c['bls_max_signals']})"
+    )
     trials = [
         (p, d, off)
         for p in period_grid(
@@ -5097,6 +5107,224 @@ LEFT JOIN lsbest l ON true
 """
 
 
+# --- §3.1 population run: N targets through the lifecycle in one job --------
+
+# frozen config for the population driver row (same stance as _PIPE_CFG:
+# grids are a pure function of config so the oracle embeds identical
+# literals). hw=30 so the injected ~23-27-sample boxes survive the
+# median detrend (a box wider than half_width is absorbed as baseline).
+_POP_GRID_SPAN = 30.0
+_POP_CFG = dict(
+    detrend_half_width=45, detrend_max_iter=1,
+    bls_p_min=2.0, bls_p_max=10.0, bls_osam=2.0, bls_n_dcyc=2,
+    bls_dcyc_min=0.02, bls_max_signals=1, bls_snr_accept=3.0,
+    gate_bls_snr=6.0, fit_on_detection=False,
+    grid_span_days=_POP_GRID_SPAN,
+)
+# injected per-target ephemerides (target, period, epoch, dur_days,
+# depth): periods are EXACT trial-grid floats (period_grid indices 9
+# and 3), epochs absolute days inside the events span, depths sized to
+# survive the 3-sigma clip (~2-2.4x the residual scatter). t0 is the
+# no-injection control (depth 0 -> CASE keeps the raw value).
+def _pop_targets() -> list[tuple[str, float, float, float, float]]:
+    from miletos_spark.search.bls import period_grid
+
+    pg = period_grid(
+        _POP_CFG["bls_p_min"], _POP_CFG["bls_p_max"], _POP_GRID_SPAN,
+        _POP_CFG["bls_osam"],
+    )
+    return [
+        ("t0", 1.0, 0.0, 0.0, 0.0),
+        ("t1", pg[9], 19724.25, 0.07, 100.0),   # = 4.0 d
+        ("t2", pg[3], 19725.6, 0.12, 120.0),    # = 6.667 d
+    ]
+
+
+def q_pipeline_population_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.1 population orchestration (the engine's real 100 TB fan-out
+    axis — a TOI list through the full lifecycle, miletos
+    examples/examples.py:162-172; SURVEY §7.1.6): K synthetic targets
+    with distinct injected box ephemerides built from the events
+    series, ALL driven through guards → per-target clip↔detrend →
+    keyed BLS / LS / flares → gate in ONE job chain via
+    `run_population` (target is the group key of every stage — no
+    per-target driver loop). Oracle: the full per-target CTE replay —
+    `_sql_pipeline_summary` generalized with PARTITION BY target."""
+    from miletos_spark.plans.orchestrator import RunConfig, run_population
+
+    ev = _ev_days(spark, sf_dir).select(F.col("t").alias("time"), "value")
+    tg = spark.createDataFrame(
+        _pop_targets(),
+        "target string, p_inj double, e_inj double, dur_inj double, "
+        "dep_inj double",
+    )
+    ph = (
+        (((F.col("time") - F.col("e_inj")) % F.col("p_inj"))
+         + F.col("p_inj")) % F.col("p_inj")
+    ) / F.col("p_inj")
+    dfrac = F.col("dur_inj") / F.col("p_inj")
+    in_box = (ph < dfrac / 2) | (ph >= 1.0 - dfrac / 2)
+    pop = (
+        ev.crossJoin(F.broadcast(tg))
+        .withColumn(
+            "value",
+            F.when(
+                (F.col("dep_inj") > 0) & in_box,
+                F.col("value") - F.col("dep_inj"),
+            ).otherwise(F.col("value")),
+        )
+        .select("target", "time", "value")
+    )
+    out = run_population(spark, pop, RunConfig(**_POP_CFG))
+    return out.select(
+        "target",
+        "n_samples",
+        F.round("span_days", 4).alias("span_days"),
+        "n_bls_signals",
+        F.round("best_bls_snr", 2).alias("best_bls_snr"),
+        F.round("ls_power", 4).alias("ls_power"),
+        "n_flares",
+        "detected",
+    ).orderBy("target")
+
+
+def _sql_pipeline_population() -> str:
+    from miletos_spark.search.bls import (
+        bls_snr_sql,
+        duty_cycle_grid,
+        period_grid,
+    )
+
+    c = _POP_CFG
+    assert c["bls_max_signals"] == 1, (
+        "population oracle replays one BLS pass; extend the CTE (see "
+        "_sql_bls_multi_recovery) before raising bls_max_signals "
+        f"(got {c['bls_max_signals']})"
+    )
+    trials = [
+        (p, d, off)
+        for p in period_grid(
+            c["bls_p_min"], c["bls_p_max"], _POP_GRID_SPAN, c["bls_osam"]
+        )
+        for d in duty_cycle_grid(p, c["bls_n_dcyc"], c["bls_dcyc_min"])
+        for off in (0.0, 0.5)
+    ]
+    f_lo = 1.0 / _POP_GRID_SPAN
+    df_step = f_lo / 3.0                      # cfg.ls_osam
+    n_freq = min(max(int((2.0 - f_lo) / df_step), 2), 2000)
+    hw = c["detrend_half_width"]
+    snr_spec = bls_snr_sql(
+        bls_sql("t", "v", "d2", trials, t_ref=0.0, group_col="target"),
+        kernel_size=51, min_in=3, group_col="target",
+    )
+    ls_spec = lomb_scargle_sql(
+        "t", "v", "shifted", f_lo, df_step, n_freq, group_col="target"
+    )
+    tvals = ", ".join(
+        f"('{t}', CAST({p!r} AS DOUBLE), CAST({e!r} AS DOUBLE), "
+        f"CAST({du!r} AS DOUBLE), CAST({dp!r} AS DOUBLE))"
+        for t, p, e, du, dp in _pop_targets()
+    )
+    flare_w = 1.0 / 24.0                      # cfg.flare_window
+    pmod = "(((t - e_inj) % p_inj + p_inj) % p_inj) / p_inj"
+    return f"""
+WITH targets(target, p_inj, e_inj, dur_inj, dep_inj) AS (VALUES {tvals}),
+raw AS (
+  SELECT {EV_T_DAYS_SQL} AS t, value
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) AND abs(value) < 1e10
+),
+base AS (
+  SELECT target, t,
+         CASE WHEN dep_inj > 0 AND (
+                {pmod} < dur_inj / p_inj / 2
+             OR {pmod} >= 1.0 - dur_inj / p_inj / 2)
+         THEN value - dep_inj ELSE value END AS value
+  FROM raw CROSS JOIN targets
+),
+d1 AS (
+  SELECT target, t, value, 1.0 + value - quantile_cont(value, 0.5) OVER (
+    PARTITION BY target ORDER BY t
+    ROWS BETWEEN {hw} PRECEDING AND {hw} FOLLOWING) AS vd
+  FROM base
+),
+st AS (
+  SELECT target, avg(vd) AS mu, stddev_pop(vd) AS sd FROM d1 GROUP BY target
+),
+kept AS (
+  SELECT d1.target AS target, t, value FROM d1 JOIN st USING (target)
+  WHERE sd = 0.0 OR (vd > mu - 3 * sd AND vd < mu + 3 * sd)
+),
+d2 AS (
+  SELECT target, t, 1.0 + value - quantile_cont(value, 0.5) OVER (
+    PARTITION BY target ORDER BY t
+    ROWS BETWEEN {hw} PRECEDING AND {hw} FOLLOWING) AS v
+  FROM kept
+),
+sp AS (
+  SELECT target, min(t) AS lo, max(t) AS hi, count(*) AS n
+  FROM d2 GROUP BY target
+),
+snrspec AS (
+{snr_spec}
+),
+blsbest AS (
+  SELECT target, snr FROM (
+    SELECT target, snr, row_number() OVER (
+      PARTITION BY target ORDER BY snr DESC, period) AS rn
+    FROM snrspec WHERE snr IS NOT NULL
+  ) WHERE rn = 1
+),
+shifted AS (
+  SELECT d2.target AS target, d2.t - sp.lo AS t, d2.v AS v
+  FROM d2 JOIN sp USING (target)
+),
+lsspec AS (
+{ls_spec}
+),
+lsbest AS (SELECT target, max(power) AS power FROM lsspec GROUP BY target),
+band AS (
+  SELECT target, t, v,
+         quantile_cont(v, 0.05) OVER w AS band_lo,
+         quantile_cont(v, 0.5) OVER w AS band_med,
+         quantile_cont(v, 0.95) OVER w AS band_hi
+  FROM d2
+  WINDOW w AS (PARTITION BY target ORDER BY t
+               RANGE BETWEEN {flare_w!r} PRECEDING AND {flare_w!r} FOLLOWING)
+),
+trig AS (
+  SELECT target, t, coalesce((v - band_med) / nullif(band_hi - band_lo, 0.0)
+                     > 7.0, false) AS tr
+  FROM band
+),
+starts AS (
+  SELECT target,
+         count(*) FILTER (WHERE tr AND NOT coalesce(pr, false)) AS n_flares
+  FROM (
+    SELECT target, tr, lag(tr) OVER (PARTITION BY target ORDER BY t) AS pr
+    FROM trig
+  )
+  GROUP BY target
+)
+SELECT sp.target AS target,
+       sp.n AS n_samples,
+       round(sp.hi - sp.lo, 4) AS span_days,
+       CASE WHEN coalesce(b.snr, 0.0) >= {c["bls_snr_accept"]!r}
+            THEN 1 ELSE 0 END AS n_bls_signals,
+       CASE WHEN coalesce(b.snr, 0.0) >= {c["bls_snr_accept"]!r}
+            THEN round(b.snr, 2) ELSE 0.0 END AS best_bls_snr,
+       round(l.power, 4) AS ls_power,
+       coalesce(s.n_flares, 0) AS n_flares,
+       (coalesce(b.snr, 0.0) > {c["gate_bls_snr"]!r} OR l.power > 0.2)
+         AS detected
+FROM sp
+LEFT JOIN blsbest b USING (target)
+LEFT JOIN lsbest l USING (target)
+LEFT JOIN starts s USING (target)
+ORDER BY sp.target
+"""
+
+
 # --- registry ---------------------------------------------------------------
 
 # Registry ORDER is load-bearing: the driver's correctness gate checks
@@ -5127,7 +5355,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "largest_gap_events": q_largest_gap_events,
     "lomb_scargle_events": q_lomb_scargle_events,
     "bls_spectrum_events": q_bls_spectrum_events,
-    "gp_pair_loglik_events": q_gp_pair_loglik_events,
+    "gp_recovery_events": q_gp_recovery_events,
     "bls_multi_recovery_events": q_bls_multi_recovery_events,
     "outlier_period_events": q_outlier_period_events,
     "dedup_exact_docs": q_dedup_exact_docs,
@@ -5144,33 +5372,40 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "binned_rms_events": q_binned_rms_events,
     "simhash_pairs": q_simhash_pairs,
     "media_features": q_media_features,
-    "fingerprint_docs": q_fingerprint_docs,
-    "language_id_docs": q_language_id_docs,
+    "doc_quality_docs": q_doc_quality_docs,
+    "vocab_topk_docs": q_vocab_topk_docs,
+    "pipeline_population_events": q_pipeline_population_events,
     "model_loglik_events": q_model_loglik_events,
-    "depth_fit_events": q_depth_fit_events,
+    "mcmc_recovery_events": q_mcmc_recovery_events,
     "derived_features_events": q_derived_features_events,
     "detection_stats_events": q_detection_stats_events,
     "rv_flare_model_events": q_rv_flare_model_events,
-    "stream_sessions_events": q_stream_sessions_events,
+    "stream_bls_events": q_stream_bls_events,
+    "stream_ls_events": q_stream_ls_events,
     "matched_filter_events": q_matched_filter_events,
     "phase_curve_events": q_phase_curve_events,
     "clip_detrend_events": q_clip_detrend_events,
-    "interp_grid_events": q_interp_grid_events,
-    "transit_epochs_events": q_transit_epochs_events,
-    "ztf_ingest_events": q_ztf_ingest_events,
+    "tls_recovery_events": q_tls_recovery_events,
+    "bls_multires_events": q_bls_multires_events,
+    "derived_outputs_events": q_derived_outputs_events,
     "phase_components_events": q_phase_components_events,
-    "datetime_strings_events": q_datetime_strings_events,
-    "asof_join_events": q_asof_join_events,
     "ener_spectrum_events": q_ener_spectrum_events,
     # -- oracle-backed overflow (judge full sweep only, no driver row) --
+    "language_id_docs": q_language_id_docs,
+    "stream_sessions_events": q_stream_sessions_events,
+    "datetime_strings_events": q_datetime_strings_events,
+    "gp_pair_loglik_events": q_gp_pair_loglik_events,
+    "ztf_ingest_events": q_ztf_ingest_events,
+    "asof_join_events": q_asof_join_events,
+    "transit_epochs_events": q_transit_epochs_events,
+    "interp_grid_events": q_interp_grid_events,
+    "fingerprint_docs": q_fingerprint_docs,
+    "depth_fit_events": q_depth_fit_events,
     "white_light_events": q_white_light_events,
     "sigma_clip_events": q_sigma_clip_events,
     "similarity_topk": q_similarity_topk,
-    "doc_quality_docs": q_doc_quality_docs,
-    "vocab_topk_docs": q_vocab_topk_docs,
     "bls_snr_spectrum_events": q_bls_snr_spectrum_events,
     "linear_detrend_events": q_linear_detrend_events,
-    "bls_multires_events": q_bls_multires_events,
     "rolling_median_events": q_rolling_median_events,
     "customers_without_orders": q_customers_without_orders,
     "top_events": q_top_events,
@@ -5185,17 +5420,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "brightness_temp_events": q_brightness_temp_events,
     "albedo_recirc_events": q_albedo_recirc_events,
     "visibility_events": q_visibility_events,
-    "derived_outputs_events": q_derived_outputs_events,
     "stream_trigger_clusters_events": q_stream_trigger_clusters_events,
     "stream_rebin_events": q_stream_rebin_events,
-    "stream_bls_events": q_stream_bls_events,
-    "stream_ls_events": q_stream_ls_events,
     "fits_ingest_events": q_fits_ingest_events,
     "qlp_ingest_events": q_qlp_ingest_events,
     "csv_ingest_events": q_csv_ingest_events,
-    "tls_recovery_events": q_tls_recovery_events,
-    "gp_recovery_events": q_gp_recovery_events,
-    "mcmc_recovery_events": q_mcmc_recovery_events,
     # -- rows-only (no SQL oracle by design: iterative/engine-hash) --
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "transit_fit_events": q_transit_fit_events,
@@ -5295,6 +5524,7 @@ def _oracles() -> dict[str, str]:
         "doc_quality_docs": _sql_doc_quality(),
         "vocab_topk_docs": SQL_VOCAB_TOPK_DOCS,
         "pipeline_summary_events": _sql_pipeline_summary(),
+        "pipeline_population_events": _sql_pipeline_population(),
         "mcmc_recovery_events": _sql_mcmc_recovery(),
         # spline_detrend_events: no oracle (iterative LSQ fit)
         # bls_multi_events: no oracle (iterative driver loop)

@@ -31,9 +31,17 @@ from miletos_spark.model.likelihood import depth_fit_closed_form
 from miletos_spark.operators.detrend import clip_detrend_loop
 from miletos_spark.operators.filters import mask_time_windows
 from miletos_spark.operators.fold import fold, phase_bins, transit_flag
-from miletos_spark.search.bls import bls_multi_signal, trial_table
+from miletos_spark.search.bls import (
+    bls_multi_signal,
+    bls_multi_signal_grouped,
+    trial_table,
+)
 from miletos_spark.search.flare import flare_outlier_search
-from miletos_spark.search.lombscargle import freq_grid, lomb_scargle
+from miletos_spark.search.lombscargle import (
+    freq_grid,
+    lomb_scargle,
+    lomb_scargle_grouped,
+)
 
 
 @dataclass
@@ -210,3 +218,137 @@ def run_pipeline(
         summary=summary,
         wall_s=time.time() - t_start,
     )
+
+
+def run_population(
+    spark: SparkSession,
+    population: DataFrame,
+    config: RunConfig | None = None,
+    target_col: str = "target",
+    time_col: str = "time",
+    value_col: str = "value",
+) -> DataFrame:
+    """The population run — N independent targets through the full
+    guards → clip↔detrend → BLS-multi / LS / flares → gate lifecycle in
+    ONE Spark job chain, `target_col` as the group key of every stage
+    (the reference's real 100 TB fan-out axis: a TOI list driven
+    through `miletos.main.init` per target, examples/examples.py:162-172;
+    SURVEY §7.1.6 — there it is a scheduler loop, here one plan).
+
+    Requires `config.grid_span_days` (a frozen search-grid baseline):
+    a shared trial/frequency grid is what lets every target ride one
+    broadcast crossJoin instead of per-target grid builds. The driver
+    loop count is `bls_max_signals`, never N. Nothing per-sample ever
+    reaches the driver; the result is one summary row per target:
+    (target, n_samples, span_days, n_bls_signals, best_bls_snr,
+    ls_power, n_flares, detected).
+    """
+    cfg = config or RunConfig()
+    if cfg.grid_span_days is None:
+        raise ValueError(
+            "run_population requires config.grid_span_days: the frozen "
+            "grid baseline is what makes the search grids shared across "
+            "targets (one broadcast crossJoin for the whole population)"
+        )
+    keys = [target_col]
+
+    # --- guards + mask (F1/F2/F4), per-row so no keying needed -------
+    work = population.filter(
+        F.col(value_col).isNotNull()
+        & ~F.isnan(F.col(value_col))
+        & (F.abs(F.col(value_col)) < 1e10)
+    )
+    if cfg.mask_windows:
+        work = mask_time_windows(work, cfg.mask_windows, time_col=time_col)
+
+    # --- detrend (X4) keyed by target --------------------------------
+    detrended = clip_detrend_loop(
+        work, cfg.detrend_half_width, max_iter=cfg.detrend_max_iter,
+        value_col=value_col, time_col=time_col, group_cols=keys,
+        clip_per_group=True,
+    ).cache()
+    det = detrended.select(
+        target_col,
+        F.col(time_col).alias("time"),
+        F.col("value_detrended").alias("value"),
+    )
+    spans = (
+        det.groupBy(target_col)
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.min("time").alias("_lo"),
+            F.max("time").alias("_hi"),
+        )
+        .withColumn("span_days", F.col("_hi") - F.col("_lo"))
+    ).cache()
+
+    # --- BLS multi-signal (P2), keyed --------------------------------
+    trials = trial_table(
+        spark, cfg.bls_p_min, cfg.bls_p_max, span_days=cfg.grid_span_days,
+        osam=cfg.bls_osam, n_dcyc=cfg.bls_n_dcyc, dcyc_min=cfg.bls_dcyc_min,
+    )
+    detections = bls_multi_signal_grouped(
+        det, trials, keys, max_signals=cfg.bls_max_signals,
+        snr_threshold=cfg.bls_snr_accept,
+    )
+    det_agg = detections.groupBy(target_col).agg(
+        F.count("*").alias("n_bls_signals"),
+        F.max("snr").alias("best_bls_snr"),
+    )
+
+    # --- LS (P1), keyed: per-target time shift to its own origin -----
+    f_lo = 1.0 / cfg.grid_span_days
+    df_step = f_lo / cfg.ls_osam
+    n_freq = max(int((cfg.ls_max_freq - f_lo) / df_step), 2)
+    shifted = det.join(
+        F.broadcast(spans.select(target_col, "_lo")), target_col
+    ).select(
+        target_col, (F.col("time") - F.col("_lo")).alias("time"), "value"
+    )
+    spec = lomb_scargle_grouped(
+        shifted, freq_grid(spark, f_lo, df_step, min(n_freq, 2000)), keys
+    )
+    ls_best = (
+        spec.groupBy(target_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("power").alias("power"),
+                    (-F.col("freq")).alias("_nf"),
+                )
+            ).alias("_b")
+        )
+        .select(target_col, F.col("_b.power").alias("ls_power"))
+    )
+
+    # --- flares (P7), keyed ------------------------------------------
+    flare_counts = (
+        flare_outlier_search(
+            det, window_days=cfg.flare_window, threshold=cfg.flare_threshold,
+            group_cols=keys,
+        )
+        .groupBy(target_col)
+        .agg(F.count("*").alias("n_flares"))
+    )
+
+    # --- gate (A9) + per-target summary ------------------------------
+    out = (
+        spans.join(F.broadcast(det_agg), target_col, "left")
+        .join(F.broadcast(ls_best), target_col, "left")
+        .join(F.broadcast(flare_counts), target_col, "left")
+        .select(
+            target_col,
+            "n_samples",
+            "span_days",
+            F.coalesce("n_bls_signals", F.lit(0)).cast("int")
+            .alias("n_bls_signals"),
+            F.coalesce("best_bls_snr", F.lit(0.0)).alias("best_bls_snr"),
+            "ls_power",
+            F.coalesce("n_flares", F.lit(0)).alias("n_flares"),
+            (
+                (F.coalesce("best_bls_snr", F.lit(0.0)) > cfg.gate_bls_snr)
+                | (F.coalesce("ls_power", F.lit(0.0)) > cfg.gate_ls_power)
+            ).alias("detected"),
+        )
+    )
+    return out

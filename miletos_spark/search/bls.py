@@ -33,6 +33,7 @@ partial agg. Skewed short periods are absorbed by AQE.
 from __future__ import annotations
 
 import math
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -235,6 +236,241 @@ def bls_best(spectrum: DataFrame, min_in: int = 3) -> DataFrame:
     )
 
 
+def bls_search_grouped(
+    df: DataFrame,
+    trials: DataFrame,
+    group_cols: Sequence[str],
+    time_col: str = "time",
+    value_col: str = "value",
+    t_ref: float = 0.0,
+) -> DataFrame:
+    """`bls_search` keyed by `group_cols` — the population fan-out axis
+    (the reference's real cluster use-case is thousands of independent
+    targets, examples/examples.py:162-172; SURVEY §7.1.6).
+
+    Identical math per group; the two driver-side scalars (global mean
+    and scatter) become a per-group aggregate broadcast-joined back, so
+    N targets ride ONE crossJoin against ONE broadcast trial grid and
+    one shuffle keyed (group, trial, bucket) — no per-target jobs, no
+    driver loop over targets."""
+    keys = list(group_cols)
+    gstats = df.groupBy(*keys).agg(
+        F.avg(value_col).alias("_mu"),
+        F.stddev_pop(value_col).alias("_sd"),
+    )
+
+    p = F.col("period")
+    t = F.col(time_col) - F.lit(float(t_ref))
+    phase = ((t % p) + p) % p / p
+    shifted = phase - F.col("off") * F.col("dcyc")
+    wrapped = ((shifted % 1.0) + 1.0) % 1.0
+    bucket = F.floor(wrapped / F.col("dcyc")).cast("int")
+
+    from pyspark.sql import Window
+
+    tid_w = Window.orderBy("period", "dcyc", "off")
+    trials_id = trials.withColumn("tid", F.row_number().over(tid_w))
+    boxes = (
+        df.select(*keys, time_col, value_col)
+        .crossJoin(F.broadcast(trials_id))
+        .withColumn("bucket", bucket)
+        .groupBy(*keys, "tid", "bucket")
+        .agg(F.count("*").alias("n_in"), F.avg(value_col).alias("mean_in"))
+        .join(F.broadcast(trials_id), "tid")
+        .drop("tid")
+        .join(F.broadcast(gstats), keys)
+    )
+    depth = F.col("_mu") - F.col("mean_in")
+    snr = depth / (F.col("_sd") / F.sqrt(F.col("n_in")))
+    return (
+        boxes.withColumn("depth", depth)
+        .withColumn("snr", snr)
+        .withColumn(
+            "epoch",
+            F.lit(float(t_ref))
+            + ((F.col("bucket") + 0.5) * F.col("dcyc")
+               + F.col("off") * F.col("dcyc")) * F.col("period"),
+        )
+        .drop("_mu", "_sd")
+    )
+
+
+def bls_snr_spectrum_grouped(
+    spectrum: DataFrame,
+    group_cols: Sequence[str],
+    kernel_size: int = 51,
+    min_in: int = 3,
+) -> DataFrame:
+    """`bls_snr_spectrum` keyed by `group_cols`: per-group per-period
+    argmax, then the median-filter detrend and peak-cut rolling noise
+    run PARTITION BY group over the period axis — |grid| rows per
+    group, so every window partition stays trials-bound regardless of
+    sample count or population size."""
+    from miletos_spark.operators.windows import rolling_median, rolling_std
+
+    keys = list(group_cols)
+    half = kernel_size // 2
+    best = F.max(
+        F.struct(
+            F.round("depth", 9).alias("d"),
+            F.col("dcyc").alias("dcyc"),
+            F.col("off").alias("off"),
+            F.col("bucket").alias("bucket"),
+            F.col("epoch").alias("epoch"),
+            F.col("n_in").alias("n_in"),
+        )
+    )
+    per_period = (
+        spectrum.filter(F.col("n_in") >= min_in)
+        .groupBy(*keys, "period")
+        .agg(best.alias("_b"))
+        .select(
+            *keys,
+            "period",
+            F.col("_b.d").alias("ampl"),
+            F.col("_b.dcyc").alias("dcyc"),
+            F.col("_b.off").alias("off"),
+            F.col("_b.bucket").alias("bucket"),
+            F.col("_b.epoch").alias("epoch"),
+            F.col("_b.n_in").alias("n_in"),
+        )
+    )
+    sm = rolling_median(
+        per_period, half, value_col="ampl", time_col="period",
+        group_cols=keys, out_col="_med",
+    )
+    sg = sm.withColumn("sgnl", F.col("ampl") - F.col("_med")).drop("_med")
+    ns = rolling_std(
+        sg, half, value_col="sgnl", time_col="period",
+        group_cols=keys, cut_peak=True, out_col="noise",
+    )
+    return ns.withColumn(
+        "snr",
+        F.when(F.col("noise") > 0, F.col("sgnl") / F.col("noise")),
+    )
+
+
+def bls_best_snr_grouped(
+    snr_spectrum: DataFrame, group_cols: Sequence[str]
+) -> DataFrame:
+    """Per-group argmax of the SNR spectrum (deterministic: highest
+    snr, smallest period on ties) — one row per group via a single
+    map-side-combinable struct max, no sort."""
+    keys = list(group_cols)
+    pick = F.max(
+        F.struct(
+            F.col("snr").alias("snr"),
+            (-F.col("period")).alias("_np"),
+            F.col("period").alias("period"),
+            F.col("dcyc").alias("dcyc"),
+            F.col("epoch").alias("epoch"),
+            F.col("ampl").alias("ampl"),
+            F.col("sgnl").alias("sgnl"),
+            F.col("noise").alias("noise"),
+            F.col("n_in").alias("n_in"),
+        )
+    )
+    return (
+        snr_spectrum.filter(F.col("snr").isNotNull())
+        .groupBy(*keys)
+        .agg(pick.alias("_b"))
+        .select(
+            *keys,
+            F.col("_b.period").alias("period"),
+            F.col("_b.dcyc").alias("dcyc"),
+            F.col("_b.epoch").alias("epoch"),
+            F.col("_b.ampl").alias("ampl"),
+            F.col("_b.sgnl").alias("sgnl"),
+            F.col("_b.noise").alias("noise"),
+            F.col("_b.snr").alias("snr"),
+            F.col("_b.n_in").alias("n_in"),
+        )
+    )
+
+
+def bls_multi_signal_grouped(
+    df: DataFrame,
+    trials: DataFrame,
+    group_cols: Sequence[str],
+    max_signals: int = 2,
+    snr_threshold: float = 7.1,
+    min_in: int = 3,
+    time_col: str = "time",
+    value_col: str = "value",
+    t_ref: float = 0.0,
+    kernel_size: int = 51,
+) -> DataFrame:
+    """P2 multi-signal loop over a whole POPULATION in one job chain:
+    each iteration is one keyed search over every still-active target
+    (search → per-target spectrum SNR → accept where snr ≥ threshold →
+    subtract the accepted box per target via a broadcast join). The
+    driver loop count is `max_signals`, never the number of targets.
+
+    Returns one row per accepted detection:
+    group_cols + (signal_idx, period, dcyc, epoch, depth, snr)."""
+    keys = list(group_cols)
+    work = df.select(*keys, time_col, value_col)
+    cached: list[DataFrame] = []
+    out: DataFrame | None = None
+    for i in range(max_signals):
+        spec = bls_search_grouped(
+            work, trials, keys, time_col=time_col, value_col=value_col,
+            t_ref=t_ref,
+        )
+        snr_spec = bls_snr_spectrum_grouped(
+            spec, keys, kernel_size=kernel_size, min_in=min_in
+        )
+        accepted = (
+            bls_best_snr_grouped(snr_spec, keys)
+            .filter(F.col("snr") >= snr_threshold)
+            .select(
+                *keys,
+                F.lit(i).alias("signal_idx"),
+                "period", "dcyc", "epoch",
+                F.col("ampl").alias("depth"),
+                "snr",
+            )
+        )
+        # the per-iteration acceptance table is one row per target at
+        # most — cache it driver-side-small but keep it a DataFrame
+        accepted = accepted.cache()
+        cached.append(accepted)
+        if accepted.isEmpty():
+            if out is None:
+                out = accepted  # empty, but correctly typed per-key
+            break
+        out = accepted if out is None else out.unionByName(accepted)
+        if i == max_signals - 1:
+            break
+        # subtract each accepted box and keep ONLY still-active targets
+        # for the next pass (a target that failed acceptance this round
+        # is done — its series is unchanged, so re-searching it would
+        # reproduce the same sub-threshold best)
+        j = accepted.select(
+            *keys,
+            F.col("period").alias("_p"), F.col("dcyc").alias("_d"),
+            F.col("epoch").alias("_e"), F.col("depth").alias("_dep"),
+        )
+        nxt = work.join(F.broadcast(j), keys, "inner")
+        tt = F.col(time_col) - F.col("_e")
+        ph = ((tt % F.col("_p")) + F.col("_p")) % F.col("_p") / F.col("_p")
+        in_box = (ph < F.col("_d") / 2.0) | (ph >= 1.0 - F.col("_d") / 2.0)
+        work = (
+            nxt.withColumn(
+                value_col,
+                F.when(in_box, F.col(value_col) + F.col("_dep"))
+                .otherwise(F.col(value_col)),
+            )
+            .drop("_p", "_d", "_e", "_dep")
+            .cache()
+        )
+        cached.append(work)
+    out = out.localCheckpoint(eager=True)
+    for c in cached:
+        c.unpersist()
+    return out
+
+
 def bls_search_multires(
     df: DataFrame,
     trials: DataFrame,
@@ -399,11 +635,16 @@ def bls_snr_sql(
     spectrum_sql: str,
     kernel_size: int = 51,
     min_in: int = 3,
+    group_col: str | None = None,
 ) -> str:
     """DuckDB-oracle twin of `bls_snr_spectrum`: wraps a box-spectrum
     SQL (from `bls_sql`/`bls_multires_sql`) with the same per-period
-    argmax, median-filter detrend, and peak-cut rolling-std noise."""
+    argmax, median-filter detrend, and peak-cut rolling-std noise.
+    With `group_col` it twins `bls_snr_spectrum_grouped`: the argmax
+    groups per (group, period) and both windows PARTITION BY group."""
     half = kernel_size // 2
+    gsel = f"{group_col}, " if group_col else ""
+    gpart = f"PARTITION BY {group_col} " if group_col else ""
     pk = (
         "max(struct_pack(d := round(depth, 9), dcyc := dcyc, off := off, "
         "bucket := bucket, epoch := epoch, n_in := n_in))"
@@ -413,7 +654,7 @@ WITH spec AS (
 {spectrum_sql}
 ),
 pp AS (
-  SELECT period,
+  SELECT {gsel}period,
          ({pk}).d AS ampl,
          ({pk}).dcyc AS dcyc,
          ({pk}).off AS off,
@@ -421,12 +662,12 @@ pp AS (
          ({pk}).epoch AS epoch,
          ({pk}).n_in AS n_in
   FROM spec WHERE n_in >= {min_in}
-  GROUP BY period
+  GROUP BY {gsel}period
 ),
 det AS (
   SELECT *, ampl - quantile_cont(ampl, 0.5) OVER w AS sgnl
   FROM pp
-  WINDOW w AS (ORDER BY period
+  WINDOW w AS ({gpart}ORDER BY period
                ROWS BETWEEN {half} PRECEDING AND {half} FOLLOWING)
 ),
 ns AS (
@@ -437,7 +678,7 @@ ns AS (
          max(sgnl) OVER w AS mx,
          list(sgnl) OVER w AS arr
   FROM det
-  WINDOW w AS (ORDER BY period
+  WINDOW w AS ({gpart}ORDER BY period
                ROWS BETWEEN {half} PRECEDING AND {half} FOLLOWING)
 ),
 tied AS (
@@ -446,7 +687,7 @@ tied AS (
 scored AS (
   -- reference retr_stdvwind semantics (miletos/main.py:6931-6942):
   -- drop ALL max-tied elements, population std (np.std, ddof=0)
-  SELECT period, dcyc, off, bucket, epoch, n_in, ampl, sgnl,
+  SELECT {gsel}period, dcyc, off, bucket, epoch, n_in, ampl, sgnl,
          CASE WHEN n_w - cnt > 0 THEN
            sqrt(greatest((s2 - cnt * mx * mx) / (n_w - cnt)
                          - ((s1 - cnt * mx) / (n_w - cnt))
@@ -531,32 +772,42 @@ def bls_sql(
     table: str,
     trials: list[tuple[float, float, float]],
     t_ref: float = 0.0,
+    group_col: str | None = None,
 ) -> str:
     """DuckDB-oracle twin of `bls_search` for an explicit
-    (period, dcyc, off) trial list."""
+    (period, dcyc, off) trial list. With `group_col` it twins
+    `bls_search_grouped` instead: the source table must expose that
+    column, the global moments become per-group, and every stage keys
+    on it (the population-oracle shape)."""
     values = ", ".join(
         f"(CAST({p!r} AS DOUBLE), CAST({d!r} AS DOUBLE), CAST({o!r} AS DOUBLE))"
         for p, d, o in trials
     )
+    gsel = f"{group_col}, " if group_col else ""
+    ggrp = f" GROUP BY {group_col}" if group_col else ""
+    sgsel = f"s.{group_col}, " if group_col else ""
+    bgsel = f"b.{group_col}, " if group_col else ""
+    gjoin = f"JOIN g USING ({group_col})" if group_col else "CROSS JOIN g"
+    gby = "1, 2, 3, 4, 5" if group_col else "1, 2, 3, 4"
     return f"""
 WITH samples AS (
-  SELECT CAST({time_expr} AS DOUBLE) AS t, CAST({value_expr} AS DOUBLE) AS v
+  SELECT {gsel}CAST({time_expr} AS DOUBLE) AS t, CAST({value_expr} AS DOUBLE) AS v
   FROM {table}
 ),
-g AS (SELECT avg(v) AS mu, stddev_pop(v) AS sd FROM samples),
+g AS (SELECT {gsel}avg(v) AS mu, stddev_pop(v) AS sd FROM samples{ggrp}),
 trials(period, dcyc, off) AS (VALUES {values}),
 boxes AS (
-  SELECT tr.period, tr.dcyc, tr.off,
+  SELECT {sgsel}tr.period, tr.dcyc, tr.off,
          CAST(floor((((((s.t - {t_ref!r}) % tr.period + tr.period) % tr.period)
                       / tr.period - tr.off * tr.dcyc) % 1.0 + 1.0) % 1.0
                     / tr.dcyc) AS INT) AS bucket,
          count(*) AS n_in, avg(s.v) AS mean_in
   FROM samples s CROSS JOIN trials tr
-  GROUP BY 1, 2, 3, 4
+  GROUP BY {gby}
 )
-SELECT b.period, b.dcyc, b.off, b.bucket, b.n_in, b.mean_in,
+SELECT {bgsel}b.period, b.dcyc, b.off, b.bucket, b.n_in, b.mean_in,
        g.mu - b.mean_in AS depth,
        (g.mu - b.mean_in) / (g.sd / sqrt(b.n_in)) AS snr,
        {t_ref!r} + ((b.bucket + 0.5) * b.dcyc + b.off * b.dcyc) * b.period AS epoch
-FROM boxes b CROSS JOIN g
+FROM boxes b {gjoin}
 """

@@ -47,6 +47,19 @@ def test_pipeline_detects_injected_transit(spark, cfg):
     assert res.summary["n_samples"] > 0
 
 
+def test_pipeline_oracle_guards_signal_cap(monkeypatch):
+    """The pipeline oracle's CTE replays exactly one BLS pass; raising
+    `bls_max_signals` in `_PIPE_CFG` must fail LOUDLY at oracle build
+    time rather than silently de-syncing the replay (VERDICT r4 #3)."""
+    from miletos_spark.plans import driver_queries as dq
+
+    assert dq._PIPE_CFG["bls_max_signals"] == 1
+    assert dq._sql_pipeline_summary()  # builds fine at cap 1
+    monkeypatch.setitem(dq._PIPE_CFG, "bls_max_signals", 2)
+    with pytest.raises(AssertionError, match="bls_max_signals"):
+        dq._sql_pipeline_summary()
+
+
 def test_pipeline_gate_closed_on_noise(spark, cfg):
     series = (
         spark.range(2000)
@@ -58,6 +71,70 @@ def test_pipeline_gate_closed_on_noise(spark, cfg):
     assert not res.detected
     assert res.depth_fit is None
     assert res.phase_bundle is None
+
+
+def test_population_run_per_target(spark, cfg):
+    """Population orchestration (§7.1.6 fan-out): K targets with
+    distinct injected ephemerides through ONE job chain, target as the
+    group key of every stage — per-target recovery, the noise target
+    stays below the gate, and the per-target summary agrees with the
+    single-series `run_pipeline` on the same series."""
+    from miletos_spark.plans.orchestrator import run_population
+
+    p2 = 1.0 / (1.0 / 8.0 + 8.0 / (OSAM * SPAN))  # ≈ 5.02 d, on-grid
+    a = transit_injected(
+        spark, cadence_sec=600.0, span_days=SPAN, t0=0.0, period=P,
+        epoch_offset=EPOCH, depth=DEPTH, duration_hours=2.5,
+        noise=0.004, seed=3,
+    ).select(F.lit("tA").alias("target"), "time", "value")
+    b = transit_injected(
+        spark, cadence_sec=600.0, span_days=SPAN, t0=0.0, period=p2,
+        epoch_offset=0.4, depth=0.012, duration_hours=3.0,
+        noise=0.004, seed=7,
+    ).select(F.lit("tB").alias("target"), "time", "value")
+    c = (
+        spark.range(3888)
+        .select(F.lit("tC").alias("target"),
+                (F.col("id") * 600.0 / 86400.0).alias("time"))
+        .withColumn("value", F.lit(1.0) + F.randn(5) * 0.004)
+    )
+    pop_cfg = RunConfig(
+        detrend_half_width=25, detrend_max_iter=1,
+        bls_p_min=2.0, bls_p_max=8.0, bls_osam=4.0,
+        bls_n_dcyc=2, bls_dcyc_min=0.02, bls_max_signals=1,
+        grid_span_days=SPAN,
+    )
+    out = {
+        r["target"]: r.asDict()
+        for r in run_population(
+            spark, a.unionByName(b).unionByName(c), pop_cfg
+        ).collect()
+    }
+    assert out["tA"]["detected"] and out["tA"]["n_bls_signals"] == 1
+    assert out["tB"]["detected"] and out["tB"]["n_bls_signals"] == 1
+    assert not out["tC"]["detected"] and out["tC"]["n_bls_signals"] == 0
+    # per-target summary == the single-series pipeline on that series
+    solo = run_pipeline(
+        spark, a.select("time", "value"), pop_cfg
+    ).summary
+    assert out["tA"]["n_samples"] == solo["n_samples"]
+    assert out["tA"]["best_bls_snr"] == pytest.approx(
+        solo["best_bls_snr"], rel=1e-9
+    )
+    assert out["tA"]["ls_power"] == pytest.approx(solo["ls_power"], rel=1e-9)
+    assert out["tA"]["n_flares"] == solo["n_flares"]
+
+
+def test_population_requires_frozen_grid(spark):
+    from miletos_spark.plans.orchestrator import run_population
+
+    df = spark.range(10).select(
+        F.lit("t").alias("target"),
+        (F.col("id") * 0.01).alias("time"),
+        F.lit(1.0).alias("value"),
+    )
+    with pytest.raises(ValueError, match="grid_span_days"):
+        run_population(spark, df, RunConfig(grid_span_days=None))
 
 
 def test_pixels_to_planet_end_to_end(spark):
