@@ -97,6 +97,8 @@ def stream_bls(
     ts_col: str = "ts",
     value_col: str = "value",
     t_ref: float = 0.0,
+    dec_type: str = "decimal(38,18)",
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """P2 as an INCREMENTAL streaming aggregate: the box spectrum is an
     algebraic aggregate keyed on (trial, phase-bucket) — a bounded key
@@ -114,19 +116,33 @@ def stream_bls(
     spectrum is bit-equal to the batch/oracle form. Returns the
     streaming DataFrame of (period, dcyc, off, bucket, n_in, mean_in);
     the caller attaches sink/trigger and scores depth/SNR against the
-    global moments (an O(|spectrum|) batch step)."""
+    global moments (an O(|spectrum|) batch step).
+
+    `dec_type` sets the fixed-order sum's decimal width. decimal(38,18)
+    is the universally-exact default (scale 18 holds any double's
+    shortest decimal representation), but its Int128 accumulation is
+    the dominant cost of the stream at |trials|x fan-out; when the
+    source column's shortest representation terminates within the
+    scale (e.g. 2-decimal landed data — assert it at landing), a
+    narrow type like decimal(12,6) is bit-identical and stays on the
+    compact-long fast path (~40% off the drain, measured sf0.1).
+
+    `group_cols` keys the spectrum state by those source columns (the
+    population/multi-instrument case): state grows to
+    |groups| x |trials| x O(1/dcyc) — still row-count-independent."""
     src = spark.readStream.schema(schema).parquet(input_dir)
     trials_df = spark.createDataFrame(
         trials, "period double, dcyc double, off double"
     ).withColumn("_k", F.lit(1))
 
+    keys = list(group_cols)
     t = F.unix_micros(F.col(ts_col)).cast("double") / 1e6 / 86400.0
     joined = (
         src.withColumn("_k", F.lit(1))
         .withColumn("_t", t - F.lit(float(t_ref)))
         # cast ONCE per sample, before the |trials|x row multiplication
         # (double→decimal goes through BigDecimal string formatting)
-        .withColumn("_vdec", F.col(value_col).cast("decimal(38,18)"))
+        .withColumn("_vdec", F.col(value_col).cast(dec_type))
         .join(F.broadcast(trials_df), "_k")
     )
     phase = ((F.col("_t") % F.col("period")) + F.col("period")) % F.col(
@@ -137,7 +153,7 @@ def stream_bls(
     bucket = F.floor(wrapped / F.col("dcyc")).cast("int")
     return (
         joined.withColumn("bucket", bucket)
-        .groupBy("period", "dcyc", "off", "bucket")
+        .groupBy(*keys, "period", "dcyc", "off", "bucket")
         .agg(
             F.count("*").alias("n_in"),
             (F.sum("_vdec").cast("double") / F.count("*")).alias("mean_in"),
@@ -155,6 +171,7 @@ def stream_ls_moments(
     t_ref: float = 0.0,
     ts_col: str = "ts",
     value_col: str = "value",
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """P1 as an INCREMENTAL streaming aggregate: the Lomb-Scargle
     periodogram derives entirely from per-frequency trig moments, and
@@ -174,7 +191,12 @@ def stream_ls_moments(
     expressions re-evaluate inlined trig per use otherwise.
 
     Time is shifted by the FIXED `t_ref` (not the data min, which a
-    stream cannot know upfront) to keep trig arguments small."""
+    stream cannot know upfront) to keep trig arguments small.
+
+    `group_cols` keys the moment state by those source columns (the
+    population/multi-instrument case): |groups| x |grid| state rows,
+    still row-count-independent; `finish_ls_power(group_cols=...)`
+    scores each group's spectrum at read-out."""
     import math
 
     src = spark.readStream.schema(schema).parquet(input_dir)
@@ -182,6 +204,7 @@ def stream_ls_moments(
         (F.lit(float(f_min)) + F.col("id") * F.lit(float(df_step))).alias("freq")
     ).withColumn("_k", F.lit(1))
 
+    keys = list(group_cols)
     t = (
         F.unix_micros(F.col(ts_col)).cast("double") / 1e6 / 86400.0
         - F.lit(float(t_ref))
@@ -193,13 +216,14 @@ def stream_ls_moments(
     )
     wt = F.lit(2.0 * math.pi) * F.col("freq") * F.col("_t")
     proj = joined.select(
+        *keys,
         "freq",
         F.col(value_col).alias("_v"),
         F.cos(wt).alias("_c"),
         F.sin(wt).alias("_s"),
     )
     v, c, s = F.col("_v"), F.col("_c"), F.col("_s")
-    return proj.groupBy("freq").agg(
+    return proj.groupBy(*keys, "freq").agg(
         F.count("*").alias("n"),
         F.sum(v).alias("sv"),
         F.sum(v * v).alias("svv"),
@@ -212,10 +236,13 @@ def stream_ls_moments(
     )
 
 
-def finish_ls_power(moments: DataFrame) -> DataFrame:
+def finish_ls_power(
+    moments: DataFrame, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Read-out step for `stream_ls_moments`: apply the mean correction
     and the floating-tau closed form to the drained moment state.
-    Returns (freq, power) — the same columns as the batch P1."""
+    Returns (freq, power) — the same columns as the batch P1 — with
+    `group_cols` prepended when the moments were keyed."""
     mu = F.col("sv") / F.col("n")
     yc = F.col("ycr") - mu * F.col("sc")
     ys = F.col("ysr") - mu * F.col("ss")
@@ -229,7 +256,7 @@ def finish_ls_power(moments: DataFrame) -> DataFrame:
     cct = (F.col("n") + cross) / 2
     sst = (F.col("n") - cross) / 2
     power = (yct * yct / cct + yst * yst / sst) / syy
-    return moments.select("freq", power.alias("power"))
+    return moments.select(*group_cols, "freq", power.alias("power"))
 
 
 def incremental_analysis(

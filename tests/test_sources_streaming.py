@@ -316,6 +316,148 @@ def test_stream_bls_matches_batch(spark, events_dir):
     assert got == want  # bit-equal, not approximately
 
 
+def test_stream_bls_narrow_decimal_exact(spark, events_dir):
+    """The decimal(12,6) fast path (q_stream_bls_events) is only legal
+    because the landed values' shortest double representation
+    terminates within scale 6 — assert that precondition, then assert
+    the narrow-decimal stream is bit-equal to the universal
+    decimal(38,18) aggregation."""
+    from decimal import Decimal
+
+    from miletos_spark.streaming.ingest import stream_bls
+
+    vals = [
+        r["value"]
+        for r in spark.read.schema(EV_SCHEMA).parquet(events_dir)
+        .select("value").collect()
+    ]
+    assert all(
+        Decimal(repr(v)) == Decimal(repr(v)).quantize(Decimal("0.000001"))
+        for v in vals
+    )
+
+    trials = [(3.5, 0.05, 0.0), (3.5, 0.05, 0.5), (7.0, 0.1, 0.0)]
+    sdf = stream_bls(
+        spark, events_dir, EV_SCHEMA, trials, dec_type="decimal(12,6)"
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("sbls_narrow")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["period"], r["dcyc"], r["off"], r["bucket"]): (r["n_in"], r["mean_in"])
+        for r in spark.table("sbls_narrow").collect()
+    }
+    ev = spark.read.schema(EV_SCHEMA).parquet(events_dir)
+    t = F.unix_micros(F.col("ts")).cast("double") / 1e6 / 86400.0
+    td = spark.createDataFrame(trials, "period double, dcyc double, off double")
+    phase = ((t % F.col("period")) + F.col("period")) % F.col("period") / F.col("period")
+    wrapped = (((phase - F.col("off") * F.col("dcyc")) % 1.0) + 1.0) % 1.0
+    batch = (
+        ev.crossJoin(F.broadcast(td))
+        .withColumn("bucket", F.floor(wrapped / F.col("dcyc")).cast("int"))
+        .groupBy("period", "dcyc", "off", "bucket")
+        .agg(
+            F.count("*").alias("n_in"),
+            (F.sum(F.col("value").cast("decimal(38,18)")).cast("double")
+             / F.count("*")).alias("mean_in"),
+        )
+    )
+    want = {
+        (r["period"], r["dcyc"], r["off"], r["bucket"]): (r["n_in"], r["mean_in"])
+        for r in batch.collect()
+    }
+    assert got == want  # bit-equal across decimal widths
+
+
+def test_stream_spectra_keyed_by_series(spark, events_dir):
+    """Keyed streaming spectra (the population/multi-instrument case):
+    BLS and LS state keyed by event_type over naturally interleaved
+    series must equal the per-series batch computation exactly."""
+    from miletos_spark.search.lombscargle import (
+        freq_grid,
+        lomb_scargle_grouped,
+    )
+    from miletos_spark.streaming.ingest import (
+        finish_ls_power,
+        stream_bls,
+        stream_ls_moments,
+    )
+
+    keys = ("event_type",)
+    trials = [(3.5, 0.05, 0.0), (7.0, 0.1, 0.5)]
+    sdf = stream_bls(spark, events_dir, EV_SCHEMA, trials, group_cols=keys)
+    q = (
+        sdf.writeStream.format("memory").queryName("sbls_keyed")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_type"], r["period"], r["dcyc"], r["off"], r["bucket"]):
+            (r["n_in"], r["mean_in"])
+        for r in spark.table("sbls_keyed").collect()
+    }
+    ev = spark.read.schema(EV_SCHEMA).parquet(events_dir)
+    t = F.unix_micros(F.col("ts")).cast("double") / 1e6 / 86400.0
+    td = spark.createDataFrame(trials, "period double, dcyc double, off double")
+    phase = ((t % F.col("period")) + F.col("period")) % F.col("period") / F.col("period")
+    wrapped = (((phase - F.col("off") * F.col("dcyc")) % 1.0) + 1.0) % 1.0
+    batch = (
+        ev.crossJoin(F.broadcast(td))
+        .withColumn("bucket", F.floor(wrapped / F.col("dcyc")).cast("int"))
+        .groupBy("event_type", "period", "dcyc", "off", "bucket")
+        .agg(
+            F.count("*").alias("n_in"),
+            (F.sum(F.col("value").cast("decimal(38,18)")).cast("double")
+             / F.count("*")).alias("mean_in"),
+        )
+    )
+    want = {
+        (r["event_type"], r["period"], r["dcyc"], r["off"], r["bucket"]):
+            (r["n_in"], r["mean_in"])
+        for r in batch.collect()
+    }
+    assert got == want
+    # at least two distinct series actually flowed through one stream
+    assert len({k[0] for k in got}) >= 2
+
+    # keyed LS: drained keyed moments -> finish == per-series batch LS
+    sls = stream_ls_moments(
+        spark, events_dir, EV_SCHEMA, f_min=0.05, df_step=0.01, n_freq=20,
+        t_ref=19723.0, group_cols=keys,
+    )
+    q2 = (
+        sls.writeStream.format("memory").queryName("sls_keyed")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    stream_pow = {
+        (r["event_type"], round(r["freq"], 9)): r["power"]
+        for r in finish_ls_power(
+            spark.table("sls_keyed"), group_cols=keys
+        ).collect()
+    }
+    shifted = ev.select(
+        "event_type",
+        (t - F.lit(19723.0)).alias("time"),
+        F.col("value").alias("value"),
+    )
+    batch_ls = lomb_scargle_grouped(
+        shifted, freq_grid(spark, 0.05, 0.01, 20), keys
+    )
+    batch_pow = {
+        (r["event_type"], round(r["freq"], 9)): r["power"]
+        for r in batch_ls.collect()
+    }
+    assert set(stream_pow) == set(batch_pow)
+    for k, v in batch_pow.items():
+        assert stream_pow[k] == pytest.approx(v, rel=1e-9, abs=1e-12)
+
+
 def test_incremental_analysis_foreachbatch(spark, events_dir, tmp_path):
     from miletos_spark.streaming.ingest import incremental_analysis
 
