@@ -473,6 +473,114 @@ def test_incremental_analysis_foreachbatch(spark, events_dir, tmp_path):
     assert sum(seen.values()) == spark.read.parquet(events_dir).count()
 
 
+def test_mast_canned_landing(spark, tmp_path):
+    """S4 witness: a canned MAST observation/product response (public
+    astroquery column schema, JSON-lines as the table serializes) drives
+    the FULL landing path — parse response → filter observations →
+    broadcast join products → resolve URIs → land FITS → S1 parse into
+    the long table. Decoy rows (wrong collection, uncalibrated level,
+    preview product) must be excluded; the landed series must equal the
+    direct FITS read."""
+    import json
+
+    import numpy as np
+
+    from miletos_spark.sources.fits import read_tess_fits, write_fits_table
+    from miletos_spark.sources.mast import (
+        MAST_OBS_SCHEMA,
+        MAST_PROD_SCHEMA,
+        land_mast_lightcurves,
+        read_mast_response,
+        select_mast_products,
+    )
+
+    # two sectors of fixture FITS "products" on disk
+    store = tmp_path / "store"
+    store.mkdir()
+    for i, name in enumerate(("tess-s0001_lc.fits", "tess-s0002_lc.fits")):
+        t = np.arange(6, dtype=np.float64) + 30.0 * i
+        flux = np.array([2.0, 2.1, 1.9, 2.05, 99.0, np.nan]) + i
+        qual = np.array([0, 0, 0, 0, 8, 0], dtype=np.int32)
+        write_fits_table(
+            str(store / name),
+            {"TIME": t, "PDCSAP_FLUX": flux,
+             "PDCSAP_FLUX_ERR": np.full(6, 0.01), "QUALITY": qual},
+        )
+
+    # canned responses in MAST's public schema, with decoys
+    obs_rows = [
+        {"obsid": "1", "obs_collection": "TESS",
+         "dataproduct_type": "timeseries", "target_name": "TIC 1234",
+         "provenance_name": "SPOC", "sequence_number": 1,
+         "calib_level": 3, "t_min": 2458325.0, "t_max": 2458353.0},
+        {"obsid": "2", "obs_collection": "TESS",
+         "dataproduct_type": "timeseries", "target_name": "TIC 1234",
+         "provenance_name": "SPOC", "sequence_number": 2,
+         "calib_level": 3, "t_min": 2458354.0, "t_max": 2458382.0},
+        # decoys: wrong collection / uncalibrated / not a timeseries
+        {"obsid": "3", "obs_collection": "HST",
+         "dataproduct_type": "timeseries", "target_name": "TIC 1234",
+         "provenance_name": "CALWF3", "sequence_number": 9,
+         "calib_level": 3, "t_min": 0.0, "t_max": 1.0},
+        {"obsid": "4", "obs_collection": "TESS",
+         "dataproduct_type": "timeseries", "target_name": "TIC 1234",
+         "provenance_name": "SPOC", "sequence_number": 3,
+         "calib_level": 1, "t_min": 0.0, "t_max": 1.0},
+        {"obsid": "5", "obs_collection": "TESS",
+         "dataproduct_type": "image", "target_name": "TIC 1234",
+         "provenance_name": "SPOC", "sequence_number": 4,
+         "calib_level": 3, "t_min": 0.0, "t_max": 1.0},
+    ]
+    prod_rows = [
+        {"obsID": "1", "obs_collection": "TESS",
+         "dataproduct_type": "timeseries", "productType": "SCIENCE",
+         "productSubGroupDescription": "LC",
+         "dataURI": "mast:TESS/product/tess-s0001_lc.fits", "size": 2880},
+        {"obsID": "2", "obs_collection": "TESS",
+         "dataproduct_type": "timeseries", "productType": "SCIENCE",
+         "productSubGroupDescription": "LC",
+         "dataURI": "mast:TESS/product/tess-s0002_lc.fits", "size": 2880},
+        # decoys: preview product / product of an excluded observation
+        {"obsID": "1", "obs_collection": "TESS",
+         "dataproduct_type": "timeseries", "productType": "PREVIEW",
+         "productSubGroupDescription": "LC",
+         "dataURI": "mast:TESS/product/preview.png", "size": 10},
+        {"obsID": "4", "obs_collection": "TESS",
+         "dataproduct_type": "timeseries", "productType": "SCIENCE",
+         "productSubGroupDescription": "LC",
+         "dataURI": "mast:TESS/product/uncal_lc.fits", "size": 2880},
+    ]
+    obs_path = str(tmp_path / "obs.json")
+    prod_path = str(tmp_path / "prod.json")
+    with open(obs_path, "w") as f:
+        f.write("\n".join(json.dumps(r) for r in obs_rows))
+    with open(prod_path, "w") as f:
+        f.write("\n".join(json.dumps(r) for r in prod_rows))
+
+    obs = read_mast_response(spark, obs_path, MAST_OBS_SCHEMA)
+    prod = read_mast_response(spark, prod_path, MAST_PROD_SCHEMA)
+
+    chosen = select_mast_products(obs, prod).collect()
+    assert [r["dataURI"].rsplit("/", 1)[-1] for r in chosen] == [
+        "tess-s0001_lc.fits", "tess-s0002_lc.fits"
+    ]
+    assert all(r["target_name"] == "TIC 1234" for r in chosen)
+
+    def resolve(uri: str) -> str:
+        assert uri.startswith("mast:TESS/product/")
+        return str(store / uri.rsplit("/", 1)[-1])
+
+    landing = str(tmp_path / "landing")
+    out = land_mast_lightcurves(spark, obs, prod, resolve, landing)
+    got = sorted(r["time"] for r in out.collect())
+    want = sorted(
+        r["time"]
+        for r in read_tess_fits(spark, str(store / "*.fits")).collect()
+    )
+    # per file: 6 rows - 1 quality-flagged - 1 NaN = 4
+    assert len(got) == 8 and got == want
+
+
 def test_read_magnitude_series(spark, tmp_path):
     from miletos_spark.sources.readers import read_magnitude_series
 
