@@ -157,6 +157,12 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        # non-standard dir (e.g. a tools/scale_probe.py volume dir):
+        # report the path instead of crashing after a full suite run
+        sf_val = SF_DIR
     print(
         json.dumps(
             {
@@ -164,7 +170,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf),
+                "sf": sf_val,
             }
         )
     )

@@ -54,6 +54,7 @@ def spline_detrend(
     time_col: str = "time",
     group_cols: Sequence[str] = ("inst", "chunk", "ener"),
     out_col: str = "value_detrended",
+    max_region_days: float | None = 50.0,
 ) -> DataFrame:
     """X2 'Spline' backend: per gap-region LSQUnivariateSpline with
     interior knots every `knot_spacing_days` (miletos/main.py:6853-6886;
@@ -63,11 +64,34 @@ def spline_detrend(
     Arrow-batched `applyInPandas`. Degenerate regions (< order+2 points
     or fewer points than knots require) fall back to their mean, matching
     the reference's <4-point guard (miletos/main.py:6836-6851).
+
+    `max_region_days` caps a fit region's time span: a continuous
+    region longer than the cap is split into independent sub-fits at
+    multiples of the cap from the region start. The dense LSQ is
+    O(n·k²) with BOTH n and k growing with region span, so an uncapped
+    multi-year region is super-linear in volume (measured ×11.8 at
+    10× span); capped, work is linear in span and the sub-regions
+    parallelize. This mirrors the reference, which fits per sector —
+    its regions are bounded by construction (miletos/main.py:9966-9999).
     """
     import pandas as pd
 
     sess = sessionize(df, gap_days, time_col=time_col, group_cols=group_cols)
     keys = [*group_cols, "region"]
+    if max_region_days is not None:
+        w = Window.partitionBy(*keys)
+        sess = (
+            sess.withColumn("_r0", F.min(time_col).over(w))
+            .withColumn(
+                "_part",
+                F.floor(
+                    (F.col(time_col) - F.col("_r0"))
+                    / F.lit(float(max_region_days))
+                ).cast("int"),
+            )
+            .drop("_r0")
+        )
+        keys = [*keys, "_part"]
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in sess.schema.fields
     ) + f", {out_col} double"
@@ -103,7 +127,8 @@ def spline_detrend(
         res[out_col] = 1.0 + y_s - baseline
         return res
 
-    return sess.groupBy(*keys).applyInPandas(fit_region, schema=out_schema)
+    out = sess.groupBy(*keys).applyInPandas(fit_region, schema=out_schema)
+    return out.drop("_part") if max_region_days is not None else out
 
 
 def _gp_smooth_matern32(t_s, yc, sig2: float, rho: float, sn2: float):

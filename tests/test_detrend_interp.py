@@ -46,6 +46,36 @@ def test_spline_detrend_removes_smooth_trend(spark):
     assert mx < 1e-6
 
 
+def test_spline_detrend_region_cap_splits_long_regions(spark):
+    """A continuous region longer than `max_region_days` splits into
+    independent sub-fits (the dense LSQ is O(n·k²) with both n and k
+    growing with span — super-linear in volume uncapped). A polynomial
+    of the spline order stays exactly recoverable across the split
+    boundaries, and the internal `_part` key must not leak out."""
+    n = 3000
+    df = spark.range(n).select(
+        (F.col("id") * (120.0 / n)).alias("time"),   # 120 d > 50 d cap
+        F.lit("a").alias("g"),
+    ).withColumn(
+        "value",
+        5.0 + 0.1 * F.col("time") + 0.002 * F.col("time") * F.col("time"),
+    )
+    out = spline_detrend(
+        df, knot_spacing_days=5.0, gap_days=1.0, group_cols=("g",)
+    )
+    assert "_part" not in out.columns
+    assert out.count() == n                 # every sample fitted once
+    mx = out.agg(F.max(F.abs(F.col("value_detrended") - 1.0))).first()[0]
+    assert mx < 1e-6
+    # uncapped twin agrees on the recovery (same flat output)
+    unc = spline_detrend(
+        df, knot_spacing_days=5.0, gap_days=1.0, group_cols=("g",),
+        max_region_days=None,
+    )
+    mx2 = unc.agg(F.max(F.abs(F.col("value_detrended") - 1.0))).first()[0]
+    assert mx2 < 1e-6
+
+
 def test_gp_detrend_removes_smooth_trend(spark):
     # long-timescale quadratic trend + tiny noise -> GP baseline absorbs
     # the trend; detrended series is flat at 1.0 within noise

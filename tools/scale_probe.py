@@ -181,6 +181,89 @@ def synth_scaled(spark, k: int) -> str:
     return out
 
 
+def synth_volume(spark, k: int) -> str:
+    """VOLUME-axis replication (vs `synth_scaled`'s density axis):
+    ~sf{0.1*k}-equivalent data. events gets k sequential 30-day epochs
+    (k× rows at the SAME cadence — a longer campaign, the way real
+    volume arrives), lineitem/orders replicate k× with shifted keys,
+    documents/embeddings reuse the density replicas (fresh content per
+    copy), dims stay broadcast-sized. Persisted + memoized like
+    `synth_scaled`; run the full suite against it with
+    SPARK_GRAFT_SF_DIR=<dir> python bench.py."""
+    from pyspark.sql import functions as F
+
+    from miletos_spark.schema import epoch_micros_expr, load_table
+
+    out = os.path.join(
+        tempfile.gettempdir(), f"miletos_volume_{k}x_{_base_sig()}"
+    )
+    if os.path.exists(os.path.join(out, "_SUCCESS_SCALE")):
+        return out
+    # density replicas already build documents/embeddings the right way
+    density = synth_scaled(spark, k)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    def replicate(df, mapper, name):
+        copies = [mapper(df, i) for i in range(k)]
+        allc = copies[0]
+        for c in copies[1:]:
+            allc = allc.unionByName(c)
+        allc.write.mode("overwrite").parquet(os.path.join(out, name))
+
+    ev = load_table(spark, BASE, "events")
+    n = ev.count()
+    us = epoch_micros_expr(ev, "ts")
+    span_row = ev.select(
+        (F.max(us) - F.min(us) + F.lit(1)).alias("span_us")
+    ).first()
+    span_us = int(span_row["span_us"])
+    replicate(
+        ev,
+        lambda df, i: df.select(
+            (F.col("event_id") + F.lit(i * 10 * n)).alias("event_id"),
+            F.timestamp_micros(us + F.lit(i * span_us)).alias("ts"),
+            "user_id",
+            "event_type",
+            F.round(F.col("value") + F.lit(i * 0.001), 3).alias("value"),
+            "props",
+        ),
+        "events.parquet",
+    )
+
+    li = load_table(spark, BASE, "lineitem")
+    key_shift = int(li.agg(F.max("l_orderkey")).first()[0]) + 1
+    replicate(
+        li,
+        lambda df, i: df.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(i * key_shift)
+        ),
+        "lineitem.parquet",
+    )
+    od = load_table(spark, BASE, "orders")
+    replicate(
+        od,
+        lambda df, i: df.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(i * key_shift)
+        ),
+        "orders.parquet",
+    )
+
+    for t in ("documents", "embeddings"):
+        os.symlink(
+            os.path.join(density, f"{t}.parquet"),
+            os.path.join(out, f"{t}.parquet"),
+        )
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        src = os.path.join(BASE, f"{t}.parquet")
+        dst = os.path.join(out, f"{t}.parquet")
+        if os.path.exists(src) and not os.path.exists(dst):
+            os.symlink(src, dst)
+    with open(os.path.join(out, "_SUCCESS_SCALE"), "w") as f:
+        f.write("ok")
+    return out
+
+
 def time_query(fn, spark, sf_dir: str) -> float:
     best = None
     for _ in range(2):
@@ -193,6 +276,13 @@ def time_query(fn, spark, sf_dir: str) -> float:
 
 def main() -> None:
     args = sys.argv[1:]
+    if args and args[0] == "volume":
+        args.pop(0)
+        k = int(args.pop(0)) if args and args[0].isdigit() else 10
+        spark = get_spark(app_name="scale_probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        print(synth_volume(spark, k))
+        return
     k = int(args.pop(0)) if args and args[0].isdigit() else 10
     if args and args[0] == "corpus":
         args.pop(0)
