@@ -211,6 +211,32 @@ def phase_curve_components(
     }
 
 
+def trapezoid_depth_cols(
+    time: Column,
+    period: Column,
+    epoch: Column,
+    dura_total: Column,
+    ingress_frac: float = 0.1,
+) -> Column:
+    """`trapezoid_depth` with per-row COLUMN ephemeris parameters — the
+    population form: one shape expression scores every target's samples
+    against that target's own (period, epoch, duration) after a
+    broadcast join, no per-target driver loop. Ingress is the default
+    fraction of the total duration (the scalar twin's default)."""
+    ph = ((time - epoch) % period + period) % period  # [0, P)
+    dt = F.abs(ph - F.when(ph > period / 2, period).otherwise(F.lit(0.0)))
+    t14h = dura_total / 2.0
+    # ingress = ingress_frac·dura_total, exactly the scalar twin's
+    # default geometry (t23h = t14h − ingress, floored at 0)
+    t23h = F.greatest(t14h - dura_total * float(ingress_frac), F.lit(0.0))
+    frac = (t14h - dt) / F.greatest(t14h - t23h, F.lit(1e-12))
+    return (
+        F.when(dt <= t23h, F.lit(1.0))
+        .when(dt < t14h, frac)
+        .otherwise(F.lit(0.0))
+    )
+
+
 def trapezoid_depth(
     time: Column,
     period: float,

@@ -351,4 +351,47 @@ def run_population(
             ).alias("detected"),
         )
     )
+
+    # --- gated per-target depth fit (M5 closed form), one job --------
+    # mirrors run_pipeline's gated stage: only DETECTED targets are
+    # fitted, on their top accepted detection, via the column-parameter
+    # trapezoid shape — every target's fit runs in the same aggregation
+    if cfg.fit_on_detection:
+        from miletos_spark.model.forward import trapezoid_depth_cols
+        from miletos_spark.model.likelihood import depth_fit_closed_form
+
+        top = (
+            detections.filter(F.col("signal_idx") == 0)
+            .join(
+                F.broadcast(
+                    out.filter(F.col("detected")).select(target_col)
+                ),
+                target_col,
+            )
+            .select(
+                target_col,
+                F.col("period").alias("_p"),
+                F.col("epoch").alias("_e"),
+                (F.col("dcyc") * F.col("period")).alias("_dura"),
+            )
+        )
+        shape = trapezoid_depth_cols(
+            F.col("time"), F.col("_p"), F.col("_e"), F.col("_dura")
+        )
+        fits = depth_fit_closed_form(
+            det.join(F.broadcast(top), target_col)
+            .withColumn("stdv", F.lit(1.0))
+            .withColumn("_shape", shape),
+            "_shape",
+            group_cols=(target_col,),
+        )
+        out = out.join(
+            F.broadcast(
+                fits.select(
+                    target_col, "depth_hat", "depth_err", "n_in_shape"
+                )
+            ),
+            target_col,
+            "left",
+        )
     return out

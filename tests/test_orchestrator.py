@@ -114,15 +114,22 @@ def test_population_run_per_target(spark, cfg):
     assert out["tB"]["detected"] and out["tB"]["n_bls_signals"] == 1
     assert not out["tC"]["detected"] and out["tC"]["n_bls_signals"] == 0
     # per-target summary == the single-series pipeline on that series
-    solo = run_pipeline(
-        spark, a.select("time", "value"), pop_cfg
-    ).summary
+    solo_res = run_pipeline(spark, a.select("time", "value"), pop_cfg)
+    solo = solo_res.summary
     assert out["tA"]["n_samples"] == solo["n_samples"]
     assert out["tA"]["best_bls_snr"] == pytest.approx(
         solo["best_bls_snr"], rel=1e-9
     )
     assert out["tA"]["ls_power"] == pytest.approx(solo["ls_power"], rel=1e-9)
     assert out["tA"]["n_flares"] == solo["n_flares"]
+    # gated per-target depth fit: detected targets recover the injected
+    # depth; the undetected control has no fit row
+    assert out["tA"]["depth_hat"] == pytest.approx(DEPTH, rel=0.35)
+    assert out["tA"]["depth_hat"] == pytest.approx(
+        solo_res.depth_fit["depth_hat"], rel=1e-9
+    )
+    assert out["tB"]["depth_hat"] == pytest.approx(0.012, rel=0.35)
+    assert out["tC"]["depth_hat"] is None
 
 
 def test_population_requires_frozen_grid(spark):
