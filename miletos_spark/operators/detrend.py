@@ -33,12 +33,15 @@ def median_detrend(
     time_col: str = "time",
     group_cols: Sequence[str] = (),
     out_col: str = "value_detrended",
+    halo_chunk_rows: int | None = None,
 ) -> DataFrame:
     """X2 'medi' backend: baseline = centered rolling median; output
-    1 + value − baseline."""
+    1 + value − baseline. `halo_chunk_rows` parallelizes pooled-series
+    windows exactly (see `rolling_median`)."""
     out = rolling_median(
         df, half_width, value_col=value_col, time_col=time_col,
         group_cols=group_cols, out_col="_baseline",
+        halo_chunk_rows=halo_chunk_rows,
     )
     return out.withColumn(
         out_col, F.lit(1.0) + F.col(value_col) - F.col("_baseline")
@@ -237,6 +240,7 @@ def clip_detrend_loop(
     time_col: str = "time",
     group_cols: Sequence[str] = (),
     clip_per_group: bool = False,
+    halo_chunk_rows: int | None = None,
 ) -> DataFrame:
     """X4 — alternate 3σ clip (on the detrended residual) and median
     re-detrend until the kept row count is stable or `max_iter`
@@ -257,7 +261,7 @@ def clip_detrend_loop(
     for _ in range(max_iter):
         det = median_detrend(
             work, half_width, value_col=value_col, time_col=time_col,
-            group_cols=group_cols,
+            group_cols=group_cols, halo_chunk_rows=halo_chunk_rows,
         ).cache()
         n = det.count()
         if prev is not None and n == prev:
@@ -296,5 +300,5 @@ def clip_detrend_loop(
         ).drop("value_detrended")
     return median_detrend(
         work, half_width, value_col=value_col, time_col=time_col,
-        group_cols=group_cols,
+        group_cols=group_cols, halo_chunk_rows=halo_chunk_rows,
     )

@@ -75,13 +75,60 @@ def rolling_median(
     group_cols: Sequence[str] = (),
     out_col: str = "roll_med",
     exact: bool = True,
+    halo_chunk_rows: int | None = None,
 ) -> DataFrame:
     """W2 — centered median filter of size 2*half_width+1
     (scipy.ndimage.median_filter analog; miletos/main.py:5744,
     6784-6795). Exact `percentile` over a row frame for oracle parity.
-    """
-    w = _win(group_cols, time_col).rowsBetween(-half_width, half_width)
+
+    `halo_chunk_rows` parallelizes an unpartitioned (or coarsely
+    partitioned) series without changing a single output value: a
+    global row_number fixes the frame order (one cheap sorted pass),
+    rows are bucketed into index chunks with ±half_width halo copies in
+    the neighbor chunks, and the exact-percentile frames — the actual
+    cost — evaluate PARTITION BY chunk in parallel. Frames order by the
+    row_number itself, so tied timestamps resolve identically in every
+    chunk. Must be > 2*half_width."""
     fn = "percentile" if exact else "percentile_approx"
+    if halo_chunk_rows is not None:
+        if halo_chunk_rows <= 2 * half_width:
+            raise ValueError(
+                f"halo_chunk_rows ({halo_chunk_rows}) must exceed the "
+                f"window size (2*{half_width})"
+            )
+        c = int(halo_chunk_rows)
+        rn = F.row_number().over(_win(group_cols, time_col))
+        idx = F.col("_rn") - 1
+        home = F.floor(idx / c)
+        offs = F.array(
+            F.lit(0),
+            F.when(idx % c < half_width, F.lit(-1)),
+            F.when(idx % c >= c - half_width, F.lit(1)),
+        )
+        haloed = (
+            df.withColumn("_rn", rn)
+            .withColumn(
+                "_off", F.explode(F.filter(offs, lambda x: x.isNotNull()))
+            )
+            .withColumn("_hchunk", home + F.col("_off"))
+        )
+        # explicit count: AQE would coalesce this small-in-bytes shuffle
+        # back to one partition, defeating the CPU spread
+        n_part = df.sparkSession.sparkContext.defaultParallelism
+        haloed = haloed.repartition(n_part, *group_cols, "_hchunk")
+        w = (
+            Window.partitionBy(*group_cols, "_hchunk")
+            .orderBy("_rn")
+            .rowsBetween(-half_width, half_width)
+        )
+        return (
+            haloed.withColumn(
+                out_col, F.expr(f"{fn}({value_col}, 0.5)").over(w)
+            )
+            .filter(F.col("_off") == 0)
+            .drop("_rn", "_off", "_hchunk")
+        )
+    w = _win(group_cols, time_col).rowsBetween(-half_width, half_width)
     return df.withColumn(out_col, F.expr(f"{fn}({value_col}, 0.5)").over(w))
 
 
@@ -93,6 +140,7 @@ def rolling_percentile_band(
     group_cols: Sequence[str] = (),
     lo: float = 0.05,
     hi: float = 0.95,
+    halo_chunk: float | None = None,
 ) -> DataFrame:
     """W3 — rolling 5/50/95-percentile band over a ±range_width TIME
     window (flare finder, miletos/main.py:11367-11399). Adds columns
@@ -103,7 +151,55 @@ def rolling_percentile_band(
     irrespective of cadence). Built with a SQL window spec because the
     DataFrame `rangeBetween` API only accepts integer offsets while the
     time axis is DOUBLE days.
+
+    `halo_chunk` (≥ range_width, in time units) parallelizes an
+    otherwise-unpartitioned (or coarsely-partitioned) series WITHOUT
+    changing a single output value: rows are bucketed into time chunks,
+    rows within `range_width` of a chunk edge are ALSO copied into the
+    neighbor chunk (the halo), the window runs PARTITION BY chunk, and
+    only each row's home-chunk copy is kept. A ±range_width frame never
+    reaches past the halo, so every frame is identical to the
+    unpartitioned one — this is the exact-semantics fix for the
+    one-task pooled-series window (6.5 s → sub-second on the sf0.1
+    pipeline flare stage). Halo row overhead ≈ 2·range_width/chunk.
     """
+    if halo_chunk is not None:
+        if halo_chunk < range_width:
+            raise ValueError(
+                f"halo_chunk ({halo_chunk}) must be >= range_width "
+                f"({range_width}): a frame may not span two chunk halos"
+            )
+        t = F.col(time_col)
+        home = F.floor(t / F.lit(float(halo_chunk)))
+        offs = F.array(
+            F.lit(0),
+            F.when(
+                t - home * halo_chunk < range_width, F.lit(-1)
+            ),
+            F.when(
+                (home + 1) * halo_chunk - t <= range_width, F.lit(1)
+            ),
+        )
+        haloed = (
+            df.withColumn("_home", home)
+            .withColumn("_off", F.explode(F.filter(offs, lambda x: x.isNotNull())))
+            .withColumn("_hchunk", F.col("_home") + F.col("_off"))
+        )
+        # explicit partition count: the chunks exist to spread CPU-heavy
+        # exact-percentile work, and AQE would coalesce this
+        # small-in-bytes shuffle back into one partition otherwise
+        # (user-specified repartition counts are exempt from coalescing;
+        # the window's PARTITION BY reuses this hash distribution, so no
+        # second exchange is added)
+        n_part = df.sparkSession.sparkContext.defaultParallelism
+        haloed = haloed.repartition(n_part, *group_cols, "_hchunk")
+        banded = rolling_percentile_band(
+            haloed, range_width, value_col=value_col, time_col=time_col,
+            group_cols=(*group_cols, "_hchunk"), lo=lo, hi=hi,
+        )
+        return banded.filter(F.col("_off") == 0).drop(
+            "_home", "_off", "_hchunk"
+        )
     part = f"PARTITION BY {', '.join(group_cols)} " if group_cols else ""
     frame = (
         f"OVER ({part}ORDER BY {time_col} "

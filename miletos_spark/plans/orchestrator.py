@@ -123,6 +123,7 @@ def run_pipeline(
     detrended = clip_detrend_loop(
         work, cfg.detrend_half_width, max_iter=cfg.detrend_max_iter,
         value_col=value_col, time_col=time_col,
+        halo_chunk_rows=max(8192, 4 * cfg.detrend_half_width),
     ).cache()
     span_row = detrended.agg(
         F.min(time_col).alias("lo"), F.max(time_col).alias("hi")
@@ -165,7 +166,8 @@ def run_pipeline(
     )
 
     flares = flare_outlier_search(
-        det, window_days=cfg.flare_window, threshold=cfg.flare_threshold
+        det, window_days=cfg.flare_window, threshold=cfg.flare_threshold,
+        halo_chunk_days=24.0 * cfg.flare_window,
     )
 
     # --- detection gate (A9 boolposianls) ----------------------------
@@ -266,6 +268,7 @@ def run_population(
         work, cfg.detrend_half_width, max_iter=cfg.detrend_max_iter,
         value_col=value_col, time_col=time_col, group_cols=keys,
         clip_per_group=True,
+        halo_chunk_rows=max(8192, 4 * cfg.detrend_half_width),
     ).cache()
     det = detrended.select(
         target_col,
@@ -325,7 +328,7 @@ def run_population(
     flare_counts = (
         flare_outlier_search(
             det, window_days=cfg.flare_window, threshold=cfg.flare_threshold,
-            group_cols=keys,
+            group_cols=keys, halo_chunk_days=24.0 * cfg.flare_window,
         )
         .groupBy(target_col)
         .agg(F.count("*").alias("n_flares"))

@@ -36,12 +36,18 @@ def flare_outlier_search(
     time_col: str = "time",
     value_col: str = "value",
     group_cols: Sequence[str] = (),
+    halo_chunk_days: float | None = None,
 ) -> DataFrame:
     """P7 — returns one row per detected flare:
-    group_cols + (cluster, time, detect_metric, n_triggers)."""
+    group_cols + (cluster, time, detect_metric, n_triggers).
+
+    `halo_chunk_days` parallelizes the percentile band's time window
+    via halo chunking (exact-identical output; see
+    `rolling_percentile_band`) — use it when group_cols don't bound the
+    partitions (a pooled series, or few very long targets)."""
     banded = rolling_percentile_band(
         df, window_days, value_col=value_col, time_col=time_col,
-        group_cols=group_cols,
+        group_cols=group_cols, halo_chunk=halo_chunk_days,
     )
     flagged = banded.withColumn(
         "_trig", F.coalesce(F.col("detect_metric") > threshold, F.lit(False))
