@@ -201,3 +201,48 @@ def test_visibility_culmination_and_airmass(spark):
     ).first()
     assert sun[0] < -18.0 and sun[1] > 0.0
     curve.unpersist()
+
+
+def test_halo_chunked_windows_bit_equal(spark):
+    """Halo chunking (time-range band + row-index median) must be
+    BIT-identical to the unpartitioned window — including at chunk
+    boundaries, irregular cadence, and frames clipped at the data
+    edges. This is the exactness contract that lets the orchestrator
+    parallelize pooled-series windows."""
+    from miletos_spark.operators.windows import (
+        rolling_median,
+        rolling_percentile_band,
+    )
+
+    # irregular cadence: gaps, bursts, rows landing exactly on chunk
+    # edges (t = k*0.5 for several k)
+    n = 4000
+    t = (
+        F.col("id") * 0.003
+        + F.when(F.col("id") % 7 == 0, 0.25).otherwise(0.0)
+        + F.floor(F.col("id") / 500) * 0.5
+    )
+    df = (
+        spark.range(n)
+        .select(t.alias("time"))
+        .withColumn("value", F.sin(F.col("time") * 13.0) + F.col("time"))
+        .cache()
+    )
+
+    plain_b = rolling_percentile_band(df, 0.04)
+    halo_b = rolling_percentile_band(df, 0.04, halo_chunk=0.5)
+    cols = ["time", "band_lo", "band_med", "band_hi", "detect_metric"]
+    assert sorted(map(tuple, plain_b.select(cols).collect())) == sorted(
+        map(tuple, halo_b.select(cols).collect())
+    )
+
+    plain_m = rolling_median(df, 10, time_col="time")
+    halo_m = rolling_median(df, 10, time_col="time", halo_chunk_rows=256)
+    assert sorted(map(tuple, plain_m.select("time", "roll_med").collect())) \
+        == sorted(map(tuple, halo_m.select("time", "roll_med").collect()))
+
+    # invalid halo parameters fail loudly, not wrongly
+    with pytest.raises(ValueError, match="halo_chunk"):
+        rolling_percentile_band(df, 0.04, halo_chunk=0.01)
+    with pytest.raises(ValueError, match="halo_chunk_rows"):
+        rolling_median(df, 10, halo_chunk_rows=20)
