@@ -509,3 +509,90 @@ def ngram_jaccard_pairs(
         )
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Distributed connected components over an undirected edge list via
+    alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", ACM SoCC 2014) — the dedup
+    CLUSTERING step: near-dup PAIRS (LSH or exact) become groups with a
+    canonical representative, so "keep one per group" is a groupBy, not
+    a union-find on the driver.
+
+    Pure DataFrame ops — each round is two keyed aggregations and two
+    joins, no collect of anything graph-sized; converges in O(log²)
+    rounds (2–4 in practice on near-dup graphs). Label monotonicity
+    makes the (count, Σu, Σv) signature a safe fixpoint test. Returns
+    (node, component) for every node incident to an edge, component =
+    the minimum node id reachable."""
+    e = (
+        pairs.select(
+            F.col(src_col).cast("long").alias("u"),
+            F.col(dst_col).cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        # large-star: every neighbor larger than u links to u's min
+        sym = e.union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least(F.col("_mn"), F.col("u")).alias("m"))
+        )
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient (big → small); every small neighbor and u
+        # itself link to the minimum small neighbor
+        d = (
+            large.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        mins2 = d.groupBy("u").agg(F.min("v").alias("m"))
+        dj = d.join(mins2, "u")
+        # localCheckpoint, not cache: each round references the prior
+        # round's frame twice, so an un-truncated logical plan doubles
+        # per iteration and the ANALYZER (not execution) goes
+        # exponential by round 3 — checkpointing cuts the lineage so
+        # every round starts from a materialized leaf
+        e = (
+            dj.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(dj.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sig = tuple(
+            e.agg(
+                F.count("*"), F.sum("u"), F.sum("v")
+            ).first()
+        )
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    out = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    # roots have no outgoing star edge: they are their own component
+    roots = (
+        e.select(F.col("v").alias("node"))
+        .distinct()
+        .join(e.select(F.col("u").alias("node")).distinct(), "node", "anti")
+        .select("node", F.col("node").alias("component"))
+    )
+    return out.union(roots)

@@ -782,6 +782,65 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup CLUSTERING (U3 at corpus scale): ground-truth near-dup
+    pairs → distributed connected components via alternating
+    large-star/small-star (Kiveris et al., SoCC 2014 — pure keyed
+    aggregations and joins, no driver union-find) → one row per
+    cluster with the canonical (minimum) doc id and sorted members.
+    The scale path runs the same components over LSH candidate pairs
+    (asserted equal in tests/test_dedup_strategies.py). Oracle: a
+    recursive-CTE transitive closure with min-label reduction."""
+    from miletos_spark.pipeline.dedup import (
+        connected_components,
+        near_dup_pairs_bruteforce,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = near_dup_pairs_bruteforce(docs, threshold=0.5, k=9)
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sort_array(F.collect_list("node")).alias("members"),
+        )
+        .orderBy("component")
+    )
+
+
+SQL_NEAR_DUP_CLUSTERS = r"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct([substr(t, i, 9)
+                        for i in range(1, greatest(length(t) - 8, 1) + 1)]) AS s
+  FROM (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+        FROM documents)
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1.0
+        / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+cc(node, lab) AS (
+  SELECT u AS node, u AS lab FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u AS node, c.lab AS lab
+  FROM edges e JOIN cc c ON c.node = e.v
+),
+comp AS (SELECT node, min(lab) AS component FROM cc GROUP BY node)
+SELECT component, count(*) AS n_members,
+       list_sort(list(node)) AS members
+FROM comp GROUP BY component ORDER BY component
+"""
+
+
 SQL_NEAR_DUP_PAIRS = r"""
 WITH sh AS (
   SELECT doc_id,
@@ -2314,6 +2373,78 @@ SELECT round(b.period, 9) AS period, round(b.dcyc, 9) AS dcyc,
        {quantize_sql("g.mu - b.mean_in", 6)} AS depth,
        round((g.mu - b.mean_in) / (g.sd / sqrt(b.n_in)), 4) AS snr
 FROM boxes b CROSS JOIN g
+"""
+
+
+def q_stream_bls_keyed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 P2 online, KEYED: the incremental streaming box spectrum
+    with per-series state (event_type as the series key — the
+    population/multi-instrument case): one stream, |series| × |trials|
+    × O(1/dcyc) bounded state, per-series global moments at read-out.
+    Oracle: the per-type batch box spectrum with the same decimal
+    fixed-order means."""
+    from miletos_spark.streaming.ingest import stream_bls
+
+    land = land_stream_events(spark, sf_dir)
+    trials = _bls_trials()[:40]  # subset: keyed state is |types|× wider
+    sdf = stream_bls(
+        spark, land, STREAM_SCHEMA, trials, t_ref=0.0,
+        dec_type="decimal(12,6)", group_cols=("event_type",),
+    )
+    spec = _drain_memory_stream(spark, sdf, "stream_bls_keyed_")
+
+    ev = _ev_days(spark, sf_dir)
+    g = ev.groupBy("event_type").agg(
+        (
+            F.sum(F.col("value").cast("decimal(38,18)")).cast("double")
+            / F.count("*")
+        ).alias("mu"),
+        F.stddev_pop("value").alias("sd"),
+    )
+    out = spec.join(F.broadcast(g), "event_type")
+    depth = F.col("mu") - F.col("mean_in")
+    return out.select(
+        "event_type",
+        F.round("period", 9).alias("period"),
+        F.round("dcyc", 9).alias("dcyc"),
+        F.round("off", 1).alias("off"),
+        "bucket",
+        "n_in",
+        quantize(F.col("mean_in"), 6).alias("mean_in"),
+        quantize(depth, 6).alias("depth"),
+        F.round(depth / (F.col("sd") / F.sqrt(F.col("n_in"))), 4).alias("snr"),
+    )
+
+
+def _sql_stream_bls_keyed() -> str:
+    values = ", ".join(
+        f"(CAST({p!r} AS DOUBLE), CAST({d!r} AS DOUBLE), CAST({o!r} AS DOUBLE))"
+        for p, d, o in _bls_trials()[:40]
+    )
+    mean_in = _dec_mean_sql("s.v", "count(*)")
+    mu = _dec_mean_sql("value", "count(*)")
+    return f"""
+WITH samples AS (
+  SELECT event_type, {EV_T_DAYS_SQL} AS t, value AS v FROM events
+),
+g AS (SELECT event_type, {mu} AS mu, stddev_pop(value) AS sd
+      FROM events GROUP BY event_type),
+trials(period, dcyc, off) AS (VALUES {values}),
+boxes AS (
+  SELECT s.event_type, tr.period, tr.dcyc, tr.off,
+         CAST(floor(((((s.t % tr.period + tr.period) % tr.period)
+                      / tr.period - tr.off * tr.dcyc) % 1.0 + 1.0) % 1.0
+                    / tr.dcyc) AS INT) AS bucket,
+         count(*) AS n_in, {mean_in} AS mean_in
+  FROM samples s CROSS JOIN trials tr
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT b.event_type, round(b.period, 9) AS period, round(b.dcyc, 9) AS dcyc,
+       round(b.off, 1) AS off, b.bucket, b.n_in,
+       {quantize_sql("b.mean_in", 6)} AS mean_in,
+       {quantize_sql("g.mu - b.mean_in", 6)} AS depth,
+       round((g.mu - b.mean_in) / (g.sd / sqrt(b.n_in)), 4) AS snr
+FROM boxes b JOIN g USING (event_type)
 """
 
 
@@ -5423,6 +5554,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "membership_events": q_membership_events,
     "rebin_count_events": q_rebin_count_events,
     "near_dup_pairs": q_near_dup_pairs,
+    "near_dup_clusters": q_near_dup_clusters,
     "rollup_pricing": q_rollup_pricing,
     "time_rollup_events": q_time_rollup_events,
     "json_props_events": q_json_props_events,
@@ -5432,6 +5564,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "visibility_events": q_visibility_events,
     "stream_trigger_clusters_events": q_stream_trigger_clusters_events,
     "stream_rebin_events": q_stream_rebin_events,
+    "stream_bls_keyed_events": q_stream_bls_keyed_events,
     "fits_ingest_events": q_fits_ingest_events,
     "qlp_ingest_events": q_qlp_ingest_events,
     "csv_ingest_events": q_csv_ingest_events,
@@ -5473,6 +5606,7 @@ def _oracles() -> dict[str, str]:
         "text_stats_docs": SQL_TEXT_STATS_DOCS,
         "similarity_topk": SQL_SIMILARITY_TOPK,
         "near_dup_pairs": SQL_NEAR_DUP_PAIRS,
+        "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
         "white_light_events": SQL_WHITE_LIGHT_EVENTS,
         "transit_windows_events": SQL_TRANSIT_WINDOWS_EVENTS,
         "flare_band_events": SQL_FLARE_BAND_EVENTS,
@@ -5510,6 +5644,7 @@ def _oracles() -> dict[str, str]:
         "stream_trigger_clusters_events": SQL_STREAM_TRIGGER_CLUSTERS_EVENTS,
         "stream_rebin_events": SQL_STREAM_REBIN_EVENTS,
         "stream_bls_events": _sql_stream_bls(),
+        "stream_bls_keyed_events": _sql_stream_bls_keyed(),
         "stream_ls_events": _sql_stream_ls(),
         "fits_ingest_events": SQL_FITS_INGEST_EVENTS,
         "qlp_ingest_events": SQL_QLP_INGEST_EVENTS,

@@ -4,6 +4,7 @@ filtering) must produce the identical pair set — exactness cross-check."""
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from miletos_spark.pipeline.dedup import (
     near_dup_pairs_bruteforce,
@@ -61,3 +62,58 @@ def test_simhash_banded_join_is_lossless_for_small_hamming(spark, docs):
     plan = simhash_band_pairs(docs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_connected_components_star_alternation(spark):
+    """Large-star/small-star over adversarial shapes: a long path (worst
+    case for label propagation), two separate components, a triangle
+    merged in via one bridge edge, and decreasing-id edge order."""
+    from miletos_spark.pipeline.dedup import connected_components
+
+    edges = (
+        [(i + 1, i) for i in range(1, 12)]        # path 1-…-12 (reversed ids)
+        + [(20, 21), (21, 22), (22, 20)]          # triangle 20-21-22
+        + [(30, 31)]                              # pair
+        + [(12, 20)]                              # bridge path→triangle
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    want_nodes = set(range(1, 13)) | {20, 21, 22, 30, 31}
+    assert set(got) == want_nodes
+    assert all(got[n] == 1 for n in list(range(1, 13)) + [20, 21, 22])
+    assert got[30] == 30 and got[31] == 30
+
+
+def test_connected_components_lsh_matches_bruteforce(spark, sf_dir):
+    """Dedup clustering end-to-end: components over the LSH candidate
+    pairs (the scale path) equal components over the brute-force exact
+    Jaccard pairs on the driver corpus — the cluster-level analog of
+    the pairs-level near_dup ground-truth check."""
+    from miletos_spark.pipeline.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+        near_dup_pairs_bruteforce,
+    )
+    from miletos_spark.schema import load_table
+
+    from miletos_spark.pipeline.dedup import (
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    brute = near_dup_pairs_bruteforce(docs, threshold=0.5)
+    cand = minhash_lsh_pairs(minhash_signatures(docs))
+    lsh = ngram_jaccard_pairs(docs, cand).filter(F.col("jaccard") >= 0.5)
+
+    def comp_sets(pairs):
+        comp = connected_components(pairs)
+        rows = comp.groupBy("component").agg(
+            F.sort_array(F.collect_list("node")).alias("members")
+        ).collect()
+        return {tuple(r["members"]) for r in rows}
+
+    assert comp_sets(brute) == comp_sets(lsh)
