@@ -69,8 +69,11 @@ HEADLINE = [
     "vocab_topk_docs",
     "ivf_landed_topk",
     "mcmc_recovery_events",
-    # round-5: population orchestration (N targets in one job)
+    # round-5: population orchestration (N targets in one job),
+    # dedup clustering, keyed streaming spectra
     "pipeline_population_events",
+    "near_dup_clusters",
+    "stream_bls_keyed_events",
 ]
 
 

@@ -5500,7 +5500,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bls_multi_recovery_events": q_bls_multi_recovery_events,
     "outlier_period_events": q_outlier_period_events,
     "dedup_exact_docs": q_dedup_exact_docs,
-    "text_stats_docs": q_text_stats_docs,
+    "near_dup_clusters": q_near_dup_clusters,
     "ivf_recovery_topk": q_ivf_recovery_topk,
     "lsh_similarity_topk": q_lsh_similarity_topk,
     "embedding_near_dup": q_embedding_near_dup,
@@ -5529,7 +5529,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tls_recovery_events": q_tls_recovery_events,
     "bls_multires_events": q_bls_multires_events,
     "derived_outputs_events": q_derived_outputs_events,
-    "phase_components_events": q_phase_components_events,
+    "stream_bls_keyed_events": q_stream_bls_keyed_events,
     "ener_spectrum_events": q_ener_spectrum_events,
     # -- oracle-backed overflow (judge full sweep only, no driver row) --
     "language_id_docs": q_language_id_docs,
@@ -5554,7 +5554,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "membership_events": q_membership_events,
     "rebin_count_events": q_rebin_count_events,
     "near_dup_pairs": q_near_dup_pairs,
-    "near_dup_clusters": q_near_dup_clusters,
+    "text_stats_docs": q_text_stats_docs,
     "rollup_pricing": q_rollup_pricing,
     "time_rollup_events": q_time_rollup_events,
     "json_props_events": q_json_props_events,
@@ -5564,7 +5564,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "visibility_events": q_visibility_events,
     "stream_trigger_clusters_events": q_stream_trigger_clusters_events,
     "stream_rebin_events": q_stream_rebin_events,
-    "stream_bls_keyed_events": q_stream_bls_keyed_events,
+    "phase_components_events": q_phase_components_events,
     "fits_ingest_events": q_fits_ingest_events,
     "qlp_ingest_events": q_qlp_ingest_events,
     "csv_ingest_events": q_csv_ingest_events,
