@@ -660,6 +660,51 @@ SELECT round(gap, 6) AS gap, round(frac_diff, 6) AS frac_diff FROM inner_q
 # --- LLM-data-pipeline queries (beyond-reference operators) -----------------
 
 
+def q_sketch_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch statistics — the 100 TB cardinality/quantile
+    path. Per event_type: exact distinct users and exact median
+    (oracle-checked values) alongside HLL++ (`hll_sketch_agg`),
+    `approx_count_distinct`, and GK `approx_percentile` estimates
+    asserted within tolerance (oracle-checked booleans — the
+    assertion-oracle pattern of `mcmc_recovery_events`). Sketches
+    partial-aggregate map-side and merge across executors in O(sketch)
+    shuffle bytes; exact distinct must shuffle every key — at corpus
+    scale the sketch column is the one that survives."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("nd_users"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("hll_est"),
+        F.approx_count_distinct("user_id", 0.02).alias("acd_est"),
+        F.expr("percentile(value, 0.5D)").alias("p50_raw"),
+        F.expr("approx_percentile(value, 0.5D, 10000)").alias("ap50"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    rng = F.col("vmax") - F.col("vmin")
+    return g.select(
+        "event_type",
+        "n",
+        "nd_users",
+        F.round("p50_raw", 6).alias("p50"),
+        (F.abs(F.col("hll_est") - F.col("nd_users"))
+         <= 0.05 * F.col("nd_users")).alias("hll_within_5pct"),
+        (F.abs(F.col("acd_est") - F.col("nd_users"))
+         <= 0.05 * F.col("nd_users")).alias("acd_within_5pct"),
+        (F.abs(F.col("ap50") - F.col("p50_raw"))
+         <= 0.01 * rng).alias("ap50_within_1pct_range"),
+    )
+
+
+SQL_SKETCH_STATS_EVENTS = """
+SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS nd_users,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       TRUE AS hll_within_5pct, TRUE AS acd_within_5pct,
+       TRUE AS ap50_within_1pct_range
+FROM events GROUP BY event_type
+"""
+
+
 def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on md5(text), canonical keeper = min id."""
     docs = load_table(spark, sf_dir, "documents")
@@ -2414,6 +2459,65 @@ def q_stream_bls_keyed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize(depth, 6).alias("depth"),
         F.round(depth / (F.col("sd") / F.sqrt(F.col("n_in"))), 4).alias("snr"),
     )
+
+
+def _land_docs_dedup_feed(spark: SparkSession, sf_dir: str) -> str:
+    """Memoized landing of the streaming-dedup document feed: the
+    documents table plus deterministic re-crawl replicas (every 7th
+    doc re-keyed above 1e6 with identical text — the duplicate
+    pressure a crawler's stream actually carries), hashed and split
+    into 8 files so the availableNow drain crosses micro-batches.
+    S11 memo keying as `land_stream_events` (path+mtime+size)."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|dedupfeed"
+    except OSError:
+        sig = os.path.abspath(sf_dir) + "|dedupfeed"
+    key = hashlib.md5(sig.encode()).hexdigest()[:12]
+    land = os.path.join(tempfile.gettempdir(), f"miletos_land_{key}", "data")
+    if not os.path.exists(land):
+        docs = load_table(spark, sf_dir, "documents")
+        dup = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+        feed = (
+            docs.unionByName(dup)
+            .select("doc_id", F.md5("text").alias("text_hash"))
+        )
+        feed.repartition(8).write.parquet(land)
+    return land
+
+
+def q_stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 + U3 online: streaming exact dedup of a document firehose
+    (documents + deterministic re-crawl replicas) — `dropDuplicates`
+    keyed state across micro-batches (2 files per trigger), emitting
+    each content hash exactly once. State is one entry per DISTINCT
+    key, sharded by key hash. The emitted key SET is
+    batch-split-independent, so the batch DISTINCT oracle hashes it
+    exactly; the 571-in → 500-out contraction is the dedup witness."""
+    from miletos_spark.streaming.ingest import stream_dedup
+
+    land = _land_docs_dedup_feed(spark, sf_dir)
+    sdf = stream_dedup(
+        spark,
+        land,
+        "doc_id long, text_hash string",
+        ["text_hash"],
+        max_files_per_trigger=2,
+    )
+    out = _drain_memory_stream(spark, sdf, "stream_dedup_", output_mode="append")
+    return out.select("text_hash")
+
+
+SQL_STREAM_DEDUP_DOCS = """
+SELECT DISTINCT md5(text) AS text_hash FROM documents
+"""
 
 
 def _sql_stream_bls_keyed() -> str:
@@ -5530,6 +5634,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bls_multires_events": q_bls_multires_events,
     "derived_outputs_events": q_derived_outputs_events,
     "stream_bls_keyed_events": q_stream_bls_keyed_events,
+    "stream_dedup_docs": q_stream_dedup_docs,
+    "sketch_stats_events": q_sketch_stats_events,
     "ener_spectrum_events": q_ener_spectrum_events,
     # -- oracle-backed overflow (judge full sweep only, no driver row) --
     "language_id_docs": q_language_id_docs,
@@ -5645,6 +5751,8 @@ def _oracles() -> dict[str, str]:
         "stream_rebin_events": SQL_STREAM_REBIN_EVENTS,
         "stream_bls_events": _sql_stream_bls(),
         "stream_bls_keyed_events": _sql_stream_bls_keyed(),
+        "stream_dedup_docs": SQL_STREAM_DEDUP_DOCS,
+        "sketch_stats_events": SQL_SKETCH_STATS_EVENTS,
         "stream_ls_events": _sql_stream_ls(),
         "fits_ingest_events": SQL_FITS_INGEST_EVENTS,
         "qlp_ingest_events": SQL_QLP_INGEST_EVENTS,

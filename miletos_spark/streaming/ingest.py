@@ -279,3 +279,35 @@ def incremental_analysis(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    key_cols: list[str],
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming exact deduplication: emit each dedup key once, the
+    first time it is seen, across micro-batches (`dropDuplicates`
+    keyed state). The training-data use case: a document firehose
+    where re-crawls/replicas must not reach the corpus twice.
+
+    The reference dedups its batch target list once at startup
+    (miletos/main.py target-list uniquify); the streaming analog keeps
+    the seen-key set as operator state so ingestion stays incremental.
+
+    Scale notes: state is one entry per DISTINCT key (not per row) —
+    bounded by corpus cardinality, sharded across executors by key
+    hash. For unbounded key spaces, production would swap in
+    `dropDuplicatesWithinWatermark` to evict state older than the
+    late-data bound; with a bounded landed drain the exact variant is
+    deterministic (the emitted key SET is batch-split-independent,
+    which is what the oracle hashes — only per-key arrival attribution
+    would depend on file order, so callers must project it away).
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_dir)
+    return src.dropDuplicates(key_cols).select(*key_cols)

@@ -739,3 +739,33 @@ def test_read_ztf_cone_filters_and_converts(spark, tmp_path):
     med = (15.0 + 15.5) / 2.0
     assert got[58000.0 + 2400000.5] == pytest.approx(10 ** (-(15.0 - med) / 2.5))
     assert got[58001.0 + 2400000.5] == pytest.approx(10 ** (-(15.5 - med) / 2.5))
+
+
+def test_stream_dedup_state_crosses_microbatches(spark, tmp_path):
+    """Duplicate keys split across parquet files, drained one file per
+    trigger: the dedup state must survive micro-batch boundaries (each
+    key emitted exactly once), and the emitted key SET must equal the
+    batch distinct regardless of file arrival order."""
+    from miletos_spark.streaming.ingest import stream_dedup
+    from miletos_spark.streaming.stateful import run_available_now
+
+    land = str(tmp_path / "docs")
+    schema = "doc_id long, text_hash string"
+    # file 0: keys a,b,c — file 1: b,c,d — file 2: a,d,e
+    batches = [
+        [(1, "a"), (2, "b"), (3, "c")],
+        [(4, "b"), (5, "c"), (6, "d")],
+        [(7, "a"), (8, "d"), (9, "e")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(land)
+    sdf = stream_dedup(
+        spark, land, schema, ["text_hash"], max_files_per_trigger=1
+    )
+    run_available_now(sdf, "dedup_test_sink", output_mode="append")
+    out = spark.table("dedup_test_sink")
+    got = sorted(r["text_hash"] for r in out.collect())
+    spark.catalog.dropTempView("dedup_test_sink")
+    assert got == ["a", "b", "c", "d", "e"]
