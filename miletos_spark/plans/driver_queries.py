@@ -2271,6 +2271,7 @@ GROUP BY event_type, (epoch_us(ts) // {STREAM_REBIN_US}) * {STREAM_REBIN_US}
 SQL_STREAM_REBIN_EVENTS = _sql_stream_rebin()
 
 
+LS_KEYED_NFREQ = 40            # keyed state is |series| x wider
 LS_STREAM_TREF = 19723.0      # fixed reference epoch (~data start): a
                               # stream cannot shift by the data min it
                               # has not yet seen
@@ -2338,6 +2339,74 @@ fin AS (
   FROM m
 )
 SELECT round(freq, 9) AS freq, round(power, 6) AS power FROM fin
+"""
+
+
+def q_stream_ls_keyed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 P1 online, KEYED: the incremental Lomb-Scargle moments
+    with per-series state (event_type as the series key) — one stream,
+    |series| x |grid| bounded state, mean-corrected per series at
+    read-out. Grid subset (40 frequencies) because keyed state is
+    |series| x wider — the same stance as `stream_bls_keyed_events`.
+    Oracle: the identical per-type raw-moment formulation in DuckDB."""
+    from miletos_spark.streaming.ingest import finish_ls_power, stream_ls_moments
+
+    land = land_stream_events(spark, sf_dir)
+    sdf = stream_ls_moments(
+        spark, land, STREAM_SCHEMA, LS_FMIN, LS_DF, LS_KEYED_NFREQ,
+        t_ref=LS_STREAM_TREF, group_cols=("event_type",),
+    )
+    out_raw = _drain_memory_stream(spark, sdf, "stream_ls_keyed_")
+    out = finish_ls_power(out_raw, group_cols=("event_type",))
+    return out.select(
+        "event_type",
+        F.round("freq", 9).alias("freq"),
+        F.round("power", 6).alias("power"),
+    )
+
+
+def _sql_stream_ls_keyed() -> str:
+    return f"""
+WITH grid AS (
+  SELECT CAST({LS_FMIN!r} AS DOUBLE) + k * CAST({LS_DF!r} AS DOUBLE) AS freq
+  FROM (SELECT unnest(range({LS_KEYED_NFREQ})) AS k)
+),
+samples AS (
+  SELECT event_type, {EV_T_DAYS_SQL} - {LS_STREAM_TREF!r} AS t, value AS v
+  FROM events
+),
+proj AS (
+  SELECT s.event_type, g.freq, s.v,
+         cos(2*pi()*g.freq*s.t) AS c,
+         sin(2*pi()*g.freq*s.t) AS s
+  FROM samples s CROSS JOIN grid g
+),
+m AS (
+  SELECT event_type, freq,
+         count(*) AS n,
+         sum(v) AS sv,
+         sum(v * v) AS svv,
+         sum(c) AS sc,
+         sum(s) AS ss,
+         sum(c * c - s * s) AS c2,
+         sum(2.0 * s * c) AS s2,
+         sum(v * c) AS ycr,
+         sum(v * s) AS ysr
+  FROM proj
+  GROUP BY event_type, freq
+),
+fin AS (
+  SELECT event_type, freq,
+         ( pow((ycr - (sv/n)*sc) * cos(atan2(s2,c2)/2)
+             + (ysr - (sv/n)*ss) * sin(atan2(s2,c2)/2), 2)
+             / ((n + c2*cos(atan2(s2,c2)) + s2*sin(atan2(s2,c2)))/2)
+         + pow((ysr - (sv/n)*ss) * cos(atan2(s2,c2)/2)
+             - (ycr - (sv/n)*sc) * sin(atan2(s2,c2)/2), 2)
+             / ((n - c2*cos(atan2(s2,c2)) - s2*sin(atan2(s2,c2)))/2)
+         ) / (svv - 2*(sv/n)*sv + n*(sv/n)*(sv/n)) AS power
+  FROM m
+)
+SELECT event_type, round(freq, 9) AS freq, round(power, 6) AS power FROM fin
 """
 
 
@@ -5635,6 +5704,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "derived_outputs_events": q_derived_outputs_events,
     "stream_bls_keyed_events": q_stream_bls_keyed_events,
     "stream_dedup_docs": q_stream_dedup_docs,
+    "stream_ls_keyed_events": q_stream_ls_keyed_events,
     "sketch_stats_events": q_sketch_stats_events,
     "ener_spectrum_events": q_ener_spectrum_events,
     # -- oracle-backed overflow (judge full sweep only, no driver row) --
@@ -5752,6 +5822,7 @@ def _oracles() -> dict[str, str]:
         "stream_bls_events": _sql_stream_bls(),
         "stream_bls_keyed_events": _sql_stream_bls_keyed(),
         "stream_dedup_docs": SQL_STREAM_DEDUP_DOCS,
+        "stream_ls_keyed_events": _sql_stream_ls_keyed(),
         "sketch_stats_events": SQL_SKETCH_STATS_EVENTS,
         "stream_ls_events": _sql_stream_ls(),
         "fits_ingest_events": SQL_FITS_INGEST_EVENTS,
