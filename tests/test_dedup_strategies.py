@@ -77,10 +77,17 @@ def test_connected_components_star_alternation(spark):
         + [(12, 20)]                              # bridge path→triangle
     )
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    # driver_threshold=0 pins the DISTRIBUTED star loop; the default
+    # takes the driver union-find — both must produce identical labels
+    dist = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
     got = {
         r["node"]: r["component"]
         for r in connected_components(pairs).collect()
     }
+    assert dist == got
     want_nodes = set(range(1, 13)) | {20, 21, 22, 30, 31}
     assert set(got) == want_nodes
     assert all(got[n] == 1 for n in list(range(1, 13)) + [20, 21, 22])
