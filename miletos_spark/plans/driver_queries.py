@@ -5305,6 +5305,12 @@ _PIPE_CFG = dict(
     detrend_half_width=10, detrend_max_iter=1,
     bls_p_min=2.0, bls_p_max=10.0, bls_osam=2.0, bls_n_dcyc=2,
     bls_dcyc_min=0.05, bls_max_signals=1, bls_snr_accept=2.0,
+    # pinned HERE (not left to RunConfig defaults) because the oracle
+    # CTE interpolates them as literals: a RunConfig default change
+    # must not silently de-sync the replay
+    ls_osam=3.0, ls_max_freq=2.0,
+    flare_window=1.0 / 24.0, flare_threshold=7.0,
+    gate_bls_snr=10.0, gate_ls_power=0.2,
     fit_on_detection=False, grid_span_days=_PIPE_GRID_SPAN,
 )
 
@@ -5365,14 +5371,14 @@ def _sql_pipeline_summary() -> str:
         for off in (0.0, 0.5)
     ]
     f_lo = 1.0 / _PIPE_GRID_SPAN
-    df_step = f_lo / 3.0                      # cfg.ls_osam
-    n_freq = min(max(int((2.0 - f_lo) / df_step), 2), 2000)
+    df_step = f_lo / c["ls_osam"]
+    n_freq = min(max(int((c["ls_max_freq"] - f_lo) / df_step), 2), 2000)
     hw = c["detrend_half_width"]
     snr_spec = bls_snr_sql(
         bls_sql("t", "v", "d2", trials, t_ref=0.0), kernel_size=51, min_in=3
     )
     ls_spec = lomb_scargle_sql("t", "v", "shifted", f_lo, df_step, n_freq)
-    flare_w = 1.0 / 24.0                      # cfg.flare_window
+    flare_w = c["flare_window"]
     return f"""
 WITH base AS (
   SELECT {EV_T_DAYS_SQL} AS t, value
@@ -5418,7 +5424,7 @@ band AS (
 ),
 trig AS (
   SELECT t, coalesce((v - band_med) / nullif(band_hi - band_lo, 0.0)
-                     > 7.0, false) AS tr
+                     > {c["flare_threshold"]!r}, false) AS tr
   FROM band
 ),
 starts AS (
@@ -5434,7 +5440,7 @@ SELECT sp.n AS n_samples,
             THEN round(b.snr, 2) ELSE 0.0 END AS best_bls_snr,
        round(l.power, 4) AS ls_power,
        s.n_flares AS n_flares,
-       (coalesce(b.snr, 0.0) > 10.0 OR l.power > 0.2) AS detected
+       (coalesce(b.snr, 0.0) > {c["gate_bls_snr"]!r} OR l.power > {c["gate_ls_power"]!r}) AS detected
 FROM sp, starts s
 LEFT JOIN blsbest b ON true
 LEFT JOIN lsbest l ON true
@@ -5445,14 +5451,18 @@ LEFT JOIN lsbest l ON true
 
 # frozen config for the population driver row (same stance as _PIPE_CFG:
 # grids are a pure function of config so the oracle embeds identical
-# literals). hw=30 so the injected ~23-27-sample boxes survive the
-# median detrend (a box wider than half_width is absorbed as baseline).
+# literals). hw=45 (ROWS +-45) so the injected ~23-27-sample boxes
+# survive the median detrend (a box much wider than half_width is
+# absorbed as baseline).
 _POP_GRID_SPAN = 30.0
 _POP_CFG = dict(
     detrend_half_width=45, detrend_max_iter=1,
     bls_p_min=2.0, bls_p_max=10.0, bls_osam=2.0, bls_n_dcyc=2,
     bls_dcyc_min=0.02, bls_max_signals=1, bls_snr_accept=3.0,
     gate_bls_snr=6.0, fit_on_detection=False,
+    # pinned for the oracle CTE literals (see _PIPE_CFG note)
+    ls_osam=3.0, ls_max_freq=2.0,
+    flare_window=1.0 / 24.0, flare_threshold=7.0, gate_ls_power=0.2,
     grid_span_days=_POP_GRID_SPAN,
 )
 # injected per-target ephemerides (target, period, epoch, dur_days,
@@ -5544,8 +5554,8 @@ def _sql_pipeline_population() -> str:
         for off in (0.0, 0.5)
     ]
     f_lo = 1.0 / _POP_GRID_SPAN
-    df_step = f_lo / 3.0                      # cfg.ls_osam
-    n_freq = min(max(int((2.0 - f_lo) / df_step), 2), 2000)
+    df_step = f_lo / c["ls_osam"]
+    n_freq = min(max(int((c["ls_max_freq"] - f_lo) / df_step), 2), 2000)
     hw = c["detrend_half_width"]
     snr_spec = bls_snr_sql(
         bls_sql("t", "v", "d2", trials, t_ref=0.0, group_col="target"),
@@ -5559,7 +5569,7 @@ def _sql_pipeline_population() -> str:
         f"CAST({du!r} AS DOUBLE), CAST({dp!r} AS DOUBLE))"
         for t, p, e, du, dp in _pop_targets()
     )
-    flare_w = 1.0 / 24.0                      # cfg.flare_window
+    flare_w = c["flare_window"]
     pmod = "(((t - e_inj) % p_inj + p_inj) % p_inj) / p_inj"
     return f"""
 WITH targets(target, p_inj, e_inj, dur_inj, dep_inj) AS (VALUES {tvals}),
@@ -5628,7 +5638,7 @@ band AS (
 ),
 trig AS (
   SELECT target, t, coalesce((v - band_med) / nullif(band_hi - band_lo, 0.0)
-                     > 7.0, false) AS tr
+                     > {c["flare_threshold"]!r}, false) AS tr
   FROM band
 ),
 starts AS (
@@ -5649,8 +5659,8 @@ SELECT sp.target AS target,
             THEN round(b.snr, 2) ELSE 0.0 END AS best_bls_snr,
        round(l.power, 4) AS ls_power,
        coalesce(s.n_flares, 0) AS n_flares,
-       (coalesce(b.snr, 0.0) > {c["gate_bls_snr"]!r} OR l.power > 0.2)
-         AS detected
+       (coalesce(b.snr, 0.0) > {c["gate_bls_snr"]!r}
+          OR l.power > {c["gate_ls_power"]!r}) AS detected
 FROM sp
 LEFT JOIN blsbest b USING (target)
 LEFT JOIN lsbest l USING (target)
@@ -5713,7 +5723,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mcmc_recovery_events": q_mcmc_recovery_events,
     "derived_features_events": q_derived_features_events,
     "detection_stats_events": q_detection_stats_events,
-    "rv_flare_model_events": q_rv_flare_model_events,
     "stream_bls_events": q_stream_bls_events,
     "stream_ls_events": q_stream_ls_events,
     "matched_filter_events": q_matched_filter_events,
@@ -5724,10 +5733,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "derived_outputs_events": q_derived_outputs_events,
     "stream_bls_keyed_events": q_stream_bls_keyed_events,
     "stream_dedup_docs": q_stream_dedup_docs,
-    "stream_ls_keyed_events": q_stream_ls_keyed_events,
-    "sketch_stats_events": q_sketch_stats_events,
     "ener_spectrum_events": q_ener_spectrum_events,
     # -- oracle-backed overflow (judge full sweep only, no driver row) --
+    "rv_flare_model_events": q_rv_flare_model_events,
+    "stream_ls_keyed_events": q_stream_ls_keyed_events,
+    "sketch_stats_events": q_sketch_stats_events,
     "language_id_docs": q_language_id_docs,
     "stream_sessions_events": q_stream_sessions_events,
     "datetime_strings_events": q_datetime_strings_events,

@@ -24,3 +24,37 @@ def test_every_oracle_has_a_query():
 
     dangling = [n for n in ORACLES if n not in QUERIES]
     assert not dangling
+
+
+def test_window_rotation_is_deliberate():
+    """The driver gate checks exactly the FIRST 50 registry entries, so
+    inserting a registration above the overflow comment silently evicts
+    position-50 rows (it happened: round-5 additions pushed
+    ener_spectrum_events out unnoticed until review). Pin the exact
+    window so rotation requires touching this list consciously."""
+    from miletos_spark.plans.driver_queries import QUERIES
+
+    window = list(QUERIES)[:DRIVER_WINDOW]
+    assert window == [
+        "pricing_summary", "region_revenue", "crossmatch_catalog",
+        "photometry_events", "rebin_events", "median_normalize_events",
+        "sessionize_events", "fold_phase_bins", "mask_windows_events",
+        "rolling_std_events", "spline_recovery_events",
+        "transit_fit_recovery_events", "largest_gap_events",
+        "lomb_scargle_events", "bls_spectrum_events", "gp_recovery_events",
+        "bls_multi_recovery_events", "outlier_period_events",
+        "dedup_exact_docs", "near_dup_clusters", "ivf_recovery_topk",
+        "lsh_similarity_topk", "embedding_near_dup", "corpus_cleanup",
+        "pipeline_summary_events", "transit_windows_events",
+        "flare_band_events", "trigger_clusters_events",
+        "topk_outliers_events", "binned_rms_events", "simhash_pairs",
+        "media_features", "doc_quality_docs", "vocab_topk_docs",
+        "pipeline_population_events", "model_loglik_events",
+        "mcmc_recovery_events", "derived_features_events",
+        "detection_stats_events", "stream_bls_events", "stream_ls_events",
+        "matched_filter_events", "phase_curve_events",
+        "clip_detrend_events", "tls_recovery_events",
+        "bls_multires_events", "derived_outputs_events",
+        "stream_bls_keyed_events", "stream_dedup_docs",
+        "ener_spectrum_events",
+    ]
