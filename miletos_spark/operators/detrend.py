@@ -69,8 +69,11 @@ def spline_detrend(
     the reference's <4-point guard (miletos/main.py:6836-6851).
 
     `max_region_days` caps a fit region's time span: a continuous
-    region longer than the cap is split into independent sub-fits at
-    multiples of the cap from the region start. The dense LSQ is
+    region longer than the cap is split into ceil(span/cap) EQUAL
+    sub-fits (balanced, so every piece spans (cap/2, cap] — a naive
+    split at cap multiples leaves a sliver tail with too few points
+    for its knots, which would mean-fallback into a baseline
+    discontinuity at the final boundary). The dense LSQ is
     O(n·k²) with BOTH n and k growing with region span, so an uncapped
     multi-year region is super-linear in volume (measured ×11.8 at
     10× span); capped, work is linear in span and the sub-regions
@@ -83,16 +86,27 @@ def spline_detrend(
     keys = [*group_cols, "region"]
     if max_region_days is not None:
         w = Window.partitionBy(*keys)
+        span = F.col("_r1") - F.col("_r0")
+        n_parts = F.greatest(
+            F.lit(1), F.ceil(span / F.lit(float(max_region_days)))
+        )
         sess = (
             sess.withColumn("_r0", F.min(time_col).over(w))
+            .withColumn("_r1", F.max(time_col).over(w))
             .withColumn(
                 "_part",
-                F.floor(
-                    (F.col(time_col) - F.col("_r0"))
-                    / F.lit(float(max_region_days))
-                ).cast("int"),
+                F.when(
+                    span > 0,
+                    F.least(
+                        F.floor(
+                            (F.col(time_col) - F.col("_r0"))
+                            * n_parts / span
+                        ),
+                        n_parts - 1,
+                    ),
+                ).otherwise(F.lit(0)).cast("int"),
             )
-            .drop("_r0")
+            .drop("_r0", "_r1")
         )
         keys = [*keys, "_part"]
     out_schema = ", ".join(

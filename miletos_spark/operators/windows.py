@@ -171,13 +171,20 @@ def rolling_percentile_band(
             )
         t = F.col(time_col)
         home = F.floor(t / F.lit(float(halo_chunk)))
+        # halo conditions widened by an ulp margin: floor(t/halo) can
+        # land a boundary-adjacent row one chunk high/low when t/halo
+        # rounds across the integer, and a copy the frame doesn't need
+        # is harmless (RANGE excludes it; non-home copies are filtered)
+        # while a MISSING copy breaks the exactness contract. The
+        # margin covers |t| up to halo_chunk * 2^26 time units.
+        eps = float(halo_chunk) * 2.0 ** -26
         offs = F.array(
             F.lit(0),
             F.when(
-                t - home * halo_chunk < range_width, F.lit(-1)
+                t - home * halo_chunk < range_width + eps, F.lit(-1)
             ),
             F.when(
-                (home + 1) * halo_chunk - t <= range_width, F.lit(1)
+                (home + 1) * halo_chunk - t <= range_width + eps, F.lit(1)
             ),
         )
         haloed = (

@@ -39,12 +39,15 @@ def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
     from miletos_spark.plans.driver_queries import _ev_days
     from miletos_spark.schema import load_table
 
+    import os
+
     names = []
     for t in TABLES:
-        try:
-            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
-        except Exception:
-            continue  # missing optional table in a partial sf dir
+        # tolerate only a MISSING table (partial sf dir); an unreadable
+        # one must fail here, not as "table not found" at query time
+        if not os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
+            continue
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
         names.append(t)
     _ev_days(spark, sf_dir).createOrReplaceTempView("events_days")
     names.append("events_days")

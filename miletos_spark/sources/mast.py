@@ -116,6 +116,18 @@ def land_mast_lightcurves(
     manifest = [r["dataURI"] for r in chosen.select("dataURI").collect()]
     if not manifest:
         raise ValueError("MAST selection matched no products")
+    names = [os.path.basename(u) for u in manifest]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            "MAST product basenames collide in one landing dir: "
+            f"{sorted(n for n in names if names.count(n) > 1)}"
+        )
+    # fresh landing dir: stale *.fits from a previous (wider) selection
+    # must not leak into this read
+    if os.path.isdir(landing_dir):
+        for old_f in os.listdir(landing_dir):
+            if old_f.endswith(".fits"):
+                os.remove(os.path.join(landing_dir, old_f))
     os.makedirs(landing_dir, exist_ok=True)
     for uri in manifest:
         local = resolve_uri(uri)

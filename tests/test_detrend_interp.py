@@ -76,6 +76,30 @@ def test_spline_detrend_region_cap_splits_long_regions(spark):
     assert mx2 < 1e-6
 
 
+def test_spline_detrend_region_cap_no_sliver_tail(spark):
+    """Balanced splitting: a 50.4-day continuous region must NOT split
+    at the 50-day mark (the 0.4-day tail would have too few points for
+    its knots and mean-fallback into a baseline discontinuity) — it
+    splits into two ~25.2-day halves and the polynomial recovery stays
+    exact through the boundary. n=500 makes the would-be tail hold ~4
+    points (under the order+2 guard), so cap-multiple splitting fails
+    this test and balanced splitting is the pinned behavior."""
+    n = 500
+    df = spark.range(n).select(
+        (F.col("id") * (50.4 / n)).alias("time"),
+        F.lit("a").alias("g"),
+    ).withColumn(
+        "value",
+        5.0 + 0.1 * F.col("time") + 0.002 * F.col("time") * F.col("time"),
+    )
+    out = spline_detrend(
+        df, knot_spacing_days=5.0, gap_days=1.0, group_cols=("g",)
+    )
+    assert out.count() == n
+    mx = out.agg(F.max(F.abs(F.col("value_detrended") - 1.0))).first()[0]
+    assert mx < 1e-6
+
+
 def test_gp_detrend_removes_smooth_trend(spark):
     # long-timescale quadratic trend + tiny noise -> GP baseline absorbs
     # the trend; detrended series is flat at 1.0 within noise

@@ -75,21 +75,14 @@ def _base_sig() -> str:
     return hashlib.md5("::".join(parts).encode()).hexdigest()[:10]
 
 
-def synth_scaled(spark, k: int) -> str:
+def _replicate_corpus(spark, k: int, out: str) -> None:
+    """Replicate documents + embeddings k-fold into `out` (fresh
+    content per copy — see the near-dup notes inline). Shared by the
+    density and volume builders so the volume dir doesn't have to build
+    an entire density dir just for these two tables."""
     from pyspark.sql import functions as F
 
-    from miletos_spark.schema import epoch_micros_expr, load_table
-
-    # memo keyed on the BASE identity too: a regenerated testdata dir
-    # must invalidate the replicas, or factors silently compare t1 on
-    # new data against tk on replicas of the old
-    out = os.path.join(
-        tempfile.gettempdir(), f"miletos_scale_{k}x_{_base_sig()}"
-    )
-    if os.path.exists(os.path.join(out, "_SUCCESS_SCALE")):
-        return out
-    shutil.rmtree(out, ignore_errors=True)
-    os.makedirs(out, exist_ok=True)
+    from miletos_spark.schema import load_table
 
     def replicate(df, mapper, name):
         copies = [mapper(df, i) for i in range(k)]
@@ -97,25 +90,6 @@ def synth_scaled(spark, k: int) -> str:
         for c in copies[1:]:
             allc = allc.unionByName(c)
         allc.write.mode("overwrite").parquet(os.path.join(out, name))
-
-    ev = load_table(spark, BASE, "events")
-    n = ev.count()
-    us = epoch_micros_expr(ev, "ts")
-    # shift ids into a fresh range; jitter time by i microseconds so
-    # copies don't collide on the ordering tiebreak; perturb value
-    # deterministically so per-copy rows aren't bit-identical
-    replicate(
-        ev,
-        lambda df, i: df.select(
-            (F.col("event_id") + F.lit(i * 10 * n)).alias("event_id"),
-            F.timestamp_micros(us + F.lit(i)).alias("ts"),
-            (F.col("user_id") + F.lit(i * 1000)).alias("user_id"),
-            "event_type",
-            F.round(F.col("value") + F.lit(i * 0.001), 3).alias("value"),
-            "props",
-        ),
-        "events.parquet",
-    )
 
     # documents: copy i prefixes every ~6th word with a copy marker, so
     # replicas are NOT near-dups of the originals (otherwise each
@@ -169,6 +143,51 @@ def synth_scaled(spark, k: int) -> str:
 
     replicate(emb, emb_map, "embeddings.parquet")
 
+
+def synth_scaled(spark, k: int) -> str:
+    from pyspark.sql import functions as F
+
+    from miletos_spark.schema import epoch_micros_expr, load_table
+
+    # memo keyed on the BASE identity too: a regenerated testdata dir
+    # must invalidate the replicas, or factors silently compare t1 on
+    # new data against tk on replicas of the old
+    out = os.path.join(
+        tempfile.gettempdir(), f"miletos_scale_{k}x_{_base_sig()}"
+    )
+    if os.path.exists(os.path.join(out, "_SUCCESS_SCALE")):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    def replicate(df, mapper, name):
+        copies = [mapper(df, i) for i in range(k)]
+        allc = copies[0]
+        for c in copies[1:]:
+            allc = allc.unionByName(c)
+        allc.write.mode("overwrite").parquet(os.path.join(out, name))
+
+    ev = load_table(spark, BASE, "events")
+    n = ev.count()
+    us = epoch_micros_expr(ev, "ts")
+    # shift ids into a fresh range; jitter time by i microseconds so
+    # copies don't collide on the ordering tiebreak; perturb value
+    # deterministically so per-copy rows aren't bit-identical
+    replicate(
+        ev,
+        lambda df, i: df.select(
+            (F.col("event_id") + F.lit(i * 10 * n)).alias("event_id"),
+            F.timestamp_micros(us + F.lit(i)).alias("ts"),
+            (F.col("user_id") + F.lit(i * 1000)).alias("user_id"),
+            "event_type",
+            F.round(F.col("value") + F.lit(i * 0.001), 3).alias("value"),
+            "props",
+        ),
+        "events.parquet",
+    )
+
+    _replicate_corpus(spark, k, out)
+
     # remaining tables: symlink to the base so load_table works
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem"):
@@ -199,8 +218,6 @@ def synth_volume(spark, k: int) -> str:
     )
     if os.path.exists(os.path.join(out, "_SUCCESS_SCALE")):
         return out
-    # density replicas already build documents/embeddings the right way
-    density = synth_scaled(spark, k)
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
 
@@ -249,11 +266,7 @@ def synth_volume(spark, k: int) -> str:
         "orders.parquet",
     )
 
-    for t in ("documents", "embeddings"):
-        os.symlink(
-            os.path.join(density, f"{t}.parquet"),
-            os.path.join(out, f"{t}.parquet"),
-        )
+    _replicate_corpus(spark, k, out)
     for t in ("region", "nation", "customer", "supplier", "part"):
         src = os.path.join(BASE, f"{t}.parquet")
         dst = os.path.join(out, f"{t}.parquet")
