@@ -182,3 +182,73 @@ def doc_fingerprint(
     return normed.select(
         F.col(id_col), F.array_min(hashed).alias("fingerprint")
     )
+
+
+def doc_repetition(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher repetition rules (Rae et al. 2021 §A1.1, the family
+    doc_quality's length/symbol rules don't cover): the fraction of
+    CHARACTERS inside duplicated lines, and the fraction of word
+    bigrams taken by the single most frequent bigram — high values mark
+    boilerplate/spam that survives per-token filters. Explode + keyed
+    aggregation only (per-doc keys, embarrassingly parallel)."""
+    t = F.trim(F.col(text_col))
+    words = F.filter(
+        F.split(F.lower(t), r"\s+"), lambda w: F.length(w) > 0
+    )
+    # sequence(0, stop) flips to a DESCENDING [0, -1] when stop < 0
+    # (Spark infers step -1), so the 1-word doc needs an explicit
+    # empty-array branch, not a clamped stop
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(words, i + 1),
+                                  F.element_at(words, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    lines = F.filter(F.split(t, r"\n"), lambda l: F.length(F.trim(l)) > 0)
+    base = df.select(
+        F.col(id_col), lines.alias("_lines"), bigrams.alias("_bigrams")
+    ).cache()
+
+    ln = (
+        base.select(id_col, F.explode("_lines").alias("line"))
+        .groupBy(id_col, "line")
+        .agg(F.count("*").alias("c"), F.length("line").alias("len"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("c") * F.col("len")).alias("_tot_chars"),
+            F.sum(
+                F.when(F.col("c") > 1, F.col("c") * F.col("len"))
+                .otherwise(F.lit(0))
+            ).alias("_dup_chars"),
+            F.sum("c").alias("n_lines"),
+        )
+    )
+    bg = (
+        base.select(id_col, F.explode("_bigrams").alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("_top_bg"), F.sum("c").alias("_n_bg"))
+    )
+    ids = base.select(id_col)
+    return (
+        ids.join(ln, id_col, "left")
+        .join(bg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce(
+                F.col("_dup_chars")
+                / F.greatest(F.col("_tot_chars"), F.lit(1)),
+                F.lit(0.0),
+            ).alias("dup_line_frac"),
+            F.coalesce(
+                F.col("_top_bg") / F.greatest(F.col("_n_bg"), F.lit(1)),
+                F.lit(0.0),
+            ).alias("top_bigram_frac"),
+        )
+    )

@@ -705,6 +705,74 @@ FROM events GROUP BY event_type
 """
 
 
+def q_repetition_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rules (duplicate-line character fraction, top
+    word-bigram fraction) — the corpus-filter family member doc_quality
+    doesn't cover. Explode + per-doc keyed aggregation only."""
+    from miletos_spark.pipeline.text import doc_repetition
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = doc_repetition(docs)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+    )
+
+
+SQL_REPETITION_STATS_DOCS = r"""
+WITH base AS (
+  SELECT doc_id, trim(text) AS t FROM documents
+),
+lines AS (
+  SELECT doc_id, unnest(regexp_split_to_array(t, '
+')) AS line FROM base
+),
+lc AS (
+  SELECT doc_id, line, count(*) AS c, length(line) AS len
+  FROM lines WHERE length(trim(line)) > 0
+  GROUP BY doc_id, line
+),
+ln AS (
+  SELECT doc_id,
+         sum(c * len) AS tot_chars,
+         sum(CASE WHEN c > 1 THEN c * len ELSE 0 END) AS dup_chars,
+         CAST(sum(c) AS BIGINT) AS n_lines
+  FROM lc GROUP BY doc_id
+),
+words AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(t), '\s+'),
+                     w -> length(w) > 0) AS ws
+  FROM base
+),
+bgl AS (
+  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS ord
+  FROM words
+),
+bgp AS (
+  SELECT a.doc_id, a.w || ' ' || b.w AS bg
+  FROM bgl a JOIN bgl b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+),
+bc AS (
+  SELECT doc_id, bg, count(*) AS c FROM bgp GROUP BY doc_id, bg
+),
+bg AS (
+  SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg FROM bc GROUP BY doc_id
+)
+SELECT b.doc_id,
+       coalesce(ln.n_lines, 0) AS n_lines,
+       round(coalesce(CAST(ln.dup_chars AS DOUBLE)
+                      / greatest(ln.tot_chars, 1), 0.0), 6) AS dup_line_frac,
+       round(coalesce(CAST(bg.top_bg AS DOUBLE)
+                      / greatest(bg.n_bg, 1), 0.0), 6) AS top_bigram_frac
+FROM base b
+LEFT JOIN ln ON b.doc_id = ln.doc_id
+LEFT JOIN bg ON b.doc_id = bg.doc_id
+"""
+
+
 def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on md5(text), canonical keeper = min id."""
     docs = load_table(spark, sf_dir, "documents")
@@ -5738,6 +5806,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rv_flare_model_events": q_rv_flare_model_events,
     "stream_ls_keyed_events": q_stream_ls_keyed_events,
     "sketch_stats_events": q_sketch_stats_events,
+    "repetition_stats_docs": q_repetition_stats_docs,
     "language_id_docs": q_language_id_docs,
     "stream_sessions_events": q_stream_sessions_events,
     "datetime_strings_events": q_datetime_strings_events,
@@ -5854,6 +5923,7 @@ def _oracles() -> dict[str, str]:
         "stream_dedup_docs": SQL_STREAM_DEDUP_DOCS,
         "stream_ls_keyed_events": _sql_stream_ls_keyed(),
         "sketch_stats_events": SQL_SKETCH_STATS_EVENTS,
+        "repetition_stats_docs": SQL_REPETITION_STATS_DOCS,
         "stream_ls_events": _sql_stream_ls(),
         "fits_ingest_events": SQL_FITS_INGEST_EVENTS,
         "qlp_ingest_events": SQL_QLP_INGEST_EVENTS,
