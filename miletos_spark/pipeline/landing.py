@@ -188,3 +188,60 @@ def land_ivf_index(
     with open(done, "w") as f:
         f.write("ok")
     return paths
+
+
+def land_pq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = 8,
+    n_centroids: int = 16,
+    seed: int = 42,
+    overwrite: bool = False,
+) -> dict[str, str]:
+    """Materialize the product-quantization index: fit one KMeans
+    codebook PER SUBSPACE at ingest (m small fits on the subvector
+    tables), store each vector as its m centroid codes (m bytes vs 4·D
+    — the compression that keeps a 100 TB corpus' index memory-
+    resident), and persist the codebooks alongside. A probe then scores
+    candidates from the CODES table alone via the query's m×k distance
+    table (`similarity.pq_adc_topk` machinery); the full vectors are
+    only touched for an optional exact re-rank of the shortlist.
+    Returns {"codes": path, "codebook": path}."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from miletos_spark.pipeline.similarity import pq_encode, pq_subspace_table
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    root = _index_root(src, f"pq{m}x{n_centroids}s{seed}")
+    paths = {"codes": os.path.join(root, "codes"),
+             "codebook": os.path.join(root, "codebook")}
+    done = os.path.join(root, "_SUCCESS_INDEX")
+    if os.path.exists(done) and not overwrite:
+        return paths
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    subv = pq_subspace_table(emb, m=m).cache()
+    books = []
+    for s in range(m):
+        feat = subv.filter(F.col("sub") == s).withColumn(
+            "_feat", array_to_vector(F.col("sv"))
+        )
+        model = KMeans(
+            k=n_centroids, seed=seed + s, featuresCol="_feat",
+            predictionCol="_cid",
+        ).fit(feat)
+        books += [
+            (s, int(c), [float(x) for x in cent])
+            for c, cent in enumerate(model.clusterCenters())
+        ]
+    codebook = spark.createDataFrame(
+        books, "sub int, cid int, cent array<double>"
+    )
+    codebook.coalesce(1).write.mode("overwrite").parquet(paths["codebook"])
+    landed_cb = spark.read.parquet(paths["codebook"])
+    pq_encode(subv, landed_cb).write.mode("overwrite").parquet(paths["codes"])
+    subv.unpersist()
+    with open(done, "w") as f:
+        f.write("ok")
+    return paths

@@ -324,3 +324,110 @@ def ivf_topk_landed(
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def pq_subspace_table(
+    df: DataFrame,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Explode D-dim vectors into m contiguous subvectors:
+    (id, sub ∈ [0, m), sv array<double>). D must divide evenly."""
+    subs = F.sequence(F.lit(0), F.lit(m - 1))
+    d_expr = F.size(F.col("_v")) / m
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+            F.explode(subs).alias("sub"),
+        )
+        .select(
+            id_col,
+            "sub",
+            F.slice(
+                "_v", (F.col("sub") * d_expr + 1).cast("int"),
+                d_expr.cast("int")
+            ).alias("sv"),
+        )
+    )
+
+
+def _l2sq(a, b):
+    """Sequential-fold squared L2 between two array<double> columns —
+    fold order is the array order in BOTH Spark and the DuckDB oracle
+    (list_sum), so distances are bit-equal across engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    subv: DataFrame, codebook: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Product-quantization encoding: for each (vector, subspace) pick
+    the nearest codebook centroid → (id, sub, cid). `codebook` is
+    (sub, cid, cent array<double>) and broadcast-sized by construction
+    (m · n_centroids rows). Ties break to the smallest cid, so codes
+    are deterministic."""
+    dists = subv.join(F.broadcast(codebook), "sub").select(
+        id_col, "sub", "cid", _l2sq(F.col("sv"), F.col("cent")).alias("d2")
+    )
+    return dists.groupBy(id_col, "sub").agg(
+        F.min(F.struct("d2", "cid")).alias("_b")
+    ).select(id_col, "sub", F.col("_b.cid").alias("cid"))
+
+
+def pq_adc_topk(
+    subv: DataFrame,
+    codebook: DataFrame,
+    query: list,
+    m: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k: encode the base vectors (codes are
+    what a 100 TB deployment stores — m bytes instead of 4·D), build
+    the query's m×|codebook| distance table (driver-free: a broadcast
+    join against the codebook), and score every vector as the
+    FIXED-ORDER sum of its m table lookups (array_sort by sub before
+    the fold, so the sum order is engine-independent). Returns the k
+    nearest by (adc_d2, id)."""
+    codes = pq_encode(subv, codebook, id_col=id_col)
+    return pq_adc_score(codes, codebook, query, m, k=k, id_col=id_col)
+
+
+def pq_adc_score(
+    codes: DataFrame,
+    codebook: DataFrame,
+    query: list,
+    m: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Score PRE-ENCODED codes (the landed-index probe path: only the
+    m-byte codes table is scanned, never the vectors) — see
+    `pq_adc_topk` for the fixed-order-sum determinism note."""
+    d = len(query) // m
+    qarr = F.array(*[F.lit(float(x)) for x in query])
+    table = codebook.select(
+        "sub", "cid",
+        _l2sq(
+            F.slice(qarr, F.col("sub") * d + 1, d).cast("array<double>"),
+            F.col("cent"),
+        ).alias("qd2"),
+    )
+    scored = (
+        codes.join(F.broadcast(table), ["sub", "cid"])
+        .groupBy(id_col)
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("sub", "qd2"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["qd2"],
+            ).alias("adc_d2")
+        )
+    )
+    return scored.orderBy("adc_d2", id_col).limit(k)

@@ -3772,6 +3772,97 @@ def q_ivf_recovery_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+def q_pq_recovery_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k, driver-checkable: the codebook
+    is FROZEN to the first 16 vectors' subvectors (8 subspaces x 8
+    dims), so encode -> distance-table -> fixed-order ADC sum is fully
+    replayable in SQL — same stance as ivf_recovery_topk, where the
+    frozen part removes the engine-specific training while the whole
+    probe machinery still runs. At 100 TB the codes (m bytes/vector
+    instead of 4·D) are what stays memory-resident; the landed/trained
+    variant is pq_landed_topk."""
+    from miletos_spark.pipeline.similarity import pq_adc_topk, pq_subspace_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.orderBy("vec_id").select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    subv = pq_subspace_table(emb, m=8)
+    codebook = subv.filter(F.col("vec_id") < 16).select(
+        "sub", F.col("vec_id").cast("int").alias("cid"),
+        F.col("sv").alias("cent"),
+    )
+    out = pq_adc_topk(subv, codebook, query, m=8, k=10)
+    return out.select("vec_id", F.round("adc_d2", 6).alias("adc_d2"))
+
+
+
+def q_pq_landed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC top-k from the WRITE-TIME landed index (trained per-
+    subspace KMeans codebooks -> m-byte codes; memoized on source
+    identity): the probe scans only the codes table plus the m x 16
+    codebook — never the raw vectors. Rows-only driver check (trained
+    centroids are engine-specific, like ivf_landed_topk); the machinery
+    is oracle-checked by pq_recovery_topk's frozen-codebook twin."""
+    from miletos_spark.pipeline.landing import land_pq_index
+    from miletos_spark.pipeline.similarity import pq_adc_score
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.orderBy("vec_id").select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    paths = land_pq_index(spark, sf_dir, m=8, n_centroids=16)
+    codes = spark.read.parquet(paths["codes"])
+    codebook = spark.read.parquet(paths["codebook"])
+    out = pq_adc_score(codes, codebook, query, m=8, k=10)
+    return out.select("vec_id", F.round("adc_d2", 6).alias("adc_d2"))
+
+
+SQL_PQ_RECOVERY_TOPK = """
+WITH subs AS (SELECT unnest(range(8)) AS sub),
+subv AS (
+  SELECT vec_id, s.sub,
+         list_transform(embedding[s.sub*8+1 : s.sub*8+8],
+                        x -> CAST(x AS DOUBLE)) AS sv
+  FROM embeddings, subs s
+),
+cb AS (
+  SELECT sub, CAST(vec_id AS INT) AS cid, sv AS cent
+  FROM subv WHERE vec_id < 16
+),
+q AS (
+  SELECT sub, sv AS qsv FROM subv
+  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+),
+enc AS (
+  SELECT v.vec_id, v.sub, c.cid,
+         list_sum(list_transform(range(1, 9),
+                  i -> (v.sv[i] - c.cent[i]) * (v.sv[i] - c.cent[i]))) AS d2
+  FROM subv v JOIN cb c USING (sub)
+),
+codes AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT vec_id, sub, cid,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2, cid) AS r
+    FROM enc
+  ) WHERE r = 1
+),
+tab AS (
+  SELECT c.sub, c.cid,
+         list_sum(list_transform(range(1, 9),
+                  i -> (q.qsv[i] - c.cent[i]) * (q.qsv[i] - c.cent[i]))) AS qd2
+  FROM cb c JOIN q USING (sub)
+),
+sc AS (
+  SELECT codes.vec_id,
+         list_sum(list(tab.qd2 ORDER BY codes.sub)) AS adc_d2
+  FROM codes JOIN tab USING (sub, cid)
+  GROUP BY codes.vec_id
+)
+SELECT vec_id, round(adc_d2, 6) AS adc_d2
+FROM sc ORDER BY adc_d2, vec_id LIMIT 10
+"""
+
+
 _MCMCREC_STDV = 2e-4     # posterior sigma ~ stdv/sqrt(n_constraining):
                          # measured worst percentile deviation 6.8e-4
                          # (dura, sf0.001) vs 2dp half-step 5e-3 -> 7x
@@ -5807,6 +5898,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_ls_keyed_events": q_stream_ls_keyed_events,
     "sketch_stats_events": q_sketch_stats_events,
     "repetition_stats_docs": q_repetition_stats_docs,
+    "pq_recovery_topk": q_pq_recovery_topk,
+    "pq_landed_topk": q_pq_landed_topk,
     "language_id_docs": q_language_id_docs,
     "stream_sessions_events": q_stream_sessions_events,
     "datetime_strings_events": q_datetime_strings_events,
@@ -5924,6 +6017,7 @@ def _oracles() -> dict[str, str]:
         "stream_ls_keyed_events": _sql_stream_ls_keyed(),
         "sketch_stats_events": SQL_SKETCH_STATS_EVENTS,
         "repetition_stats_docs": SQL_REPETITION_STATS_DOCS,
+        "pq_recovery_topk": SQL_PQ_RECOVERY_TOPK,
         "stream_ls_events": _sql_stream_ls(),
         "fits_ingest_events": SQL_FITS_INGEST_EVENTS,
         "qlp_ingest_events": SQL_QLP_INGEST_EVENTS,

@@ -2,6 +2,7 @@
 and both become exact when probing everything."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from miletos_spark.pipeline.similarity import cosine_topk, ivf_topk, lsh_bucket_topk
 from miletos_spark.schema import load_table
@@ -87,3 +88,47 @@ def test_banded_near_dup_finds_planted_pairs_no_crossjoin(emb, spark):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_adc_exact_when_codebook_covers(spark):
+    """With a codebook containing EVERY distinct subvector, PQ encoding
+    is lossless, so the fixed-order ADC sum must equal the exact
+    squared L2 distance — the property that pins the encode + distance-
+    table + score machinery independently of codebook quality."""
+    import math
+    import random
+
+    from miletos_spark.pipeline.similarity import (
+        pq_adc_topk,
+        pq_subspace_table,
+    )
+
+    rng = random.Random(7)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(20)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    subv = pq_subspace_table(df, m=4)
+    codebook = subv.select(
+        "sub", F.col("vec_id").cast("int").alias("cid"),
+        F.col("sv").alias("cent"),
+    )
+    query = vecs[3][1]
+    got = {
+        r["vec_id"]: r["adc_d2"]
+        for r in pq_adc_topk(subv, codebook, query, m=4, k=20).collect()
+    }
+    for i, v in vecs:
+        exact = sum((a - b) ** 2 for a, b in zip(query, v))
+        assert math.isclose(got[i], exact, rel_tol=0, abs_tol=1e-12), i
+
+
+def test_pq_landed_index_memoizes(spark, sf_dir, tmp_path):
+    from miletos_spark.pipeline.landing import land_pq_index
+
+    p1 = land_pq_index(spark, sf_dir, m=8, n_centroids=16)
+    p2 = land_pq_index(spark, sf_dir, m=8, n_centroids=16)
+    assert p1 == p2
+    codes = spark.read.parquet(p1["codes"])
+    n_vec = codes.select("vec_id").distinct().count()
+    assert codes.count() == n_vec * 8          # m codes per vector
+    cb = spark.read.parquet(p1["codebook"])
+    assert cb.count() == 8 * 16
