@@ -74,6 +74,12 @@ HEADLINE = [
     "pipeline_population_events",
     "near_dup_clusters",
     "stream_bls_keyed_events",
+    "stream_ls_keyed_events",
+    "stream_dedup_docs",
+    "sketch_stats_events",
+    "repetition_stats_docs",
+    "pq_recovery_topk",
+    "pq_landed_topk",
 ]
 
 
@@ -108,10 +114,16 @@ def main() -> None:
     t0 = time.perf_counter()
     land_ivf_index(spark, SF_DIR, overwrite=True)
     timings["ingest:land_ivf_index"] = round(time.perf_counter() - t0, 4)
+    from miletos_spark.pipeline.landing import land_pq_index
+
+    t0 = time.perf_counter()
+    land_pq_index(spark, SF_DIR, overwrite=True)
+    timings["ingest:land_pq_index"] = round(time.perf_counter() - t0, 4)
     # streaming landings (memoized — first container run pays the
     # write, later runs a stat call; timed here so streaming query
     # numbers measure the stream, not a parquet rewrite)
     from miletos_spark.plans.driver_queries import (
+        _land_docs_dedup_feed,
         land_stream_events,
         land_trigger_events,
     )
@@ -128,6 +140,7 @@ def main() -> None:
     t0 = time.perf_counter()
     land_stream_events(spark, SF_DIR)
     land_trigger_events(spark, SF_DIR)
+    _land_docs_dedup_feed(spark, SF_DIR)
     timings["ingest:land_stream_events"] = round(time.perf_counter() - t0, 4)
     # settle the ingest jobs' allocation debt now, inside the ingest
     # section: the shingling/projection stages above leave the old gen

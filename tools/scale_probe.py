@@ -58,6 +58,11 @@ CORPUS_QUERIES = [
     "simhash_docs",
     "similarity_topk",
     "lsh_similarity_topk",
+    # round-5 additions
+    "repetition_stats_docs",
+    "near_dup_clusters",
+    "pq_recovery_topk",
+    "sketch_stats_events",
 ]
 
 
