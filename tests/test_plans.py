@@ -196,3 +196,19 @@ def test_ztf_cone_bounding_box_reaches_scan(spark, tmp_path):
     # both range guards on the scan (explain may elide mid-list — the
     # dec lower bound and the ra bounds' values pin all four)
     assert "dec,4.99" in plan and "ra,9.98" in plan and "ra,10.01" in plan
+
+
+def test_pq_landed_probe_never_scans_vectors(spark, sf_dir):
+    """The PQ probe's value proposition is scanning the m-byte CODES
+    table plus the m x k codebook, never the raw vectors: its physical
+    plan must not contain an embeddings.parquet scan."""
+    from miletos_spark.pipeline.landing import land_pq_index
+    from miletos_spark.pipeline.similarity import pq_adc_score
+
+    paths = land_pq_index(spark, sf_dir, m=8, n_centroids=16)
+    codes = spark.read.parquet(paths["codes"])
+    cb = spark.read.parquet(paths["codebook"])
+    out = pq_adc_score(codes, cb, [0.1] * 64, m=8, k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "embeddings.parquet" not in plan
+    assert "codes" in plan and "codebook" in plan
