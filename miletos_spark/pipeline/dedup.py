@@ -644,3 +644,52 @@ def connected_components(
         .select("node", F.col("node").alias("component"))
     )
     return out.union(roots)
+
+
+def bloom_positions(
+    df: DataFrame,
+    key_col: str,
+    n_bits: int = 65536,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Bloom-filter build as a DataFrame of DISTINCT set bit positions
+    (a position row per hash per key, deduped): the incremental-crawl
+    dedup primitive — land the seen-set's bloom once, check each new
+    batch against it for the cost of a semi-join on ≤ n_bits rows
+    instead of a join against the full corpus. n_bits rows bound the
+    state regardless of corpus size (the classic space/fp tradeoff)."""
+    hashes = F.array(*[
+        F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(n_bits))
+        for i in range(n_hashes)
+    ])
+    return (
+        df.select(F.explode(hashes).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_membership(
+    probe: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    id_col: str,
+    n_bits: int = 65536,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Check probe keys against a bloom position set: (id, maybe_seen).
+    maybe_seen is TRUE iff ALL n_hashes positions are set — no false
+    negatives by construction; false positives at the bloom's fp rate."""
+    hashes = F.array(*[
+        F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(n_bits))
+        for i in range(n_hashes)
+    ])
+    pos = probe.select(id_col, F.explode(hashes).alias("pos"))
+    hits = (
+        pos.join(bloom, "pos", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("_n_hit"))
+    )
+    return probe.select(id_col).join(hits, id_col, "left").select(
+        id_col,
+        (F.coalesce(F.col("_n_hit"), F.lit(0)) == n_hashes).alias("maybe_seen"),
+    )

@@ -705,6 +705,50 @@ FROM events GROUP BY event_type
 """
 
 
+def q_bloom_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter incremental-crawl dedup (U4 at ingest cost): build
+    the seen-set bloom over md5(text) (<= 65536 DISTINCT position rows
+    — state bounded regardless of corpus size), then check seen docs
+    plus 100 deterministic UNSEEN probes against it. Oracle-checkable
+    the assertion way (sketch_stats_events pattern): every seen doc
+    MUST flag (no false negatives by construction) and unseen false
+    positives stay under the filter's designed rate — with ~3% bit
+    fill and 4 hashes the expected fp count is ~1e-4, so the bound of
+    5 is generous without being vacuous."""
+    from miletos_spark.pipeline.dedup import bloom_membership, bloom_positions
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("key")
+    )
+    bloom = bloom_positions(docs, "key")
+    unseen = spark.range(100).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        F.md5(F.concat(F.lit("unseen-probe-"), F.col("id"))).alias("key"),
+    )
+    seen_chk = bloom_membership(docs, bloom, "key", "doc_id")
+    new_chk = bloom_membership(unseen, bloom, "key", "doc_id")
+    return seen_chk.agg(
+        F.count("*").alias("n_seen"),
+        (F.sum(F.when(F.col("maybe_seen"), 1).otherwise(0))
+         == F.count("*")).alias("all_seen_flagged"),
+    ).crossJoin(
+        new_chk.agg(
+            F.count("*").alias("n_unseen"),
+            (F.sum(F.when(F.col("maybe_seen"), 1).otherwise(0))
+             <= F.lit(5)).alias("fp_under_bound"),
+        )
+    )
+
+
+SQL_BLOOM_DEDUP_DOCS = """
+SELECT count(*) AS n_seen,
+       TRUE AS all_seen_flagged,
+       CAST(100 AS BIGINT) AS n_unseen,
+       TRUE AS fp_under_bound
+FROM documents
+"""
+
+
 def q_repetition_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition rules (duplicate-line character fraction, top
     word-bigram fraction) — the corpus-filter family member doc_quality
@@ -5898,6 +5942,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_ls_keyed_events": q_stream_ls_keyed_events,
     "sketch_stats_events": q_sketch_stats_events,
     "repetition_stats_docs": q_repetition_stats_docs,
+    "bloom_dedup_docs": q_bloom_dedup_docs,
     "pq_recovery_topk": q_pq_recovery_topk,
     "pq_landed_topk": q_pq_landed_topk,
     "language_id_docs": q_language_id_docs,
@@ -6017,6 +6062,7 @@ def _oracles() -> dict[str, str]:
         "stream_ls_keyed_events": _sql_stream_ls_keyed(),
         "sketch_stats_events": SQL_SKETCH_STATS_EVENTS,
         "repetition_stats_docs": SQL_REPETITION_STATS_DOCS,
+        "bloom_dedup_docs": SQL_BLOOM_DEDUP_DOCS,
         "pq_recovery_topk": SQL_PQ_RECOVERY_TOPK,
         "stream_ls_events": _sql_stream_ls(),
         "fits_ingest_events": SQL_FITS_INGEST_EVENTS,

@@ -124,3 +124,18 @@ def test_connected_components_lsh_matches_bruteforce(spark, sf_dir):
         return {tuple(r["members"]) for r in rows}
 
     assert comp_sets(brute) == comp_sets(lsh)
+
+
+def test_bloom_no_false_negatives_tiny_filter(spark):
+    """Property pin on a deliberately TINY bloom (16 bits, 2 hashes,
+    30 keys -> saturated filter): every inserted key must still flag
+    (no false negatives, the load-bearing guarantee), while unseen
+    probes may or may not flag — fp is allowed, fn never."""
+    from miletos_spark.pipeline.dedup import bloom_membership, bloom_positions
+
+    seen = spark.range(30).selectExpr("id AS doc_id", "md5(CAST(id AS STRING)) AS key")
+    bloom = bloom_positions(seen, "key", n_bits=16, n_hashes=2)
+    chk = bloom_membership(seen, bloom, "key", "doc_id", n_bits=16, n_hashes=2)
+    rows = chk.collect()
+    assert len(rows) == 30
+    assert all(r["maybe_seen"] for r in rows)
