@@ -134,6 +134,7 @@ def main() -> None:
     t0 = time.perf_counter()
     land_stream_events(spark, SF_DIR, overwrite=True)
     land_trigger_events(spark, SF_DIR, overwrite=True)
+    _land_docs_dedup_feed(spark, SF_DIR, overwrite=True)
     timings["ingest:land_stream_events_cold"] = round(
         time.perf_counter() - t0, 4
     )

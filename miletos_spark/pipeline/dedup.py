@@ -678,7 +678,12 @@ def bloom_membership(
 ) -> DataFrame:
     """Check probe keys against a bloom position set: (id, maybe_seen).
     maybe_seen is TRUE iff ALL n_hashes positions are set — no false
-    negatives by construction; false positives at the bloom's fp rate."""
+    negatives by construction; false positives at the bloom's fp rate.
+    The probe is deduped on (id, key) first: a batch carrying the same
+    row twice (the premise of a dedup feed) would otherwise double its
+    hit count past the == n_hashes test and turn a SEEN key into a
+    false negative."""
+    probe = probe.select(id_col, key_col).distinct()
     hashes = F.array(*[
         F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(n_bits))
         for i in range(n_hashes)

@@ -30,7 +30,6 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from miletos_spark.schema import load_table
 
@@ -224,21 +223,19 @@ def land_pq_index(
     subv = pq_subspace_table(emb, m=m)
     # codebook TRAINING runs on a bounded sample on the driver (the
     # standard PQ recipe — Jegou et al. 2011 train codebooks on a
-    # subset): deterministic hash-sample of <=65536 subvectors per
-    # subspace, seeded Lloyd's in numpy (m x k x d doubles — tiny).
+    # subset): deterministic hash-THRESHOLD sample of ~<=65536
+    # subvectors per subspace (a fully-parallel filter — a row_number
+    # window here would sort every subspace's N rows in one task
+    # each), then seeded Lloyd's in numpy (m x k x d doubles — tiny).
     # Distributed pyspark.ml here was 8 sequential fits of pure job
     # overhead (measured 16.8 s for ~100 ms of actual math at sf0.1);
     # ENCODING — the O(corpus) half — stays a distributed join.
     cap = 65536
+    n_vec = emb.count()
+    mod = 1 << 20
+    thresh = mod if n_vec <= cap else int(mod * cap / n_vec)
     sample = (
-        subv.withColumn("_h", F.xxhash64("vec_id", "sub"))
-        .withColumn(
-            "_r",
-            F.row_number().over(
-                Window.partitionBy("sub").orderBy("_h", "vec_id")
-            ),
-        )
-        .filter(F.col("_r") <= cap)
+        subv.filter(F.pmod(F.xxhash64("vec_id"), F.lit(mod)) < thresh)
         .select("sub", "sv")
         .collect()
     )

@@ -399,6 +399,16 @@ def pq_adc_topk(
     return pq_adc_score(codes, codebook, query, m, k=k, id_col=id_col)
 
 
+def _check_pq_dims(query: list, m: int) -> None:
+    if m <= 0 or len(query) % m != 0:
+        raise ValueError(
+            f"query dim {len(query)} is not divisible into m={m} "
+            "subspaces — a truncated slice would zip against the "
+            "centroids as NULLs and return an arbitrary nulls-first "
+            "top-k instead of failing"
+        )
+
+
 def pq_adc_score(
     codes: DataFrame,
     codebook: DataFrame,
@@ -410,6 +420,7 @@ def pq_adc_score(
     """Score PRE-ENCODED codes (the landed-index probe path: only the
     m-byte codes table is scanned, never the vectors) — see
     `pq_adc_topk` for the fixed-order-sum determinism note."""
+    _check_pq_dims(query, m)
     d = len(query) // m
     qarr = F.array(*[F.lit(float(x)) for x in query])
     table = codebook.select(

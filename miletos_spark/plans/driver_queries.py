@@ -2662,7 +2662,9 @@ def q_stream_bls_keyed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _land_docs_dedup_feed(spark: SparkSession, sf_dir: str) -> str:
+def _land_docs_dedup_feed(
+    spark: SparkSession, sf_dir: str, overwrite: bool = False
+) -> str:
     """Memoized landing of the streaming-dedup document feed: the
     documents table plus deterministic re-crawl replicas (every 7th
     doc re-keyed above 1e6 with identical text — the duplicate
@@ -2681,6 +2683,10 @@ def _land_docs_dedup_feed(spark: SparkSession, sf_dir: str) -> str:
         sig = os.path.abspath(sf_dir) + "|dedupfeed"
     key = hashlib.md5(sig.encode()).hexdigest()[:12]
     land = os.path.join(tempfile.gettempdir(), f"miletos_land_{key}", "data")
+    if overwrite and os.path.exists(land):
+        import shutil
+
+        shutil.rmtree(os.path.dirname(land), ignore_errors=True)
     if not os.path.exists(land):
         docs = load_table(spark, sf_dir, "documents")
         dup = docs.filter(F.col("doc_id") % 7 == 0).withColumn(

@@ -39,15 +39,19 @@ def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
     from miletos_spark.plans.driver_queries import _ev_days
     from miletos_spark.schema import load_table
 
-    import os
-
     names = []
     for t in TABLES:
         # tolerate only a MISSING table (partial sf dir); an unreadable
-        # one must fail here, not as "table not found" at query time
-        if not os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
-            continue
-        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        # one must fail here, not as "table not found" at query time.
+        # Narrowed on the error CLASS, not a local os.path probe, so
+        # remote sf dirs (hdfs://, s3a://) keep working
+        try:
+            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        except Exception as ex:
+            msg = str(ex)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                continue
+            raise
         names.append(t)
     _ev_days(spark, sf_dir).createOrReplaceTempView("events_days")
     names.append("events_days")

@@ -120,7 +120,7 @@ def land_mast_lightcurves(
     if len(set(names)) != len(names):
         raise ValueError(
             "MAST product basenames collide in one landing dir: "
-            f"{sorted(n for n in names if names.count(n) > 1)}"
+            f"{sorted({n for n in names if names.count(n) > 1})}"
         )
     # fresh landing dir: stale *.fits from a previous (wider) selection
     # must not leak into this read

@@ -210,8 +210,9 @@ def synth_volume(spark, k: int) -> str:
     ~sf{0.1*k}-equivalent data. events gets k sequential 30-day epochs
     (k× rows at the SAME cadence — a longer campaign, the way real
     volume arrives), lineitem/orders replicate k× with shifted keys,
-    documents/embeddings reuse the density replicas (fresh content per
-    copy), dims stay broadcast-sized. Persisted + memoized like
+    documents/embeddings are replicated directly into this dir with
+    fresh content per copy (shared `_replicate_corpus`), dims stay
+    broadcast-sized. Persisted + memoized like
     `synth_scaled`; run the full suite against it with
     SPARK_GRAFT_SF_DIR=<dir> python bench.py."""
     from pyspark.sql import functions as F
