@@ -80,6 +80,7 @@ HEADLINE = [
     "repetition_stats_docs",
     "pq_recovery_topk",
     "pq_landed_topk",
+    "bloom_dedup_docs",
 ]
 
 
