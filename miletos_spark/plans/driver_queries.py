@@ -5901,8 +5901,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "median_normalize_events": q_median_normalize_events,
     "sessionize_events": q_sessionize_events,
     "fold_phase_bins": q_fold_phase_bins,
-    "mask_windows_events": q_mask_windows_events,
-    "rolling_std_events": q_rolling_std_events,
+    "sketch_stats_events": q_sketch_stats_events,
+    "repetition_stats_docs": q_repetition_stats_docs,
     "spline_recovery_events": q_spline_recovery_events,
     "transit_fit_recovery_events": q_transit_fit_recovery_events,
     "largest_gap_events": q_largest_gap_events,
@@ -5921,8 +5921,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transit_windows_events": q_transit_windows_events,
     "flare_band_events": q_flare_band_events,
     "trigger_clusters_events": q_trigger_clusters_events,
-    "topk_outliers_events": q_topk_outliers_events,
-    "binned_rms_events": q_binned_rms_events,
+    "bloom_dedup_docs": q_bloom_dedup_docs,
+    "pq_recovery_topk": q_pq_recovery_topk,
     "simhash_pairs": q_simhash_pairs,
     "media_features": q_media_features,
     "doc_quality_docs": q_doc_quality_docs,
@@ -5946,10 +5946,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- oracle-backed overflow (judge full sweep only, no driver row) --
     "rv_flare_model_events": q_rv_flare_model_events,
     "stream_ls_keyed_events": q_stream_ls_keyed_events,
-    "sketch_stats_events": q_sketch_stats_events,
-    "repetition_stats_docs": q_repetition_stats_docs,
-    "bloom_dedup_docs": q_bloom_dedup_docs,
-    "pq_recovery_topk": q_pq_recovery_topk,
+    "mask_windows_events": q_mask_windows_events,
+    "rolling_std_events": q_rolling_std_events,
+    "topk_outliers_events": q_topk_outliers_events,
+    "binned_rms_events": q_binned_rms_events,
     "pq_landed_topk": q_pq_landed_topk,
     "language_id_docs": q_language_id_docs,
     "stream_sessions_events": q_stream_sessions_events,

@@ -38,8 +38,8 @@ def test_window_rotation_is_deliberate():
     assert window == [
         "pricing_summary", "region_revenue", "crossmatch_catalog",
         "photometry_events", "rebin_events", "median_normalize_events",
-        "sessionize_events", "fold_phase_bins", "mask_windows_events",
-        "rolling_std_events", "spline_recovery_events",
+        "sessionize_events", "fold_phase_bins", "sketch_stats_events",
+        "repetition_stats_docs", "spline_recovery_events",
         "transit_fit_recovery_events", "largest_gap_events",
         "lomb_scargle_events", "bls_spectrum_events", "gp_recovery_events",
         "bls_multi_recovery_events", "outlier_period_events",
@@ -47,7 +47,7 @@ def test_window_rotation_is_deliberate():
         "lsh_similarity_topk", "embedding_near_dup", "corpus_cleanup",
         "pipeline_summary_events", "transit_windows_events",
         "flare_band_events", "trigger_clusters_events",
-        "topk_outliers_events", "binned_rms_events", "simhash_pairs",
+        "bloom_dedup_docs", "pq_recovery_topk", "simhash_pairs",
         "media_features", "doc_quality_docs", "vocab_topk_docs",
         "pipeline_population_events", "model_loglik_events",
         "mcmc_recovery_events", "derived_features_events",
