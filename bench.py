@@ -81,6 +81,8 @@ HEADLINE = [
     "pq_recovery_topk",
     "pq_landed_topk",
     "bloom_dedup_docs",
+    "mixture_sample_docs",
+    "pack_sequences_docs",
 ]
 
 

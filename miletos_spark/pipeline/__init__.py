@@ -33,3 +33,12 @@ from miletos_spark.pipeline.landing import (  # noqa: F401
     land_embedding_index,
     land_ivf_index,
 )
+from miletos_spark.pipeline.sampling import (  # noqa: F401
+    hash_uniform,
+    group_keep_fractions,
+    mixture_sample,
+)
+from miletos_spark.pipeline.packing import (  # noqa: F401
+    pack_chunks,
+    pack_summary,
+)

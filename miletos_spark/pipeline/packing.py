@@ -1,0 +1,78 @@
+"""Sequence packing: assign documents to fixed-capacity training
+context windows (concat-and-chunk, the GPT-style grouping where the
+token stream is concatenated in a deterministic order and split every
+``capacity`` tokens).
+
+The bin a document starts in is a pure function of the running token
+offset, so packing is a keyed window prefix sum — no driver loop, no
+Python in the hot path, and the whole layout is reproducible from the
+table alone (the property a resumable 100 TB tokenize-and-pack job
+needs). Documents are packed WITHIN a (lang, source) shard: that is
+how training mixtures are materialized in practice (each shard is
+packed independently so mixing weights stay adjustable), and it keeps
+every window partition bounded by a shard, not the corpus. For a
+single shard too large for one task, the distributed two-pass prefix
+sum used by gap sessionization (operators/sessionize.py) applies
+unchanged; the registry query uses the keyed window form.
+
+Beyond-reference addition (no miletos counterpart); part of the
+training-data pipeline suite alongside dedup/sampling/quality.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_chunks(
+    df: DataFrame,
+    token_col: str = "n_tokens",
+    group_cols: Sequence[str] = ("lang", "source"),
+    id_col: str = "doc_id",
+    capacity: int = 2048,
+) -> DataFrame:
+    """Concat-and-chunk packing: within each group (ordered by
+    ``id_col``), a document starting at token offset ``s`` with ``n``
+    tokens lands in bin ``floor(s / capacity)`` and straddles
+    ``floor((s + n - 1) / capacity) - floor(s / capacity)`` chunk
+    boundaries (0 for empty docs). Offsets stay < 2**53 per shard, so
+    double-division floor is exact.
+
+    Returns one row per document: group cols, id, tokens, start_bin,
+    n_straddle."""
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = F.col(token_col).cast("long")
+    start = (F.sum(n).over(w) - n).alias("start_off")
+    out = df.select(*group_cols, id_col, n.alias(token_col), start)
+    cap = F.lit(float(capacity))
+    start_bin = F.floor(F.col("start_off") / cap)
+    end_bin = F.floor((F.col("start_off") + F.col(token_col) - 1) / cap)
+    return out.select(
+        *group_cols,
+        id_col,
+        token_col,
+        start_bin.alias("start_bin"),
+        F.greatest(end_bin - start_bin, F.lit(0)).alias("n_straddle"),
+    )
+
+
+def pack_summary(
+    packed: DataFrame,
+    token_col: str = "n_tokens",
+    group_cols: Sequence[str] = ("lang", "source"),
+) -> DataFrame:
+    """Per (group, bin) packing layout: how many documents start in
+    each context window, their token mass, and how many run over the
+    chunk boundary. Integer-only output, hash-exact across engines."""
+    return packed.groupBy(*group_cols, "start_bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_col).alias("tokens_started"),
+        F.sum("n_straddle").alias("n_straddle"),
+    )

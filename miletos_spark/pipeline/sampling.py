@@ -1,0 +1,93 @@
+"""Deterministic corpus sampling for training-data mixing.
+
+Temperature-based mixture reweighting (the Pile / Gopher recipe: group
+probabilities are flattened with an exponent alpha < 1 so rare
+languages / sources are upsampled relative to their natural share)
+implemented as a pure column-expression filter — no RNG, no shuffle
+beyond one tiny group-count aggregate that is broadcast back.
+
+The per-row keep decision is a deterministic hash threshold:
+``u(doc_id) = md5(doc_id)[:8] / 2**32`` gives an exact dyadic rational
+in [0, 1) that any engine reproduces bit-for-bit, so the sample is
+stable across runs, engines, and cluster sizes (the property an
+incremental 100 TB curation pipeline needs: re-running never churns
+the sampled set). Reference scope: the corpus-curation ops are
+beyond-reference additions (no miletos counterpart); the deterministic
+hash-thinning idiom mirrors the posterior subsample hash thinning
+(plans/driver_queries.py T5).
+
+Scale notes: the only aggregation is one count per group (|groups| ~
+hundreds of languages/sources at worst) joined back with an explicit
+broadcast; the keep filter is whole-stage-codegen'd and applied at
+scan time, so the sampled write streams at full parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TWO_32 = 4294967296.0  # 2**32; u = first-8-hex-nibbles / 2**32
+
+
+def hash_uniform(id_col: Column) -> Column:
+    """Deterministic uniform in [0, 1): the first 8 hex nibbles of
+    md5(id) as an exact 32-bit dyadic rational. Exactly reproducible
+    in any engine with md5 (DuckDB oracle: strpos nibble sum)."""
+    k = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10)
+    return k.cast("long") / F.lit(TWO_32)
+
+
+def group_keep_fractions(
+    df: DataFrame,
+    group_col: str = "lang",
+    alpha: float = 0.5,
+    keep_frac: float = 0.3,
+) -> DataFrame:
+    """Per-group keep fraction for temperature-``alpha`` mixing:
+
+        f_g = min(1, keep_frac * (N / N_g) ** (1 - alpha))
+
+    alpha=1 keeps the natural mixture (f_g = keep_frac everywhere);
+    alpha=0 equalizes groups; alpha=0.5 (the default, and the pinned
+    registry value) makes the exponent 0.5 so the whole recipe is
+    sqrt/div/mul — all IEEE correctly-rounded, hence bit-identical in
+    Spark and the DuckDB oracle. The fraction is rounded to 6 decimals
+    BEFORE thresholding in both engines (memory: quantize-vs-round
+    ties), so the kept set is engine-exact.
+
+    Returns (group_col, n_grp, keep_frac_grp)."""
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n_grp"))
+    total = counts.agg(F.sum("n_grp").alias("n_total"))
+    expo = 1.0 - alpha
+    ratio = F.col("n_total").cast("double") / F.col("n_grp")
+    factor = F.sqrt(ratio) if expo == 0.5 else F.pow(ratio, F.lit(expo))
+    return counts.crossJoin(F.broadcast(total)).select(
+        group_col,
+        "n_grp",
+        F.round(
+            F.least(F.lit(1.0), F.lit(keep_frac) * factor), 6
+        ).alias("keep_frac_grp"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    keep_frac: float = 0.3,
+) -> DataFrame:
+    """Deterministically sample ``df`` to a temperature-``alpha``
+    mixture over ``group_col``: keep a row iff its hash uniform falls
+    below the group's keep fraction. Returns the kept rows with
+    ``n_grp`` / ``keep_frac_grp`` attached (the plan is scan → one
+    tiny agg → broadcast hash join → codegen filter)."""
+    fracs = group_keep_fractions(df, group_col, alpha=alpha, keep_frac=keep_frac)
+    u = hash_uniform(F.col(id_col))
+    return (
+        df.join(F.broadcast(fracs), group_col)
+        .withColumn("u", u)
+        .filter(F.col("u") < F.col("keep_frac_grp"))
+        .drop("u")
+    )

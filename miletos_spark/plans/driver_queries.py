@@ -868,6 +868,110 @@ FROM documents
 """
 
 
+def q_mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling (alpha=0.5, keep_frac=0.3):
+    per-language keep fraction min(1, 0.3*sqrt(N/N_lang)) applied via a
+    deterministic md5 hash threshold — the Pile/Gopher data-mixing
+    recipe as one scan + broadcast join + codegen filter. The whole
+    recipe is sqrt/div/mul (IEEE correctly-rounded) so the kept SET is
+    engine-exact; summarised per language for a compact hash check."""
+    from miletos_spark.pipeline.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = mixture_sample(docs, group_col="lang", alpha=0.5, keep_frac=0.3)
+    return kept.groupBy("lang").agg(
+        F.max("n_grp").alias("n_grp"),
+        F.max("keep_frac_grp").alias("keep_frac_grp"),
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").alias("sum_kept_ids"),
+    )
+
+
+def _sql_hash_uniform(id_expr: str) -> str:
+    """DuckDB twin of sampling.hash_uniform: first 8 md5 hex nibbles as
+    an exact dyadic rational in [0,1)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST({id_expr} AS VARCHAR)),"
+        f" {i + 1}, 1)) - 1) * {16 ** (7 - i)}.0"
+        for i in range(8)
+    )
+    return f"(({terms}) / 4294967296.0)"
+
+
+SQL_MIXTURE_SAMPLE_DOCS = f"""
+WITH c AS (SELECT lang, count(*) AS n_grp FROM documents GROUP BY lang),
+t AS (SELECT sum(n_grp) AS n_total FROM c),
+f AS (
+  SELECT lang, n_grp,
+         round(least(1.0, 0.3 * sqrt(CAST(n_total AS DOUBLE) / n_grp)), 6)
+           AS keep_frac_grp
+  FROM c CROSS JOIN t),
+u AS (
+  SELECT doc_id, lang, {_sql_hash_uniform('doc_id')} AS u
+  FROM documents)
+SELECT f.lang, f.n_grp, f.keep_frac_grp,
+       count(*) AS n_kept,
+       CAST(sum(u.doc_id) AS BIGINT) AS sum_kept_ids
+FROM u JOIN f USING (lang)
+WHERE u.u < f.keep_frac_grp
+GROUP BY f.lang, f.n_grp, f.keep_frac_grp
+"""
+
+
+def q_pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chunk into 512-token training
+    windows) within each (lang, source) shard: the start-bin of every
+    document is a keyed window prefix sum over token counts; output is
+    the per-(shard, bin) layout — docs started, token mass, boundary
+    straddles. Integer-only, hash-exact."""
+    from miletos_spark.pipeline.packing import pack_chunks, pack_summary
+    from miletos_spark.pipeline.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        "source",
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    packed = pack_chunks(toks, capacity=512)
+    out = pack_summary(packed)
+    return out.select(
+        "lang",
+        "source",
+        "start_bin",
+        "n_docs",
+        F.col("tokens_started").cast("long").alias("tokens_started"),
+        F.col("n_straddle").cast("long").alias("n_straddle"),
+    )
+
+
+SQL_PACK_SEQUENCES_DOCS = r"""
+WITH toks AS (
+  SELECT lang, source, doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+              AS BIGINT) AS n_tokens
+  FROM documents),
+off AS (
+  SELECT lang, source, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang, source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - n_tokens AS start_off
+  FROM toks),
+b AS (
+  SELECT lang, source, n_tokens,
+         CAST(floor(start_off / 512.0) AS BIGINT) AS start_bin,
+         greatest(CAST(floor((start_off + n_tokens - 1) / 512.0) AS BIGINT)
+                  - CAST(floor(start_off / 512.0) AS BIGINT), 0) AS n_straddle
+  FROM off)
+SELECT lang, source, start_bin, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_started,
+       CAST(sum(n_straddle) AS BIGINT) AS n_straddle
+FROM b GROUP BY lang, source, start_bin
+"""
+
+
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 against the min-vec_id query vector
     (exact ANN baseline; zip_with/aggregate dot product, no UDF)."""
@@ -5974,6 +6078,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rebin_count_events": q_rebin_count_events,
     "near_dup_pairs": q_near_dup_pairs,
     "text_stats_docs": q_text_stats_docs,
+    "mixture_sample_docs": q_mixture_sample_docs,
+    "pack_sequences_docs": q_pack_sequences_docs,
     "rollup_pricing": q_rollup_pricing,
     "time_rollup_events": q_time_rollup_events,
     "json_props_events": q_json_props_events,
@@ -6023,6 +6129,8 @@ def _oracles() -> dict[str, str]:
         "outlier_period_events": _sql_outlier_period(),
         "dedup_exact_docs": SQL_DEDUP_EXACT_DOCS,
         "text_stats_docs": SQL_TEXT_STATS_DOCS,
+        "mixture_sample_docs": SQL_MIXTURE_SAMPLE_DOCS,
+        "pack_sequences_docs": SQL_PACK_SEQUENCES_DOCS,
         "similarity_topk": SQL_SIMILARITY_TOPK,
         "near_dup_pairs": SQL_NEAR_DUP_PAIRS,
         "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
