@@ -83,6 +83,7 @@ HEADLINE = [
     "bloom_dedup_docs",
     "mixture_sample_docs",
     "pack_sequences_docs",
+    "decontaminate_docs",
 ]
 
 

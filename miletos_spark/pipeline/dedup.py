@@ -511,6 +511,61 @@ def ngram_jaccard_pairs(
     )
 
 
+def token_ngram_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+) -> DataFrame:
+    """Exploded (id, md5(token n-gram)) rows — the unit of train/eval
+    decontamination (the GPT-3/PaLM procedure: flag a training doc
+    when it shares verbatim token n-grams with a benchmark document).
+
+    Tokens are projected to a real attribute BEFORE the per-position
+    lambda (the CollapseProject re-evaluation trap — see
+    shingle_array); documents shorter than n contribute nothing, and
+    each document's gram set is array_distinct'd before the explode so
+    downstream joins count windows, not repetitions. md5 keeps the
+    hash engine-portable for the oracle; at 100 TB swap xxhash64 in
+    (same shape, 8-byte keys) the way simhash_64 does vs simhash_md5.
+    """
+    toked = df.select(
+        id_col,
+        F.split(
+            F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "),
+            " ",
+        ).alias("_toks"),
+    ).filter(F.size("_toks") >= n)
+    idx = F.sequence(F.lit(1), F.size("_toks") - (n - 1))
+    grams = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice("_toks", i, n)))
+    )
+    return toked.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram")
+    )
+
+
+def decontaminate(
+    corpus_grams: DataFrame,
+    eval_grams: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-corpus-document contamination summary against an eval-set
+    gram table (columns: gram, eval_id): distinct matched n-grams and
+    distinct benchmark docs hit. The eval side is the small one by
+    construction (benchmarks are thousands of docs, the corpus is the
+    100 TB side) — broadcast it so the corpus explode never shuffles
+    before its per-doc aggregate."""
+    return (
+        corpus_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("gram").alias("n_hits"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
 def _union_find(edges: list) -> dict:
     """Driver-side union-find with min-label roots (path compression +
     union-by-min): the small-graph twin of the distributed star loop.

@@ -972,6 +972,45 @@ FROM b GROUP BY lang, source, start_bin
 """
 
 
+def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: flag corpus docs sharing verbatim
+    token 4-grams with the held-out split (doc_id % 50 == 0 — a
+    deterministic stand-in for a benchmark table). Eval gram table is
+    broadcast; n=4 is pinned small for the short synthetic docs (real
+    runs use 8-13). Output: contaminated doc -> distinct gram hits +
+    distinct eval docs hit."""
+    from miletos_spark.pipeline.dedup import decontaminate, token_ngram_hashes
+
+    docs = load_table(spark, sf_dir, "documents")
+    # split BEFORE gram hashing: the per-window md5 is interpreted
+    # (HOF), so each branch should only hash its own docs
+    ev = token_ngram_hashes(docs.filter(F.col("doc_id") % 50 == 0), n=4).select(
+        "gram", F.col("doc_id").alias("eval_id")
+    )
+    corpus = token_ngram_hashes(docs.filter(F.col("doc_id") % 50 != 0), n=4)
+    return decontaminate(corpus, ev)
+
+
+SQL_DECONTAMINATE_DOCS = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(t[u.i:u.i+3], ' ')) AS gram
+  FROM toks, unnest(range(1, greatest(len(t) - 2, 1))) AS u(i)
+  WHERE len(t) >= 4),
+ev AS (
+  SELECT gram, doc_id AS eval_id FROM grams WHERE doc_id % 50 = 0)
+SELECT g.doc_id,
+       count(DISTINCT g.gram) AS n_hits,
+       count(DISTINCT ev.eval_id) AS n_eval_docs
+FROM grams g JOIN ev USING (gram)
+WHERE g.doc_id % 50 <> 0
+GROUP BY g.doc_id
+"""
+
+
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 against the min-vec_id query vector
     (exact ANN baseline; zip_with/aggregate dot product, no UDF)."""
@@ -6080,6 +6119,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats_docs": q_text_stats_docs,
     "mixture_sample_docs": q_mixture_sample_docs,
     "pack_sequences_docs": q_pack_sequences_docs,
+    "decontaminate_docs": q_decontaminate_docs,
     "rollup_pricing": q_rollup_pricing,
     "time_rollup_events": q_time_rollup_events,
     "json_props_events": q_json_props_events,
@@ -6131,6 +6171,7 @@ def _oracles() -> dict[str, str]:
         "text_stats_docs": SQL_TEXT_STATS_DOCS,
         "mixture_sample_docs": SQL_MIXTURE_SAMPLE_DOCS,
         "pack_sequences_docs": SQL_PACK_SEQUENCES_DOCS,
+        "decontaminate_docs": SQL_DECONTAMINATE_DOCS,
         "similarity_topk": SQL_SIMILARITY_TOPK,
         "near_dup_pairs": SQL_NEAR_DUP_PAIRS,
         "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,

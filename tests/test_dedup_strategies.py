@@ -139,3 +139,31 @@ def test_bloom_no_false_negatives_tiny_filter(spark):
     rows = chk.collect()
     assert len(rows) == 30
     assert all(r["maybe_seen"] for r in rows)
+
+
+def test_decontaminate_crafted_overlaps(spark):
+    """Crafted train/eval overlap: doc 1 embeds exactly one 4-token
+    window from the eval doc, doc 2 is a verbatim copy (all windows
+    hit), doc 3 shares nothing, doc 4 is too short to form a 4-gram."""
+    from miletos_spark.pipeline.dedup import decontaminate, token_ngram_hashes
+
+    eval_text = "alpha beta gamma delta epsilon zeta"  # 6 toks -> 3 grams
+    rows = [
+        (100, eval_text),
+        (1, "xx yy beta gamma delta epsilon zz"),  # one eval window
+        (2, eval_text),                            # full copy: 3 grams
+        (3, "totally different words here and more of them"),
+        (4, "beta gamma delta"),                   # 3 toks: no gram
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    grams = token_ngram_hashes(docs, n=4)
+    ev = grams.filter(F.col("doc_id") == 100).select(
+        "gram", F.col("doc_id").alias("eval_id")
+    )
+    out = {
+        r["doc_id"]: (r["n_hits"], r["n_eval_docs"])
+        for r in decontaminate(
+            grams.filter(F.col("doc_id") != 100), ev
+        ).collect()
+    }
+    assert out == {1: (1, 1), 2: (3, 1)}
