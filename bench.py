@@ -84,6 +84,8 @@ HEADLINE = [
     "mixture_sample_docs",
     "pack_sequences_docs",
     "decontaminate_docs",
+    "ivfpq_recovery_topk",
+    "ivfpq_landed_topk",
 ]
 
 
@@ -123,6 +125,11 @@ def main() -> None:
     t0 = time.perf_counter()
     land_pq_index(spark, SF_DIR, overwrite=True)
     timings["ingest:land_pq_index"] = round(time.perf_counter() - t0, 4)
+    from miletos_spark.pipeline.landing import land_ivfpq_index
+
+    t0 = time.perf_counter()
+    land_ivfpq_index(spark, SF_DIR, overwrite=True)
+    timings["ingest:land_ivfpq_index"] = round(time.perf_counter() - t0, 4)
     # streaming landings (memoized — first container run pays the
     # write, later runs a stat call; timed here so streaming query
     # numbers measure the stream, not a parquet rewrite)

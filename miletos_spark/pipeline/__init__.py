@@ -32,6 +32,7 @@ from miletos_spark.pipeline.landing import (  # noqa: F401
     land_dedup_index,
     land_embedding_index,
     land_ivf_index,
+    land_ivfpq_index,
 )
 from miletos_spark.pipeline.sampling import (  # noqa: F401
     hash_uniform,

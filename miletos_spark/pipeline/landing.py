@@ -190,6 +190,125 @@ def land_ivf_index(
     return paths
 
 
+def _train_codebooks(sample, m: int, n_centroids: int, seed: int) -> list:
+    """Seeded Lloyd's per subspace over a bounded driver-side sample
+    of (sub, sv) rows (the standard PQ recipe — Jegou et al. 2011
+    train codebooks on a subset). Returns (sub, cid, cent) tuples."""
+    import numpy as np
+
+    by_sub: dict[int, list] = {}
+    for r in sample:
+        by_sub.setdefault(r["sub"], []).append(r["sv"])
+    books = []
+    for sub_i in range(m):
+        pts = np.asarray(by_sub[sub_i], dtype=np.float64)
+        k = min(n_centroids, len(pts))
+        rng = np.random.RandomState(seed + sub_i)
+        cents = pts[rng.choice(len(pts), size=k, replace=False)]
+        for _ in range(25):
+            d2 = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            new_c = np.array([
+                pts[assign == c].mean(axis=0)
+                if np.any(assign == c) else cents[c]
+                for c in range(k)
+            ])
+            if np.allclose(new_c, cents):
+                break
+            cents = new_c
+        books += [
+            (sub_i, int(c), [float(x) for x in cents[c]]) for c in range(k)
+        ]
+    return books
+
+
+def land_ivfpq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    n_clusters: int = 4,
+    m: int = 8,
+    n_centroids: int = 16,
+    seed: int = 42,
+    overwrite: bool = False,
+) -> dict[str, str]:
+    """Materialize the composite IVF-PQ index (the FAISS IVFADC
+    layout — Jegou et al. 2011 §IV): fit the coarse KMeans quantizer
+    once at ingest, train PQ codebooks on the RESIDUALS (vector minus
+    its cell centroid — residual energy is what PQ should spend its
+    codes on), and store each vector's m-byte code partitioned by its
+    cell directory. A probe then prunes I/O twice: the centroid table
+    picks n_probe cell DIRECTORIES (partition pruning), and within
+    them only the codes are scanned — never raw vectors. Returns
+    {"codes", "centers", "codebook"}."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from miletos_spark.pipeline.similarity import (
+        assign_cells,
+        pq_encode,
+        pq_subspace_table,
+    )
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    root = _index_root(src, f"ivfpq{n_clusters}x{m}x{n_centroids}s{seed}")
+    paths = {
+        "codes": os.path.join(root, "codes"),
+        "centers": os.path.join(root, "centers"),
+        "codebook": os.path.join(root, "codebook"),
+    }
+    done = os.path.join(root, "_SUCCESS_INDEX")
+    if os.path.exists(done) and not overwrite:
+        return paths
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    feat = emb.withColumn("_feat", array_to_vector(v))
+    model = KMeans(
+        k=n_clusters, seed=seed, featuresCol="_feat", predictionCol="_cell"
+    ).fit(feat)
+    centers = [
+        (int(i), [float(x) for x in c])
+        for i, c in enumerate(model.clusterCenters())
+    ]
+    centers_df = spark.createDataFrame(centers, "cell int, center array<double>")
+    centers_df.coalesce(1).write.mode("overwrite").parquet(paths["centers"])
+
+    # assignment + residual from the PERSISTED centers (the probe's
+    # view of the quantizer), not MLlib internals
+    landed_centers = spark.read.parquet(paths["centers"])
+    assigned = assign_cells(emb, landed_centers)
+    subv = pq_subspace_table(
+        assigned, m=m, vec_col="resid", keep_cols=("cell",)
+    )
+    cap = 65536
+    n_vec = emb.count()
+    mod = 1 << 20
+    thresh = mod if n_vec <= cap else int(mod * cap / n_vec)
+    sample = (
+        subv.filter(F.pmod(F.xxhash64("vec_id"), F.lit(mod)) < thresh)
+        .select("sub", "sv")
+        .collect()
+    )
+    books = _train_codebooks(sample, m, n_centroids, seed)
+    codebook = spark.createDataFrame(
+        books, "sub int, cid int, cent array<double>"
+    )
+    codebook.coalesce(1).write.mode("overwrite").parquet(paths["codebook"])
+    landed_cb = spark.read.parquet(paths["codebook"])
+    codes = pq_encode(subv.select("vec_id", "sub", "sv"), landed_cb).join(
+        assigned.select("vec_id", F.col("cell").alias("_cell")), "vec_id"
+    )
+    (
+        codes.repartition("_cell")
+        .write.mode("overwrite")
+        .partitionBy("_cell")
+        .parquet(paths["codes"])
+    )
+    with open(done, "w") as f:
+        f.write("ok")
+    return paths
+
+
 def land_pq_index(
     spark: SparkSession,
     sf_dir: str,
@@ -207,8 +326,6 @@ def land_pq_index(
     table (`similarity.pq_adc_topk` machinery); the full vectors are
     only touched for an optional exact re-rank of the shortlist.
     Returns {"codes": path, "codebook": path}."""
-    import numpy as np
-
     from miletos_spark.pipeline.similarity import pq_encode, pq_subspace_table
 
     src = os.path.join(sf_dir, "embeddings.parquet")
@@ -239,29 +356,7 @@ def land_pq_index(
         .select("sub", "sv")
         .collect()
     )
-    by_sub: dict[int, list] = {}
-    for r in sample:
-        by_sub.setdefault(r["sub"], []).append(r["sv"])
-    books = []
-    for sub_i in range(m):
-        pts = np.asarray(by_sub[sub_i], dtype=np.float64)
-        k = min(n_centroids, len(pts))
-        rng = np.random.RandomState(seed + sub_i)
-        cents = pts[rng.choice(len(pts), size=k, replace=False)]
-        for _ in range(25):
-            d2 = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            new_c = np.array([
-                pts[assign == c].mean(axis=0)
-                if np.any(assign == c) else cents[c]
-                for c in range(k)
-            ])
-            if np.allclose(new_c, cents):
-                break
-            cents = new_c
-        books += [
-            (sub_i, int(c), [float(x) for x in cents[c]]) for c in range(k)
-        ]
+    books = _train_codebooks(sample, m, n_centroids, seed)
     codebook = spark.createDataFrame(
         books, "sub int, cid int, cent array<double>"
     )

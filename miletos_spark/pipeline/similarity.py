@@ -331,19 +331,23 @@ def pq_subspace_table(
     m: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Explode D-dim vectors into m contiguous subvectors:
-    (id, sub ∈ [0, m), sv array<double>). D must divide evenly."""
+    (id, [keep_cols...,] sub ∈ [0, m), sv array<double>). D must
+    divide evenly."""
     subs = F.sequence(F.lit(0), F.lit(m - 1))
     d_expr = F.size(F.col("_v")) / m
     return (
         df.select(
             F.col(id_col),
+            *[F.col(c) for c in keep_cols],
             F.col(vec_col).cast("array<double>").alias("_v"),
             F.explode(subs).alias("sub"),
         )
         .select(
             id_col,
+            *keep_cols,
             "sub",
             F.slice(
                 "_v", (F.col("sub") * d_expr + 1).cast("int"),
@@ -407,6 +411,101 @@ def _check_pq_dims(query: list, m: int) -> None:
             "centroids as NULLs and return an arbitrary nulls-first "
             "top-k instead of failing"
         )
+
+
+def assign_cells(
+    emb: DataFrame,
+    centers: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-coarse-centroid assignment plus residual: (id, cell,
+    resid array<double>). ``centers`` is (cell int, center
+    array<double>) — the coarse quantizer, broadcast-sized by
+    construction. Ties break to the smallest cell id; the L2 fold is
+    the sequential `_l2sq` so assignment replays exactly in the
+    DuckDB oracle."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    ranked = (
+        emb.select(F.col(id_col), v.alias("_v"))
+        .crossJoin(F.broadcast(centers))
+        .select(
+            id_col,
+            F.struct(
+                _l2sq(F.col("_v"), F.col("center")).alias("_d2"),
+                F.col("cell").alias("cell"),
+                F.col("center").alias("center"),
+                F.col("_v").alias("_v"),
+            ).alias("_s"),
+        )
+    )
+    best = ranked.groupBy(id_col).agg(F.min("_s").alias("_b"))
+    return best.select(
+        id_col,
+        F.col("_b.cell").alias("cell"),
+        F.zip_with("_b._v", "_b.center", lambda x, y: x - y).alias("resid"),
+    )
+
+
+def ivfpq_topk_landed(
+    spark,
+    paths: dict[str, str],
+    query: list[float],
+    m: int,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ probe over the landed composite index
+    (`landing.land_ivfpq_index` — the FAISS IVFADC layout): rank the
+    persisted coarse centroids driver-side, read ONLY the probed
+    cells' m-byte codes (`_cell` is a partition directory, so the
+    scan is pruned before any file opens), and score with per-cell
+    RESIDUAL ADC tables — the raw vectors are never touched. This is
+    the composition that carries ANN to 100 TB: the coarse quantizer
+    prunes I/O, the codes keep the scanned bytes ~m/(4·D) of the
+    vectors, and both halves were landed once at ingest."""
+    _check_pq_dims(query, m)
+    centers_rows = sorted(
+        spark.read.parquet(paths["centers"]).collect(),
+        key=lambda r: r["cell"],
+    )
+    centers = np.array([r["center"] for r in centers_rows])
+    q_np = np.asarray(query, dtype=float)
+    d2 = ((centers - q_np) ** 2).sum(axis=1)
+    order = np.argsort(d2, kind="stable")[:n_probe]
+    probe = [int(centers_rows[i]["cell"]) for i in order]
+    qresid = spark.createDataFrame(
+        [
+            (int(centers_rows[i]["cell"]),
+             [float(x) for x in (q_np - centers[i])])
+            for i in order
+        ],
+        "_cell int, qresid array<double>",
+    )
+    codebook = spark.read.parquet(paths["codebook"])
+    d = len(query) // m
+    tab = qresid.crossJoin(codebook).select(
+        "_cell", "sub", "cid",
+        _l2sq(
+            F.slice("qresid", F.col("sub") * d + 1, d), F.col("cent")
+        ).alias("qd2"),
+    )
+    codes = spark.read.parquet(paths["codes"]).filter(
+        F.col("_cell").isin(probe)
+    )
+    scored = (
+        codes.join(F.broadcast(tab), ["_cell", "sub", "cid"])
+        .groupBy(id_col)
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("sub", "qd2"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["qd2"],
+            ).alias("adc_d2")
+        )
+    )
+    return scored.orderBy("adc_d2", id_col).limit(k)
 
 
 def pq_adc_score(

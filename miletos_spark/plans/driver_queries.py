@@ -4056,6 +4056,126 @@ FROM sc ORDER BY adc_d2, vec_id LIMIT 10
 """
 
 
+def q_ivfpq_recovery_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite IVF-PQ (FAISS IVFADC) made driver-checkable: coarse
+    centers FROZEN to the first 2 vectors, PQ codebook frozen to the
+    first 16 vectors' RESIDUAL subvectors, n_probe=1 — so nearest-cell
+    assignment, residual computation, residual encoding, and the ADC
+    sum are all replayable in SQL. The trained/landed twin
+    (ivfpq_landed_topk) runs the same machinery over the write-time
+    partition-pruned index."""
+    from miletos_spark.pipeline.similarity import (
+        assign_cells,
+        pq_adc_score,
+        pq_encode,
+        pq_subspace_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centers = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("center"),
+    )
+    assigned = assign_cells(emb, centers)
+    subv = pq_subspace_table(
+        assigned, m=8, vec_col="resid", keep_cols=("cell",)
+    )
+    cb = subv.filter(F.col("vec_id") < 16).select(
+        "sub",
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("sv").alias("cent"),
+    )
+    qid = emb.agg(F.min("vec_id")).first()[0]
+    qrow = assigned.filter(F.col("vec_id") == qid).select(
+        "cell", "resid"
+    ).first()
+    q_cell = int(qrow["cell"])
+    q_resid = [float(x) for x in qrow["resid"]]
+    cand = subv.filter(F.col("cell") == q_cell).select("vec_id", "sub", "sv")
+    codes = pq_encode(cand, cb)
+    out = pq_adc_score(codes, cb, q_resid, m=8, k=10)
+    return out.select("vec_id", F.round("adc_d2", 6).alias("adc_d2"))
+
+
+SQL_IVFPQ_RECOVERY_TOPK = """
+WITH cent AS (
+  SELECT CAST(vec_id AS INT) AS cell,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS center
+  FROM embeddings WHERE vec_id < 2),
+av AS (
+  SELECT e.vec_id, c.cell, c.center,
+         list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v,
+         list_sum(list_transform(range(1, 65),
+             i -> (CAST(e.embedding[i] AS DOUBLE) - c.center[i])
+                * (CAST(e.embedding[i] AS DOUBLE) - c.center[i]))) AS d2
+  FROM embeddings e CROSS JOIN cent c),
+asg AS (
+  SELECT vec_id, cell, v, center FROM (
+    SELECT vec_id, cell, v, center,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS r
+    FROM av) WHERE r = 1),
+resid AS (
+  SELECT vec_id, cell,
+         list_transform(range(1, 65), i -> v[i] - center[i]) AS rv
+  FROM asg),
+subs AS (SELECT unnest(range(8)) AS sub),
+subv AS (
+  SELECT vec_id, cell, s.sub, rv[s.sub*8+1 : s.sub*8+8] AS sv
+  FROM resid, subs s),
+cb AS (
+  SELECT sub, CAST(vec_id AS INT) AS cid, sv AS cent
+  FROM subv WHERE vec_id < 16),
+qa AS (
+  SELECT cell, rv FROM resid
+  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+qs AS (SELECT s.sub, rv[s.sub*8+1 : s.sub*8+8] AS qsv FROM qa, subs s),
+cand AS (
+  SELECT v.vec_id, v.sub, v.sv FROM subv v JOIN qa ON v.cell = qa.cell),
+enc AS (
+  SELECT c2.vec_id, c2.sub, c.cid,
+         list_sum(list_transform(range(1, 9),
+                  i -> (c2.sv[i] - c.cent[i]) * (c2.sv[i] - c.cent[i]))) AS d2
+  FROM cand c2 JOIN cb c USING (sub)),
+codes AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT vec_id, sub, cid,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2, cid) AS r
+    FROM enc) WHERE r = 1),
+tab AS (
+  SELECT c.sub, c.cid,
+         list_sum(list_transform(range(1, 9),
+                  i -> (q.qsv[i] - c.cent[i]) * (q.qsv[i] - c.cent[i]))) AS qd2
+  FROM cb c JOIN qs q USING (sub)),
+sc AS (
+  SELECT codes.vec_id,
+         list_sum(list(tab.qd2 ORDER BY codes.sub)) AS adc_d2
+  FROM codes JOIN tab USING (sub, cid)
+  GROUP BY codes.vec_id)
+SELECT vec_id, round(adc_d2, 6) AS adc_d2
+FROM sc ORDER BY adc_d2, vec_id LIMIT 10
+"""
+
+
+def q_ivfpq_landed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k from the WRITE-TIME landed composite index: coarse
+    centroids rank driver-side, only the n_probe cell directories'
+    m-byte codes are scanned (partition-pruned), residual ADC tables
+    score them. Rows-only driver check (trained quantizers are
+    engine-specific, like ivf_landed_topk/pq_landed_topk); the full
+    assignment→residual→encode→ADC machinery is oracle-checked by
+    ivfpq_recovery_topk's frozen twin."""
+    from miletos_spark.pipeline.landing import land_ivfpq_index
+    from miletos_spark.pipeline.similarity import ivfpq_topk_landed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.orderBy("vec_id").select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    paths = land_ivfpq_index(spark, sf_dir, n_clusters=4, m=8, n_centroids=16)
+    out = ivfpq_topk_landed(spark, paths, query, m=8, k=10, n_probe=2)
+    return out.select("vec_id", F.round("adc_d2", 6).alias("adc_d2"))
+
+
 _MCMCREC_STDV = 2e-4     # posterior sigma ~ stdv/sqrt(n_constraining):
                          # measured worst percentile deviation 6.8e-4
                          # (dura, sf0.001) vs 2dp half-step 5e-3 -> 7x
@@ -6120,6 +6240,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_sample_docs": q_mixture_sample_docs,
     "pack_sequences_docs": q_pack_sequences_docs,
     "decontaminate_docs": q_decontaminate_docs,
+    "ivfpq_recovery_topk": q_ivfpq_recovery_topk,
     "rollup_pricing": q_rollup_pricing,
     "time_rollup_events": q_time_rollup_events,
     "json_props_events": q_json_props_events,
@@ -6145,6 +6266,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mcmc_transit_events": q_mcmc_transit_events,
     "mcmc_albedo_events": q_mcmc_albedo_events,
     "bls_alt_backend_events": q_bls_alt_backend_events,
+    "ivfpq_landed_topk": q_ivfpq_landed_topk,
 }
 
 
@@ -6172,6 +6294,7 @@ def _oracles() -> dict[str, str]:
         "mixture_sample_docs": SQL_MIXTURE_SAMPLE_DOCS,
         "pack_sequences_docs": SQL_PACK_SEQUENCES_DOCS,
         "decontaminate_docs": SQL_DECONTAMINATE_DOCS,
+        "ivfpq_recovery_topk": SQL_IVFPQ_RECOVERY_TOPK,
         "similarity_topk": SQL_SIMILARITY_TOPK,
         "near_dup_pairs": SQL_NEAR_DUP_PAIRS,
         "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,

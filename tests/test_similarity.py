@@ -132,3 +132,47 @@ def test_pq_landed_index_memoizes(spark, sf_dir, tmp_path):
     assert codes.count() == n_vec * 8          # m codes per vector
     cb = spark.read.parquet(p1["codebook"])
     assert cb.count() == 8 * 16
+
+
+def test_ivfpq_landed_probe_consistency_and_pruning(emb, query, spark, sf_dir):
+    """IVF-PQ composite index: (1) a pruned 1-probe top-k must report
+    the SAME ADC scores the probe-all run assigns those ids (the
+    partition-pruned path changes candidates, never scores); (2) the
+    probed read plans a partition filter on _cell; (3) the query
+    vector finds itself first (its own cell is always probed and its
+    residual quantization error is the smallest score)."""
+    from miletos_spark.pipeline.landing import land_ivfpq_index
+    from miletos_spark.pipeline.similarity import ivfpq_topk_landed
+
+    paths = land_ivfpq_index(spark, sf_dir, n_clusters=4, m=8, n_centroids=16)
+    n_vec = emb.count()
+    all_scores = {
+        r["vec_id"]: r["adc_d2"]
+        for r in ivfpq_topk_landed(
+            spark, paths, query, m=8, k=n_vec, n_probe=4
+        ).collect()
+    }
+    one = ivfpq_topk_landed(spark, paths, query, m=8, k=10, n_probe=1)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "_cell" in plan
+    rows = one.collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["adc_d2"] == all_scores[r["vec_id"]]
+    qid = emb.orderBy("vec_id").first()["vec_id"]
+    assert rows[0]["vec_id"] == qid
+
+
+def test_ivfpq_landed_index_memoizes(spark, sf_dir):
+    """Second land call must short-circuit on the _SUCCESS_INDEX memo
+    (no refit, no rewrite) and return identical paths."""
+    import os
+    import time
+
+    from miletos_spark.pipeline.landing import land_ivfpq_index
+
+    p1 = land_ivfpq_index(spark, sf_dir, n_clusters=4, m=8, n_centroids=16)
+    t0 = time.time()
+    p2 = land_ivfpq_index(spark, sf_dir, n_clusters=4, m=8, n_centroids=16)
+    assert p2 == p1 and time.time() - t0 < 0.5
+    assert os.path.exists(p1["codes"]) and os.path.exists(p1["codebook"])
