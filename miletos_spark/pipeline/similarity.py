@@ -508,6 +508,168 @@ def ivfpq_topk_landed(
     return scored.orderBy("adc_d2", id_col).limit(k)
 
 
+def ivfpq_topk_landed_batch(
+    spark,
+    paths: dict[str, str],
+    queries: DataFrame,
+    dim: int,
+    m: int,
+    k: int = 10,
+    n_probe: int = 2,
+    rerank: int = 0,
+    vectors: DataFrame | None = None,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batched IVF-PQ probe: N query vectors through the landed index
+    in ONE job chain — the production ANN shape (a search service or a
+    near-dup sweep scores queries in batches, never one driver round
+    trip per query). Per query: rank coarse centroids (broadcast, tiny)
+    → build the residual ADC table (|Q|·n_probe·m·n_centroids rows,
+    broadcast) → scan ONLY the probed cell directories' codes → ADC
+    top-R per query → optional FAISS-style exact rerank of the bounded
+    R survivors (see `rerank_exact_l2`). All per-query selections are
+    window row_numbers keyed on qid, so the whole batch is one plan.
+
+    `queries` is (qid, qvec array<double>); returns (qid, vec_id, d2)
+    top-k per qid (d2 = adc_d2 when rerank=0, exact squared L2
+    otherwise)."""
+    from pyspark.sql import Window
+
+    d = dim // m
+    centers = spark.read.parquet(paths["centers"])
+    qc = queries.crossJoin(F.broadcast(centers)).select(
+        qid_col, "cell", "center", qvec_col,
+        _l2sq(F.col(qvec_col), F.col("center")).alias("cd2"),
+    )
+    wq = Window.partitionBy(qid_col).orderBy("cd2", "cell")
+    probe = (
+        qc.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= n_probe)
+    )
+    qresid = probe.select(
+        qid_col,
+        F.col("cell").alias("_cell"),
+        F.zip_with(qvec_col, "center", lambda x, y: x - y).alias("qresid"),
+    )
+    # bounded driver collect (≤ n_clusters cells) so the codes scan is
+    # PARTITION-PRUNED before any file opens
+    cells = sorted(
+        r["_cell"] for r in qresid.select("_cell").distinct().collect()
+    )
+    codebook = spark.read.parquet(paths["codebook"])
+    tab = qresid.crossJoin(F.broadcast(codebook)).select(
+        qid_col, "_cell", "sub", "cid",
+        _l2sq(
+            F.slice("qresid", F.col("sub") * d + 1, d), F.col("cent")
+        ).alias("qd2"),
+    )
+    codes = spark.read.parquet(paths["codes"]).filter(
+        F.col("_cell").isin(cells)
+    )
+    scored = (
+        codes.join(F.broadcast(tab), ["_cell", "sub", "cid"])
+        .groupBy(qid_col, id_col)
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("sub", "qd2"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["qd2"],
+            ).alias("adc_d2")
+        )
+    )
+    wa = Window.partitionBy(qid_col).orderBy("adc_d2", id_col)
+    cand = (
+        scored.withColumn("_r", F.row_number().over(wa))
+        .filter(F.col("_r") <= (rerank if rerank else k))
+        .drop("_r")
+    )
+    if not rerank:
+        return cand.select(qid_col, id_col, F.col("adc_d2").alias("d2"))
+    if vectors is None:
+        raise ValueError("rerank>0 requires the vectors DataFrame")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    exact = (
+        vectors.join(cand.select(qid_col, id_col), id_col, "inner")
+        .join(F.broadcast(queries), qid_col)
+        .select(qid_col, id_col, _l2sq(v, F.col(qvec_col)).alias("d2"))
+    )
+    we = Window.partitionBy(qid_col).orderBy("d2", id_col)
+    return (
+        exact.withColumn("_r", F.row_number().over(we))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )
+
+
+def cosine_topk_batch(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "l2",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact batched top-k: every query against every vector (the
+    brute-force baseline for recall measurement — |Q|·n scored pairs,
+    queries broadcast). metric 'l2' returns squared L2 ascending,
+    'cosine' returns cosine similarity descending (as `cosine_topk`)."""
+    from pyspark.sql import Window
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    pairs = vectors.crossJoin(F.broadcast(queries))
+    if metric == "l2":
+        scored = pairs.select(
+            qid_col, id_col, _l2sq(v, F.col(qvec_col)).alias("d2")
+        )
+        w = Window.partitionBy(qid_col).orderBy("d2", id_col)
+    else:
+        scored = pairs.select(
+            qid_col, id_col,
+            cosine_similarity(v, F.col(qvec_col)).alias("cos_sim"),
+        )
+        w = Window.partitionBy(qid_col).orderBy(
+            F.col("cos_sim").desc(), id_col
+        )
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )
+
+
+def rerank_exact_l2(
+    candidates: DataFrame,
+    vectors: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FAISS-style refine step (IndexRefineFlat): re-score a BOUNDED
+    approximate candidate set exactly and return the top-k by true
+    squared L2. ADC with a small codebook ranks coarsely (measured
+    recall@10 ≈ 0.3 raw at 4-bit PQ on the test corpus); fetching
+    top-R by ADC and reranking the R survivors exactly recovers the
+    brute-force ordering at R/n of the scan cost. Scale shape: the
+    candidate ids broadcast into a semi-join, so only |R| full vectors
+    are ever read — the corpus itself still never leaves the pruned
+    cell directories."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cand_vecs = vectors.join(
+        F.broadcast(candidates.select(id_col)), id_col, "left_semi"
+    )
+    return (
+        cand_vecs.select(F.col(id_col), _l2sq(v, q).alias("d2"))
+        .orderBy("d2", id_col)
+        .limit(k)
+    )
+
+
 def pq_adc_score(
     codes: DataFrame,
     codebook: DataFrame,

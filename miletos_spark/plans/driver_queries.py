@@ -1119,11 +1119,21 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = ngram_jaccard_pairs(docs_c, cands, k=9).cache()
     pairs = scored.filter(F.col("jaccard") >= 0.5)
     comp = connected_components(pairs)
+    # members is SERIALIZED to a csv string, not an array column: the
+    # driver's pandas canonicalizer cannot hash list cells (r05 driver
+    # err 'unhashable type: list'); sort numerically BEFORE stringify so
+    # the order matches the oracle's ORDER BY node
     return (
         comp.groupBy("component")
         .agg(
             F.count("*").alias("n_members"),
-            F.sort_array(F.collect_list("node")).alias("members"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("node")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("members"),
         )
         .orderBy("component")
     )
@@ -1156,7 +1166,7 @@ cc(node, lab) AS (
 ),
 comp AS (SELECT node, min(lab) AS component FROM cc GROUP BY node)
 SELECT component, count(*) AS n_members,
-       list_sort(list(node)) AS members
+       string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
 FROM comp GROUP BY component ORDER BY component
 """
 
@@ -4176,6 +4186,73 @@ def q_ivfpq_landed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("adc_d2", 6).alias("adc_d2"))
 
 
+_RECALL_Q = 20           # query-batch size for the recall row
+_RECALL_K = 10
+_RECALL_THRESH = 0.75    # measured mean recall@10: 0.935 (sf0.001),
+                         # 0.90 (sf0.01), 0.875 (sf0.1) — 0.75 leaves
+                         # ≥25 flipped pairs of margin against KMeans
+                         # landing wobble at the driver's sf0.01
+
+
+def q_ivfpq_recall_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall measured against ground truth (VERDICT r5 Missing
+    #2): mean recall@10 of the LANDED IVF-PQ probe (n_clusters=4,
+    256-centroid codebooks, n_probe=3 — cell pruning stays real — ADC
+    top-200, FAISS-style exact rerank) over a 20-query batch vs the
+    exact brute-force L2 ranking of the full corpus. The trained
+    quantizers are engine-specific so the recall VALUE cannot be
+    SQL-replayed; the driver row asserts the pinned floor (the bloom
+    no-false-negative assertion-oracle pattern) and SCALE.md records
+    the measured number per sf. The whole measurement is ONE plan:
+    batched probe (ivfpq_topk_landed_batch), batched exact baseline
+    (cosine_topk_batch), semi-join intersection, one count."""
+    from miletos_spark.pipeline.landing import land_ivfpq_index
+    from miletos_spark.pipeline.similarity import (
+        cosine_topk_batch,
+        ivfpq_topk_landed_batch,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.orderBy("vec_id")
+        .limit(_RECALL_Q)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    dim = len(qrows[0]["embedding"])
+    queries = spark.createDataFrame(
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+         for r in qrows],
+        "qid bigint, qvec array<double>",
+    )
+    exact = cosine_topk_batch(emb, queries, k=_RECALL_K, metric="l2")
+    paths = land_ivfpq_index(
+        spark, sf_dir, n_clusters=4, m=8, n_centroids=256
+    )
+    approx = ivfpq_topk_landed_batch(
+        spark, paths, queries, dim=dim, m=8, k=_RECALL_K,
+        n_probe=3, rerank=200, vectors=emb,
+    )
+    hits = approx.select("qid", "vec_id").join(
+        exact.select("qid", "vec_id"), ["qid", "vec_id"], "left_semi"
+    )
+    denom = float(_RECALL_Q * _RECALL_K)
+    return hits.agg((F.count("*") / F.lit(denom)).alias("_recall")).select(
+        F.lit("ivfpq_rerank").alias("method"),
+        F.lit(_RECALL_K).cast("long").alias("k"),
+        F.lit(_RECALL_Q).cast("long").alias("n_queries"),
+        (F.col("_recall") >= F.lit(_RECALL_THRESH)).alias("recall_ge_075"),
+    )
+
+
+SQL_IVFPQ_RECALL_TOPK = """
+SELECT 'ivfpq_rerank' AS method,
+       CAST(10 AS BIGINT) AS k,
+       CAST(20 AS BIGINT) AS n_queries,
+       TRUE AS recall_ge_075
+"""
+
+
 _MCMCREC_STDV = 2e-4     # posterior sigma ~ stdv/sqrt(n_constraining):
                          # measured worst percentile deviation 6.8e-4
                          # (dura, sf0.001) vs 2dp half-step 5e-3 -> 7x
@@ -6156,32 +6233,39 @@ ORDER BY sp.target
 #      twins) — each window slot goes to a distinct operator family.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- driver-checked window (positions 0-49, all oracle-backed) --
+    # r06 rotation (VERDICT r5 ask #4): promoted 9 never-driver-checked
+    # rows (asof_join, rollup_pricing, time_rollup, near_dup_pairs,
+    # stream_ls_keyed, rolling_std_peakcut, binned_rms, transit_epochs,
+    # + the new ivfpq_recall row); evicted 9 rows green ≥2 consecutive
+    # rounds (rebin, median_normalize, sessionize, fold_phase_bins,
+    # largest_gap, lomb_scargle batch, dedup_exact, transit_windows,
+    # model_loglik) into the judge-sweep overflow block.
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
     "crossmatch_catalog": q_crossmatch_catalog,
     "photometry_events": q_photometry_events,
-    "rebin_events": q_rebin_events,
-    "median_normalize_events": q_median_normalize_events,
-    "sessionize_events": q_sessionize_events,
-    "fold_phase_bins": q_fold_phase_bins,
+    "asof_join_events": q_asof_join_events,
+    "rollup_pricing": q_rollup_pricing,
+    "time_rollup_events": q_time_rollup_events,
+    "transit_epochs_events": q_transit_epochs_events,
     "sketch_stats_events": q_sketch_stats_events,
     "repetition_stats_docs": q_repetition_stats_docs,
     "spline_recovery_events": q_spline_recovery_events,
     "transit_fit_recovery_events": q_transit_fit_recovery_events,
-    "largest_gap_events": q_largest_gap_events,
-    "lomb_scargle_events": q_lomb_scargle_events,
+    "rolling_std_peakcut_events": q_rolling_std_peakcut_events,
+    "binned_rms_events": q_binned_rms_events,
     "bls_spectrum_events": q_bls_spectrum_events,
     "gp_recovery_events": q_gp_recovery_events,
     "bls_multi_recovery_events": q_bls_multi_recovery_events,
     "outlier_period_events": q_outlier_period_events,
-    "dedup_exact_docs": q_dedup_exact_docs,
+    "near_dup_pairs": q_near_dup_pairs,
     "near_dup_clusters": q_near_dup_clusters,
     "ivf_recovery_topk": q_ivf_recovery_topk,
     "lsh_similarity_topk": q_lsh_similarity_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "corpus_cleanup": q_corpus_cleanup,
     "pipeline_summary_events": q_pipeline_summary_events,
-    "transit_windows_events": q_transit_windows_events,
+    "ivfpq_recall_topk": q_ivfpq_recall_topk,
     "flare_band_events": q_flare_band_events,
     "trigger_clusters_events": q_trigger_clusters_events,
     "bloom_dedup_docs": q_bloom_dedup_docs,
@@ -6191,7 +6275,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality_docs": q_doc_quality_docs,
     "vocab_topk_docs": q_vocab_topk_docs,
     "pipeline_population_events": q_pipeline_population_events,
-    "model_loglik_events": q_model_loglik_events,
+    "stream_ls_keyed_events": q_stream_ls_keyed_events,
     "mcmc_recovery_events": q_mcmc_recovery_events,
     "derived_features_events": q_derived_features_events,
     "detection_stats_events": q_detection_stats_events,
@@ -6207,20 +6291,25 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_dedup_docs": q_stream_dedup_docs,
     "ener_spectrum_events": q_ener_spectrum_events,
     # -- oracle-backed overflow (judge full sweep only, no driver row) --
+    "rebin_events": q_rebin_events,
+    "median_normalize_events": q_median_normalize_events,
+    "sessionize_events": q_sessionize_events,
+    "fold_phase_bins": q_fold_phase_bins,
+    "largest_gap_events": q_largest_gap_events,
+    "lomb_scargle_events": q_lomb_scargle_events,
+    "dedup_exact_docs": q_dedup_exact_docs,
+    "transit_windows_events": q_transit_windows_events,
+    "model_loglik_events": q_model_loglik_events,
     "rv_flare_model_events": q_rv_flare_model_events,
-    "stream_ls_keyed_events": q_stream_ls_keyed_events,
     "mask_windows_events": q_mask_windows_events,
     "rolling_std_events": q_rolling_std_events,
     "topk_outliers_events": q_topk_outliers_events,
-    "binned_rms_events": q_binned_rms_events,
     "pq_landed_topk": q_pq_landed_topk,
     "language_id_docs": q_language_id_docs,
     "stream_sessions_events": q_stream_sessions_events,
     "datetime_strings_events": q_datetime_strings_events,
     "gp_pair_loglik_events": q_gp_pair_loglik_events,
     "ztf_ingest_events": q_ztf_ingest_events,
-    "asof_join_events": q_asof_join_events,
-    "transit_epochs_events": q_transit_epochs_events,
     "interp_grid_events": q_interp_grid_events,
     "fingerprint_docs": q_fingerprint_docs,
     "depth_fit_events": q_depth_fit_events,
@@ -6232,10 +6321,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_median_events": q_rolling_median_events,
     "customers_without_orders": q_customers_without_orders,
     "top_events": q_top_events,
-    "rolling_std_peakcut_events": q_rolling_std_peakcut_events,
     "membership_events": q_membership_events,
     "rebin_count_events": q_rebin_count_events,
-    "near_dup_pairs": q_near_dup_pairs,
     "text_stats_docs": q_text_stats_docs,
     "mixture_sample_docs": q_mixture_sample_docs,
     "pack_sequences_docs": q_pack_sequences_docs,
@@ -6295,6 +6382,7 @@ def _oracles() -> dict[str, str]:
         "pack_sequences_docs": SQL_PACK_SEQUENCES_DOCS,
         "decontaminate_docs": SQL_DECONTAMINATE_DOCS,
         "ivfpq_recovery_topk": SQL_IVFPQ_RECOVERY_TOPK,
+        "ivfpq_recall_topk": SQL_IVFPQ_RECALL_TOPK,
         "similarity_topk": SQL_SIMILARITY_TOPK,
         "near_dup_pairs": SQL_NEAR_DUP_PAIRS,
         "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,

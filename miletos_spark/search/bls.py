@@ -493,15 +493,25 @@ def bls_search_multires(
     """
     import math as _math
 
-    # decimal-sum mean: order-independent, so mu (and depth = mu −
-    # mean_in) is reproducible bit-for-bit across engines and runs
+    # decimal-sum moments: order-independent, so mu, sd (and depth =
+    # mu − mean_in, snr = depth/(sd/√n)) are reproducible bit-for-bit
+    # across engines and runs. sd from double `stddev_pop` was the one
+    # order-dependent digit left — its last-ulp partial-agg wobble fed
+    # round(snr, 2) and flipped a rounding tie per run (r05 driver
+    # hash-red). Σv and Σv² in decimal(38,18) are exact on ≤2-decimal
+    # landed data (v·v is one deterministic IEEE product, cast
+    # shortest-repr), so sd = sqrt(Σv²/n − mu²) carries no ordering
+    # noise at all.
+    v = F.col(value_col)
     g = df.agg(
-        (F.sum(F.col(value_col).cast("decimal(38,18)")).cast("double")
+        (F.sum(v.cast("decimal(38,18)")).cast("double")
          / F.count(value_col)).alias("mu"),
-        F.stddev_pop(value_col).alias("sd"),
+        (F.sum((v * v).cast("decimal(38,18)")).cast("double")
+         / F.count(value_col)).alias("m2"),
         F.min(time_col).alias("t0"),
     ).first()
-    mu, sd, t0 = float(g["mu"]), float(g["sd"]), float(g["t0"])
+    mu, m2, t0 = float(g["mu"]), float(g["m2"]), float(g["t0"])
+    sd = _math.sqrt(max(m2 - mu * mu, 0.0))
 
     # Quantize (dcyc·period) box widths into log2 RESOLUTION GROUPS —
     # one rebin + crossJoin pipeline per group, not per distinct dcyc
@@ -607,7 +617,7 @@ FROM (
   SELECT (SELECT t0 FROM g) + (bb + 0.5) * {delt!r} AS tc, s, n
   FROM (
     SELECT CAST(floor((t - (SELECT t0 FROM g)) / {delt!r}) AS BIGINT) AS bb,
-           sum(CAST(v AS DECIMAL(38,18))) AS s, count(*) AS n
+           sum(CAST(CAST(v AS VARCHAR) AS DECIMAL(38,18))) AS s, count(*) AS n
     FROM samples GROUP BY 1
   )
 ) b CROSS JOIN (VALUES {values}) tr(period, dcyc, off)
@@ -618,14 +628,18 @@ WITH samples AS (
   SELECT CAST({time_expr} AS DOUBLE) AS t, CAST({value_expr} AS DOUBLE) AS v
   FROM {table}
 ),
-g AS (SELECT CAST(sum(CAST(v AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS mu,
-             stddev_pop(v) AS sd, min(t) AS t0 FROM samples),
+g AS (SELECT CAST(sum(CAST(CAST(v AS VARCHAR) AS DECIMAL(38,18))) AS DOUBLE)
+             / count(*) AS mu,
+             CAST(sum(CAST(CAST(v * v AS VARCHAR) AS DECIMAL(38,18))) AS DOUBLE)
+             / count(*) AS m2,
+             min(t) AS t0 FROM samples),
 boxes AS (
 {union}
 )
 SELECT b.period, b.dcyc, b.off, b.bucket, b.n_in, b.mean_in,
        g.mu - b.mean_in AS depth,
-       (g.mu - b.mean_in) / (g.sd / sqrt(b.n_in)) AS snr,
+       (g.mu - b.mean_in)
+       / (sqrt(greatest(g.m2 - g.mu * g.mu, 0.0)) / sqrt(b.n_in)) AS snr,
        {t_ref!r} + ((b.bucket + 0.5) * b.dcyc + b.off * b.dcyc) * b.period AS epoch
 FROM boxes b CROSS JOIN g
 """

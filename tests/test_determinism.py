@@ -59,6 +59,11 @@ QUERIES = [
     # seeded stretch-move chain: coarse rounding must absorb any
     # partition-order float noise in the pooled log-likelihood
     "mcmc_recovery_events",
+    # round-6: the r05 driver hash-red — snr must come from decimal
+    # Σv/Σv² moments, never a double stddev_pop partial agg
+    "bls_multires_events",
+    # round-6: cluster membership csv must not depend on agg order
+    "near_dup_clusters",
 ]
 
 # driver-ish defaults vs an adversarial layout: tiny partition count,

@@ -37,19 +37,20 @@ def test_window_rotation_is_deliberate():
     window = list(QUERIES)[:DRIVER_WINDOW]
     assert window == [
         "pricing_summary", "region_revenue", "crossmatch_catalog",
-        "photometry_events", "rebin_events", "median_normalize_events",
-        "sessionize_events", "fold_phase_bins", "sketch_stats_events",
-        "repetition_stats_docs", "spline_recovery_events",
-        "transit_fit_recovery_events", "largest_gap_events",
-        "lomb_scargle_events", "bls_spectrum_events", "gp_recovery_events",
+        "photometry_events", "asof_join_events", "rollup_pricing",
+        "time_rollup_events", "transit_epochs_events",
+        "sketch_stats_events", "repetition_stats_docs",
+        "spline_recovery_events", "transit_fit_recovery_events",
+        "rolling_std_peakcut_events", "binned_rms_events",
+        "bls_spectrum_events", "gp_recovery_events",
         "bls_multi_recovery_events", "outlier_period_events",
-        "dedup_exact_docs", "near_dup_clusters", "ivf_recovery_topk",
+        "near_dup_pairs", "near_dup_clusters", "ivf_recovery_topk",
         "lsh_similarity_topk", "embedding_near_dup", "corpus_cleanup",
-        "pipeline_summary_events", "transit_windows_events",
+        "pipeline_summary_events", "ivfpq_recall_topk",
         "flare_band_events", "trigger_clusters_events",
         "bloom_dedup_docs", "pq_recovery_topk", "simhash_pairs",
         "media_features", "doc_quality_docs", "vocab_topk_docs",
-        "pipeline_population_events", "model_loglik_events",
+        "pipeline_population_events", "stream_ls_keyed_events",
         "mcmc_recovery_events", "derived_features_events",
         "detection_stats_events", "stream_bls_events", "stream_ls_events",
         "matched_filter_events", "phase_curve_events",

@@ -176,3 +176,71 @@ def test_ivfpq_landed_index_memoizes(spark, sf_dir):
     p2 = land_ivfpq_index(spark, sf_dir, n_clusters=4, m=8, n_centroids=16)
     assert p2 == p1 and time.time() - t0 < 0.5
     assert os.path.exists(p1["codes"]) and os.path.exists(p1["codebook"])
+
+
+def test_batched_probe_matches_single_query(emb, query, spark, sf_dir):
+    """ivfpq_topk_landed_batch with Q=1 must reproduce the single-query
+    probe's candidates and ADC scores exactly (the batch form is a
+    re-keying of the same plan, not a different algorithm)."""
+    from miletos_spark.pipeline.landing import land_ivfpq_index
+    from miletos_spark.pipeline.similarity import (
+        ivfpq_topk_landed,
+        ivfpq_topk_landed_batch,
+    )
+
+    paths = land_ivfpq_index(spark, sf_dir, n_clusters=4, m=8, n_centroids=16)
+    single = {
+        r["vec_id"]: r["adc_d2"]
+        for r in ivfpq_topk_landed(
+            spark, paths, query, m=8, k=10, n_probe=2
+        ).collect()
+    }
+    queries = spark.createDataFrame(
+        [(0, query)], "qid bigint, qvec array<double>"
+    )
+    batch = ivfpq_topk_landed_batch(
+        spark, paths, queries, dim=len(query), m=8, k=10, n_probe=2
+    ).collect()
+    assert {r["vec_id"]: r["d2"] for r in batch} == single
+
+
+def test_rerank_recovers_bruteforce_order(emb, query, spark, sf_dir):
+    """Exact rerank of an exhaustive candidate set must equal the
+    brute-force L2 ranking bit-for-bit — rerank changes which rows are
+    scored, never how."""
+    from miletos_spark.pipeline.landing import land_ivfpq_index
+    from miletos_spark.pipeline.similarity import (
+        _l2sq,
+        cosine_topk_batch,
+        ivfpq_topk_landed_batch,
+    )
+
+    n_vec = emb.count()
+    paths = land_ivfpq_index(spark, sf_dir, n_clusters=4, m=8, n_centroids=16)
+    queries = spark.createDataFrame(
+        [(0, query)], "qid bigint, qvec array<double>"
+    )
+    # probe everything + rerank everything == brute force
+    rr = ivfpq_topk_landed_batch(
+        spark, paths, queries, dim=len(query), m=8, k=10,
+        n_probe=4, rerank=n_vec, vectors=emb,
+    ).collect()
+    exact = cosine_topk_batch(emb, queries, k=10, metric="l2").collect()
+    assert [(r["vec_id"], r["d2"]) for r in rr] == [
+        (r["vec_id"], r["d2"]) for r in exact
+    ]
+
+
+def test_batched_exact_matches_cosine_topk(emb, query, spark):
+    """cosine_topk_batch(metric='cosine') with one query must equal the
+    existing single-query cosine_topk."""
+    from miletos_spark.pipeline.similarity import cosine_topk_batch
+
+    queries = spark.createDataFrame(
+        [(7, query)], "qid bigint, qvec array<double>"
+    )
+    got = cosine_topk_batch(emb, queries, k=10, metric="cosine").collect()
+    want = cosine_topk(emb, query, k=10).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in got] == [
+        (r["vec_id"], r["cos_sim"]) for r in want
+    ]

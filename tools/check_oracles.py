@@ -43,7 +43,17 @@ def canon(rows: list[dict]) -> list[tuple]:
                 return ("float", 0.0)  # -0.0 == 0.0
             return ("float", v)
         if isinstance(v, list):
-            return ("list", tuple(norm(x) for x in v))
+            # The DRIVER's pandas canonicalizer cannot hash list cells
+            # (sort_values raises 'unhashable type: list' — r05
+            # near_dup_clusters err). Converting to tuples here would
+            # pass locally while the driver errors, so REJECT instead:
+            # serialize array columns (concat_ws / string_agg) before
+            # registering a query in the driver window.
+            raise TypeError(
+                "array-typed output column: the driver canon cannot "
+                "hash list cells — serialize to a string "
+                "(concat_ws / string_agg) instead"
+            )
         return (type(v).__name__, v)
 
     out = []
@@ -109,7 +119,12 @@ def main() -> None:
             print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows)}")
             n_fail += 1
             continue
-        cs, cd = canon(srows), canon(drows)
+        try:
+            cs, cd = canon(srows), canon(drows)
+        except TypeError as ex:
+            print(f"FAIL {name}: {ex}")
+            n_fail += 1
+            continue
         if cs != cd:
             bad = [(a, b) for a, b in zip(cs, cd) if a != b][:3]
             print(f"FAIL {name}: value mismatch, first diffs: {bad}")
