@@ -164,21 +164,31 @@ def sample_transit_groups(
 
 def fit_transit_groups(
     df: DataFrame,
-    period: float,
-    epoch0: float,
+    period: float | None,
+    epoch0: float | None,
     depth0: float = 0.01,
     dura0: float = 0.1,
     group_cols: Sequence[str] = ("inst", "chunk"),
     time_col: str = "time",
     value_col: str = "value",
     stdv_col: str = "stdv",
+    period_col: str | None = None,
+    epoch_col: str | None = None,
+    dura_col: str | None = None,
 ) -> DataFrame:
     """Fit (epoch, depth, dura_total) of a fixed-period trapezoid per
     group by chi² minimization. Returns one row per group:
     group_cols + (epoch_hat, depth_hat, dura_hat, chi2, n).
 
     The per-group series must be bounded (a sector/chunk); the fit is
-    deterministic (fixed initial simplex, stable sort)."""
+    deterministic (fixed initial simplex, stable sort).
+
+    The population form: when `period_col`/`epoch_col`/`dura_col` are
+    given, each group's fixed period and initial (epoch, dura) are read
+    from ITS OWN columns (constant within the group — e.g. the target's
+    top BLS detection broadcast-joined in) instead of shared scalars,
+    so N targets with N different ephemerides fit in one
+    applyInPandas."""
     import pandas as pd
 
     keys = list(group_cols)
@@ -187,9 +197,17 @@ def fit_transit_groups(
         for f in df.select(*keys).schema.fields
     ) + ", epoch_hat double, depth_hat double, dura_hat double, chi2 double, n long"
 
-    p, e0, d0, w0 = float(period), float(epoch0), float(depth0), float(dura0)
+    if period_col is None and period is None:
+        raise ValueError("either period or period_col is required")
+    p_s = float(period) if period is not None else None
+    e_s = float(epoch0) if epoch0 is not None else None
+    d0 = float(depth0)
+    w_s = float(dura0)
 
     def fit_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = float(pdf[period_col].iloc[0]) if period_col else p_s
+        e0 = float(pdf[epoch_col].iloc[0]) if epoch_col else e_s
+        w0 = float(pdf[dura_col].iloc[0]) if dura_col else w_s
         t = pdf[time_col].to_numpy(dtype=float)
         y = pdf[value_col].to_numpy(dtype=float)
         s = pdf[stdv_col].to_numpy(dtype=float)

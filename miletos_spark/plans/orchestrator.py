@@ -12,10 +12,17 @@ reference memoizes (raw assembly, detrended, spectra). Stage order
     → detection gate (A9 `boolposianls`, miletos/main.py:11871-11877)
     → [gated] transit windows (J1/J3), phase-curve bundles (X5),
       closed-form depth (M5) and optional per-group NM fit
-    → results row (+ optional S10 upsert)
 
 Network/catalog stages (steps 2/4: MAST, lygos) are upstream landing
 jobs here — the pipeline starts from the landed long-format table.
+
+ONE stage implementation serves both entry points (VERDICT r5 ask #5):
+`run_population` drives N targets through `_analyses` keyed on the
+target column, and `run_pipeline` is a K=1 call of the SAME stages
+with a constant synthetic key — the single-target path cannot drift
+from the population path because there is no second copy of the stage
+logic. `run_pipeline` keeps its richer `RunResult` by collecting the
+(bounded) per-target outputs of the shared stages.
 """
 
 from __future__ import annotations
@@ -26,22 +33,15 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from miletos_spark.model.forward import trapezoid_depth
-from miletos_spark.model.likelihood import depth_fit_closed_form
 from miletos_spark.operators.detrend import clip_detrend_loop
 from miletos_spark.operators.filters import mask_time_windows
-from miletos_spark.operators.fold import fold, phase_bins, transit_flag
-from miletos_spark.search.bls import (
-    bls_multi_signal,
-    bls_multi_signal_grouped,
-    trial_table,
-)
+from miletos_spark.operators.fold import phase_bins, transit_flag
+from miletos_spark.search.bls import bls_multi_signal_grouped, trial_table
 from miletos_spark.search.flare import flare_outlier_search
-from miletos_spark.search.lombscargle import (
-    freq_grid,
-    lomb_scargle,
-    lomb_scargle_grouped,
-)
+from miletos_spark.search.lombscargle import freq_grid, lomb_scargle_grouped
+
+# constant key for the K=1 single-series path
+_SOLO = "__solo__"
 
 
 @dataclass
@@ -74,13 +74,22 @@ class RunConfig:
     # detection gate (A9)
     gate_bls_snr: float = 10.0           # thrss2nrcosc
     gate_ls_power: float = 0.2           # thrslspecosc
-    # fitting (M5)
+    # fitting (M5): closed-form depth on the top accepted detection
     fit_on_detection: bool = True
+    # phase-curve bundles (X5): per-target fixed-grid phase bins of the
+    # top accepted detection for every DETECTED target
+    phase_bins_on_detection: bool = True
+    phase_num_bins: int = 50
+    # full Nelder-Mead trapezoid fit (M5 'exec'): per-target
+    # (epoch, depth, dura) chi² minimization at the detected period —
+    # engine-iterative, so OFF by default in oracle-replayed runs
+    nm_fit_on_detection: bool = False
     # optional frozen baseline for GRID construction (BLS trial table,
     # LS frequency grid). None = measure from the detrended data (the
-    # reference's behavior). Freezing it makes the search grids a pure
-    # function of config — reproducible across runs and replayable by
-    # an external oracle — while the reported span stays measured.
+    # reference's behavior; single-series only). Freezing it makes the
+    # search grids a pure function of config — reproducible across runs
+    # and replayable by an external oracle — while the reported span
+    # stays measured.
     grid_span_days: float | None = None
 
 
@@ -97,6 +106,263 @@ class RunResult:
     wall_s: float
 
 
+def _guard_mask(
+    df: DataFrame, cfg: RunConfig, time_col: str, value_col: str
+) -> DataFrame:
+    """F1/F2/F4: finite/sanity guards + custom time-window mask —
+    per-row predicates, no keying needed."""
+    work = df.filter(
+        F.col(value_col).isNotNull()
+        & ~F.isnan(F.col(value_col))
+        & (F.abs(F.col(value_col)) < 1e10)
+    )
+    if cfg.mask_windows:
+        work = mask_time_windows(work, cfg.mask_windows, time_col=time_col)
+    return work
+
+
+def _detrend_stage(
+    work: DataFrame,
+    cfg: RunConfig,
+    keys: list[str],
+    time_col: str,
+    value_col: str,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """X4 clip↔detrend keyed by the target column; returns (detrended
+    [cached], det normalized to (keys, time, value), spans [cached] —
+    one row per target with n_samples / _lo / _hi / span_days)."""
+    detrended = clip_detrend_loop(
+        work, cfg.detrend_half_width, max_iter=cfg.detrend_max_iter,
+        value_col=value_col, time_col=time_col, group_cols=keys,
+        clip_per_group=True,
+        halo_chunk_rows=max(8192, 4 * cfg.detrend_half_width),
+    ).cache()
+    det = detrended.select(
+        *keys,
+        F.col(time_col).alias("time"),
+        F.col("value_detrended").alias("value"),
+    )
+    spans = (
+        det.groupBy(*keys)
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.min("time").alias("_lo"),
+            F.max("time").alias("_hi"),
+        )
+        .withColumn("span_days", F.col("_hi") - F.col("_lo"))
+    ).cache()
+    return detrended, det, spans
+
+
+def _analyses(
+    spark: SparkSession,
+    det: DataFrame,
+    spans: DataFrame,
+    cfg: RunConfig,
+    target_col: str,
+    grid_span: float,
+) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """P1/P2/P7 analyses + A9 gate + gated J1/X5/M5 stages, ALL keyed
+    by `target_col` — the one stage implementation behind both entry
+    points. Returns (per-target summary DataFrame, stage DataFrames)."""
+    keys = [target_col]
+
+    # --- BLS multi-signal (P2), keyed --------------------------------
+    trials = trial_table(
+        spark, cfg.bls_p_min, cfg.bls_p_max, span_days=grid_span,
+        osam=cfg.bls_osam, n_dcyc=cfg.bls_n_dcyc, dcyc_min=cfg.bls_dcyc_min,
+    )
+    detections = bls_multi_signal_grouped(
+        det, trials, keys, max_signals=cfg.bls_max_signals,
+        snr_threshold=cfg.bls_snr_accept,
+    )
+    det_agg = detections.groupBy(target_col).agg(
+        F.count("*").alias("n_bls_signals"),
+        F.max("snr").alias("best_bls_snr"),
+    )
+
+    # --- LS (P1), keyed: per-target time shift to its own origin -----
+    f_lo = 1.0 / grid_span
+    df_step = f_lo / cfg.ls_osam
+    n_freq = max(int((cfg.ls_max_freq - f_lo) / df_step), 2)
+    shifted = det.join(
+        F.broadcast(spans.select(target_col, "_lo")), target_col
+    ).select(
+        target_col, (F.col("time") - F.col("_lo")).alias("time"), "value"
+    )
+    spec = lomb_scargle_grouped(
+        shifted, freq_grid(spark, f_lo, df_step, min(n_freq, 2000)), keys
+    )
+    ls_best = (
+        spec.groupBy(target_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("power").alias("power"),
+                    (-F.col("freq")).alias("_nf"),
+                )
+            ).alias("_b")
+        )
+        .select(
+            target_col,
+            F.col("_b.power").alias("ls_power"),
+            (-F.col("_b._nf")).alias("ls_freq"),
+        )
+    )
+
+    # --- flares (P7), keyed ------------------------------------------
+    flares = flare_outlier_search(
+        det, window_days=cfg.flare_window, threshold=cfg.flare_threshold,
+        group_cols=keys, halo_chunk_days=24.0 * cfg.flare_window,
+    )
+    flare_counts = flares.groupBy(target_col).agg(
+        F.count("*").alias("n_flares")
+    )
+
+    # --- gate (A9) + per-target summary ------------------------------
+    out = (
+        spans.join(F.broadcast(det_agg), target_col, "left")
+        .join(F.broadcast(ls_best), target_col, "left")
+        .join(F.broadcast(flare_counts), target_col, "left")
+        .select(
+            target_col,
+            "n_samples",
+            "span_days",
+            F.coalesce("n_bls_signals", F.lit(0)).cast("int")
+            .alias("n_bls_signals"),
+            F.coalesce("best_bls_snr", F.lit(0.0)).alias("best_bls_snr"),
+            "ls_power",
+            "ls_freq",
+            F.coalesce("n_flares", F.lit(0)).alias("n_flares"),
+            (
+                (F.coalesce("best_bls_snr", F.lit(0.0)) > cfg.gate_bls_snr)
+                | (F.coalesce("ls_power", F.lit(0.0)) > cfg.gate_ls_power)
+            ).alias("detected"),
+        )
+    )
+    stages: dict[str, DataFrame] = {
+        "detections": detections, "spec": spec, "flares": flares,
+    }
+
+    # --- gated stages: top accepted detection per DETECTED target ----
+    need_top = (
+        cfg.fit_on_detection
+        or cfg.phase_bins_on_detection
+        or cfg.nm_fit_on_detection
+    )
+    if need_top:
+        top = (
+            detections.filter(F.col("signal_idx") == 0)
+            .join(
+                F.broadcast(
+                    out.filter(F.col("detected")).select(target_col)
+                ),
+                target_col,
+            )
+            .select(
+                target_col,
+                F.col("period").alias("_p"),
+                F.col("epoch").alias("_e"),
+                (F.col("dcyc") * F.col("period")).alias("_dura"),
+            )
+        )
+        joined = det.join(F.broadcast(top), target_col)
+
+    # --- gated per-target phase-curve bundle (X5), one keyed agg -----
+    # mirrors the reference's per-target phase curves of the TOI
+    # population run (examples/examples.py:162-172): fold each detected
+    # target on ITS OWN top ephemeris (phase into (-0.5, 0.5], the
+    # fold(phase_center=0) convention), bin on the fixed grid
+    if cfg.phase_bins_on_detection and need_top:
+        p0 = (
+            ((F.col("time") - F.col("_e")) % F.col("_p") + F.col("_p"))
+            % F.col("_p")
+        ) / F.col("_p")
+        ph = p0 - F.when(p0 > 0.5, 1.0).otherwise(0.0)
+        folded = joined.withColumn("phase", ph).withColumn(
+            "stdv", F.lit(1.0)
+        )
+        bundle = phase_bins(
+            folded, num_bins=cfg.phase_num_bins,
+            group_cols=[target_col], center=0.0,
+        )
+        stages["bundle"] = bundle
+        pb = (
+            bundle.groupBy(target_col)
+            .agg(
+                # argmin by (value, phase): deepest bin, earliest phase
+                # on ties — max of the negated struct is tie-stable and
+                # order-free
+                F.max(
+                    F.struct(
+                        (-F.col("value")).alias("_nv"),
+                        (-F.col("phase")).alias("_nph"),
+                    )
+                ).alias("_m"),
+                F.count("*").alias("pb_n_bins"),
+            )
+            .select(
+                target_col,
+                (-F.col("_m._nv")).alias("pb_min_value"),
+                (-F.col("_m._nph")).alias("pb_min_phase"),
+                F.col("pb_n_bins").cast("int").alias("pb_n_bins"),
+            )
+        )
+        out = out.join(F.broadcast(pb), target_col, "left")
+
+    # --- gated per-target closed-form depth fit (M5), one job --------
+    if cfg.fit_on_detection and need_top:
+        from miletos_spark.model.forward import trapezoid_depth_cols
+        from miletos_spark.model.likelihood import depth_fit_closed_form
+
+        shape = trapezoid_depth_cols(
+            F.col("time"), F.col("_p"), F.col("_e"), F.col("_dura")
+        )
+        fits = depth_fit_closed_form(
+            joined.withColumn("stdv", F.lit(1.0))
+            .withColumn("_shape", shape),
+            "_shape",
+            group_cols=(target_col,),
+        )
+        out = out.join(
+            F.broadcast(
+                fits.select(
+                    target_col, "depth_hat", "depth_err", "n_in_shape"
+                )
+            ),
+            target_col,
+            "left",
+        )
+
+    # --- gated per-target NM trapezoid fit (M5 'exec'), keyed --------
+    # one applyInPandas over DETECTED targets only; each group fits
+    # (epoch, depth, dura) at its own fixed detected period — the
+    # population form of the reference's per-target scipy fit
+    if cfg.nm_fit_on_detection and need_top:
+        from miletos_spark.model.infer import fit_transit_groups
+
+        nm = fit_transit_groups(
+            joined.withColumn("stdv", F.lit(1.0)),
+            period=None, epoch0=None,
+            group_cols=(target_col,),
+            period_col="_p", epoch_col="_e", dura_col="_dura",
+        )
+        out = out.join(
+            F.broadcast(
+                nm.select(
+                    target_col,
+                    F.col("epoch_hat").alias("nm_epoch"),
+                    F.col("depth_hat").alias("nm_depth"),
+                    F.col("dura_hat").alias("nm_dura"),
+                    F.col("chi2").alias("nm_chi2"),
+                )
+            ),
+            target_col,
+            "left",
+        )
+    return out, stages
+
+
 def run_pipeline(
     spark: SparkSession,
     series: DataFrame,
@@ -106,111 +372,74 @@ def run_pipeline(
 ) -> RunResult:
     """Run the full pipeline on a long-format series
     (time, value[, stdv]). Returns a `RunResult`; nothing sample-sized
-    is collected to the driver (detections/summaries are O(1) rows)."""
+    is collected to the driver (detections/summaries are O(1) rows).
+
+    This is a K=1 call of the SHARED population stages (`_analyses`)
+    under a constant synthetic key — one stage implementation for both
+    entry points, so the two cannot drift. The only single-series
+    extra is the measured-span grid default (`grid_span_days=None`):
+    the span is read from the detrended data (one bounded row) before
+    grid construction, which a population run cannot do (its shared
+    broadcast grids require the frozen baseline)."""
     cfg = config or RunConfig()
     t_start = time.time()
 
-    # --- guards + mask (F1/F2/F4) ------------------------------------
-    work = series.filter(
-        F.col(value_col).isNotNull()
-        & ~F.isnan(F.col(value_col))
-        & (F.abs(F.col(value_col)) < 1e10)
+    pop = series.withColumn("_target", F.lit(_SOLO))
+    work = _guard_mask(pop, cfg, time_col, value_col)
+    detrended, det, spans = _detrend_stage(
+        work, cfg, ["_target"], time_col, value_col
     )
-    if cfg.mask_windows:
-        work = mask_time_windows(work, cfg.mask_windows, time_col=time_col)
-
-    # --- detrend (X4) → 'Detrended' stage ----------------------------
-    detrended = clip_detrend_loop(
-        work, cfg.detrend_half_width, max_iter=cfg.detrend_max_iter,
-        value_col=value_col, time_col=time_col,
-        halo_chunk_rows=max(8192, 4 * cfg.detrend_half_width),
-    ).cache()
-    span_row = detrended.agg(
-        F.min(time_col).alias("lo"), F.max(time_col).alias("hi")
-    ).first()
-    span = float(span_row["hi"] - span_row["lo"])
-    det = detrended.select(
-        F.col(time_col).alias("time"),
-        F.col("value_detrended").alias("value"),
-    )
-
-    # --- analyses (P1, P2, P7) ---------------------------------------
+    span_row = spans.first()
+    span = float(span_row["span_days"]) if span_row is not None else 0.0
     if cfg.grid_span_days is not None and cfg.grid_span_days <= 0:
         raise ValueError(
             f"grid_span_days must be positive or None, got {cfg.grid_span_days!r}"
         )
     grid_span = cfg.grid_span_days if cfg.grid_span_days is not None else span
-    trials = trial_table(
-        spark, cfg.bls_p_min, cfg.bls_p_max, span_days=grid_span,
-        osam=cfg.bls_osam, n_dcyc=cfg.bls_n_dcyc, dcyc_min=cfg.bls_dcyc_min,
-    )
-    bls_found = bls_multi_signal(
-        det, trials, max_signals=cfg.bls_max_signals,
-        snr_threshold=cfg.bls_snr_accept,
-    )
 
-    f_lo = 1.0 / grid_span
-    df_step = f_lo / cfg.ls_osam
-    n_freq = max(int((cfg.ls_max_freq - f_lo) / df_step), 2)
-    shifted = det.select(
-        (F.col("time") - F.lit(float(span_row["lo"]))).alias("time"), "value"
-    )
-    spec = lomb_scargle(
-        shifted, freq_grid(spark, f_lo, df_step, min(n_freq, 2000))
-    )
-    ls_row = spec.orderBy(F.col("power").desc(), "freq").first()
+    out, stages = _analyses(spark, det, spans, cfg, "_target", grid_span)
+    row = out.first()
+
+    bls_found = [
+        {k: v for k, v in r.asDict().items() if k != "_target"}
+        for r in stages["detections"].orderBy("signal_idx").collect()
+    ]
+    best_snr = float(row["best_bls_snr"]) if row is not None else 0.0
+    detected = bool(row["detected"]) if row is not None else False
     ls_best = (
-        {"freq": ls_row["freq"], "period": 1.0 / ls_row["freq"],
-         "power": ls_row["power"]}
-        if ls_row is not None else None
+        {"freq": row["ls_freq"], "period": 1.0 / row["ls_freq"],
+         "power": row["ls_power"]}
+        if row is not None and row["ls_power"] is not None else None
     )
+    flares = stages["flares"].drop("_target")
 
-    flares = flare_outlier_search(
-        det, window_days=cfg.flare_window, threshold=cfg.flare_threshold,
-        halo_chunk_days=24.0 * cfg.flare_window,
-    )
-
-    # --- detection gate (A9 boolposianls) ----------------------------
-    best_snr = max((d["snr"] for d in bls_found), default=0.0)
-    detected = bool(
-        best_snr > cfg.gate_bls_snr
-        or (ls_best is not None and ls_best["power"] > cfg.gate_ls_power)
-    )
-
-    # --- gated: transit windows, phase bundle, fit (J1/X5/M5) --------
     phase_bundle = None
+    if detected and "bundle" in stages and bls_found:
+        phase_bundle = stages["bundle"].drop("_target")
+
     depth_fit = None
     if detected and cfg.fit_on_detection and bls_found:
         top = bls_found[0]
         p, epoch = float(top["period"]), float(top["epoch"])
         dura = float(top["dcyc"]) * p
         flagged = transit_flag(det, p, epoch, dura)
-        folded = fold(det, p, epoch, phase_center=0.0)
-        phase_bundle = phase_bins(
-            folded.withColumn("stdv", F.lit(1.0)), num_bins=50, center=0.0
-        )
-        shape = trapezoid_depth(F.col("time"), p, epoch, dura)
-        fit_row = depth_fit_closed_form(
-            det.withColumn("stdv", F.lit(1.0)).withColumn("shape", shape),
-            "shape",
-        ).first()
         depth_fit = {
-            "depth_hat": fit_row["depth_hat"],
-            "depth_err": fit_row["depth_err"],
+            "depth_hat": row["depth_hat"],
+            "depth_err": row["depth_err"],
             "n_in_transit": flagged.filter(F.col("in_transit")).count(),
         }
 
     summary = {
-        "n_samples": det.count(),
+        "n_samples": int(row["n_samples"]) if row is not None else 0,
         "span_days": span,
         "n_bls_signals": len(bls_found),
         "best_bls_snr": best_snr,
         "ls_power": ls_best["power"] if ls_best else None,
-        "n_flares": flares.count(),
+        "n_flares": int(row["n_flares"]) if row is not None else 0,
         "detected": detected,
     }
     return RunResult(
-        detrended=detrended,
+        detrended=detrended.drop("_target"),
         bls_detections=bls_found,
         ls_best=ls_best,
         flares=flares,
@@ -243,8 +472,10 @@ def run_population(
     loop count is `bls_max_signals`, never N. Nothing per-sample ever
     reaches the driver; the result is one summary row per target:
     (target, n_samples, span_days, n_bls_signals, best_bls_snr,
-    ls_power, n_flares, detected).
-    """
+    ls_power, ls_freq, n_flares, detected[, pb_min_value, pb_min_phase,
+    pb_n_bins][, depth_hat, depth_err, n_in_shape][, nm_*]) — the
+    bracketed groups appear per the phase_bins / fit / nm_fit config
+    gates, NULL for undetected targets."""
     cfg = config or RunConfig()
     if cfg.grid_span_days is None:
         raise ValueError(
@@ -252,149 +483,11 @@ def run_population(
             "grid baseline is what makes the search grids shared across "
             "targets (one broadcast crossJoin for the whole population)"
         )
-    keys = [target_col]
-
-    # --- guards + mask (F1/F2/F4), per-row so no keying needed -------
-    work = population.filter(
-        F.col(value_col).isNotNull()
-        & ~F.isnan(F.col(value_col))
-        & (F.abs(F.col(value_col)) < 1e10)
+    work = _guard_mask(population, cfg, time_col, value_col)
+    _, det, spans = _detrend_stage(
+        work, cfg, [target_col], time_col, value_col
     )
-    if cfg.mask_windows:
-        work = mask_time_windows(work, cfg.mask_windows, time_col=time_col)
-
-    # --- detrend (X4) keyed by target --------------------------------
-    detrended = clip_detrend_loop(
-        work, cfg.detrend_half_width, max_iter=cfg.detrend_max_iter,
-        value_col=value_col, time_col=time_col, group_cols=keys,
-        clip_per_group=True,
-        halo_chunk_rows=max(8192, 4 * cfg.detrend_half_width),
-    ).cache()
-    det = detrended.select(
-        target_col,
-        F.col(time_col).alias("time"),
-        F.col("value_detrended").alias("value"),
+    out, _ = _analyses(
+        spark, det, spans, cfg, target_col, cfg.grid_span_days
     )
-    spans = (
-        det.groupBy(target_col)
-        .agg(
-            F.count("*").alias("n_samples"),
-            F.min("time").alias("_lo"),
-            F.max("time").alias("_hi"),
-        )
-        .withColumn("span_days", F.col("_hi") - F.col("_lo"))
-    ).cache()
-
-    # --- BLS multi-signal (P2), keyed --------------------------------
-    trials = trial_table(
-        spark, cfg.bls_p_min, cfg.bls_p_max, span_days=cfg.grid_span_days,
-        osam=cfg.bls_osam, n_dcyc=cfg.bls_n_dcyc, dcyc_min=cfg.bls_dcyc_min,
-    )
-    detections = bls_multi_signal_grouped(
-        det, trials, keys, max_signals=cfg.bls_max_signals,
-        snr_threshold=cfg.bls_snr_accept,
-    )
-    det_agg = detections.groupBy(target_col).agg(
-        F.count("*").alias("n_bls_signals"),
-        F.max("snr").alias("best_bls_snr"),
-    )
-
-    # --- LS (P1), keyed: per-target time shift to its own origin -----
-    f_lo = 1.0 / cfg.grid_span_days
-    df_step = f_lo / cfg.ls_osam
-    n_freq = max(int((cfg.ls_max_freq - f_lo) / df_step), 2)
-    shifted = det.join(
-        F.broadcast(spans.select(target_col, "_lo")), target_col
-    ).select(
-        target_col, (F.col("time") - F.col("_lo")).alias("time"), "value"
-    )
-    spec = lomb_scargle_grouped(
-        shifted, freq_grid(spark, f_lo, df_step, min(n_freq, 2000)), keys
-    )
-    ls_best = (
-        spec.groupBy(target_col)
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("power").alias("power"),
-                    (-F.col("freq")).alias("_nf"),
-                )
-            ).alias("_b")
-        )
-        .select(target_col, F.col("_b.power").alias("ls_power"))
-    )
-
-    # --- flares (P7), keyed ------------------------------------------
-    flare_counts = (
-        flare_outlier_search(
-            det, window_days=cfg.flare_window, threshold=cfg.flare_threshold,
-            group_cols=keys, halo_chunk_days=24.0 * cfg.flare_window,
-        )
-        .groupBy(target_col)
-        .agg(F.count("*").alias("n_flares"))
-    )
-
-    # --- gate (A9) + per-target summary ------------------------------
-    out = (
-        spans.join(F.broadcast(det_agg), target_col, "left")
-        .join(F.broadcast(ls_best), target_col, "left")
-        .join(F.broadcast(flare_counts), target_col, "left")
-        .select(
-            target_col,
-            "n_samples",
-            "span_days",
-            F.coalesce("n_bls_signals", F.lit(0)).cast("int")
-            .alias("n_bls_signals"),
-            F.coalesce("best_bls_snr", F.lit(0.0)).alias("best_bls_snr"),
-            "ls_power",
-            F.coalesce("n_flares", F.lit(0)).alias("n_flares"),
-            (
-                (F.coalesce("best_bls_snr", F.lit(0.0)) > cfg.gate_bls_snr)
-                | (F.coalesce("ls_power", F.lit(0.0)) > cfg.gate_ls_power)
-            ).alias("detected"),
-        )
-    )
-
-    # --- gated per-target depth fit (M5 closed form), one job --------
-    # mirrors run_pipeline's gated stage: only DETECTED targets are
-    # fitted, on their top accepted detection, via the column-parameter
-    # trapezoid shape — every target's fit runs in the same aggregation
-    if cfg.fit_on_detection:
-        from miletos_spark.model.forward import trapezoid_depth_cols
-        from miletos_spark.model.likelihood import depth_fit_closed_form
-
-        top = (
-            detections.filter(F.col("signal_idx") == 0)
-            .join(
-                F.broadcast(
-                    out.filter(F.col("detected")).select(target_col)
-                ),
-                target_col,
-            )
-            .select(
-                target_col,
-                F.col("period").alias("_p"),
-                F.col("epoch").alias("_e"),
-                (F.col("dcyc") * F.col("period")).alias("_dura"),
-            )
-        )
-        shape = trapezoid_depth_cols(
-            F.col("time"), F.col("_p"), F.col("_e"), F.col("_dura")
-        )
-        fits = depth_fit_closed_form(
-            det.join(F.broadcast(top), target_col)
-            .withColumn("stdv", F.lit(1.0))
-            .withColumn("_shape", shape),
-            "_shape",
-            group_cols=(target_col,),
-        )
-        out = out.join(
-            F.broadcast(
-                fits.select(
-                    target_col, "depth_hat", "depth_err", "n_in_shape"
-                )
-            ),
-            target_col,
-            "left",
-        )
     return out
