@@ -4503,17 +4503,21 @@ def q_bls_multires_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = bls_search_multires(
         ev, trials, time_col="t", value_col="value", t_ref=0.0
     )
-    # 5-decimal rounding: weighted bin sums add one more layer of
-    # summation-order noise than the exact kernel tolerates at 6
+    # quantize, not round, for the value columns: weighted box means of
+    # 2-decimal data over composite counts (e.g. /48) TERMINATE at 4
+    # decimals, so they tie exactly at the 3-decimal cut — and the two
+    # engines' round() break the SAME double differently (Spark rounds
+    # the shortest decimal repr half-up, DuckDB rounds the scaled
+    # float). Caught at sf0.001 (55.2025 → 55.203 vs 55.202).
     return spec.select(
         F.round("period", 9).alias("period"),
         F.round("dcyc", 9).alias("dcyc"),
         F.round("off", 1).alias("off"),
         "bucket",
         "n_in",
-        F.round("mean_in", 3).alias("mean_in"),
-        F.round("depth", 3).alias("depth"),
-        F.round("snr", 2).alias("snr"),
+        quantize(F.col("mean_in"), 3).alias("mean_in"),
+        quantize(F.col("depth"), 3).alias("depth"),
+        quantize(F.col("snr"), 2).alias("snr"),
         F.round("epoch", 4).alias("epoch"),
     )
 
@@ -4530,8 +4534,10 @@ WITH inner_q AS (
 )
 SELECT round(period, 9) AS period, round(dcyc, 9) AS dcyc,
        round(off, 1) AS off, bucket, n_in,
-       round(mean_in, 3) AS mean_in, round(depth, 3) AS depth,
-       round(snr, 2) AS snr, round(epoch, 4) AS epoch
+       {quantize_sql("mean_in", 3)} AS mean_in,
+       {quantize_sql("depth", 3)} AS depth,
+       {quantize_sql("snr", 2)} AS snr,
+       round(epoch, 4) AS epoch
 FROM inner_q
 """
 
@@ -6069,6 +6075,11 @@ def q_pipeline_population_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("target", "time", "value")
     )
     out = run_population(spark, pop, RunConfig(**_POP_CFG))
+    # pb_*: the gated per-target phase-curve stage (X5 in population
+    # form, r06) — fold each detected target on its own top ephemeris,
+    # 50 fixed phase bins, argmin-bin summary; NULL for the undetected
+    # control. quantize (not round) on the bin mean: decimal fixed-order
+    # means of 3-decimal detrended values can tie exactly at 6 decimals
     return out.select(
         "target",
         "n_samples",
@@ -6078,6 +6089,9 @@ def q_pipeline_population_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ls_power", 4).alias("ls_power"),
         "n_flares",
         "detected",
+        quantize(F.col("pb_min_value"), 6).alias("pb_min_value"),
+        F.round("pb_min_phase", 4).alias("pb_min_phase"),
+        "pb_n_bins",
     ).orderBy("target")
 
 
@@ -6162,8 +6176,8 @@ snrspec AS (
 {snr_spec}
 ),
 blsbest AS (
-  SELECT target, snr FROM (
-    SELECT target, snr, row_number() OVER (
+  SELECT target, period, epoch, snr FROM (
+    SELECT target, period, epoch, snr, row_number() OVER (
       PARTITION BY target ORDER BY snr DESC, period) AS rn
     FROM snrspec WHERE snr IS NOT NULL
   ) WHERE rn = 1
@@ -6198,6 +6212,37 @@ starts AS (
     FROM trig
   )
   GROUP BY target
+),
+-- gated phase-curve replay (X5 population form, r06): targets with an
+-- ACCEPTED top detection that also pass the A9 gate fold on their own
+-- (period, epoch), 50 fixed phase bins of the detrended series,
+-- argmin-bin summary — the same stage run_population executes keyed
+pbsrc AS (
+  SELECT d2.target AS target, d2.v AS v,
+         ((d2.t - b.epoch) % b.period + b.period) % b.period
+           / b.period AS p0
+  FROM d2
+  JOIN blsbest b USING (target)
+  LEFT JOIN lsbest l USING (target)
+  WHERE b.snr >= {c["bls_snr_accept"]!r}
+    AND (b.snr > {c["gate_bls_snr"]!r}
+         OR coalesce(l.power, 0.0) > {c["gate_ls_power"]!r})
+),
+pbb AS (
+  SELECT target,
+         least(CAST(floor(((p0 - CASE WHEN p0 > 0.5 THEN 1.0 ELSE 0.0 END)
+                           + 0.5) * 50) AS INT), 49) AS bin,
+         {_dec_mean_sql("v", "count(v)")} AS bv
+  FROM pbsrc GROUP BY target, 2
+),
+pbs AS (
+  SELECT target, bv, -0.5 + (bin + 0.5) / 50 AS pb_phase, cnt
+  FROM (
+    SELECT target, bin, bv,
+           CAST(count(*) OVER (PARTITION BY target) AS INT) AS cnt,
+           row_number() OVER (PARTITION BY target ORDER BY bv, bin) AS rn
+    FROM pbb
+  ) WHERE rn = 1
 )
 SELECT sp.target AS target,
        sp.n AS n_samples,
@@ -6209,11 +6254,15 @@ SELECT sp.target AS target,
        round(l.power, 4) AS ls_power,
        coalesce(s.n_flares, 0) AS n_flares,
        (coalesce(b.snr, 0.0) > {c["gate_bls_snr"]!r}
-          OR l.power > {c["gate_ls_power"]!r}) AS detected
+          OR l.power > {c["gate_ls_power"]!r}) AS detected,
+       {quantize_sql("p2.bv", 6)} AS pb_min_value,
+       round(p2.pb_phase, 4) AS pb_min_phase,
+       p2.cnt AS pb_n_bins
 FROM sp
 LEFT JOIN blsbest b USING (target)
 LEFT JOIN lsbest l USING (target)
 LEFT JOIN starts s USING (target)
+LEFT JOIN pbs p2 USING (target)
 ORDER BY sp.target
 """
 
