@@ -201,6 +201,12 @@ def _train_codebooks(sample, m: int, n_centroids: int, seed: int) -> list:
         by_sub.setdefault(r["sub"], []).append(r["sv"])
     books = []
     for sub_i in range(m):
+        if not by_sub.get(sub_i):
+            raise ValueError(
+                f"PQ codebook training: subspace {sub_i} has an empty "
+                "sample — the embeddings table is empty or the hash-"
+                "threshold sample selected no rows"
+            )
         pts = np.asarray(by_sub[sub_i], dtype=np.float64)
         k = min(n_centroids, len(pts))
         rng = np.random.RandomState(seed + sub_i)
@@ -283,7 +289,9 @@ def land_ivfpq_index(
     cap = 65536
     n_vec = emb.count()
     mod = 1 << 20
-    thresh = mod if n_vec <= cap else int(mod * cap / n_vec)
+    # max(1, ...): at n_vec > mod*cap the integer ratio truncates to 0
+    # and the sample would silently be empty
+    thresh = mod if n_vec <= cap else max(1, int(mod * cap / n_vec))
     sample = (
         subv.filter(F.pmod(F.xxhash64("vec_id"), F.lit(mod)) < thresh)
         .select("sub", "sv")
@@ -350,7 +358,9 @@ def land_pq_index(
     cap = 65536
     n_vec = emb.count()
     mod = 1 << 20
-    thresh = mod if n_vec <= cap else int(mod * cap / n_vec)
+    # max(1, ...): at n_vec > mod*cap the integer ratio truncates to 0
+    # and the sample would silently be empty
+    thresh = mod if n_vec <= cap else max(1, int(mod * cap / n_vec))
     sample = (
         subv.filter(F.pmod(F.xxhash64("vec_id"), F.lit(mod)) < thresh)
         .select("sub", "sv")

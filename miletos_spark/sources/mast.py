@@ -122,14 +122,17 @@ def land_mast_lightcurves(
             "MAST product basenames collide in one landing dir: "
             f"{sorted({n for n in names if names.count(n) > 1})}"
         )
-    # fresh landing dir: stale *.fits from a previous (wider) selection
-    # must not leak into this read
-    if os.path.isdir(landing_dir):
-        for old_f in os.listdir(landing_dir):
+    # Land into a dedicated subdirectory owned by this function: stale
+    # *.fits from a previous (wider) selection must not leak into this
+    # read, but the caller's landing_dir may hold unrelated FITS data
+    # we must never delete — only the _mast_lc/ subdir is ours to wipe.
+    owned = os.path.join(landing_dir, "_mast_lc")
+    if os.path.isdir(owned):
+        for old_f in os.listdir(owned):
             if old_f.endswith(".fits"):
-                os.remove(os.path.join(landing_dir, old_f))
-    os.makedirs(landing_dir, exist_ok=True)
+                os.remove(os.path.join(owned, old_f))
+    os.makedirs(owned, exist_ok=True)
     for uri in manifest:
         local = resolve_uri(uri)
-        shutil.copy(local, os.path.join(landing_dir, os.path.basename(uri)))
-    return read_tess_fits(spark, os.path.join(landing_dir, "*.fits"))
+        shutil.copy(local, os.path.join(owned, os.path.basename(uri)))
+    return read_tess_fits(spark, os.path.join(owned, "*.fits"))
