@@ -84,6 +84,43 @@ def upsert_results(
     return spark.read.parquet(path)
 
 
+def upsert_results_partitioned(
+    spark: SparkSession,
+    path: str,
+    new_rows: DataFrame,
+    key: str = "strgtarg",
+) -> DataFrame:
+    """S10 at scale — partition-level MERGE keyed on `key`: the results
+    table is laid out `partitionBy(key)`, and an upsert rewrites ONLY
+    the partitions whose key appears in `new_rows` (Spark dynamic
+    partition overwrite), leaving every other key's files untouched.
+
+    This is the 100 TB shape `upsert_results` can't reach: the
+    whole-file variant reads and rewrites the entire table per upsert
+    (O(table) work for O(batch) new rows, and a read-modify-write race
+    where two concurrent writers each rewrite the full table and the
+    last one wins, silently dropping the other's keys). Here each
+    writer touches its own key partitions only, so concurrent upserts
+    over disjoint key sets compose with no lost rows — the test
+    interleaves two writers and asserts exactly that.
+
+    Semantics: the new batch REPLACES each touched key's partition
+    wholesale (one summary row — or one complete row group — per key
+    per batch, the reference's per-target results contract,
+    miletos/main.py:12458-12539). Idempotent by construction: replaying
+    a batch rewrites the same partitions to the same bytes. On object
+    stores, swap for a table format's transactional MERGE
+    (Delta/Iceberg); the plan shape (partition-pruned write, no
+    full-table read) is the same."""
+    (
+        new_rows.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(key)
+        .parquet(path)
+    )
+    return spark.read.parquet(path)
+
+
 def memoize_parquet(
     spark: SparkSession,
     path: str,

@@ -163,6 +163,87 @@ def test_upsert_recovers_from_crash_window(spark, tmp_path):
     assert not os.path.exists(path + "__upsert_old")
 
 
+def test_upsert_partitioned_merge(spark, tmp_path):
+    """Partition-level MERGE semantics: a second batch replaces only
+    its own keys' partitions; untouched keys' files survive verbatim."""
+    import glob
+    import os
+
+    from miletos_spark.sources.sinks import upsert_results_partitioned
+
+    path = str(tmp_path / "results")
+    r1 = spark.createDataFrame(
+        [("t1", 1.0), ("t2", 2.0)], "strgtarg string, score double"
+    )
+    r2 = spark.createDataFrame(
+        [("t2", 9.0), ("t3", 3.0)], "strgtarg string, score double"
+    )
+    upsert_results_partitioned(spark, path, r1)
+    t1_files = sorted(glob.glob(os.path.join(path, "strgtarg=t1", "*.parquet")))
+    t1_mtimes = [os.stat(f).st_mtime_ns for f in t1_files]
+    merged = upsert_results_partitioned(spark, path, r2)
+    got = {r["strgtarg"]: r["score"] for r in merged.collect()}
+    assert got == {"t1": 1.0, "t2": 9.0, "t3": 3.0}
+    # the untouched partition was not rewritten — same files, same mtimes
+    assert (
+        sorted(glob.glob(os.path.join(path, "strgtarg=t1", "*.parquet")))
+        == t1_files
+    )
+    assert [os.stat(f).st_mtime_ns for f in t1_files] == t1_mtimes
+    # idempotence: replaying the batch changes nothing
+    replay = upsert_results_partitioned(spark, path, r2)
+    assert {r["strgtarg"]: r["score"] for r in replay.collect()} == got
+
+
+def test_upsert_partitioned_concurrent_writers(spark, sf_dir, tmp_path):
+    """Two interleaved writers over disjoint key sets lose no rows.
+
+    This is exactly the race the whole-file upsert cannot win: each
+    writer there reads the full table and rewrites it, so whichever
+    commits last clobbers the other's keys. The partitioned sink only
+    touches the writer's own key partitions, so concurrent upserts
+    compose. Real per-target summaries from the sf events table; the
+    two halves of the target space run in parallel threads against ONE
+    table path."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from miletos_spark.schema import load_table
+    from miletos_spark.sources.sinks import upsert_results_partitioned
+
+    path = str(tmp_path / "results")
+    ev = load_table(spark, sf_dir, "events")
+    summary = (
+        ev.groupBy(
+            F.concat(F.lit("u"), F.pmod("user_id", F.lit(8)))
+            .alias("strgtarg")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 6).alias("mean_value"),
+        )
+    )
+    keys = sorted(r[0] for r in summary.select("strgtarg").collect())
+    assert len(keys) >= 2
+    half_a = set(keys[: len(keys) // 2])
+    batch_a = summary.filter(F.col("strgtarg").isin(list(half_a)))
+    batch_b = summary.filter(~F.col("strgtarg").isin(list(half_a)))
+
+    def writer(batch):
+        return upsert_results_partitioned(spark, path, batch)
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        futs = [ex.submit(writer, b) for b in (batch_a, batch_b)]
+        for f in futs:
+            f.result()
+
+    merged = spark.read.parquet(path)
+    got = {r["strgtarg"]: (r["n"], r["mean_value"]) for r in merged.collect()}
+    want = {
+        r["strgtarg"]: (r["n"], r["mean_value"]) for r in summary.collect()
+    }
+    assert got == want  # every key from both writers, no lost rows
+
+
 def test_memoize_parquet(spark, tmp_path):
     path = str(tmp_path / "memo")
     calls = []
