@@ -753,3 +753,64 @@ def bloom_membership(
         id_col,
         (F.coalesce(F.col("_n_hit"), F.lit(0)) == n_hashes).alias("maybe_seen"),
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Line-level exact dedup across the whole corpus (the C4 /
+    RefinedWeb repeated-boilerplate pass): explode each document into
+    lines, keep only the globally FIRST occurrence of every distinct
+    (normalized) line — first = smallest (id, line_no) — and reassemble
+    each document from its surviving lines in original order.
+
+    Plan: posexplode → one shuffle keyed on the line digest (window
+    row_number picks the winner; per-key groups are tiny — a line's
+    duplicate count — so key-hash parallelism holds at any corpus
+    size) → one groupBy(id) to rebuild. No joins back to the corpus,
+    no driver state.
+
+    Returns (id, text_clean, n_lines_orig, n_lines_kept); documents
+    whose every line was someone else's boilerplate come back with
+    n_lines_kept = 0 and an empty text_clean."""
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "line_no", "line"
+        ),
+    )
+    norm = F.lower(F.trim(F.col("line"))) if normalize else F.col("line")
+    keyed = lines.withColumn("line_key", F.md5(norm))
+    w = Window.partitionBy("line_key").orderBy(id_col, "line_no")
+    kept = keyed.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    totals = lines.groupBy(id_col).agg(
+        F.count("*").alias("n_lines_orig")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_lines_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("line_no", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("text_clean"),
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            "n_lines_orig",
+            F.coalesce("n_lines_kept", F.lit(0)).cast("long").alias(
+                "n_lines_kept"
+            ),
+        )
+    )

@@ -91,3 +91,67 @@ def mixture_sample(
         .filter(F.col("u") < F.col("keep_frac_grp"))
         .drop("u")
     )
+
+
+def assign_splits(
+    df: DataFrame,
+    weights: "Sequence[tuple[str, int]]" = (
+        ("train", 8), ("val", 1), ("test", 1),
+    ),
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Deterministic train/val/test split assignment (the dataset-
+    versioning primitive every training pipeline needs: a document's
+    split must never change when the corpus grows or the job reruns).
+
+    Two modes sharing one integer-exact rule:
+
+    - ``group_col=None`` (the 100 TB default): split by the md5 hash
+      uniform alone — pure codegen scan, no shuffle, and membership is
+      a function of the id only, so it is stable under corpus growth
+      (new docs slot into splits without moving old ones).
+    - ``group_col`` given (exact stratified mode): rank rows within
+      each stratum by (hash, id) and cut the ranking at integer
+      boundaries, giving EXACT per-stratum proportions — one shuffle
+      on the stratum key; per-stratum sort, so strata must be bounded
+      (lang/source cardinality, not corpus cardinality, drives skew).
+
+    Weights are INTEGERS (e.g. 8/1/1 = 80/10/10): boundaries are pure
+    integer comparisons (`rank * W <= n * cum_w`, no float fraction
+    anywhere), so the assignment is bit-identical in any engine — a
+    0.96 * n float boundary would tie at whole numbers.
+
+    Returns ``df`` + a ``split`` column."""
+    from pyspark.sql import Window
+
+    names = [n for n, _ in weights]
+    cums, acc = [], 0
+    for _, w in weights:
+        acc += w
+        cums.append(acc)
+    total = acc
+
+    if group_col is None:
+        # rank-free form of the same rule: u*W < cum_w (u is a 32-bit
+        # dyadic rational, W a small int — the product is exact)
+        u32 = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        expr = F.lit(names[-1])
+        for name, cum in zip(names[:-1][::-1], cums[:-1][::-1]):
+            expr = F.when(
+                u32 * total < F.lit(cum * 4294967296), F.lit(name)
+            ).otherwise(expr)
+        return df.withColumn("split", expr)
+
+    w = Window.partitionBy(group_col).orderBy(
+        hash_uniform(F.col(id_col)), F.col(id_col)
+    )
+    cnt = Window.partitionBy(group_col)
+    r = F.row_number().over(w)
+    n = F.count("*").over(cnt)
+    expr = F.lit(names[-1])
+    for name, cum in zip(names[:-1][::-1], cums[:-1][::-1]):
+        expr = F.when(r * total <= n * cum, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

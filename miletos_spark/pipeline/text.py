@@ -252,3 +252,39 @@ def doc_repetition(
             ).alias("top_bigram_frac"),
         )
     )
+
+
+# PII scrubbing (the pre-training redaction pass): pattern order
+# matters — EMAIL first (an address swallows the digits/dots an IP or
+# phone pattern would otherwise half-match inside it), then the
+# all-digit shapes from most to least specific. Patterns are kept to
+# the RE2-compatible subset (no lookarounds/backrefs) so the same
+# strings drive Java regex (Spark) and RE2 (DuckDB oracle) identically
+# on ASCII text.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails / SSNs / phone numbers / IPv4s, replacing each
+    match with a typed placeholder token, and count what was removed.
+    Counts are taken SEQUENTIALLY on the progressively-scrubbed text
+    (each count is exactly the number of replacements that pattern
+    performed, never a double-count of overlapping shapes).
+
+    Pure column expressions — one codegen'd scan at any corpus size.
+    Returns (id, text_scrubbed, n_email, n_ssn, n_phone, n_ipv4)."""
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, token)
+    return df.select(
+        F.col(id_col), cur.alias("text_scrubbed"), *counts
+    )

@@ -1011,6 +1011,199 @@ GROUP BY g.doc_id
 """
 
 
+def q_pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (pre-training scrub): deterministic synthetic PII
+    — emails, an SSN, phone numbers, IPv4s, keyed on doc_id so both
+    engines inject the identical strings — is appended to the corpus,
+    then `scrub_pii` replaces every match with a typed placeholder and
+    counts what it removed. The md5 of the scrubbed text pins the
+    redaction output byte-for-byte, not just the counts. Patterns stay
+    in the RE2-compatible subset so the Java-regex (Spark) and RE2
+    (DuckDB) engines agree on ASCII text."""
+    from miletos_spark.pipeline.text import scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    idm = F.col("doc_id") % 4
+    did = F.col("doc_id").cast("string")
+    frag = (
+        F.when(idm == 0, F.concat(
+            F.lit(" reach user"), did,
+            F.lit("@mail.example.com or admin@ex.org soon"),
+        ))
+        .when(idm == 1, F.concat(
+            F.lit(" host 10."), (F.col("doc_id") % 200).cast("string"),
+            F.lit(".3.7 responded 8.8.8.8 fine"),
+        ))
+        .when(idm == 2, F.concat(
+            F.lit(" call 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-0199 ssn 078-05-1120 now"),
+        ))
+        .otherwise(F.lit(""))
+    )
+    injected = docs.select(
+        "doc_id", F.concat(F.col("text"), frag).alias("text")
+    )
+    out = scrub_pii(injected)
+    return out.select(
+        "doc_id",
+        F.md5("text_scrubbed").alias("scrub_md5"),
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ssn").cast("long").alias("n_ssn"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+    )
+
+
+def _sql_pii() -> str:
+    """DuckDB oracle for q_pii_scrub_docs: the same injection CASE and
+    the same pattern sequence, counts via regexp_extract_all on the
+    progressively-scrubbed text (= number of replacements performed)."""
+    from miletos_spark.pipeline.text import PII_PATTERNS
+
+    steps, prev = [], "t0"
+    for i, (name, pat, token) in enumerate(PII_PATTERNS, start=1):
+        steps.append(
+            f"s{i} AS (SELECT doc_id,"
+            + "".join(
+                f" n_{n}," for n, _, _ in PII_PATTERNS[: i - 1]
+            )
+            + f" len(regexp_extract_all({prev}, '{pat}')) AS n_{name},"
+            f" regexp_replace({prev}, '{pat}', '{token}', 'g') AS t{i}"
+            f" FROM {'inj' if i == 1 else f's{i - 1}'})"
+        )
+        prev = f"t{i}"
+    last = len(PII_PATTERNS)
+    return (
+        """
+WITH inj AS (
+  SELECT doc_id, text || CASE doc_id % 4
+    WHEN 0 THEN ' reach user' || CAST(doc_id AS VARCHAR)
+                || '@mail.example.com or admin@ex.org soon'
+    WHEN 1 THEN ' host 10.' || CAST(doc_id % 200 AS VARCHAR)
+                || '.3.7 responded 8.8.8.8 fine'
+    WHEN 2 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                || '-0199 ssn 078-05-1120 now'
+    ELSE '' END AS t0
+  FROM documents),
+"""
+        + ",\n".join(steps)
+        + f"""
+SELECT doc_id, md5(t{last}) AS scrub_md5,
+       CAST(n_email AS BIGINT) AS n_email,
+       CAST(n_ssn AS BIGINT) AS n_ssn,
+       CAST(n_phone AS BIGINT) AS n_phone,
+       CAST(n_ipv4 AS BIGINT) AS n_ipv4
+FROM s{last}
+"""
+    )
+
+
+def q_dedup_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level corpus dedup (C4/RefinedWeb boilerplate pass):
+    documents are grouped 4-to-a-page into multi-line pages (page =
+    concat of its docs' texts, '\\n'-joined in doc_id order), then
+    `dedup_lines` keeps only the globally first occurrence of every
+    normalized line and reassembles each page. The md5 of the cleaned
+    page pins the surviving-line set AND their order. The oracle never
+    string-splits: pages are lines by construction, so it replays the
+    winner rule directly on the documents table."""
+    from miletos_spark.pipeline.dedup import dedup_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    pages = (
+        docs.groupBy(
+            F.floor(F.col("doc_id") / 4).cast("long").alias("page_id")
+        )
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("doc_id", "text"))
+                    ),
+                    lambda s: s["text"],
+                ),
+            ).alias("text")
+        )
+    )
+    out = dedup_lines(pages, id_col="page_id")
+    return out.select(
+        "page_id",
+        F.md5("text_clean").alias("clean_md5"),
+        F.col("n_lines_orig").cast("long").alias("n_lines_orig"),
+        "n_lines_kept",
+    )
+
+
+SQL_DEDUP_LINES_DOCS = r"""
+WITH lines AS (
+  SELECT CAST(floor(doc_id / 4) AS BIGINT) AS page_id,
+         row_number() OVER (PARTITION BY CAST(floor(doc_id / 4) AS BIGINT)
+                            ORDER BY doc_id) - 1 AS line_no,
+         text AS line
+  FROM documents),
+keyed AS (
+  SELECT *, md5(lower(trim(line))) AS line_key FROM lines),
+kept AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY line_key
+                                 ORDER BY page_id, line_no) AS rn
+    FROM keyed
+  ) WHERE rn = 1),
+tot AS (SELECT page_id, count(*) AS n_lines_orig FROM lines GROUP BY page_id),
+reb AS (
+  SELECT page_id, count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY line_no) AS text_clean
+  FROM kept GROUP BY page_id)
+SELECT t.page_id,
+       md5(coalesce(r.text_clean, '')) AS clean_md5,
+       CAST(t.n_lines_orig AS BIGINT) AS n_lines_orig,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_lines_kept
+FROM tot t LEFT JOIN reb r USING (page_id)
+"""
+
+
+def q_split_assign_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/val/test assignment (8/1/1):
+    rows rank within each lang stratum by (md5-hash uniform, id) and
+    the ranking is cut at integer boundaries (`rank * 10 <= n * cum`),
+    so per-stratum proportions are EXACT and the whole rule is
+    integer-exact across engines. Summarized per (lang, split) with an
+    id checksum so the member SET is what's hashed."""
+    from miletos_spark.pipeline.sampling import assign_splits
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = assign_splits(
+        docs,
+        weights=(("train", 8), ("val", 1), ("test", 1)),
+        group_col="lang",
+    )
+    return out.groupBy("lang", "split").agg(
+        F.count("*").alias("n"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
+SQL_SPLIT_ASSIGN_DOCS = f"""
+WITH u AS (
+  SELECT doc_id, lang, {_sql_hash_uniform("doc_id")} AS u FROM documents),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n_g
+  FROM u)
+SELECT lang,
+       CASE WHEN rk * 10 <= n_g * 8 THEN 'train'
+            WHEN rk * 10 <= n_g * 9 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM r
+GROUP BY 1, 2
+"""
+
+
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 against the min-vec_id query vector
     (exact ANN baseline; zip_with/aggregate dot product, no UDF)."""
@@ -6376,6 +6569,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_sample_docs": q_mixture_sample_docs,
     "pack_sequences_docs": q_pack_sequences_docs,
     "decontaminate_docs": q_decontaminate_docs,
+    "pii_scrub_docs": q_pii_scrub_docs,
+    "dedup_lines_docs": q_dedup_lines_docs,
+    "split_assign_docs": q_split_assign_docs,
     "ivfpq_recovery_topk": q_ivfpq_recovery_topk,
     "rollup_pricing": q_rollup_pricing,
     "time_rollup_events": q_time_rollup_events,
@@ -6430,6 +6626,9 @@ def _oracles() -> dict[str, str]:
         "mixture_sample_docs": SQL_MIXTURE_SAMPLE_DOCS,
         "pack_sequences_docs": SQL_PACK_SEQUENCES_DOCS,
         "decontaminate_docs": SQL_DECONTAMINATE_DOCS,
+        "pii_scrub_docs": _sql_pii(),
+        "dedup_lines_docs": SQL_DEDUP_LINES_DOCS,
+        "split_assign_docs": SQL_SPLIT_ASSIGN_DOCS,
         "ivfpq_recovery_topk": SQL_IVFPQ_RECOVERY_TOPK,
         "ivfpq_recall_topk": SQL_IVFPQ_RECALL_TOPK,
         "similarity_topk": SQL_SIMILARITY_TOPK,

@@ -167,3 +167,27 @@ def test_decontaminate_crafted_overlaps(spark):
         ).collect()
     }
     assert out == {1: (1, 1), 2: (3, 1)}
+
+
+def test_dedup_lines_first_occurrence_and_total_loss(spark):
+    from miletos_spark.pipeline.dedup import dedup_lines
+
+    rows = [
+        (1, "alpha\nshared line\nbeta"),
+        (2, "shared line\ngamma\nShared  Line"),  # normalized dup too
+        (3, "shared line"),                        # loses its only line
+        (4, "alpha\nalpha"),                       # within-doc dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in dedup_lines(df).collect()}
+    assert got[1]["text_clean"] == "alpha\nshared line\nbeta"
+    # doc 2 loses 'shared line' (first seen in doc 1) but keeps
+    # 'Shared  Line': normalization lowers and trims, INNER whitespace
+    # is significant, so the double-space variant is a distinct line
+    assert got[2]["text_clean"] == "gamma\nShared  Line"
+    assert got[2]["n_lines_kept"] == 2
+    assert got[3] == {
+        "doc_id": 3, "text_clean": "", "n_lines_orig": 1, "n_lines_kept": 0,
+    }
+    assert got[4]["text_clean"] == ""  # 'alpha' first seen at (1, 0)
+    assert got[4]["n_lines_orig"] == 2 and got[4]["n_lines_kept"] == 0

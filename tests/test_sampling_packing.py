@@ -127,3 +127,45 @@ def test_pack_summary_conserves_docs_and_tokens(spark):
         by_grp.setdefault((r["lang"], r["source"]), []).append(r["start_bin"])
     for bins in by_grp.values():
         assert sorted(bins) == list(range(max(bins) + 1))
+
+
+def test_assign_splits_exact_stratified_proportions(spark):
+    from miletos_spark.pipeline.sampling import assign_splits
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = assign_splits(
+        df, weights=(("train", 8), ("val", 1), ("test", 1)),
+        group_col="lang",
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["lang"], []).append(r["split"])
+    for lang, splits in by.items():
+        n = len(splits)
+        # exact integer boundaries: floor(n*8/10), then n*9//10 - n*8//10
+        assert splits.count("train") == n * 8 // 10
+        assert splits.count("val") == n * 9 // 10 - n * 8 // 10
+        assert splits.count("test") == n - n * 9 // 10
+
+
+def test_assign_splits_hash_mode_stable_under_growth(spark):
+    from miletos_spark.pipeline.sampling import assign_splits
+
+    small = spark.createDataFrame(
+        [(i,) for i in range(100)], "doc_id long"
+    )
+    big = spark.createDataFrame(
+        [(i,) for i in range(300)], "doc_id long"
+    )
+    w = (("train", 8), ("val", 1), ("test", 1))
+    s_small = {
+        r["doc_id"]: r["split"] for r in assign_splits(small, w).collect()
+    }
+    s_big = {
+        r["doc_id"]: r["split"] for r in assign_splits(big, w).collect()
+    }
+    # growing the corpus never reassigns an existing doc
+    assert all(s_big[i] == s_small[i] for i in s_small)
+    # and every split is actually populated
+    assert set(s_big.values()) == {"train", "val", "test"}

@@ -32,3 +32,38 @@ def test_doc_repetition_known_fractions(spark):
     assert got[3]["dup_line_frac"] == 0.0
     assert got[4]["n_lines"] == 0
     assert got[4]["dup_line_frac"] == 0.0
+
+
+def test_scrub_pii_crafted_and_idempotent(spark):
+    from miletos_spark.pipeline.text import scrub_pii
+
+    rows = [
+        (0, "mail a.b-c%d@sub.example.co.uk now"),
+        (1, "ssn 078-05-1120 phone 555-123-4567 and 555.123.4567"),
+        (2, "ip 192.168.0.1 not 1234.5.6.7890 ver 1.2.3"),
+        (3, "clean text with no pii at all"),
+        (4, "user@x.io and 10.0.0.1 and 078-05-1120"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in scrub_pii(df).collect()}
+    assert got[0]["n_email"] == 1 and "<EMAIL>" in got[0]["text_scrubbed"]
+    assert got[1]["n_ssn"] == 1 and got[1]["n_phone"] == 2
+    # 1234.5.6.7890: no 4-octet IPv4 inside (word boundaries);
+    # 1.2.3 is not 4 octets either
+    assert got[2]["n_ipv4"] == 1
+    assert got[2]["text_scrubbed"] == "ip <IP> not 1234.5.6.7890 ver 1.2.3"
+    assert got[3] == {
+        "doc_id": 3, "text_scrubbed": rows[3][1],
+        "n_email": 0, "n_ssn": 0, "n_phone": 0, "n_ipv4": 0,
+    }
+    assert got[4]["n_email"] == 1 and got[4]["n_ipv4"] == 1
+    assert got[4]["n_ssn"] == 1
+    # idempotence: scrubbing scrubbed text finds nothing more
+    again = scrub_pii(
+        spark.createDataFrame(
+            [(k, v["text_scrubbed"]) for k, v in got.items()],
+            "doc_id long, text string",
+        )
+    ).collect()
+    for r in again:
+        assert r["n_email"] + r["n_ssn"] + r["n_phone"] + r["n_ipv4"] == 0
