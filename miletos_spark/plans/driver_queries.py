@@ -2469,6 +2469,76 @@ FROM events
 """
 
 
+# population NM recovery: per-target (period, epoch, depth, dura) truths
+_POPNM = {
+    "t1": (5.0, 0.8, 0.008, 0.4),
+    "t2": (7.0, 1.3, 0.010, 0.5),
+    "t3": (9.0, 2.2, 0.012, 0.6),
+}
+
+
+def q_population_nm_recovery_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 population 'opti' recovery: THREE targets, each a noiseless
+    trapezoid with its OWN (period, epoch, depth, dura), fit in ONE
+    applyInPandas via the grouped NM path that reads each group's fixed
+    period and initial (epoch, dura) from columns — the r06
+    run_population capability (orchestrator nm_fit_on_detection) made
+    driver-checkable. Each target gets the full pooled events time axis
+    (the plateau-collapse trick of transit_fit_recovery, per target),
+    so every fit must land within ~1e-6 of its truth and the oracle
+    states the three injected ground truths (miletos/main.py:3928-4169
+    `typeinfe='opti'`, run over a TOI population as in
+    examples/examples.py:162-172)."""
+    from miletos_spark.model.forward import transit_model
+    from miletos_spark.model.infer import fit_transit_groups
+
+    ev = _ev_days(spark, sf_dir)
+    tmin = ev.agg(F.min("t")).first()[0]
+    sh = ev.select((F.col("t") - F.lit(float(tmin))).alias("t"))
+    parts = []
+    for tgt, (p, e, d, w) in _POPNM.items():
+        parts.append(
+            sh.select(
+                F.lit(tgt).alias("target"),
+                "t",
+                transit_model(F.col("t"), p, e, d, w).alias("value"),
+                F.lit(1.0).alias("stdv"),
+                F.lit(p).alias("period"),
+                F.lit(e + 0.05).alias("epoch0"),
+                F.lit(w * 0.9).alias("dura0"),
+            )
+        )
+    inj = parts[0]
+    for pdf in parts[1:]:
+        inj = inj.unionByName(pdf)
+    out = fit_transit_groups(
+        inj, period=None, epoch0=None, depth0=0.009,
+        group_cols=("target",), time_col="t",
+        period_col="period", epoch_col="epoch0", dura_col="dura0",
+    )
+    return out.select(
+        "target",
+        F.round("epoch_hat", 3).alias("epoch_hat"),
+        F.round("depth_hat", 4).alias("depth_hat"),
+        F.round("dura_hat", 3).alias("dura_hat"),
+        F.round("chi2", 6).alias("chi2"),
+        "n",
+    ).orderBy("target")
+
+
+SQL_POPULATION_NM_RECOVERY_EVENTS = (
+    "SELECT v.target, v.epoch_hat, v.depth_hat, v.dura_hat, v.chi2, c.n\n"
+    "FROM (VALUES\n"
+    + ",\n".join(
+        f"  ('{tgt}', CAST({e!r} AS DOUBLE), CAST({d!r} AS DOUBLE),"
+        f" CAST({w!r} AS DOUBLE), CAST(0.0 AS DOUBLE))"
+        for tgt, (p, e, d, w) in _POPNM.items()
+    )
+    + "\n) AS v(target, epoch_hat, depth_hat, dura_hat, chi2)\n"
+    "CROSS JOIN (SELECT count(*) AS n FROM events) c\n"
+)
+
+
 # --- streaming (§2.12) ------------------------------------------------------
 
 STREAM_SCHEMA = (
@@ -6569,6 +6639,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_sample_docs": q_mixture_sample_docs,
     "pack_sequences_docs": q_pack_sequences_docs,
     "decontaminate_docs": q_decontaminate_docs,
+    "population_nm_recovery_events": q_population_nm_recovery_events,
     "pii_scrub_docs": q_pii_scrub_docs,
     "dedup_lines_docs": q_dedup_lines_docs,
     "split_assign_docs": q_split_assign_docs,
@@ -6626,6 +6697,7 @@ def _oracles() -> dict[str, str]:
         "mixture_sample_docs": SQL_MIXTURE_SAMPLE_DOCS,
         "pack_sequences_docs": SQL_PACK_SEQUENCES_DOCS,
         "decontaminate_docs": SQL_DECONTAMINATE_DOCS,
+        "population_nm_recovery_events": SQL_POPULATION_NM_RECOVERY_EVENTS,
         "pii_scrub_docs": _sql_pii(),
         "dedup_lines_docs": SQL_DEDUP_LINES_DOCS,
         "split_assign_docs": SQL_SPLIT_ASSIGN_DOCS,
