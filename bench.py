@@ -89,6 +89,11 @@ HEADLINE = [
     # round-6: batched ANN probe + exact rerank, measured against the
     # brute-force baseline in one plan
     "ivfpq_recall_topk",
+    # round-6 second wave: curation additions + grouped-NM population fit
+    "pii_scrub_docs",
+    "dedup_lines_docs",
+    "split_assign_docs",
+    "population_nm_recovery_events",
 ]
 
 

@@ -64,6 +64,12 @@ QUERIES = [
     "bls_multires_events",
     # round-6: cluster membership csv must not depend on agg order
     "near_dup_clusters",
+    # round-6 second wave: line-dedup rebuild order (collect_list under
+    # sort_array), stratified split rank boundaries, and the grouped-NM
+    # population fit under different groupBy partitionings
+    "dedup_lines_docs",
+    "split_assign_docs",
+    "population_nm_recovery_events",
 ]
 
 # driver-ish defaults vs an adversarial layout: tiny partition count,
