@@ -93,6 +93,7 @@ HEADLINE = [
     "pii_scrub_docs",
     "dedup_lines_docs",
     "split_assign_docs",
+    "quality_filter_docs",
     "population_nm_recovery_events",
 ]
 

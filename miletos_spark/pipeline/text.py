@@ -288,3 +288,75 @@ def scrub_pii(
     return df.select(
         F.col(id_col), cur.alias("text_scrubbed"), *counts
     )
+
+
+# Fixed weights for the linear quality classifier below: the shape of a
+# fastText/CCNet-style quality model (positive on length-in-range and
+# word-length, negative on symbol/digit/caps excess). Real deployments
+# swap in trained weights; the Spark seam — featurize, dot-product,
+# threshold, all in one codegen'd scan — is identical.
+QUALITY_WEIGHTS: dict[str, float] = {
+    "bias": -0.8,
+    "f_len": 3.0,
+    "f_word": 1.0,
+    "punct_ratio": -8.0,
+    "digit_ratio": -6.0,
+    "upper_ratio": -2.0,
+}
+
+
+def quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Model-based quality filter (the classifier stage of CCNet /
+    fastText-filter pipelines) as a pure column expression: bounded
+    length and word-length features plus the symbol/digit/caps ratios,
+    one fixed-weight dot product, keep = logit > 0.
+
+    The checked output is the LINEAR logit, not sigmoid(logit): the
+    features are exact int/int divisions and the dot product a fixed
+    left-to-right chain of correctly-rounded IEEE ops, so the logit is
+    bit-identical in any engine — while exp() is only ~1-ulp
+    reproducible across libms. Monotonicity makes the two thresholds
+    equivalent (sigmoid(x) > 0.5 <=> x > 0).
+
+    Returns (id, logit, keep)."""
+    w = dict(QUALITY_WEIGHTS, **(weights or {}))
+    t = F.col(text_col)
+    toks = token_count(t)
+    non_ws = F.length(F.regexp_replace(t, r"\s", ""))
+    n_chars = F.length(t)
+    f_len = F.least(toks, F.lit(256)).cast("double") / F.lit(256.0)
+    f_word = (
+        F.least(
+            F.when(toks > 0, non_ws / toks).otherwise(F.lit(0.0)),
+            F.lit(12.0),
+        )
+        / F.lit(12.0)
+    )
+    punct = F.when(
+        n_chars > 0,
+        F.length(F.regexp_replace(t, r"[^!-/:-@\[-`{-~]", "")) / n_chars,
+    ).otherwise(F.lit(0.0))
+    digit = F.when(
+        n_chars > 0, F.length(F.regexp_replace(t, r"[^0-9]", "")) / n_chars
+    ).otherwise(F.lit(0.0))
+    upper = F.when(
+        n_chars > 0, F.length(F.regexp_replace(t, r"[^A-Z]", "")) / n_chars
+    ).otherwise(F.lit(0.0))
+    logit = (
+        F.lit(w["bias"])
+        + F.lit(w["f_len"]) * f_len
+        + F.lit(w["f_word"]) * f_word
+        + F.lit(w["punct_ratio"]) * punct
+        + F.lit(w["digit_ratio"]) * digit
+        + F.lit(w["upper_ratio"]) * upper
+    )
+    return df.select(
+        F.col(id_col),
+        logit.alias("logit"),
+        (logit > 0).alias("keep"),
+    )

@@ -1204,6 +1204,53 @@ GROUP BY 1, 2
 """
 
 
+def q_quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the CCNet/fastText classifier
+    stage): fixed-weight linear model over bounded length/word-length
+    features and the symbol/digit/caps ratios, keep = logit > 0. The
+    checked column is the quantized LINEAR logit — an exact int/int
+    feature set through a fixed IEEE op chain — because exp() is only
+    ~1-ulp reproducible across libms while the logit is bit-exact."""
+    from miletos_spark.pipeline.text import quality_classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = quality_classifier(docs)
+    return out.select(
+        "doc_id",
+        quantize(F.col("logit"), 6).alias("logit"),
+        "keep",
+    )
+
+
+SQL_QUALITY_FILTER_DOCS = f"""
+WITH f AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks,
+         length(regexp_replace(text, '\\s', '', 'g')) AS non_ws,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
+  FROM documents),
+lg AS (
+  SELECT doc_id,
+         -0.8 + 3.0 * (CAST(least(toks, 256) AS DOUBLE) / 256.0)
+              + 1.0 * (least(CASE WHEN toks > 0
+                                  THEN non_ws / toks ELSE 0.0 END, 12.0)
+                       / 12.0)
+              - 8.0 * (CASE WHEN n_chars > 0
+                            THEN n_punct / n_chars ELSE 0.0 END)
+              - 6.0 * (CASE WHEN n_chars > 0
+                            THEN n_digit / n_chars ELSE 0.0 END)
+              - 2.0 * (CASE WHEN n_chars > 0
+                            THEN n_upper / n_chars ELSE 0.0 END) AS logit
+  FROM f)
+SELECT doc_id, {quantize_sql("logit", 6)} AS logit, logit > 0 AS keep
+FROM lg
+"""
+
+
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 against the min-vec_id query vector
     (exact ANN baseline; zip_with/aggregate dot product, no UDF)."""
@@ -6640,6 +6687,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences_docs": q_pack_sequences_docs,
     "decontaminate_docs": q_decontaminate_docs,
     "population_nm_recovery_events": q_population_nm_recovery_events,
+    "quality_filter_docs": q_quality_filter_docs,
     "pii_scrub_docs": q_pii_scrub_docs,
     "dedup_lines_docs": q_dedup_lines_docs,
     "split_assign_docs": q_split_assign_docs,
@@ -6698,6 +6746,7 @@ def _oracles() -> dict[str, str]:
         "pack_sequences_docs": SQL_PACK_SEQUENCES_DOCS,
         "decontaminate_docs": SQL_DECONTAMINATE_DOCS,
         "population_nm_recovery_events": SQL_POPULATION_NM_RECOVERY_EVENTS,
+        "quality_filter_docs": SQL_QUALITY_FILTER_DOCS,
         "pii_scrub_docs": _sql_pii(),
         "dedup_lines_docs": SQL_DEDUP_LINES_DOCS,
         "split_assign_docs": SQL_SPLIT_ASSIGN_DOCS,

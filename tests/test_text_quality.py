@@ -67,3 +67,25 @@ def test_scrub_pii_crafted_and_idempotent(spark):
     ).collect()
     for r in again:
         assert r["n_email"] + r["n_ssn"] + r["n_phone"] + r["n_ipv4"] == 0
+
+
+def test_quality_classifier_crafted(spark):
+    from miletos_spark.pipeline.text import quality_classifier
+
+    rows = [
+        (0, "a decent length document " * 10),   # long clean -> keep
+        (1, "x"),                                 # one tiny token
+        (2, "!!! ### $$$ %%% ^^^ &&&"),           # all punctuation
+        (3, "1234 5678 9012 3456"),               # all digits
+        (4, ""),                                  # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in quality_classifier(df).collect()}
+    assert got[0]["keep"] is True and got[0]["logit"] > 0
+    assert got[2]["keep"] is False   # punct weight dominates
+    assert got[3]["keep"] is False   # digit weight dominates
+    # empty text: all features 0 -> logit == bias
+    assert got[4]["logit"] == -0.8 and got[4]["keep"] is False
+    # keep is exactly the sign test
+    for r in got.values():
+        assert r["keep"] == (r["logit"] > 0)
