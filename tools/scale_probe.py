@@ -63,6 +63,11 @@ CORPUS_QUERIES = [
     "near_dup_clusters",
     "pq_recovery_topk",
     "sketch_stats_events",
+    # round-6 additions
+    "pii_scrub_docs",
+    "dedup_lines_docs",
+    "split_assign_docs",
+    "quality_filter_docs",
 ]
 
 
