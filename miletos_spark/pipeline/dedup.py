@@ -134,13 +134,22 @@ def minhash_signatures(
 
 
 def lsh_bands(
-    sigs: DataFrame, id_col: str = "doc_id", bands: int = 8
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    num_hashes: int | None = None,
 ) -> DataFrame:
     """Explode a MinHash signature table into (id, band, bhash) — the
     LSH join-key table. Shared by the compute-on-read path and the
     write-time landing job (`pipeline.landing.land_dedup_index`), which
-    persists it partitioned by band."""
-    n = sigs.select(F.size("sig")).first()[0]
+    persists it partitioned by band. Pass `num_hashes` explicitly for
+    STREAMING inputs — the default probes the signature width with a
+    `.first()`, which is illegal on an unstarted stream."""
+    n = (
+        num_hashes
+        if num_hashes is not None
+        else sigs.select(F.size("sig")).first()[0]
+    )
     rows_per_band = n // bands
     return sigs.select(
         F.col(id_col),

@@ -3190,6 +3190,107 @@ SELECT DISTINCT md5(text) AS text_hash FROM documents
 """
 
 
+def _land_docs_neardup_feed(
+    spark: SparkSession, sf_dir: str, overwrite: bool = False
+) -> str:
+    """Memoized landing of the streaming NEAR-dup feed: re-crawl
+    replicas of every 5th corpus doc (re-keyed at +2e6, IDENTICAL
+    text — must all match their source) plus 25 novel synthetic docs
+    (keyed at +3e6 — realistic non-duplicate traffic), split into 6
+    files so the availableNow drain crosses micro-batches."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|ndfeed"
+    except OSError:
+        sig = os.path.abspath(sf_dir) + "|ndfeed"
+    key = hashlib.md5(sig.encode()).hexdigest()[:12]
+    land = os.path.join(tempfile.gettempdir(), f"miletos_land_{key}", "data")
+    if overwrite and os.path.exists(land):
+        import shutil
+
+        shutil.rmtree(os.path.dirname(land), ignore_errors=True)
+    if not os.path.exists(land):
+        docs = load_table(spark, sf_dir, "documents")
+        reps = docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        )
+        novel = spark.range(25).select(
+            (F.col("id") + 3000000).alias("doc_id"),
+            F.concat(
+                F.lit("novel crawl item "), F.col("id").cast("string"),
+                F.lit(" with entirely fresh synthetic content "),
+                F.col("id").cast("string"),
+            ).alias("text"),
+        )
+        reps.unionByName(novel).repartition(6).write.parquet(land)
+    return land
+
+
+def _stream_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from miletos_spark.pipeline.landing import land_dedup_index
+    from miletos_spark.streaming.ingest import stream_near_dup
+
+    land = _land_docs_neardup_feed(spark, sf_dir)
+    bands_path = land_dedup_index(spark, sf_dir)["bands"]
+    sdf = stream_near_dup(
+        spark,
+        land,
+        "doc_id long, text string",
+        bands_path,
+        max_files_per_trigger=2,
+    )
+    return _drain_memory_stream(
+        spark, sdf, "stream_neardup_", output_mode="append"
+    )
+
+
+def q_stream_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 + U3 online: streaming near-dup candidate pairs — each
+    arriving doc MinHash-banded in-stream and joined against the landed
+    LSH band index (the incremental-crawl shape; the corpus indexes
+    once, micro-batches pay only their own signatures). Engine-specific
+    (MinHash isn't SQL-replayable) → rows-only, with the assertion twin
+    `stream_near_dup_recovery_docs` as the checked row and a
+    batch-vs-stream bit-equality unit test."""
+    out = _stream_near_dup_pairs(spark, sf_dir)
+    return out.select("new_id", "corpus_id")
+
+
+def q_stream_near_dup_recovery_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-checkable witness for the streaming near-dup path: LSH on
+    IDENTICAL text is exact (every band hash equal), so each re-crawl
+    replica in the feed MUST emit the pair (replica, its source) — the
+    no-false-negative assertion, the same oracle shape as
+    `bloom_dedup_docs`. Novel-traffic matches are probabilistic LSH
+    collisions and are projected away."""
+    pairs = _stream_near_dup_pairs(spark, sf_dir)
+    reps = pairs.filter(
+        (F.col("new_id") >= 2000000) & (F.col("new_id") < 3000000)
+    )
+    return reps.agg(
+        F.countDistinct("new_id").alias("n_replicas_matched"),
+        F.countDistinct(
+            F.when(
+                F.col("corpus_id") == F.col("new_id") - 2000000,
+                F.col("new_id"),
+            )
+        ).alias("n_matched_source"),
+    )
+
+
+SQL_STREAM_NEAR_DUP_RECOVERY_DOCS = """
+SELECT count(*) AS n_replicas_matched, count(*) AS n_matched_source
+FROM documents WHERE doc_id % 5 = 0
+"""
+
+
 def _sql_stream_bls_keyed() -> str:
     values = ", ".join(
         f"(CAST({p!r} AS DOUBLE), CAST({d!r} AS DOUBLE), CAST({o!r} AS DOUBLE))"
@@ -6688,6 +6789,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_docs": q_decontaminate_docs,
     "population_nm_recovery_events": q_population_nm_recovery_events,
     "quality_filter_docs": q_quality_filter_docs,
+    "stream_near_dup_docs": q_stream_near_dup_docs,
+    "stream_near_dup_recovery_docs": q_stream_near_dup_recovery_docs,
     "pii_scrub_docs": q_pii_scrub_docs,
     "dedup_lines_docs": q_dedup_lines_docs,
     "split_assign_docs": q_split_assign_docs,
@@ -6747,6 +6850,7 @@ def _oracles() -> dict[str, str]:
         "decontaminate_docs": SQL_DECONTAMINATE_DOCS,
         "population_nm_recovery_events": SQL_POPULATION_NM_RECOVERY_EVENTS,
         "quality_filter_docs": SQL_QUALITY_FILTER_DOCS,
+        "stream_near_dup_recovery_docs": SQL_STREAM_NEAR_DUP_RECOVERY_DOCS,
         "pii_scrub_docs": _sql_pii(),
         "dedup_lines_docs": SQL_DEDUP_LINES_DOCS,
         "split_assign_docs": SQL_SPLIT_ASSIGN_DOCS,

@@ -311,3 +311,57 @@ def stream_dedup(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     src = reader.parquet(input_dir)
     return src.dropDuplicates(key_cols).select(*key_cols)
+
+
+def stream_near_dup(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    bands_path: str,
+    k: int = 9,
+    num_hashes: int = 32,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming near-duplicate detection against a landed corpus: each
+    incoming document is MinHash-signed and band-hashed IN the stream
+    (the same JVM-side expressions as the batch path, so stream and
+    batch agree bit-for-bit), then stream-static joined against the
+    write-time landed LSH band index — the incremental-crawl shape: the
+    100 TB corpus is indexed once, and each arriving micro-batch only
+    pays for its own signatures plus a join keyed on (band, bhash).
+
+    Emits distinct (new_id, corpus_id) candidate pairs, each exactly
+    once across micro-batches (`dropDuplicates` keyed state, bounded by
+    the matched-pair count, not the corpus). LSH on identical text is
+    exact — every true re-crawl replica is guaranteed to match its
+    source (the no-false-negative witness the recovery oracle checks);
+    distinct-but-similar docs match per the band collision probability.
+
+    Scale notes: the static side re-reads per micro-batch but is
+    partitioned by `band` on disk, and production points it at a table
+    BUCKETED by (band, bhash) so each micro-batch's sort-merge join
+    co-locates without shuffling the corpus; the stream side per batch
+    is maxFilesPerTrigger-bounded. State eviction for an unbounded
+    pair space would use dropDuplicatesWithinWatermark, exactly as in
+    `stream_dedup`."""
+    from miletos_spark.pipeline.dedup import lsh_bands, minhash_signatures
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_dir)
+    sigs = minhash_signatures(
+        src, text_col=text_col, id_col=id_col, k=k, num_hashes=num_hashes
+    )
+    banded = lsh_bands(
+        sigs, id_col=id_col, bands=bands, num_hashes=num_hashes
+    )
+    corpus = spark.read.parquet(bands_path)
+    joined = banded.alias("n").join(corpus.alias("c"), ["band", "bhash"])
+    return joined.select(
+        F.col(f"n.{id_col}").alias("new_id"),
+        F.col(f"c.{id_col}").alias("corpus_id"),
+    ).dropDuplicates(["new_id", "corpus_id"])

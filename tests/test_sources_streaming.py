@@ -850,3 +850,38 @@ def test_stream_dedup_state_crosses_microbatches(spark, tmp_path):
     got = sorted(r["text_hash"] for r in out.collect())
     spark.catalog.dropTempView("dedup_test_sink")
     assert got == ["a", "b", "c", "d", "e"]
+
+
+def test_stream_near_dup_equals_batch(spark, sf_dir):
+    """The streaming near-dup pair set must be bit-identical to the
+    batch computation of the same join (same signatures, same landed
+    band index), regardless of micro-batch boundaries."""
+    from miletos_spark.pipeline.dedup import lsh_bands, minhash_signatures
+    from miletos_spark.pipeline.landing import land_dedup_index
+    from miletos_spark.plans.driver_queries import (
+        _land_docs_neardup_feed,
+        _stream_near_dup_pairs,
+    )
+
+    streamed = _stream_near_dup_pairs(spark, sf_dir)
+    got = {(r["new_id"], r["corpus_id"]) for r in streamed.collect()}
+
+    feed = spark.read.parquet(_land_docs_neardup_feed(spark, sf_dir))
+    bands_path = land_dedup_index(spark, sf_dir)["bands"]
+    banded = lsh_bands(minhash_signatures(feed), num_hashes=32)
+    corpus = spark.read.parquet(bands_path)
+    batch = (
+        banded.alias("n")
+        .join(corpus.alias("c"), ["band", "bhash"])
+        .select("n.doc_id", "c.doc_id")
+        .distinct()
+        .collect()
+    )
+    want = {(r[0], r[1]) for r in batch}
+    assert got == want and len(got) > 0
+    # and every replica matched its identical-text source
+    reps = {a for a, _ in got if 2000000 <= a < 3000000}
+    srcs = {
+        (a, b) for a, b in got if 2000000 <= a < 3000000 and b == a - 2000000
+    }
+    assert len(srcs) == len(reps)
