@@ -95,6 +95,8 @@ HEADLINE = [
     "split_assign_docs",
     "quality_filter_docs",
     "population_nm_recovery_events",
+    "stream_near_dup_docs",
+    "training_shards_docs",
 ]
 
 

@@ -1011,18 +1011,10 @@ GROUP BY g.doc_id
 """
 
 
-def q_pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII redaction (pre-training scrub): deterministic synthetic PII
-    — emails, an SSN, phone numbers, IPv4s, keyed on doc_id so both
-    engines inject the identical strings — is appended to the corpus,
-    then `scrub_pii` replaces every match with a typed placeholder and
-    counts what it removed. The md5 of the scrubbed text pins the
-    redaction output byte-for-byte, not just the counts. Patterns stay
-    in the RE2-compatible subset so the Java-regex (Spark) and RE2
-    (DuckDB) engines agree on ASCII text."""
-    from miletos_spark.pipeline.text import scrub_pii
-
-    docs = load_table(spark, sf_dir, "documents")
+def _pii_injected_text() -> "F.Column":
+    """text || the deterministic synthetic-PII fragment keyed on
+    doc_id — the Spark twin of the injection CASE in `_sql_pii_steps`
+    (both oracle twins must inject the identical strings)."""
     idm = F.col("doc_id") % 4
     did = F.col("doc_id").cast("string")
     frag = (
@@ -1041,9 +1033,22 @@ def q_pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ))
         .otherwise(F.lit(""))
     )
-    injected = docs.select(
-        "doc_id", F.concat(F.col("text"), frag).alias("text")
-    )
+    return F.concat(F.col("text"), frag)
+
+
+def q_pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (pre-training scrub): deterministic synthetic PII
+    — emails, an SSN, phone numbers, IPv4s, keyed on doc_id so both
+    engines inject the identical strings — is appended to the corpus,
+    then `scrub_pii` replaces every match with a typed placeholder and
+    counts what it removed. The md5 of the scrubbed text pins the
+    redaction output byte-for-byte, not just the counts. Patterns stay
+    in the RE2-compatible subset so the Java-regex (Spark) and RE2
+    (DuckDB) engines agree on ASCII text."""
+    from miletos_spark.pipeline.text import scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select("doc_id", _pii_injected_text().alias("text"))
     out = scrub_pii(injected)
     return out.select(
         "doc_id",
@@ -1055,10 +1060,13 @@ def q_pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_pii() -> str:
-    """DuckDB oracle for q_pii_scrub_docs: the same injection CASE and
-    the same pattern sequence, counts via regexp_extract_all on the
-    progressively-scrubbed text (= number of replacements performed)."""
+def _sql_pii_steps(src: str = "documents") -> tuple[str, int]:
+    """Shared CTE chain for the PII oracle twins: the deterministic
+    injection CASE over `src` (must expose doc_id, text) followed by
+    the same pattern sequence as `scrub_pii` — counts via
+    regexp_extract_all on the progressively-scrubbed text (= number of
+    replacements performed). Returns (cte_body, last_step_index); the
+    final CTE `s{last}` exposes doc_id, n_<pattern>..., t{last}."""
     from miletos_spark.pipeline.text import PII_PATTERNS
 
     steps, prev = [], "t0"
@@ -1073,10 +1081,8 @@ def _sql_pii() -> str:
             f" FROM {'inj' if i == 1 else f's{i - 1}'})"
         )
         prev = f"t{i}"
-    last = len(PII_PATTERNS)
-    return (
-        """
-WITH inj AS (
+    body = (
+        f"""inj AS (
   SELECT doc_id, text || CASE doc_id % 4
     WHEN 0 THEN ' reach user' || CAST(doc_id AS VARCHAR)
                 || '@mail.example.com or admin@ex.org soon'
@@ -1085,10 +1091,17 @@ WITH inj AS (
     WHEN 2 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
                 || '-0199 ssn 078-05-1120 now'
     ELSE '' END AS t0
-  FROM documents),
+  FROM {src}),
 """
         + ",\n".join(steps)
-        + f"""
+    )
+    return body, len(PII_PATTERNS)
+
+
+def _sql_pii() -> str:
+    body, last = _sql_pii_steps("documents")
+    return f"""
+WITH {body}
 SELECT doc_id, md5(t{last}) AS scrub_md5,
        CAST(n_email AS BIGINT) AS n_email,
        CAST(n_ssn AS BIGINT) AS n_ssn,
@@ -1096,7 +1109,6 @@ SELECT doc_id, md5(t{last}) AS scrub_md5,
        CAST(n_ipv4 AS BIGINT) AS n_ipv4
 FROM s{last}
 """
-    )
 
 
 def q_dedup_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1204,6 +1216,105 @@ GROUP BY 1, 2
 """
 
 
+def q_training_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The prepare-training-data endgame, all round-6 curation ops in
+    ONE plan over a crawl-shaped input (documents + re-crawl replicas
+    of every 10th doc, re-keyed at +5e6 with identical text): quality
+    classifier (keep = logit > 0; replicas share their source's fate —
+    same text, same logit) → PII redaction (the deterministic
+    injection; the id-bearing fragments differ between a replica and
+    its source only inside the PII matches, so REDACTION COLLAPSES
+    each kept replica onto its source's exact bytes) → post-redaction
+    exact dedup (must therefore remove every kept replica, keeping the
+    min-id source — each stage is load-bearing, not a concat of
+    no-ops) → exact stratified 8/1/1 split → per-(lang, split) shard
+    manifest with id checksum, token mass, and redaction totals."""
+    from miletos_spark.pipeline.sampling import assign_splits
+    from miletos_spark.pipeline.text import (
+        quality_classifier,
+        scrub_pii,
+        token_count,
+    )
+
+    base = load_table(spark, sf_dir, "documents")
+    docs = base.unionByName(
+        base.filter(F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 5000000
+        )
+    )
+    keep = quality_classifier(docs).filter("keep").select("doc_id")
+    kept = docs.join(keep, "doc_id", "left_semi")
+    injected = kept.select(
+        "doc_id", "lang", _pii_injected_text().alias("text")
+    )
+    sc = scrub_pii(injected).join(
+        injected.select("doc_id", "lang"), "doc_id"
+    )
+    winners = (
+        sc.groupBy(F.md5("text_scrubbed").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    uniq = sc.join(winners, "doc_id", "left_semi")
+    split = assign_splits(
+        uniq,
+        weights=(("train", 8), ("val", 1), ("test", 1)),
+        group_col="lang",
+    )
+    return split.groupBy("lang", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum(token_count(F.col("text_scrubbed")).cast("long")).alias(
+            "sum_tokens"
+        ),
+        F.sum(
+            F.col("n_email") + F.col("n_ssn")
+            + F.col("n_phone") + F.col("n_ipv4")
+        ).cast("long").alias("n_pii_removed"),
+    )
+
+
+def _sql_training_shards() -> str:
+    pii_body, last = _sql_pii_steps("kept")
+    return f"""
+WITH feed AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 5000000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 10 = 0),
+{_sql_quality_ctes("feed")},
+kept AS (
+  SELECT d.* FROM feed d JOIN lg USING (doc_id) WHERE lg.logit > 0),
+{pii_body},
+scrub AS (
+  SELECT s.doc_id, kept.lang, s.t{last} AS text_scrubbed,
+         s.n_email + s.n_ssn + s.n_phone + s.n_ipv4 AS n_pii
+  FROM s{last} s JOIN kept USING (doc_id)),
+winners AS (
+  SELECT min(doc_id) AS doc_id FROM scrub GROUP BY md5(text_scrubbed)),
+uniq AS (
+  SELECT scrub.* FROM scrub JOIN winners USING (doc_id)),
+u AS (
+  SELECT *, {_sql_hash_uniform("doc_id")} AS u FROM uniq),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n_g
+  FROM u)
+SELECT lang,
+       CASE WHEN rk * 10 <= n_g * 8 THEN 'train'
+            WHEN rk * 10 <= n_g * 9 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       CAST(sum(CASE WHEN length(trim(text_scrubbed)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text_scrubbed), '\\s+'))
+                END) AS BIGINT) AS sum_tokens,
+       CAST(sum(n_pii) AS BIGINT) AS n_pii_removed
+FROM r
+GROUP BY 1, 2
+"""
+
+
 def q_quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering (the CCNet/fastText classifier
     stage): fixed-weight linear model over bounded length/word-length
@@ -1222,8 +1333,11 @@ def q_quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_QUALITY_FILTER_DOCS = f"""
-WITH f AS (
+def _sql_quality_ctes(src: str = "documents") -> str:
+    """Shared CTEs for the quality-classifier oracle twins: feature
+    extraction + the fixed-weight linear logit over `src` (must expose
+    doc_id, text). The final CTE `lg` exposes (doc_id, logit)."""
+    return f"""f AS (
   SELECT doc_id,
          CASE WHEN length(trim(text)) = 0 THEN 0
               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks,
@@ -1232,7 +1346,7 @@ WITH f AS (
          length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS n_punct,
          length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
          length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
-  FROM documents),
+  FROM {src}),
 lg AS (
   SELECT doc_id,
          -0.8 + 3.0 * (CAST(least(toks, 256) AS DOUBLE) / 256.0)
@@ -1245,7 +1359,11 @@ lg AS (
                             THEN n_digit / n_chars ELSE 0.0 END)
               - 2.0 * (CASE WHEN n_chars > 0
                             THEN n_upper / n_chars ELSE 0.0 END) AS logit
-  FROM f)
+  FROM f)"""
+
+
+SQL_QUALITY_FILTER_DOCS = f"""
+WITH {_sql_quality_ctes("documents")}
 SELECT doc_id, {quantize_sql("logit", 6)} AS logit, logit > 0 AS keep
 FROM lg
 """
@@ -6700,10 +6818,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rounds (rebin, median_normalize, sessionize, fold_phase_bins,
     # largest_gap, lomb_scargle batch, dedup_exact, transit_windows,
     # model_loglik) into the judge-sweep overflow block.
-    "pricing_summary": q_pricing_summary,
-    "region_revenue": q_region_revenue,
-    "crossmatch_catalog": q_crossmatch_catalog,
-    "photometry_events": q_photometry_events,
+    # r06 second wave: the six NEW capabilities built this round take
+    # window slots immediately (the near_dup_clusters lesson — a new
+    # capability should meet the hard driver signal in its first
+    # round), evicting 6 more rows green since r04 (pricing_summary,
+    # region_revenue, crossmatch_catalog, photometry_events,
+    # flare_band_events, trigger_clusters_events).
+    "population_nm_recovery_events": q_population_nm_recovery_events,
+    "quality_filter_docs": q_quality_filter_docs,
+    "pii_scrub_docs": q_pii_scrub_docs,
+    "dedup_lines_docs": q_dedup_lines_docs,
     "asof_join_events": q_asof_join_events,
     "rollup_pricing": q_rollup_pricing,
     "time_rollup_events": q_time_rollup_events,
@@ -6726,8 +6850,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_cleanup": q_corpus_cleanup,
     "pipeline_summary_events": q_pipeline_summary_events,
     "ivfpq_recall_topk": q_ivfpq_recall_topk,
-    "flare_band_events": q_flare_band_events,
-    "trigger_clusters_events": q_trigger_clusters_events,
+    "split_assign_docs": q_split_assign_docs,
+    "stream_near_dup_recovery_docs": q_stream_near_dup_recovery_docs,
     "bloom_dedup_docs": q_bloom_dedup_docs,
     "pq_recovery_topk": q_pq_recovery_topk,
     "simhash_pairs": q_simhash_pairs,
@@ -6787,13 +6911,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_sample_docs": q_mixture_sample_docs,
     "pack_sequences_docs": q_pack_sequences_docs,
     "decontaminate_docs": q_decontaminate_docs,
-    "population_nm_recovery_events": q_population_nm_recovery_events,
-    "quality_filter_docs": q_quality_filter_docs,
     "stream_near_dup_docs": q_stream_near_dup_docs,
-    "stream_near_dup_recovery_docs": q_stream_near_dup_recovery_docs,
-    "pii_scrub_docs": q_pii_scrub_docs,
-    "dedup_lines_docs": q_dedup_lines_docs,
-    "split_assign_docs": q_split_assign_docs,
+    "training_shards_docs": q_training_shards_docs,
+    # r06 second-wave evictions (green since r04, still judge-swept)
+    "pricing_summary": q_pricing_summary,
+    "region_revenue": q_region_revenue,
+    "crossmatch_catalog": q_crossmatch_catalog,
+    "photometry_events": q_photometry_events,
+    "flare_band_events": q_flare_band_events,
+    "trigger_clusters_events": q_trigger_clusters_events,
     "ivfpq_recovery_topk": q_ivfpq_recovery_topk,
     "rollup_pricing": q_rollup_pricing,
     "time_rollup_events": q_time_rollup_events,
@@ -6851,6 +6977,7 @@ def _oracles() -> dict[str, str]:
         "population_nm_recovery_events": SQL_POPULATION_NM_RECOVERY_EVENTS,
         "quality_filter_docs": SQL_QUALITY_FILTER_DOCS,
         "stream_near_dup_recovery_docs": SQL_STREAM_NEAR_DUP_RECOVERY_DOCS,
+        "training_shards_docs": _sql_training_shards(),
         "pii_scrub_docs": _sql_pii(),
         "dedup_lines_docs": SQL_DEDUP_LINES_DOCS,
         "split_assign_docs": SQL_SPLIT_ASSIGN_DOCS,

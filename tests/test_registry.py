@@ -36,8 +36,9 @@ def test_window_rotation_is_deliberate():
 
     window = list(QUERIES)[:DRIVER_WINDOW]
     assert window == [
-        "pricing_summary", "region_revenue", "crossmatch_catalog",
-        "photometry_events", "asof_join_events", "rollup_pricing",
+        "population_nm_recovery_events", "quality_filter_docs",
+        "pii_scrub_docs", "dedup_lines_docs",
+        "asof_join_events", "rollup_pricing",
         "time_rollup_events", "transit_epochs_events",
         "sketch_stats_events", "repetition_stats_docs",
         "spline_recovery_events", "transit_fit_recovery_events",
@@ -47,7 +48,7 @@ def test_window_rotation_is_deliberate():
         "near_dup_pairs", "near_dup_clusters", "ivf_recovery_topk",
         "lsh_similarity_topk", "embedding_near_dup", "corpus_cleanup",
         "pipeline_summary_events", "ivfpq_recall_topk",
-        "flare_band_events", "trigger_clusters_events",
+        "split_assign_docs", "stream_near_dup_recovery_docs",
         "bloom_dedup_docs", "pq_recovery_topk", "simhash_pairs",
         "media_features", "doc_quality_docs", "vocab_topk_docs",
         "pipeline_population_events", "stream_ls_keyed_events",

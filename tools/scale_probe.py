@@ -68,6 +68,7 @@ CORPUS_QUERIES = [
     "dedup_lines_docs",
     "split_assign_docs",
     "quality_filter_docs",
+    "training_shards_docs",
 ]
 
 
