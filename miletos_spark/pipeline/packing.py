@@ -76,3 +76,58 @@ def pack_summary(
         F.sum(token_col).alias("tokens_started"),
         F.sum("n_straddle").alias("n_straddle"),
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    token_col: str = "n_tokens",
+    split_col: str = "split",
+    group_cols: Sequence[str] = ("lang",),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    capacity: int = 2048,
+    bins_per_file: int = 64,
+) -> DataFrame:
+    """Materialize a curated corpus as physical training shards — the
+    last mile of the curation stack: documents (already filtered,
+    scrubbed, deduped, split-assigned) are packed into fixed-capacity
+    token bins per (split, group), bins are grouped into shard files,
+    and the table lands partitioned by (split, shard) so a trainer
+    reads exactly its split's directories and one shard maps to one
+    loader task.
+
+    Within a shard, rows carry (bin, start_bin offset order) so the
+    concat order is reproducible; the write itself is a single
+    partitioned parquet job — no driver-side loops, no collect. The
+    shard key is `floor(start_bin / bins_per_file)` so shard sizes are
+    token-bounded (capacity * bins_per_file) regardless of document
+    length skew.
+
+    Returns the landed table (read back from `path`)."""
+    packed = pack_chunks(
+        df.select(*group_cols, split_col, id_col, token_col),
+        token_col=token_col,
+        group_cols=(split_col, *group_cols),
+        id_col=id_col,
+        capacity=capacity,
+    )
+    shard = F.floor(
+        F.col("start_bin") / F.lit(float(bins_per_file))
+    ).cast("int").alias("shard")
+    laid = (
+        df.select(*group_cols, split_col, id_col, text_col)
+        .join(packed.select(split_col, id_col, "start_bin", token_col), [split_col, id_col])
+        .select(
+            split_col, *group_cols, id_col, text_col, token_col,
+            "start_bin", shard,
+        )
+    )
+    (
+        laid.repartition(split_col, "shard")
+        .sortWithinPartitions(*group_cols, "start_bin", id_col)
+        .write.mode("overwrite")
+        .partitionBy(split_col, "shard")
+        .parquet(path)
+    )
+    return df.sparkSession.read.parquet(path)

@@ -169,3 +169,51 @@ def test_assign_splits_hash_mode_stable_under_growth(spark):
     assert all(s_big[i] == s_small[i] for i in s_small)
     # and every split is actually populated
     assert set(s_big.values()) == {"train", "val", "test"}
+
+
+def test_write_training_shards_layout_and_conservation(spark, sf_dir, tmp_path):
+    """The physical shard landing: every doc lands exactly once, token
+    mass is conserved, the (split, shard) partition layout exists on
+    disk, and shard token mass is bounded by capacity * bins_per_file
+    (+ one straddling doc)."""
+    import os
+
+    from miletos_spark.pipeline.sampling import assign_splits
+    from miletos_spark.pipeline.packing import write_training_shards
+    from miletos_spark.pipeline.text import token_count
+    from miletos_spark.schema import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    split = assign_splits(
+        docs, weights=(("train", 8), ("val", 1), ("test", 1)),
+        group_col="lang",
+    )
+    path = str(tmp_path / "shards")
+    landed = write_training_shards(
+        split, path, capacity=512, bins_per_file=4
+    )
+    n_docs = docs.count()
+    assert landed.count() == n_docs
+    assert (
+        landed.agg(F.sum("n_tokens")).first()[0]
+        == docs.agg(F.sum("n_tokens")).first()[0]
+    )
+    # physical layout: split=<s>/shard=<k> directories
+    splits = {d for d in os.listdir(path) if d.startswith("split=")}
+    assert splits == {"split=train", "split=val", "split=test"}
+    assert any(
+        d.startswith("shard=")
+        for d in os.listdir(os.path.join(path, "split=train"))
+    )
+    # shard token mass bounded: <= capacity*bins_per_file + max doc
+    max_doc = docs.agg(F.max("n_tokens")).first()[0]
+    per_shard = (
+        landed.groupBy("split", "lang", "shard")
+        .agg(F.sum("n_tokens").alias("m"))
+        .agg(F.max("m"))
+        .first()[0]
+    )
+    assert per_shard <= 512 * 4 + max_doc
