@@ -1216,6 +1216,70 @@ GROUP BY 1, 2
 """
 
 
+def _land_docs_jsonl(spark: SparkSession, sf_dir: str) -> str:
+    """Memoized landing of the documents table as JSONL (the wire
+    format real crawl corpora arrive in) — S11 memo keying on the
+    parquet source's path+mtime+size."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|jsonl"
+    except OSError:
+        sig = os.path.abspath(sf_dir) + "|jsonl"
+    key = hashlib.md5(sig.encode()).hexdigest()[:12]
+    land = os.path.join(tempfile.gettempdir(), f"miletos_land_{key}", "data")
+    if not os.path.exists(land):
+        load_table(spark, sf_dir, "documents").repartition(4).write.json(land)
+    return land
+
+
+def q_jsonl_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8-family source breadth: ingest the documents corpus from JSONL
+    (landed once, memoized) with an EXPLICIT schema — at 100 TB,
+    schema inference is a full extra pass, so production readers pin
+    the schema. The oracle aggregates the parquet view directly, so
+    the checked equality is a content-exact JSON round-trip witness:
+    the per-group doc/char totals AND a 32-bit md5 checksum sum over
+    the text bytes must survive land -> escape -> parse -> read."""
+    land = _land_docs_jsonl(spark, sf_dir)
+    docs = spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).json(land)
+    h32 = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(h32).alias("text_checksum"),
+    )
+
+
+def _sql_md5_32(expr: str) -> str:
+    """DuckDB twin of the Spark 32-bit md5 prefix integer: first 8 hex
+    nibbles of md5 as a BIGINT (shared nibble-sum shape with
+    `_sql_hash_uniform`, without the 2^-32 scaling)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}),"
+        f" {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"CAST(({terms}) AS BIGINT)"
+
+
+SQL_JSONL_INGEST_DOCS = f"""
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum({_sql_md5_32("text")}) AS BIGINT) AS text_checksum
+FROM documents
+GROUP BY lang, source
+"""
+
+
 def q_training_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The prepare-training-data endgame, all round-6 curation ops in
     ONE plan over a crawl-shaped input (documents + re-crawl replicas
@@ -6913,6 +6977,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_docs": q_decontaminate_docs,
     "stream_near_dup_docs": q_stream_near_dup_docs,
     "training_shards_docs": q_training_shards_docs,
+    "jsonl_ingest_docs": q_jsonl_ingest_docs,
     # r06 second-wave evictions (green since r04, still judge-swept)
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -6978,6 +7043,7 @@ def _oracles() -> dict[str, str]:
         "quality_filter_docs": SQL_QUALITY_FILTER_DOCS,
         "stream_near_dup_recovery_docs": SQL_STREAM_NEAR_DUP_RECOVERY_DOCS,
         "training_shards_docs": _sql_training_shards(),
+        "jsonl_ingest_docs": SQL_JSONL_INGEST_DOCS,
         "pii_scrub_docs": _sql_pii(),
         "dedup_lines_docs": SQL_DEDUP_LINES_DOCS,
         "split_assign_docs": SQL_SPLIT_ASSIGN_DOCS,
