@@ -97,6 +97,8 @@ HEADLINE = [
     "population_nm_recovery_events",
     "stream_near_dup_docs",
     "training_shards_docs",
+    "jsonl_ingest_docs",
+    "lm_score_docs",
 ]
 
 

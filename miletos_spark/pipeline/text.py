@@ -360,3 +360,54 @@ def quality_classifier(
         logit.alias("logit"),
         (logit > 0).alias("keep"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """Statistical language-model quality scoring (the CCNet/KenLM
+    perplexity-filter seam, reduced to its distributed skeleton): score
+    each document by its add-one-smoothed unigram log-likelihood,
+    token probabilities p(t) = (cnt(t)+1) / (N+V) under `vocab`
+    (a (tok, cnt) table; default: counted from the corpus itself —
+    self-perplexity). Production swaps the unigram table for real
+    KenLM n-gram shards; the plan — tokenize, broadcast-join the
+    model table, per-doc sum — is the same.
+
+    Vocabulary size follows Heaps' law (sublinear in corpus size), so
+    the model table broadcasts at any corpus scale; for n-gram models
+    too large to broadcast, the same plan runs as a shuffle join keyed
+    on the gram.
+
+    Returns (id, n_tokens, logprob) — logprob = Σ ln p(t), higher is
+    more in-distribution; filter on logprob / n_tokens."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    if vocab is None:
+        vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    totals = vocab.agg(
+        F.sum("cnt").cast("long").alias("n_total"),
+        F.count("*").alias("v_size"),
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1))
+                / (F.col("n_total") + F.col("v_size"))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("lp").alias("logprob"),
+    )

@@ -1216,6 +1216,48 @@ GROUP BY 1, 2
 """
 
 
+def q_lm_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical LM quality scoring (the CCNet/KenLM perplexity
+    filter's distributed skeleton): per-doc add-one-smoothed unigram
+    log-likelihood under the corpus's own vocabulary (tokenize →
+    broadcast model table → per-doc sum). The checked column is the
+    per-token average at 4 decimals: ln() is only ~1-ulp reproducible
+    across libms and the per-doc sum is partial-agg-order sensitive at
+    ~1e-14 — both orders of magnitude inside the 5e-5 rounding step,
+    the same discipline as the trig-based spectra."""
+    from miletos_spark.pipeline.text import unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = unigram_logprob(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        quantize(F.col("logprob") / F.col("n_tokens"), 4).alias(
+            "avg_logprob"
+        ),
+    )
+
+
+SQL_LM_SCORE_DOCS = f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+    FROM documents)
+  WHERE length(tok) > 0),
+voc AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total,
+               count(*) AS v_size FROM voc),
+lp AS (
+  SELECT t.doc_id, ln((v.cnt + 1) / CAST(tot.n_total + tot.v_size AS DOUBLE))
+           AS l
+  FROM toks t JOIN voc v USING (tok) CROSS JOIN tot)
+SELECT doc_id, count(*) AS n_tokens,
+       {quantize_sql("sum(l) / count(*)", 4)} AS avg_logprob
+FROM lp GROUP BY doc_id
+"""
+
+
 def _land_docs_jsonl(spark: SparkSession, sf_dir: str) -> str:
     """Memoized landing of the documents table as JSONL (the wire
     format real crawl corpora arrive in) — S11 memo keying on the
@@ -6978,6 +7020,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_near_dup_docs": q_stream_near_dup_docs,
     "training_shards_docs": q_training_shards_docs,
     "jsonl_ingest_docs": q_jsonl_ingest_docs,
+    "lm_score_docs": q_lm_score_docs,
     # r06 second-wave evictions (green since r04, still judge-swept)
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -7044,6 +7087,7 @@ def _oracles() -> dict[str, str]:
         "stream_near_dup_recovery_docs": SQL_STREAM_NEAR_DUP_RECOVERY_DOCS,
         "training_shards_docs": _sql_training_shards(),
         "jsonl_ingest_docs": SQL_JSONL_INGEST_DOCS,
+        "lm_score_docs": SQL_LM_SCORE_DOCS,
         "pii_scrub_docs": _sql_pii(),
         "dedup_lines_docs": SQL_DEDUP_LINES_DOCS,
         "split_assign_docs": SQL_SPLIT_ASSIGN_DOCS,

@@ -70,6 +70,9 @@ QUERIES = [
     "dedup_lines_docs",
     "split_assign_docs",
     "population_nm_recovery_events",
+    # the 5-stage curation composition: classifier logit, scrub md5,
+    # dedup winner, and split rank must all survive config extremes
+    "training_shards_docs",
 ]
 
 # driver-ish defaults vs an adversarial layout: tiny partition count,

@@ -89,3 +89,30 @@ def test_quality_classifier_crafted(spark):
     # keep is exactly the sign test
     for r in got.values():
         assert r["keep"] == (r["logit"] > 0)
+
+
+def test_unigram_logprob_crafted(spark):
+    import math
+
+    from miletos_spark.pipeline.text import unigram_logprob
+
+    # corpus: counts a:3 b:2 c:1 -> N=6, V=3, p(t) = (cnt+1)/9
+    rows = [(0, "a a b"), (1, "a b c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    pa, pb, pc = 4 / 9, 3 / 9, 2 / 9
+    want0 = 2 * math.log(pa) + math.log(pb)
+    want1 = math.log(pa) + math.log(pb) + math.log(pc)
+    assert got[0]["n_tokens"] == 3 and got[1]["n_tokens"] == 3
+    assert abs(got[0]["logprob"] - want0) < 1e-12
+    assert abs(got[1]["logprob"] - want1) < 1e-12
+    # the repeated-common-token doc is more in-distribution
+    assert got[0]["logprob"] > got[1]["logprob"]
+    # external vocab: OOV tokens get the (0+1)/(N+V) floor
+    voc = spark.createDataFrame([("a", 3)], "tok string, cnt long")
+    ext = {
+        r["doc_id"]: r["logprob"]
+        for r in unigram_logprob(df, vocab=voc).collect()
+    }
+    w0 = 2 * math.log(4 / 4) + math.log(1 / 4)
+    assert abs(ext[0] - w0) < 1e-12
