@@ -99,6 +99,7 @@ HEADLINE = [
     "training_shards_docs",
     "jsonl_ingest_docs",
     "lm_score_docs",
+    "chunk_docs",
 ]
 
 

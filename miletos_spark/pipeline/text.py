@@ -411,3 +411,51 @@ def unigram_logprob(
         F.count("*").cast("long").alias("n_tokens"),
         F.sum("lp").alias("logprob"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token windows (the
+    RAG / context-window ingestion primitive): chunk i covers tokens
+    [i*step, i*step + chunk_tokens) with step = chunk_tokens - overlap,
+    the final chunk may be short, empty documents yield no chunks.
+
+    One codegen'd scan + explode — no shuffle, no UDF: the token array
+    is projected to a real attribute once (the interpreted-HOF
+    re-evaluation trap, see `doc_fingerprint`), starts come from
+    `sequence`, and each chunk is a `slice` + `array_join`.
+
+    Returns (id, chunk_idx, start_tok, n_tok_chunk, chunk_text)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = df.select(
+        F.col(id_col),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_t"),
+    ).select(
+        id_col,
+        F.filter("_t", lambda t: F.length(t) > 0).alias("_t"),
+    )
+    n = F.size("_t")
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step)
+    )
+    chunks = toks.filter(n > 0).select(
+        id_col,
+        F.col("_t"),
+        n.alias("_n"),
+        F.posexplode(starts).alias("chunk_idx", "start_tok"),
+    )
+    piece = F.slice(F.col("_t"), F.col("start_tok") + 1, chunk_tokens)
+    return chunks.select(
+        id_col,
+        "chunk_idx",
+        "start_tok",
+        F.size(piece).alias("n_tok_chunk"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

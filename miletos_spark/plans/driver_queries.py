@@ -1258,6 +1258,43 @@ FROM lp GROUP BY doc_id
 """
 
 
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/context-window ingestion: overlapping fixed-size token
+    chunks (64 tokens, overlap 16) per document — one codegen'd scan +
+    explode, no shuffle, no UDF. The chunk text md5 pins the exact
+    token coverage of every window in both engines."""
+    from miletos_spark.pipeline.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = chunk_documents(docs, chunk_tokens=64, overlap=16)
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        "n_tok_chunk",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+SQL_CHUNK_DOCS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> length(x) > 0) AS t
+  FROM documents),
+st AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+ch AS (
+  SELECT doc_id, CAST(u.s / 48 AS INT) AS chunk_idx,
+         CAST(u.s AS INT) AS start_tok,
+         list_slice(t, u.s + 1, u.s + 64) AS piece
+  FROM st, unnest(range(0, CAST(n AS BIGINT), 48)) AS u(s))
+SELECT doc_id, chunk_idx, start_tok,
+       CAST(len(piece) AS INT) AS n_tok_chunk,
+       md5(array_to_string(piece, ' ')) AS chunk_md5
+FROM ch
+"""
+
+
 def _land_docs_jsonl(spark: SparkSession, sf_dir: str) -> str:
     """Memoized landing of the documents table as JSONL (the wire
     format real crawl corpora arrive in) — S11 memo keying on the
@@ -7021,6 +7058,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_shards_docs": q_training_shards_docs,
     "jsonl_ingest_docs": q_jsonl_ingest_docs,
     "lm_score_docs": q_lm_score_docs,
+    "chunk_docs": q_chunk_docs,
     # r06 second-wave evictions (green since r04, still judge-swept)
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -7088,6 +7126,7 @@ def _oracles() -> dict[str, str]:
         "training_shards_docs": _sql_training_shards(),
         "jsonl_ingest_docs": SQL_JSONL_INGEST_DOCS,
         "lm_score_docs": SQL_LM_SCORE_DOCS,
+        "chunk_docs": SQL_CHUNK_DOCS,
         "pii_scrub_docs": _sql_pii(),
         "dedup_lines_docs": SQL_DEDUP_LINES_DOCS,
         "split_assign_docs": SQL_SPLIT_ASSIGN_DOCS,

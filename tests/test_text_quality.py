@@ -116,3 +116,26 @@ def test_unigram_logprob_crafted(spark):
     }
     w0 = 2 * math.log(4 / 4) + math.log(1 / 4)
     assert abs(ext[0] - w0) < 1e-12
+
+
+def test_chunk_documents_windows(spark):
+    from miletos_spark.pipeline.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    rows = [(0, words), (1, "solo"), (2, ""), (3, "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=4, overlap=2).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["doc_id"], []).append(r)
+    # doc 0: 10 tokens, step 2 -> starts 0,2,4,6,8
+    got0 = sorted(by[0], key=lambda r: r["chunk_idx"])
+    assert [r["start_tok"] for r in got0] == [0, 2, 4, 6, 8]
+    assert [r["n_tok_chunk"] for r in got0] == [4, 4, 4, 4, 2]
+    assert got0[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert got0[1]["chunk_text"] == "w2 w3 w4 w5"   # overlap of 2
+    assert got0[4]["chunk_text"] == "w8 w9"          # short tail
+    # single-token doc: one chunk
+    assert len(by[1]) == 1 and by[1][0]["chunk_text"] == "solo"
+    # empty / whitespace-only docs: no chunks
+    assert 2 not in by and 3 not in by
