@@ -69,6 +69,9 @@ CORPUS_QUERIES = [
     "split_assign_docs",
     "quality_filter_docs",
     "training_shards_docs",
+    "lm_score_docs",
+    "chunk_docs",
+    "jsonl_ingest_docs",
 ]
 
 
