@@ -75,6 +75,53 @@ def land_dedup_index(
     return paths
 
 
+def update_dedup_index(
+    spark: SparkSession,
+    paths: dict[str, str],
+    new_docs: "DataFrame",
+    k: int = 9,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> dict[str, str]:
+    """Incremental index maintenance — append a new-document batch to a
+    landed MinHash/LSH index WITHOUT rebuilding: at 100 TB the corpus
+    index is built once and each crawl increment pays only O(batch)
+    signature work plus a partition-append into the band dirs (the same
+    layout `stream_near_dup` and the batch LSH joins probe, so readers
+    see the grown index with no migration step).
+
+    MinHash signatures are embarrassingly per-document, so
+    sigs(A) ∪ sigs(B) == sigs(A ∪ B) exactly — the appended index is
+    bit-identical to a full rebuild (asserted in tests). The
+    (k, num_hashes, bands) parameters MUST match the landed index;
+    the signature width is checked against the landed table and a
+    mismatch raises instead of silently corrupting the index.
+
+    Idempotence/exactly-once is the CALLER's contract (feed the batch
+    through `stream_dedup`/bloom first, as the crawl pipeline does);
+    at-least-once appends would duplicate band rows, which the
+    pair-distinct downstream tolerates but pays for."""
+    from pyspark.sql import functions as F_
+
+    from miletos_spark.pipeline.dedup import lsh_bands, minhash_signatures
+
+    landed_width = (
+        spark.read.parquet(paths["sigs"])
+        .select(F_.size("sig"))
+        .first()[0]
+    )
+    if landed_width != num_hashes:
+        raise ValueError(
+            f"update_dedup_index: landed signature width {landed_width} "
+            f"!= num_hashes {num_hashes} — wrong index or wrong params"
+        )
+    sigs = minhash_signatures(new_docs, k=k, num_hashes=num_hashes)
+    sigs.write.mode("append").parquet(paths["sigs"])
+    banded = lsh_bands(sigs, bands=bands, num_hashes=num_hashes)
+    banded.write.mode("append").partitionBy("band").parquet(paths["bands"])
+    return paths
+
+
 BUCKET_GROUP_DIV = 256  # 2^12 buckets / 256 = 16 partition dirs
 
 

@@ -74,3 +74,56 @@ def test_landing_is_memoized(spark, sf_dir, tmp_path):
     assert again == paths
     assert dt < 0.1  # metadata check only, no Spark job
     assert os.path.exists(paths["bands"])
+
+
+def test_update_dedup_index_appends_equal_rebuild(spark, sf_dir, tmp_path):
+    """Incremental index maintenance: landing subset A then appending
+    subset B must produce the exact band/sig tables a full rebuild on
+    A ∪ B produces (MinHash is per-document, so union commutes), and
+    LSH pairs from the grown index must match the rebuilt index."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from miletos_spark.pipeline.dedup import (
+        lsh_bands,
+        lsh_pairs_from_bands,
+        minhash_signatures,
+    )
+    from miletos_spark.pipeline.landing import update_dedup_index
+    from miletos_spark.schema import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    part_a = docs.filter(F.col("doc_id") % 3 != 0)
+    part_b = docs.filter(F.col("doc_id") % 3 == 0)
+
+    root = str(tmp_path / "idx")
+    paths = {"sigs": root + "/sigs", "bands": root + "/bands"}
+    sigs_a = minhash_signatures(part_a, k=9, num_hashes=32)
+    sigs_a.write.parquet(paths["sigs"])
+    lsh_bands(spark.read.parquet(paths["sigs"]), bands=8).write.partitionBy(
+        "band"
+    ).parquet(paths["bands"])
+
+    update_dedup_index(spark, paths, part_b, k=9, num_hashes=32, bands=8)
+
+    grown = spark.read.parquet(paths["bands"])
+    rebuilt = lsh_bands(minhash_signatures(docs, k=9, num_hashes=32), bands=8)
+    key = lambda r: (r["doc_id"], r["band"], r["bhash"])  # noqa: E731
+    assert sorted(map(key, grown.collect())) == sorted(
+        map(key, rebuilt.collect())
+    )
+    got_pairs = {
+        (r["id_a"], r["id_b"]) for r in lsh_pairs_from_bands(grown).collect()
+    }
+    want_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_pairs_from_bands(rebuilt).collect()
+    }
+    assert got_pairs == want_pairs and len(got_pairs) > 0
+    # param mismatch is refused, not silently corrupting
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="signature width"):
+        update_dedup_index(spark, paths, part_b, num_hashes=16)
+    shutil.rmtree(root, ignore_errors=True)
