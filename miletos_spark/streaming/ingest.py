@@ -365,3 +365,37 @@ def stream_near_dup(
         F.col(f"n.{id_col}").alias("new_id"),
         F.col(f"c.{id_col}").alias("corpus_id"),
     ).dropDuplicates(["new_id", "corpus_id"])
+
+
+def stream_dedup_within_watermark(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    key_cols: list[str],
+    event_time_col: str = "ts",
+    delay: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """`stream_dedup` for UNBOUNDED key spaces: the exact variant keeps
+    one state entry per distinct key forever, which a crawl firehose
+    with an open-ended id space cannot afford. This variant keys the
+    same dedup on `dropDuplicatesWithinWatermark`: duplicates arriving
+    within `delay` of the first occurrence (by event time) are
+    suppressed, and state older than the watermark is EVICTED — memory
+    is bounded by the key arrival rate x delay window, not the key
+    cardinality.
+
+    The contract weakens accordingly (documented, and pinned by the
+    eviction test): a duplicate arriving after its key's state was
+    evicted is re-emitted — at 100 TB that residual duplication is
+    handled by the downstream batch dedup (exact_dedup keep-min-id is
+    idempotent), the standard lambda-architecture split."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_dir)
+    return (
+        src.withWatermark(event_time_col, delay)
+        .dropDuplicatesWithinWatermark(key_cols)
+        .select(*key_cols, event_time_col)
+    )

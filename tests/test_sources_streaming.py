@@ -885,3 +885,63 @@ def test_stream_near_dup_equals_batch(spark, sf_dir):
         (a, b) for a, b in got if 2000000 <= a < 3000000 and b == a - 2000000
     }
     assert len(srcs) == len(reps)
+
+
+def test_stream_dedup_within_watermark_suppresses_then_evicts(spark, tmp_path):
+    """The bounded-state dedup contract, both halves: a duplicate
+    inside the watermark window is suppressed; after the watermark
+    passes the key's state, the state is EVICTED and a late replay of
+    the same key is re-emitted (memory bounded by arrival rate x
+    window, not key cardinality)."""
+    import os
+    import uuid
+
+    from miletos_spark.streaming.ingest import stream_dedup_within_watermark
+    from miletos_spark.streaming.stateful import run_available_now
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    schema = "k string, ts timestamp"
+
+    def write_file(name, rows, mtime):
+        p = os.path.join(feed, name)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p + "__stage")
+        import glob
+        import shutil
+
+        part = glob.glob(p + "__stage/part-*.parquet")[0]
+        shutil.move(part, p)
+        shutil.rmtree(p + "__stage")
+        os.utime(p, (mtime, mtime))
+
+    from datetime import datetime
+
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+    t2h = datetime(2026, 1, 1, 2, 0, 0)
+    t2h05 = datetime(2026, 1, 1, 2, 5, 0)
+    # batch 1: key 'a' at t0, a within-window duplicate of 'a', and a
+    # high-time row that advances the watermark far past t0 + delay
+    write_file(
+        "f1.parquet", [("a", t0), ("a", t0), ("z", t2h)], mtime=1_000_000
+    )
+    # batch 2: unrelated key — state cleanup runs at each batch END,
+    # so the expired 'a' entry is evicted here
+    write_file("f2.parquet", [("b", t2h)], mtime=1_000_100)
+    # batch 3: 'a' RE-CRAWLED with a fresh event time after eviction
+    # (a replay at the old ts would be dropped as late data, not
+    # deduped — watermark semantics)
+    write_file("f3.parquet", [("a", t2h05)], mtime=1_000_200)
+
+    sdf = stream_dedup_within_watermark(
+        spark, feed, schema, ["k"], event_time_col="ts",
+        delay="10 minutes", max_files_per_trigger=1,
+    )
+    name = "wmdedup_" + uuid.uuid4().hex[:8]
+    run_available_now(sdf, name, output_mode="append")
+    rows = [(r["k"], r["ts"]) for r in spark.table(name).collect()]
+    spark.catalog.dropTempView(name)
+    # 'a' emitted twice (once per epoch around the eviction), its
+    # within-window duplicate suppressed; 'z' and 'b' once each
+    assert sorted(r[0] for r in rows) == ["a", "a", "b", "z"]
