@@ -270,7 +270,10 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 
 
 def scrub_pii(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Redact emails / SSNs / phone numbers / IPv4s, replacing each
     match with a typed placeholder token, and count what was removed.
@@ -286,7 +289,10 @@ def scrub_pii(
         counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
         cur = F.regexp_replace(cur, pat, token)
     return df.select(
-        F.col(id_col), cur.alias("text_scrubbed"), *counts
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        cur.alias("text_scrubbed"),
+        *counts,
     )
 
 

@@ -1390,9 +1390,10 @@ def q_training_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     injected = kept.select(
         "doc_id", "lang", _pii_injected_text().alias("text")
     )
-    sc = scrub_pii(injected).join(
-        injected.select("doc_id", "lang"), "doc_id"
-    )
+    # lang rides THROUGH the scrub (keep_cols) — a self-join of the
+    # union-fed `injected` plan here trips a Spark zipPartitions
+    # mismatch under AQE-off/no-broadcast configs, and costs a shuffle
+    sc = scrub_pii(injected, keep_cols=("lang",))
     winners = (
         sc.groupBy(F.md5("text_scrubbed").alias("h"))
         .agg(F.min("doc_id").alias("doc_id"))
