@@ -100,6 +100,7 @@ HEADLINE = [
     "jsonl_ingest_docs",
     "lm_score_docs",
     "chunk_docs",
+    "rp_project_embeddings",
 ]
 
 

@@ -703,3 +703,57 @@ def pq_adc_score(
         )
     )
     return scored.orderBy("adc_d2", id_col).limit(k)
+
+
+def rademacher_matrix(
+    in_dim: int, out_dim: int, seed: int = 42
+) -> list[list[float]]:
+    """Seeded Rademacher projection matrix (Achlioptas 2003): entries
+    ±1/sqrt(out_dim) — exact powers of two for power-of-two out_dim, so
+    every multiply is IEEE-exact and a SQL oracle replays the
+    projection bit-for-bit. Returns out_dim rows of in_dim entries."""
+    import math
+    import random
+
+    rng = random.Random(seed)
+    scale = 1.0 / math.sqrt(out_dim)
+    return [
+        [scale if rng.random() < 0.5 else -scale for _ in range(in_dim)]
+        for _ in range(out_dim)
+    ]
+
+
+def rp_project(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Random-projection dimensionality reduction (Johnson-
+    Lindenstrauss): project each embedding onto `out_dim` seeded
+    Rademacher directions — the cheap first stage of any
+    billion-vector pipeline (8 doubles per vector instead of 64
+    floats; pairwise distances preserved within the JL distortion
+    bound, asserted in tests). Pure JVM-side fold per output dim, no
+    UDF; the casted vector is projected to a real attribute ONCE (the
+    interpreted-HOF re-evaluation trap — 8 inlined copies of the cast
+    transform would each re-run per element).
+
+    Returns (id, p0..p{out_dim-1})."""
+    mat = rademacher_matrix(in_dim, out_dim, seed)
+    v = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    outs = []
+    for j, row in enumerate(mat):
+        r = F.array(*[F.lit(x) for x in row])
+        dot = F.aggregate(
+            F.zip_with(F.col("_v"), r, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        outs.append(dot.alias(f"p{j}"))
+    return v.select(id_col, *outs)

@@ -1359,6 +1359,47 @@ GROUP BY lang, source
 """
 
 
+_RP_OUT_DIM, _RP_IN_DIM, _RP_SEED = 8, 64, 42
+
+
+def q_rp_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64→8 over the embeddings
+    table (the cheap first stage of billion-vector pipelines). The
+    Rademacher entries are ±1/sqrt(8) — exact powers of two — and both
+    engines fold the dot product in element order, so the projections
+    are bit-identical; quantize(6) guards the residual 1-ulp class."""
+    from miletos_spark.pipeline.similarity import rp_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = rp_project(
+        emb, in_dim=_RP_IN_DIM, out_dim=_RP_OUT_DIM, seed=_RP_SEED
+    )
+    return out.select(
+        "vec_id",
+        *[
+            quantize(F.col(f"p{j}"), 6).alias(f"p{j}")
+            for j in range(_RP_OUT_DIM)
+        ],
+    )
+
+
+def _sql_rp_project() -> str:
+    from miletos_spark.pipeline.similarity import rademacher_matrix
+
+    mat = rademacher_matrix(_RP_IN_DIM, _RP_OUT_DIM, _RP_SEED)
+    cols = ",\n       ".join(
+        quantize_sql(
+            "list_dot_product(CAST(embedding AS DOUBLE[]), ["
+            + ", ".join(f"{x!r}" for x in row)
+            + "])",
+            6,
+        )
+        + f" AS p{j}"
+        for j, row in enumerate(mat)
+    )
+    return f"SELECT vec_id,\n       {cols}\nFROM embeddings\n"
+
+
 def q_training_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The prepare-training-data endgame, all round-6 curation ops in
     ONE plan over a crawl-shaped input (documents + re-crawl replicas
@@ -7060,6 +7101,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jsonl_ingest_docs": q_jsonl_ingest_docs,
     "lm_score_docs": q_lm_score_docs,
     "chunk_docs": q_chunk_docs,
+    "rp_project_embeddings": q_rp_project_embeddings,
     # r06 second-wave evictions (green since r04, still judge-swept)
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -7128,6 +7170,7 @@ def _oracles() -> dict[str, str]:
         "jsonl_ingest_docs": SQL_JSONL_INGEST_DOCS,
         "lm_score_docs": SQL_LM_SCORE_DOCS,
         "chunk_docs": SQL_CHUNK_DOCS,
+        "rp_project_embeddings": _sql_rp_project(),
         "pii_scrub_docs": _sql_pii(),
         "dedup_lines_docs": SQL_DEDUP_LINES_DOCS,
         "split_assign_docs": SQL_SPLIT_ASSIGN_DOCS,

