@@ -101,6 +101,7 @@ HEADLINE = [
     "lm_score_docs",
     "chunk_docs",
     "rp_project_embeddings",
+    "tfidf_topk_docs",
 ]
 
 

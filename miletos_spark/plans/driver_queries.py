@@ -1359,6 +1359,70 @@ GROUP BY lang, source
 """
 
 
+def q_tfidf_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: TF-IDF (tf × ln(N/df)) over the
+    corpus vocabulary, top-3 terms per document. The ranking orders by
+    the QUANTIZED score (then term) in both engines — two different
+    (tf, df) pairs can produce mathematically equal scores, and ln is
+    only ~1-ulp portable, so ranking on the raw double would be a
+    cross-engine tie lottery; quantize-then-rank makes the order a
+    pure function of the integer inputs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_t = toks.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n")).first()["n"]
+    scored = tf.join(df_t, "tok").select(
+        "doc_id",
+        "tok",
+        "tf",
+        "df",
+        quantize(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("tok")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "tok", "tf", "df", "score")
+    )
+
+
+SQL_TFIDF_TOPK_DOCS = f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+    FROM documents)
+  WHERE length(tok) > 0),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+dft AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+sc AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, dft.df,
+         {quantize_sql("tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dft.df)", 4)}
+           AS score
+  FROM tf JOIN dft USING (tok) CROSS JOIN n)
+SELECT doc_id, rank, tok, CAST(tf AS BIGINT) AS tf,
+       CAST(df AS BIGINT) AS df, score
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, tok) AS INT) AS rank
+  FROM sc)
+WHERE rank <= 3
+"""
+
+
 _RP_OUT_DIM, _RP_IN_DIM, _RP_SEED = 8, 64, 42
 
 
@@ -7102,6 +7166,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_score_docs": q_lm_score_docs,
     "chunk_docs": q_chunk_docs,
     "rp_project_embeddings": q_rp_project_embeddings,
+    "tfidf_topk_docs": q_tfidf_topk_docs,
     # r06 second-wave evictions (green since r04, still judge-swept)
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -7171,6 +7236,7 @@ def _oracles() -> dict[str, str]:
         "lm_score_docs": SQL_LM_SCORE_DOCS,
         "chunk_docs": SQL_CHUNK_DOCS,
         "rp_project_embeddings": _sql_rp_project(),
+        "tfidf_topk_docs": SQL_TFIDF_TOPK_DOCS,
         "pii_scrub_docs": _sql_pii(),
         "dedup_lines_docs": SQL_DEDUP_LINES_DOCS,
         "split_assign_docs": SQL_SPLIT_ASSIGN_DOCS,
