@@ -102,6 +102,7 @@ HEADLINE = [
     "chunk_docs",
     "rp_project_embeddings",
     "tfidf_topk_docs",
+    "vocab_coverage_docs",
 ]
 
 
