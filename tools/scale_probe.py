@@ -72,6 +72,9 @@ CORPUS_QUERIES = [
     "lm_score_docs",
     "chunk_docs",
     "jsonl_ingest_docs",
+    "rp_project_embeddings",
+    "tfidf_topk_docs",
+    "vocab_coverage_docs",
 ]
 
 
