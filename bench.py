@@ -103,6 +103,7 @@ HEADLINE = [
     "rp_project_embeddings",
     "tfidf_topk_docs",
     "vocab_coverage_docs",
+    "doc_embed_docs",
 ]
 
 

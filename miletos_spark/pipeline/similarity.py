@@ -757,3 +757,64 @@ def rp_project(
         )
         outs.append(dot.alias(f"p{j}"))
     return v.select(id_col, *outs)
+
+
+def hash_embed(
+    df: DataFrame,
+    text_col: str = "chunk_text",
+    dim: int = 8,
+) -> DataFrame:
+    """Deterministic hash 'embedder' — the ENGINE SEAM for chunk
+    embedding generation, with the model call swapped for an md5-based
+    pseudo-vector (this container has no embedding model; the Spark
+    plumbing — schema, batching, downstream pooling/ANN — is what this
+    exercises, the same stance as the multimodal codec stubs).
+    Component j = md5_32(text | j) / 2^32 - 0.5, an exact dyadic
+    rational both engines reproduce digit-for-digit.
+
+    Appends an `emb array<double>` column; production swaps this for a
+    Pandas-UDF model call with the identical signature."""
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    comp = F.transform(
+        idx,
+        lambda j: F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(text_col), F.lit("|"), j.cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") / F.lit(4294967296.0) - F.lit(0.5),
+    )
+    return df.withColumn("emb", comp)
+
+
+def mean_pool(
+    df: DataFrame,
+    group_col: str = "doc_id",
+    vec_col: str = "emb",
+    dim: int = 8,
+) -> DataFrame:
+    """Mean-pool chunk vectors into one vector per group (the standard
+    doc-embedding reduction): per-dimension avg via posexplode + pivot-
+    free keyed aggregation — one shuffle on (group, dim), mergeable by
+    construction. Returns (group_col, emb array<double>, n_chunks)."""
+    exploded = df.select(
+        group_col,
+        F.posexplode(F.col(vec_col)).alias("_d", "_v"),
+    )
+    pooled = exploded.groupBy(group_col, "_d").agg(
+        F.avg("_v").alias("_m"),
+        F.count("*").alias("_n"),
+    )
+    return (
+        pooled.groupBy(group_col)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_d", "_m"))
+                ),
+                lambda s: s["_m"],
+            ).alias("emb"),
+            F.max("_n").cast("long").alias("n_chunks"),
+        )
+    )

@@ -1423,6 +1423,61 @@ WHERE rank <= 3
 """
 
 
+def q_doc_embed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The document-embedding pipeline shape: chunk (64-token windows,
+    overlap 16) → embed each chunk (hash-embedder stub at the model
+    seam — the container has no model; the plumbing is real) →
+    mean-pool chunks into one 8-dim vector per document. Every stage
+    is exact-rational (dyadic hash components, sums of ≤ a handful of
+    32-bit-mantissa values), so the pooled vector hashes bit-identically
+    across engines; quantize(6) guards the residual division class."""
+    from miletos_spark.pipeline.similarity import hash_embed, mean_pool
+    from miletos_spark.pipeline.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=64, overlap=16)
+    embedded = hash_embed(chunks, text_col="chunk_text", dim=8)
+    pooled = mean_pool(embedded, group_col="doc_id", dim=8)
+    return pooled.select(
+        "doc_id",
+        "n_chunks",
+        *[
+            quantize(F.col("emb")[j], 6).alias(f"e{j}")
+            for j in range(8)
+        ],
+    )
+
+
+def _sql_doc_embed() -> str:
+    comps = ",\n         ".join(
+        quantize_sql(
+            "avg("
+            + _sql_md5_32(f"chunk_text || '|' || '{j}'")
+            + " / 4294967296.0 - 0.5)",
+            6,
+        )
+        + f" AS e{j}"
+        for j in range(8)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> length(x) > 0) AS t
+  FROM documents),
+st AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+ch AS (
+  SELECT doc_id,
+         array_to_string(list_slice(t, u.s + 1, u.s + 64), ' ')
+           AS chunk_text
+  FROM st, unnest(range(0, CAST(n AS BIGINT), 48)) AS u(s))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         {comps}
+FROM ch
+GROUP BY doc_id
+"""
+
+
 _VOCAB_COVERAGE_RANKS = (10, 50, 100, 500, 1000)
 
 
@@ -7235,6 +7290,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rp_project_embeddings": q_rp_project_embeddings,
     "tfidf_topk_docs": q_tfidf_topk_docs,
     "vocab_coverage_docs": q_vocab_coverage_docs,
+    "doc_embed_docs": q_doc_embed_docs,
     # r06 second-wave evictions (green since r04, still judge-swept)
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -7306,6 +7362,7 @@ def _oracles() -> dict[str, str]:
         "rp_project_embeddings": _sql_rp_project(),
         "tfidf_topk_docs": SQL_TFIDF_TOPK_DOCS,
         "vocab_coverage_docs": SQL_VOCAB_COVERAGE_DOCS,
+        "doc_embed_docs": _sql_doc_embed(),
         "pii_scrub_docs": _sql_pii(),
         "dedup_lines_docs": SQL_DEDUP_LINES_DOCS,
         "split_assign_docs": SQL_SPLIT_ASSIGN_DOCS,

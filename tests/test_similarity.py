@@ -290,3 +290,28 @@ def test_rp_project_jl_distortion_and_topk_overlap(spark, sf_dir):
     R = np.array(rademacher_matrix(64, 8, 42))
     want = X @ R.T
     assert np.abs(P - want).max() < 1e-9
+
+
+def test_hash_embed_mean_pool_exact(spark):
+    """The embed-and-pool reduction: pooled vector equals the exact
+    per-dimension mean of the chunk vectors; single-chunk docs pool to
+    their own vector; determinism across calls."""
+    from miletos_spark.pipeline.similarity import hash_embed, mean_pool
+
+    rows = [(0, "alpha beta"), (0, "gamma delta"), (1, "solo chunk")]
+    df = spark.createDataFrame(rows, "doc_id long, chunk_text string")
+    emb = hash_embed(df, dim=4)
+    vecs = {}
+    for r in emb.collect():
+        vecs.setdefault(r["doc_id"], []).append(r["emb"])
+    pooled = {r["doc_id"]: r for r in mean_pool(emb, dim=4).collect()}
+    for d, vs in vecs.items():
+        want = [sum(v[j] for v in vs) / len(vs) for j in range(4)]
+        assert pooled[d]["emb"] == want
+        assert pooled[d]["n_chunks"] == len(vs)
+    # hash embedder is deterministic and component values are in range
+    again = {tuple(r["emb"]) for r in hash_embed(df, dim=4).collect()}
+    assert again == {tuple(v) for vs in vecs.values() for v in vs}
+    for vs in vecs.values():
+        for v in vs:
+            assert all(-0.5 <= x < 0.5 for x in v)
