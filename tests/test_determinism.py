@@ -73,6 +73,8 @@ QUERIES = [
     # the 5-stage curation composition: classifier logit, scrub md5,
     # dedup winner, and split rank must all survive config extremes
     "training_shards_docs",
+    "quality_filter_docs",
+    "pii_scrub_docs",
 ]
 
 # driver-ish defaults vs an adversarial layout: tiny partition count,
