@@ -104,6 +104,7 @@ HEADLINE = [
     "tfidf_topk_docs",
     "vocab_coverage_docs",
     "doc_embed_docs",
+    "substring_dedup_docs",
 ]
 
 

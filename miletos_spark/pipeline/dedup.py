@@ -823,3 +823,88 @@ def dedup_lines(
             ),
         )
     )
+
+
+def exact_substring_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 20,
+) -> DataFrame:
+    """Exact-substring duplicate detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    suffix-array method's Spark-shaped equivalent): every `min_len`-char
+    window that occurs more than once in the corpus marks a duplicated
+    span; the globally FIRST occurrence (min (id, pos)) is the kept
+    canonical copy and every other occurrence is a removal candidate.
+    Overlapping/adjacent duplicate windows merge into maximal spans via
+    the sorted-interval union (a per-doc window pass, no interval
+    explosion).
+
+    Plan: one explode to (id, pos, window-hash) — O(total chars) rows —
+    then one shuffle keyed on the hash (occurrence count + first-
+    occurrence rank) and one keyed on the doc (span merge). No suffix
+    array is materialized; the hash groupBy IS the duplicate lookup,
+    which is the piece of the suffix-array method that needs to
+    distribute at 100 TB.
+
+    Returns one row per document: (id, n_dup_grams, n_dup_spans,
+    dup_chars) — zeros for clean documents. `dup_chars` is the exact
+    length of the union of this doc's non-canonical duplicated
+    windows, i.e. how many characters the removal pass would cut."""
+    from pyspark.sql import Window
+
+    t = F.col(text_col)
+    n = F.length(t)
+    idx = F.when(
+        n >= min_len, F.sequence(F.lit(1), n - (min_len - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = df.select(
+        F.col(id_col),
+        F.explode(idx).alias("pos"),
+        t.alias("_t"),
+    ).select(
+        id_col,
+        "pos",
+        F.md5(F.substring(F.col("_t"), F.col("pos"), min_len)).alias("h"),
+    )
+    wh = Window.partitionBy("h")
+    who = Window.partitionBy("h").orderBy(id_col, "pos")
+    dups = (
+        grams.withColumn("cnt", F.count("*").over(wh))
+        .withColumn("rn", F.row_number().over(who))
+        .filter((F.col("cnt") >= 2) & (F.col("rn") > 1))
+        .select(id_col, "pos")
+    )
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    spans = dups.select(
+        id_col,
+        "pos",
+        F.lead("pos").over(wd).alias("nxt"),
+        F.lag("pos").over(wd).alias("prv"),
+    )
+    agg = spans.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_dup_grams"),
+        F.sum(
+            F.when(
+                F.col("prv").isNull()
+                | (F.col("pos") - F.col("prv") > min_len),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_dup_spans"),
+        F.sum(
+            F.when(F.col("nxt").isNull(), min_len).otherwise(
+                F.least(F.col("nxt") - F.col("pos"), F.lit(min_len))
+            )
+        ).cast("long").alias("dup_chars"),
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("dup_chars", F.lit(0)).alias("dup_chars"),
+        )
+    )

@@ -1478,6 +1478,52 @@ GROUP BY doc_id
 """
 
 
+def q_substring_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (Lee et al. 2022 — the
+    suffix-array dedup's distributed equivalent): every 20-char window
+    occurring more than once in the corpus marks a duplicated span;
+    the globally first occurrence is canonical, every other occurrence
+    is a removal candidate, and overlapping windows merge into maximal
+    spans. Per-doc summary: candidate-window count, merged-span count,
+    and exactly how many characters removal would cut."""
+    from miletos_spark.pipeline.dedup import exact_substring_dup_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_substring_dup_spans(docs, min_len=20)
+
+
+SQL_SUBSTRING_DEDUP_DOCS = """
+WITH g AS (
+  SELECT doc_id, CAST(u.i AS INT) AS pos,
+         md5(substr(text, CAST(u.i AS INT), 20)) AS h
+  FROM documents,
+       unnest(range(1, greatest(length(text) - 19, 0) + 1)) AS u(i)),
+r AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY h) AS cnt,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM g),
+d AS (SELECT doc_id, pos FROM r WHERE cnt >= 2 AND rn > 1),
+s AS (
+  SELECT doc_id, pos,
+         lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prv
+  FROM d),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams,
+         CAST(sum(CASE WHEN prv IS NULL OR pos - prv > 20
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+         CAST(sum(CASE WHEN nxt IS NULL THEN 20
+                  ELSE least(nxt - pos, 20) END) AS BIGINT) AS dup_chars
+  FROM s GROUP BY doc_id)
+SELECT doc.doc_id,
+       coalesce(agg.n_dup_grams, 0) AS n_dup_grams,
+       coalesce(agg.n_dup_spans, 0) AS n_dup_spans,
+       coalesce(agg.dup_chars, 0) AS dup_chars
+FROM documents doc LEFT JOIN agg USING (doc_id)
+"""
+
+
 _VOCAB_COVERAGE_RANKS = (10, 50, 100, 500, 1000)
 
 
@@ -7291,6 +7337,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_topk_docs": q_tfidf_topk_docs,
     "vocab_coverage_docs": q_vocab_coverage_docs,
     "doc_embed_docs": q_doc_embed_docs,
+    "substring_dedup_docs": q_substring_dedup_docs,
     # r06 second-wave evictions (green since r04, still judge-swept)
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -7363,6 +7410,7 @@ def _oracles() -> dict[str, str]:
         "tfidf_topk_docs": SQL_TFIDF_TOPK_DOCS,
         "vocab_coverage_docs": SQL_VOCAB_COVERAGE_DOCS,
         "doc_embed_docs": _sql_doc_embed(),
+        "substring_dedup_docs": SQL_SUBSTRING_DEDUP_DOCS,
         "pii_scrub_docs": _sql_pii(),
         "dedup_lines_docs": SQL_DEDUP_LINES_DOCS,
         "split_assign_docs": SQL_SPLIT_ASSIGN_DOCS,

@@ -191,3 +191,35 @@ def test_dedup_lines_first_occurrence_and_total_loss(spark):
     }
     assert got[4]["text_clean"] == ""  # 'alpha' first seen at (1, 0)
     assert got[4]["n_lines_orig"] == 2 and got[4]["n_lines_kept"] == 0
+
+
+def test_exact_substring_dup_spans_crafted(spark):
+    """Known geometry: the shared region between the two docs is
+    exactly the 30-char block with NO shared flanking context (distinct
+    neighbors on both sides), so the second doc carries 30-20+1 = 11
+    duplicate windows merging to ONE span of exactly 30 chars; the
+    first occurrence is canonical and reports zeros, as does a clean
+    doc."""
+    from miletos_spark.pipeline.dedup import exact_substring_dup_spans
+
+    block = "abcdefghijklmnopqrstuvwxyz0123"          # 30 chars
+    assert len(block) == 30
+    rows = [
+        (1, "PREFIX-ONE." + block + ".SUFFIX-ONE"),
+        (2, "zz:" + block + ":yy"),
+        (3, "totally unique content with no repeats at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in exact_substring_dup_spans(df, min_len=20).collect()
+    }
+    # doc 1 holds every canonical first occurrence -> zeros
+    assert got[1]["n_dup_grams"] == 0 and got[1]["dup_chars"] == 0
+    # doc 2: 30-char block -> 30-20+1 = 11 duplicate windows, one span
+    assert got[2]["n_dup_grams"] == 11
+    assert got[2]["n_dup_spans"] == 1
+    assert got[2]["dup_chars"] == 30
+    assert got[3] == {
+        "doc_id": 3, "n_dup_grams": 0, "n_dup_spans": 0, "dup_chars": 0,
+    }
