@@ -75,6 +75,8 @@ CORPUS_QUERIES = [
     "rp_project_embeddings",
     "tfidf_topk_docs",
     "vocab_coverage_docs",
+    "substring_dedup_docs",
+    "doc_embed_docs",
 ]
 
 
