@@ -776,17 +776,21 @@ def dedup_lines(
     (normalized) line — first = smallest (id, line_no) — and reassemble
     each document from its surviving lines in original order.
 
-    Plan: posexplode → one shuffle keyed on the line digest (window
-    row_number picks the winner; per-key groups are tiny — a line's
-    duplicate count — so key-hash parallelism holds at any corpus
-    size) → one groupBy(id) to rebuild. No joins back to the corpus,
-    no driver state.
+    Plan: posexplode → one shuffle keyed on the line digest, where a
+    partial-aggregable `min(struct(id, line_no, line))` picks the
+    winner. NOT a `row_number` window: a window partition is one task,
+    and the most common boilerplate line (empty string, cookie banner)
+    — exactly the content this operator exists to find — lands millions
+    of occurrences in one sorted partition at corpus scale. The
+    min-struct agg needs no per-key sort and map-side-combines the hot
+    key down to one row per input partition before the shuffle (skew
+    probe: tests/test_dedup_strategies.py::test_dedup_lines_hot_key).
+    Then one groupBy(id) to rebuild. No joins back to the corpus, no
+    driver state.
 
     Returns (id, text_clean, n_lines_orig, n_lines_kept); documents
     whose every line was someone else's boilerplate come back with
     n_lines_kept = 0 and an empty text_clean."""
-    from pyspark.sql import Window
-
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias(
@@ -794,10 +798,17 @@ def dedup_lines(
         ),
     )
     norm = F.lower(F.trim(F.col("line"))) if normalize else F.col("line")
-    keyed = lines.withColumn("line_key", F.md5(norm))
-    w = Window.partitionBy("line_key").orderBy(id_col, "line_no")
-    kept = keyed.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") == 1
+    keyed = lines.withColumn("line_key", F.xxhash64(norm))
+    # (id, line_no) is unique, so the struct min IS the first occurrence
+    # — the trailing `line` field rides along and never breaks a tie.
+    kept = (
+        keyed.groupBy("line_key")
+        .agg(F.min(F.struct(id_col, "line_no", "line")).alias("_w"))
+        .select(
+            F.col(f"_w.{id_col}").alias(id_col),
+            F.col("_w.line_no").alias("line_no"),
+            F.col("_w.line").alias("line"),
+        )
     )
     totals = lines.groupBy(id_col).agg(
         F.count("*").alias("n_lines_orig")
@@ -825,6 +836,55 @@ def dedup_lines(
     )
 
 
+def _gram_positions(
+    df: DataFrame, text_col: str, id_col: str, min_len: int
+) -> DataFrame:
+    """(id, pos, h): xxhash64 of every `min_len`-char window (1-based
+    pos). O(total chars) rows, 8-byte keys; docs shorter than `min_len`
+    yield no rows."""
+    t = F.col(text_col)
+    n = F.length(t)
+    idx = F.when(
+        n >= min_len, F.sequence(F.lit(1), n - (min_len - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return df.select(
+        F.col(id_col),
+        F.explode(idx).alias("pos"),
+        t.alias("_t"),
+    ).select(
+        id_col,
+        "pos",
+        F.xxhash64(F.substring(F.col("_t"), F.col("pos"), min_len)).alias(
+            "h"
+        ),
+    )
+
+
+def _non_canonical_grams(grams: DataFrame, id_col: str) -> DataFrame:
+    """(id, pos) of every gram occurrence that is NOT the globally
+    first (min (id, pos)) occurrence of its hash. Skew-safe: a
+    partial-aggregable groupBy(h) + an AQE-skew-splittable join — never
+    a row_number window over the hash (a hot boilerplate gram would
+    serialize into one sorted window partition)."""
+    firsts = (
+        grams.groupBy("h")
+        .agg(
+            F.count("*").alias("_cnt"),
+            F.min(F.struct(id_col, "pos")).alias("_first"),
+        )
+        .filter(F.col("_cnt") >= 2)
+        .select("h", "_first")
+    )
+    return (
+        grams.join(firsts, "h")
+        .filter(
+            (F.col(id_col) != F.col(f"_first.{id_col}"))
+            | (F.col("pos") != F.col("_first.pos"))
+        )
+        .select(id_col, "pos")
+    )
+
+
 def exact_substring_dup_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -841,11 +901,20 @@ def exact_substring_dup_spans(
     the sorted-interval union (a per-doc window pass, no interval
     explosion).
 
-    Plan: one explode to (id, pos, window-hash) — O(total chars) rows —
-    then one shuffle keyed on the hash (occurrence count + first-
-    occurrence rank) and one keyed on the doc (span merge). No suffix
-    array is materialized; the hash groupBy IS the duplicate lookup,
-    which is the piece of the suffix-array method that needs to
+    Plan: one explode to (id, pos, xxhash64-of-window) — O(total chars)
+    rows, 8-byte keys (an md5 hex string key is 4× the shuffle bytes
+    for the same identity; at ~1e12 grams the 64-bit birthday estimate
+    is ~3e4 colliding pairs ≈ 1e-8 of grams spuriously marked — noise
+    for a dedup pass) — then a `groupBy(h)` computing (count,
+    min(struct(id, pos))) and a join of the grams against the dup-only
+    hashes. NOT a `row_number` window over the hash: the most common
+    20-gram (license headers, whitespace runs) — exactly what this
+    operator hunts — would land millions of occurrences in one sorted
+    window partition; the min-struct agg map-side-combines the hot key
+    and the join side is AQE-skew-splittable. Finally one shuffle keyed
+    on the doc (span merge; per-doc partitions are doc-length-bounded).
+    No suffix array is materialized; the hash groupBy IS the duplicate
+    lookup, which is the piece of the suffix-array method that needs to
     distribute at 100 TB.
 
     Returns one row per document: (id, n_dup_grams, n_dup_spans,
@@ -854,28 +923,8 @@ def exact_substring_dup_spans(
     windows, i.e. how many characters the removal pass would cut."""
     from pyspark.sql import Window
 
-    t = F.col(text_col)
-    n = F.length(t)
-    idx = F.when(
-        n >= min_len, F.sequence(F.lit(1), n - (min_len - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    grams = df.select(
-        F.col(id_col),
-        F.explode(idx).alias("pos"),
-        t.alias("_t"),
-    ).select(
-        id_col,
-        "pos",
-        F.md5(F.substring(F.col("_t"), F.col("pos"), min_len)).alias("h"),
-    )
-    wh = Window.partitionBy("h")
-    who = Window.partitionBy("h").orderBy(id_col, "pos")
-    dups = (
-        grams.withColumn("cnt", F.count("*").over(wh))
-        .withColumn("rn", F.row_number().over(who))
-        .filter((F.col("cnt") >= 2) & (F.col("rn") > 1))
-        .select(id_col, "pos")
-    )
+    grams = _gram_positions(df, text_col, id_col, min_len)
+    dups = _non_canonical_grams(grams, id_col)
     wd = Window.partitionBy(id_col).orderBy("pos")
     spans = dups.select(
         id_col,
@@ -907,4 +956,83 @@ def exact_substring_dup_spans(
             F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
             F.coalesce("dup_chars", F.lit(0)).alias("dup_chars"),
         )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 20,
+) -> DataFrame:
+    """The REMOVAL half of exact-substring dedup (Lee et al. 2022 §3 —
+    the reference point of `exact_substring_dup_spans`): cut every
+    non-canonical duplicated window from each document and emit the
+    cleaned text. The globally first occurrence (min (id, pos)) of each
+    `min_len`-gram survives; every other occurrence's `min_len`-char
+    window is cut, with overlapping/adjacent windows merged into
+    maximal spans first so each span is removed exactly once.
+
+    Plan: the detection stages of `exact_substring_dup_spans` (explode
+    → skew-safe groupBy(h) + join), then per-doc span merge (gap >
+    min_len starts a new span; running-sum span ids over a doc-bounded
+    window), then ONE collect of each doc's merged spans (bounded by
+    len(text)/1 spans, in practice a handful) and a JVM-side
+    `F.aggregate` fold that stitches the kept slices back together —
+    no UDF, no per-char explode.
+
+    Returns (id, text_clean, n_chars_cut, n_spans_cut); clean documents
+    come back unchanged with zeros."""
+    from pyspark.sql import Window
+
+    grams = _gram_positions(df, text_col, id_col, min_len)
+    dups = _non_canonical_grams(grams, id_col)
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    flagged = dups.select(
+        id_col,
+        "pos",
+        F.when(
+            F.lag("pos").over(wd).isNull()
+            | (F.col("pos") - F.lag("pos").over(wd) > min_len),
+            1,
+        )
+        .otherwise(0)
+        .alias("_new"),
+    ).withColumn(
+        "_span",
+        F.sum("_new").over(
+            wd.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    spans = flagged.groupBy(id_col, "_span").agg(
+        F.min("pos").alias("start"),
+        (F.max("pos") + F.lit(min_len)).alias("end"),  # exclusive
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct("start", "end"))
+        ).alias("_spans"),
+        F.count("*").cast("long").alias("n_spans_cut"),
+    )
+    t = F.col(text_col)
+    stitched = F.aggregate(
+        F.col("_spans"),
+        F.struct(F.lit("").alias("acc"), F.lit(1).alias("nxt")),
+        lambda a, s: F.struct(
+            F.concat(
+                a["acc"], F.substring(t, a["nxt"], s["start"] - a["nxt"])
+            ).alias("acc"),
+            s["end"].alias("nxt"),
+        ),
+        lambda a: F.concat(
+            a["acc"], F.substring(t, a["nxt"], F.length(t) - a["nxt"] + 1)
+        ),
+    )
+    out = df.select(id_col, text_col).join(per_doc, id_col, "left")
+    clean = F.when(F.col("_spans").isNull(), t).otherwise(stitched)
+    return out.select(
+        F.col(id_col),
+        clean.alias("text_clean"),
+        (F.length(t) - F.length(clean)).cast("long").alias("n_chars_cut"),
+        F.coalesce("n_spans_cut", F.lit(0)).alias("n_spans_cut"),
     )

@@ -368,11 +368,30 @@ def quality_classifier(
     )
 
 
+# Model tables above this many entries shuffle-join instead of
+# broadcasting (a few hundred MB of (gram, count) rows — past the point
+# where per-executor broadcast copies are cheaper than one shuffle).
+LM_BROADCAST_THRESHOLD = 2_000_000
+
+
+def _lm_join(big: DataFrame, model: DataFrame, keys, broadcast: bool):
+    """Left-join a token stream against an LM count table, either
+    broadcast (small model) or shuffle (model too large — e.g. the
+    self-vocab of a 100 TB corpus, hundreds of millions of types, which
+    would OOM the driver as a broadcast). The shuffle path keys on the
+    gram; hot function words skew the join, which AQE's skew-join
+    splitting handles — unlike a window, a shuffled join never needs
+    one key in one task."""
+    return big.join(F.broadcast(model) if broadcast else model, keys, "left")
+
+
 def unigram_logprob(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     vocab: DataFrame | None = None,
+    broadcast: bool | None = None,
+    broadcast_threshold: int = LM_BROADCAST_THRESHOLD,
 ) -> DataFrame:
     """Statistical language-model quality scoring (the CCNet/KenLM
     perplexity-filter seam, reduced to its distributed skeleton): score
@@ -380,13 +399,18 @@ def unigram_logprob(
     token probabilities p(t) = (cnt(t)+1) / (N+V) under `vocab`
     (a (tok, cnt) table; default: counted from the corpus itself —
     self-perplexity). Production swaps the unigram table for real
-    KenLM n-gram shards; the plan — tokenize, broadcast-join the
-    model table, per-doc sum — is the same.
+    KenLM n-gram shards; the plan — tokenize, join the model table,
+    per-doc sum — is the same.
 
-    Vocabulary size follows Heaps' law (sublinear in corpus size), so
-    the model table broadcasts at any corpus scale; for n-gram models
-    too large to broadcast, the same plan runs as a shuffle join keyed
-    on the gram.
+    The model-table join is SIZE-GATED: `broadcast=None` counts the
+    vocab (one cheap agg job, which also yields N and V as literals)
+    and broadcasts only under `broadcast_threshold` entries; above it —
+    or with `broadcast=False` — the same plan runs as a shuffle join
+    keyed on the token (AQE skew-splittable on hot function words).
+    Heaps' law keeps a word-level vocab broadcastable for a long time,
+    but the self-vocab of a 100 TB web corpus or a char-noise crawl
+    does cross the line, and that must degrade to a shuffle, not a
+    driver OOM.
 
     Returns (id, n_tokens, logprob) — logprob = Σ ln p(t), higher is
     more in-distribution; filter on logprob / n_tokens."""
@@ -398,23 +422,131 @@ def unigram_logprob(
     ).filter(F.length("tok") > 0)
     if vocab is None:
         vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
-    totals = vocab.agg(
+    tot = vocab.agg(
         F.sum("cnt").cast("long").alias("n_total"),
-        F.count("*").alias("v_size"),
-    )
-    scored = (
-        toks.join(F.broadcast(vocab), "tok", "left")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            F.col(id_col),
-            F.log(
-                (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1))
-                / (F.col("n_total") + F.col("v_size"))
-            ).alias("lp"),
-        )
+        F.count("*").cast("long").alias("v_size"),
+    ).first()
+    n_total, v_size = int(tot["n_total"]), int(tot["v_size"])
+    if broadcast is None:
+        broadcast = v_size <= broadcast_threshold
+    denom = F.lit(n_total + v_size)
+    scored = _lm_join(toks, vocab, "tok", broadcast).select(
+        F.col(id_col),
+        F.log(
+            (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1)) / denom
+        ).alias("lp"),
     )
     return scored.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_tokens"),
+        F.sum("lp").alias("logprob"),
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+    model: DataFrame | None = None,
+    broadcast: bool | None = None,
+    broadcast_threshold: int = LM_BROADCAST_THRESHOLD,
+) -> DataFrame:
+    """Bigram LM scoring with stupid backoff (Brants et al. 2007,
+    "Large Language Models in Machine Translation" — the web-scale
+    scheme chosen precisely because its counts are mergeable
+    map-side-combinable aggregates, no discounting pass): per token,
+
+        ln p(t_i | t_{i-1}) = ln( c(t_{i-1} t_i) / c(t_{i-1}) )   seen
+                            = ln alpha + ln p1(t_i)               backoff
+
+    with p1 the add-one-smoothed unigram model (doc-initial tokens
+    score as p1 directly; c(t_{i-1}) is the raw unigram count). Counts
+    come from `model` — a corpus DataFrame(id, text) the tables are
+    trained on (the CCNet shape: score the crawl under a reference
+    corpus's model; default: `df` itself — self-perplexity, where
+    every bigram is by construction seen and backoff never fires).
+    Tokens and their predecessors come from ONE array projection
+    (`arrays_zip` of the token array with its shift — no self-join, no
+    per-row array carry), then two count aggs and three left joins,
+    each SIZE-GATED broadcast-vs-shuffle like `unigram_logprob`
+    (bigram vocabs cross the broadcast line far sooner than word
+    vocabs).
+
+    Returns (id, n_tokens, n_bigram_hits, n_backoff, logprob)."""
+    import math
+
+    def _zipped(src: DataFrame) -> DataFrame:
+        arr = src.select(
+            F.col(id_col),
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda t: F.length(t) > 0,
+            ).alias("_t"),
+        ).filter(F.size("_t") > 0)
+        n = F.size("_t")
+        shifted = F.concat(
+            F.array(F.lit(None).cast("string")),
+            F.slice(F.col("_t"), 1, n - 1),
+        )
+        return (
+            arr.select(
+                F.col(id_col), F.col("_t").alias("cur"),
+                shifted.alias("prv"),
+            )
+            .select(
+                id_col, F.explode(F.arrays_zip("prv", "cur")).alias("pc")
+            )
+            .select(
+                id_col,
+                F.col("pc.prv").alias("prv"),
+                F.col("pc.cur").alias("cur"),
+            )
+        )
+
+    zipped = _zipped(df)
+    train = zipped if model is None else _zipped(model)
+    uni = train.groupBy("cur").agg(F.count("*").alias("c1"))
+    bi = (
+        train.filter(F.col("prv").isNotNull())
+        .groupBy("prv", "cur")
+        .agg(F.count("*").alias("c2"))
+    )
+    tot = uni.agg(
+        F.sum("c1").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("v_size"),
+    ).first()
+    n_total, v_size = int(tot["n_total"]), int(tot["v_size"])
+    if broadcast is None:
+        broadcast = v_size <= broadcast_threshold
+    denom = F.lit(n_total + v_size)
+    uni_cur = uni.select(F.col("cur"), F.col("c1").alias("c_cur"))
+    uni_prv = uni.select(
+        F.col("cur").alias("prv"), F.col("c1").alias("c_prv")
+    )
+    j = _lm_join(zipped, uni_cur, "cur", broadcast)
+    j = _lm_join(j, uni_prv, "prv", broadcast)
+    j = _lm_join(j, bi, ["prv", "cur"], broadcast)
+    p1 = F.log((F.coalesce(F.col("c_cur"), F.lit(0)) + F.lit(1)) / denom)
+    lp = (
+        F.when(F.col("prv").isNull(), p1)
+        .when(
+            F.col("c2").isNotNull(),
+            F.log(F.col("c2") / F.col("c_prv")),
+        )
+        .otherwise(F.lit(math.log(alpha)) + p1)
+    )
+    scored = j.select(
+        F.col(id_col),
+        lp.alias("lp"),
+        F.col("c2").isNotNull().cast("long").alias("hit"),
+        (F.col("prv").isNotNull() & F.col("c2").isNull())
+        .cast("long")
+        .alias("bkoff"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("hit").alias("n_bigram_hits"),
+        F.sum("bkoff").alias("n_backoff"),
         F.sum("lp").alias("logprob"),
     )
 

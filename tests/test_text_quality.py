@@ -139,3 +139,62 @@ def test_chunk_documents_windows(spark):
     assert len(by[1]) == 1 and by[1][0]["chunk_text"] == "solo"
     # empty / whitespace-only docs: no chunks
     assert 2 not in by and 3 not in by
+
+
+def test_unigram_logprob_size_gated_join_paths_agree(spark):
+    """The broadcast and shuffle join strategies must be numerically
+    IDENTICAL (same plan semantics, different physical join); the
+    size gate flips to shuffle when the vocab exceeds the threshold."""
+    from miletos_spark.pipeline.text import unigram_logprob
+
+    rows = [(i, f"tok{i % 7} common tok{(i + 1) % 5} common") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bc = {r["doc_id"]: r.asDict() for r in
+          unigram_logprob(df, broadcast=True).collect()}
+    sh = {r["doc_id"]: r.asDict() for r in
+          unigram_logprob(df, broadcast=False).collect()}
+    assert bc == sh
+    # gate: a 1-entry threshold forces the shuffle path (same answer)
+    gated = {r["doc_id"]: r.asDict() for r in
+             unigram_logprob(df, broadcast_threshold=1).collect()}
+    assert gated == bc
+
+
+def test_bigram_logprob_stupid_backoff(spark):
+    """Hand-checked stupid backoff on a 2-doc corpus: seen bigrams use
+    raw count ratios, unseen ones pay ln(alpha) over the add-one
+    unigram model, doc-initial tokens score as plain unigrams; the
+    broadcast and shuffle paths agree."""
+    import math
+
+    from miletos_spark.pipeline.text import bigram_logprob
+
+    # corpus: doc0 = "a b a b", doc1 = "b a x"
+    # unigrams: a=3 b=3 x=1, N=7, V=3
+    # bigrams:  (a,b)=2 (b,a)=2 (a,x)=1
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "b a x")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r.asDict() for r in bigram_logprob(df).collect()}
+    p1 = {"a": math.log(4 / 10), "b": math.log(4 / 10),
+          "x": math.log(2 / 10)}
+    # doc0: p1(a) + ln(2/3) [a b] + ln(2/3) [b a] + ln(2/3) [a b]
+    want0 = p1["a"] + 3 * math.log(2 / 3)
+    assert abs(out[0]["logprob"] - want0) < 1e-12
+    assert out[0]["n_bigram_hits"] == 3 and out[0]["n_backoff"] == 0
+    # doc1: p1(b) + ln(2/3) [b a] + ln(1/3) [a x]
+    want1 = p1["b"] + math.log(2 / 3) + math.log(1 / 3)
+    assert abs(out[1]["logprob"] - want1) < 1e-12
+    assert out[1]["n_bigram_hits"] == 2 and out[1]["n_backoff"] == 0
+    # self-trained = every bigram seen; an EXTERNAL model (the CCNet
+    # shape) is what exercises backoff: score "x b" under the 2-doc
+    # model above -> (x,b) unseen -> ln(alpha) + p1(b)
+    df2 = spark.createDataFrame([(2, "x b")], "doc_id long, text string")
+    out2 = {r["doc_id"]: r.asDict()
+            for r in bigram_logprob(df2, model=df).collect()}
+    assert out2[2]["n_backoff"] == 1 and out2[2]["n_bigram_hits"] == 0
+    want2 = p1["x"] + math.log(0.4) + p1["b"]
+    assert abs(out2[2]["logprob"] - want2) < 1e-12
+    sh = {r["doc_id"]: r.asDict()
+          for r in bigram_logprob(df2, model=df, broadcast=False).collect()}
+    assert sh == out2
