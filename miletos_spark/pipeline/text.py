@@ -597,3 +597,135 @@ def chunk_documents(
         F.size(piece).alias("n_tok_chunk"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+# Frozen BPE merge table (Sennrich et al. 2016), trained offline by
+# `tools/train_bpe.py` on the sf0.01 documents sample — 64 merges,
+# checked in as a literal the way a tokenizer.json ships with a model.
+# FROZEN on purpose: the distributed encoder below and its DuckDB
+# oracle replay must be byte-identical, and a frozen table is what
+# makes token-mass accounting reproducible across engines and rounds.
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ('e', 'r'),
+    ('i', 'n'),
+    ('o', 'w'),
+    ('o', 'r'),
+    ('s', 't'),
+    ('m', 'er'),
+    ('a', 't'),
+    ('l', 'u'),
+    ('p', 'a'),
+    ('pa', 'r'),
+    ('o', 'in'),
+    ('j', 'oin'),
+    ('s', 'h'),
+    ('h', 'a'),
+    ('ha', 'sh'),
+    ('r', 'ow'),
+    ('c', 'h'),
+    ('b', 'at'),
+    ('bat', 'ch'),
+    ('s', 'c'),
+    ('sc', 'a'),
+    ('sca', 'n'),
+    ('u', 'st'),
+    ('ust', 'o'),
+    ('usto', 'mer'),
+    ('o', 'lu'),
+    ('olu', 'm'),
+    ('olum', 'n'),
+    ('c', 'ustomer'),
+    ('c', 'olumn'),
+    ('t', 'er'),
+    ('l', 'ter'),
+    ('i', 'lter'),
+    ('f', 'ilter'),
+    ('s', 'm'),
+    ('sm', 'a'),
+    ('sma', 'l'),
+    ('smal', 'l'),
+    ('s', 'l'),
+    ('sl', 'ow'),
+    ('mer', 'g'),
+    ('merg', 'e'),
+    ('v', 'e'),
+    ('ve', 'c'),
+    ('vec', 't'),
+    ('vect', 'or'),
+    ('or', 'd'),
+    ('ord', 'er'),
+    ('l', 'in'),
+    ('lin', 'e'),
+    ('t', 'a'),
+    ('ta', 'b'),
+    ('tab', 'l'),
+    ('tabl', 'e'),
+    ('d', 'at'),
+    ('dat', 'a'),
+    ('u', 'p'),
+    ('g', 'g'),
+    ('a', 'gg'),
+    ('v', 'a'),
+    ('va', 'lu'),
+    ('valu', 'e'),
+    ('k', 'e'),
+    ('ke', 'y'),
+)
+
+
+# Unit/word delimiters for the BPE string encoding: ASCII control
+# chars that cannot appear in whitespace-split word text.
+BPE_UNIT = "\x1f"
+BPE_WORD = "\x1e"
+
+
+def bpe_render(text: Column, merges=BPE_MERGES) -> Column:
+    """BPE-encode to a delimited unit stream, entirely in JVM string
+    expressions (no UDF, no shuffle): lowercase, whitespace-split,
+    wrap every char as \x1f c \x1f, join words with \x1e, then apply
+    each frozen merge as ONE literal `replace` of
+    "\x1f a \x1f\x1f b \x1f" -> "\x1f ab \x1f". Because every unit
+    carries its OWN delimiter pair, adjacent merge sites never share
+    characters — a single left-to-right non-overlapping replace is
+    exactly one BPE merge-rule pass (the pair cannot be recreated by
+    its own merge), and word boundaries (\x1e) can never be crossed.
+    DuckDB's `replace` has identical semantics, so the oracle replays
+    the chain byte-for-byte."""
+    words = F.filter(
+        F.split(F.lower(F.trim(text)), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    unitized = F.transform(
+        words,
+        lambda w: F.regexp_replace(
+            w, "(.)", BPE_UNIT + "$1" + BPE_UNIT
+        ),
+    )
+    s = F.array_join(unitized, BPE_WORD)
+    for a, b in merges:
+        s = F.replace(
+            s,
+            F.lit(f"{BPE_UNIT}{a}{BPE_UNIT}{BPE_UNIT}{b}{BPE_UNIT}"),
+            F.lit(f"{BPE_UNIT}{a}{b}{BPE_UNIT}"),
+        )
+    return s
+
+
+def bpe_token_count(text: Column, merges=BPE_MERGES) -> Column:
+    """Subword token count under the frozen merge table: half the
+    number of unit delimiters left after the merge chain."""
+    s = bpe_render(text, merges)
+    return (
+        (F.length(s) - F.length(F.replace(s, F.lit(BPE_UNIT), F.lit(""))))
+        / 2
+    ).cast("int")
+
+
+def bpe_tokens(text: Column, merges=BPE_MERGES) -> Column:
+    """The BPE token array itself (split the rendered stream on
+    delimiter runs). array_join(bpe_tokens(t), ' ') round-trips the
+    non-whitespace characters of `lower(t)` in order."""
+    return F.filter(
+        F.split(bpe_render(text, merges), f"[{BPE_UNIT}{BPE_WORD}]+"),
+        lambda t: F.length(t) > 0,
+    )

@@ -1363,6 +1363,119 @@ FROM ch
 """
 
 
+def _sql_bpe_render(text_expr: str = "text") -> str:
+    """DuckDB replay of `miletos_spark.pipeline.text.bpe_render`: the
+    identical render + frozen-merge replace chain (chr(31)/chr(30) are
+    the unit/word delimiters), generated from the same BPE_MERGES
+    literal so Spark and the oracle tokenize byte-identically."""
+    from miletos_spark.pipeline.text import BPE_MERGES, BPE_UNIT, BPE_WORD
+
+    expr = (
+        "array_to_string(list_transform(list_filter("
+        f"regexp_split_to_array(lower(trim({text_expr})), '\\s+'), "
+        "x -> length(x) > 0), "
+        "w -> regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g')"
+        "), chr(30))"
+    )
+    for a, b in BPE_MERGES:
+        expr = (
+            f"replace({expr}, "
+            f"'{BPE_UNIT}{a}{BPE_UNIT}{BPE_UNIT}{b}{BPE_UNIT}', "
+            f"'{BPE_UNIT}{a}{b}{BPE_UNIT}')"
+        )
+    return expr
+
+
+def q_bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real subword tokenization under the frozen 64-merge BPE table
+    (Sennrich et al. 2016; trained offline by tools/train_bpe.py and
+    checked in like a tokenizer.json): per doc, the exact BPE token
+    count and the md5 of the space-joined token stream — which pins
+    every merge decision byte-exactly. Encoding is a pure JVM string
+    `replace` chain (one pass per frozen merge, no UDF, no shuffle);
+    the oracle replays the identical chain."""
+    from miletos_spark.pipeline.text import bpe_token_count, bpe_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        bpe_token_count(F.col("text")).alias("n_tokens_bpe"),
+        F.md5(F.array_join(bpe_tokens(F.col("text")), " ")).alias(
+            "toks_md5"
+        ),
+    )
+
+
+def _sql_bpe_tokenize() -> str:
+    return f"""
+WITH s AS (SELECT doc_id, {_sql_bpe_render("text")} AS s FROM documents)
+SELECT doc_id,
+       CAST((length(s) - length(replace(s, chr(31), ''))) / 2 AS INT)
+         AS n_tokens_bpe,
+       md5(array_to_string(list_filter(
+             string_split_regex(s, '[' || chr(31) || chr(30) || ']+'),
+             x -> length(x) > 0), ' ')) AS toks_md5
+FROM s
+"""
+
+
+def q_pack_sequences_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing with HONEST token mass: the concat-and-chunk
+    layout of `pack_sequences_docs`, but weights = the frozen-table BPE
+    subword counts instead of whitespace counts — the number a trainer
+    actually bills against its context window. Capacity 512 BPE
+    tokens; per-(lang, source, bin) integer summary."""
+    from miletos_spark.pipeline.packing import pack_chunks, pack_summary
+    from miletos_spark.pipeline.text import bpe_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.select(
+        "lang",
+        "source",
+        "doc_id",
+        bpe_token_count(F.col("text")).alias("n_tokens_bpe"),
+    )
+    packed = pack_chunks(
+        counted, token_col="n_tokens_bpe", capacity=512
+    )
+    return pack_summary(
+        packed, token_col="n_tokens_bpe"
+    ).select(
+        "lang",
+        "source",
+        F.col("start_bin").cast("long").alias("start_bin"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("tokens_started").cast("long").alias("tokens_started"),
+        F.col("n_straddle").cast("long").alias("n_straddle"),
+    )
+
+
+def _sql_pack_sequences_bpe() -> str:
+    return f"""
+WITH s AS (SELECT doc_id, lang, source, {_sql_bpe_render("text")} AS s
+           FROM documents),
+c AS (SELECT doc_id, lang, source,
+             CAST((length(s) - length(replace(s, chr(31), ''))) / 2
+                  AS BIGINT) AS n
+      FROM s),
+o AS (SELECT *,
+             sum(n) OVER (PARTITION BY lang, source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n AS start_off
+      FROM c),
+p AS (SELECT lang, source, doc_id, n,
+             CAST(floor(start_off / 512.0) AS BIGINT) AS start_bin,
+             greatest(CAST(floor((start_off + n - 1) / 512.0) AS BIGINT)
+                      - CAST(floor(start_off / 512.0) AS BIGINT),
+                      0) AS n_straddle
+      FROM o)
+SELECT lang, source, start_bin,
+       count(*) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS tokens_started,
+       CAST(sum(n_straddle) AS BIGINT) AS n_straddle
+FROM p GROUP BY 1, 2, 3
+"""
+
+
 def _land_docs_jsonl(spark: SparkSession, sf_dir: str) -> str:
     """Memoized landing of the documents table as JSONL (the wire
     format real crawl corpora arrive in) — S11 memo keying on the
@@ -7487,6 +7600,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_embed_docs": q_doc_embed_docs,
     "substring_dedup_docs": q_substring_dedup_docs,
     "substring_removal_docs": q_substring_removal_docs,
+    "bpe_tokenize_docs": q_bpe_tokenize_docs,
+    "pack_sequences_bpe_docs": q_pack_sequences_bpe_docs,
     # r06 second-wave evictions (green since r04, still judge-swept)
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -7562,6 +7677,8 @@ def _oracles() -> dict[str, str]:
         "doc_embed_docs": _sql_doc_embed(),
         "substring_dedup_docs": SQL_SUBSTRING_DEDUP_DOCS,
         "substring_removal_docs": SQL_SUBSTRING_REMOVAL_DOCS,
+        "bpe_tokenize_docs": _sql_bpe_tokenize(),
+        "pack_sequences_bpe_docs": _sql_pack_sequences_bpe(),
         "pii_scrub_docs": _sql_pii(),
         "dedup_lines_docs": SQL_DEDUP_LINES_DOCS,
         "split_assign_docs": SQL_SPLIT_ASSIGN_DOCS,

@@ -198,3 +198,81 @@ def test_bigram_logprob_stupid_backoff(spark):
     sh = {r["doc_id"]: r.asDict()
           for r in bigram_logprob(df2, model=df, broadcast=False).collect()}
     assert sh == out2
+
+
+def _bpe_reference(text: str, merges) -> list:
+    """Classic BPE apply loop (Sennrich et al. 2016): per word, apply
+    each merge rule in table order until it no longer occurs."""
+    out = []
+    for w in text.lower().split():
+        syms = list(w)
+        for a, b in merges:
+            i, cur = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    cur.append(a + b)
+                    i += 2
+                else:
+                    cur.append(syms[i])
+                    i += 1
+            syms = cur
+        out.extend(syms)
+    return out
+
+
+def test_bpe_matches_classic_apply_loop(spark):
+    """The string-replace-chain encoder must be TOKEN-IDENTICAL to the
+    classic per-word merge loop on real corpus text (the delimiter
+    encoding exists precisely so one replace == one merge pass)."""
+    from pyspark.sql import functions as F
+
+    from miletos_spark.pipeline.text import BPE_MERGES, bpe_tokens
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(100)
+    got = {
+        r["doc_id"]: r["toks"]
+        for r in docs.select(
+            "doc_id", bpe_tokens(F.col("text")).alias("toks")
+        ).collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        assert got[r["doc_id"]] == _bpe_reference(r["text"], BPE_MERGES), (
+            r["doc_id"]
+        )
+
+
+def test_bpe_roundtrip_and_counts(spark):
+    """Tokens must partition the non-whitespace chars of lower(text)
+    (no char lost or duplicated by the merge chain), the count column
+    must equal the token-array size, and repeated-pair inputs (the
+    'aaaa' adjacency trap) must merge leftmost-first like BPE."""
+    from pyspark.sql import functions as F
+
+    from miletos_spark.pipeline.text import bpe_token_count, bpe_tokens
+
+    rows = [
+        (0, "Hash JOIN hash join HASHJOIN"),
+        (1, "aaaa erer InInIn"),          # adjacent-merge stress
+        (2, ""),
+        (3, "   "),
+        (4, "x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in df.select(
+            "doc_id",
+            "text",
+            bpe_tokens(F.col("text")).alias("toks"),
+            bpe_token_count(F.col("text")).alias("n"),
+        ).collect()
+    }
+    for i, text in rows:
+        assert "".join(out[i]["toks"]) == "".join(text.lower().split())
+        assert out[i]["n"] == len(out[i]["toks"])
+    from miletos_spark.pipeline.text import BPE_MERGES
+
+    for i, text in rows:
+        assert out[i]["toks"] == _bpe_reference(text, BPE_MERGES)
