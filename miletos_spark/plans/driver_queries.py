@@ -3458,6 +3458,104 @@ def land_stream_events(
     return land
 
 
+# Frozen matched-filter stream config: the 4-sample mean-subtracted
+# exp-decay template (search/flare.py exp_decay_template(4, 1.5) —
+# deterministic math, frozen by code) and a fixed detection threshold
+# (a landing-time calibration constant, like t_ref; the data-derived
+# med+7sigma auto-threshold is the batch P6 row's job).
+FLARE_STREAM_SCHEMA = "event_type string, idx long, value double"
+FLARE_STREAM_THRESHOLD = 120.0
+
+
+def _flare_template() -> "list[float]":
+    from miletos_spark.search.flare import exp_decay_template
+
+    return exp_decay_template(4, 1.5)
+
+
+def land_stream_flare_events(spark: SparkSession, sf_dir: str) -> str:
+    """Memoized landing of the index-carrying flare stream: each
+    series ranked ONCE at write time (event_type, cadence idx, value) —
+    a stream cannot rank, the ingest job can; the scatter-gather
+    correlation then needs no ordering at all (S11 memo pattern)."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|flare"
+    except OSError:
+        sig = os.path.abspath(sf_dir) + "|flare"
+    key = hashlib.md5(sig.encode()).hexdigest()[:12]
+    land = os.path.join(tempfile.gettempdir(), f"miletos_land_{key}", "data")
+    if not os.path.exists(land):
+        ev = load_table(spark, sf_dir, "events")
+        w = Window.partitionBy("event_type").orderBy(
+            epoch_micros_expr(ev, "ts"), "event_id"
+        )
+        ev.select(
+            "event_type",
+            (F.row_number().over(w) - 1).cast("long").alias("idx"),
+            "value",
+        ).write.parquet(land)
+    return land
+
+
+def q_stream_flare_keyed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 P6 online, KEYED: matched-filter flare correlation as an
+    incremental scatter-gather aggregate (each arriving sample feeds
+    the k correlation positions it participates in; no lead(), no
+    arrival-order requirement), keyed by event_type over the landed
+    index-carrying stream. Decimal fixed-order terms make the drained
+    series bit-equal to the batch twin (asserted in
+    tests/test_sources_streaming.py); complete positions (n_terms = k)
+    are thresholded at the frozen calibration level. Oracle: the
+    identical scatter replay in DuckDB via the decimal VARCHAR hop."""
+    from miletos_spark.streaming.ingest import stream_matched_filter
+
+    land = land_stream_flare_events(spark, sf_dir)
+    template = _flare_template()
+    sdf = stream_matched_filter(
+        spark, land, FLARE_STREAM_SCHEMA, template
+    )
+    out = _drain_memory_stream(spark, sdf, "stream_flare_")
+    corr = F.col("corr_dec").cast("double")
+    return out.filter(F.col("n_terms") == len(template)).select(
+        "event_type",
+        F.col("pos").cast("long").alias("pos"),
+        quantize(corr, 6).alias("corr"),
+        (corr > F.lit(FLARE_STREAM_THRESHOLD)).alias("trig"),
+    )
+
+
+def _sql_stream_flare_keyed() -> str:
+    template = _flare_template()
+    tv = ", ".join(
+        f"({j}, CAST({w!r} AS DOUBLE))" for j, w in enumerate(template)
+    )
+    return f"""
+WITH idx AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) - 1 AS idx
+  FROM events),
+tmpl(j, w) AS (VALUES {tv}),
+sc AS (
+  SELECT event_type, idx - j AS pos,
+         sum(CAST(CAST(w * value AS VARCHAR) AS DECIMAL(38,18)))
+           AS corr_dec,
+         count(*) AS n
+  FROM idx CROSS JOIN tmpl WHERE idx - j >= 0
+  GROUP BY 1, 2)
+SELECT event_type, CAST(pos AS BIGINT) AS pos,
+       {quantize_sql("CAST(corr_dec AS DOUBLE)", 6)} AS corr,
+       CAST(corr_dec AS DOUBLE) > {FLARE_STREAM_THRESHOLD!r} AS trig
+FROM sc WHERE n = {len(template)}
+"""
+
+
 def q_stream_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.12 Structured Streaming: land events as a micros-timestamp
     parquet dir, run the session_window aggregation as an availableNow
@@ -7619,6 +7717,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "visibility_events": q_visibility_events,
     "stream_trigger_clusters_events": q_stream_trigger_clusters_events,
     "stream_rebin_events": q_stream_rebin_events,
+    "stream_flare_keyed_events": q_stream_flare_keyed_events,
     "phase_components_events": q_phase_components_events,
     "fits_ingest_events": q_fits_ingest_events,
     "qlp_ingest_events": q_qlp_ingest_events,
@@ -7678,6 +7777,7 @@ def _oracles() -> dict[str, str]:
         "substring_dedup_docs": SQL_SUBSTRING_DEDUP_DOCS,
         "substring_removal_docs": SQL_SUBSTRING_REMOVAL_DOCS,
         "bpe_tokenize_docs": _sql_bpe_tokenize(),
+        "stream_flare_keyed_events": _sql_stream_flare_keyed(),
         "pack_sequences_bpe_docs": _sql_pack_sequences_bpe(),
         "pii_scrub_docs": _sql_pii(),
         "dedup_lines_docs": SQL_DEDUP_LINES_DOCS,

@@ -399,3 +399,81 @@ def stream_dedup_within_watermark(
         .dropDuplicatesWithinWatermark(key_cols)
         .select(*key_cols, event_time_col)
     )
+
+
+def matched_filter_scatter(
+    src: DataFrame,
+    template: "list[float]",
+    key_cols: "tuple[str, ...]" = ("event_type",),
+    idx_col: str = "idx",
+    value_col: str = "value",
+    mu: float = 0.0,
+    dec_type: str = "decimal(38,18)",
+) -> DataFrame:
+    """P6 matched-filter correlation as a SCATTER-GATHER keyed
+    aggregate — the form that streams: a sample at cadence index i
+    cannot know its k-1 successors, but it knows every correlation
+    position it feeds, so each arriving row contributes
+    tmpl_j * (y_i - mu) to position i - j (one broadcast join against
+    the k-row template, one keyed agg; no lead(), no ordering
+    requirement on arrival). A position's correlation is COMPLETE when
+    all k terms have arrived (n_terms = k) — the batch lead() form and
+    this one are then the same sum, and decimal fixed-order terms make
+    them (and any micro-batch arrival order) bit-identical.
+
+    Works identically on a batch DataFrame and a streaming one (the
+    drain-vs-batch bit-equality test runs both through THIS function);
+    `stream_matched_filter` wraps it over a parquet stream.
+
+    The index column comes from the LANDING job (the ingest pipeline
+    ranks each series once at write time) — a stream cannot rank, a
+    landing job can; same stance as `t_ref` in `stream_ls_moments`."""
+    k = len(template)
+    spark = src.sparkSession
+    tmpl = spark.createDataFrame(
+        [(j, float(w)) for j, w in enumerate(template)], "j int, w double"
+    ).withColumn("_k", F.lit(1))
+    keys = list(key_cols)
+    joined = src.withColumn("_k", F.lit(1)).join(F.broadcast(tmpl), "_k")
+    term = (
+        (F.col("w") * (F.col(value_col) - F.lit(float(mu))))
+        .cast(dec_type)
+    )
+    pos = (F.col(idx_col) - F.col("j")).alias("pos")
+    return (
+        joined.select(*keys, pos, term.alias("_term"))
+        .filter(F.col("pos") >= 0)
+        .groupBy(*keys, "pos")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum("_term").alias("corr_dec"),
+        )
+    )
+
+
+def stream_matched_filter(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    template: "list[float]",
+    key_cols: "tuple[str, ...]" = ("event_type",),
+    idx_col: str = "idx",
+    value_col: str = "value",
+    mu: float = 0.0,
+    dec_type: str = "decimal(38,18)",
+) -> DataFrame:
+    """P6 online: incremental keyed matched-filter correlation over a
+    landed, index-carrying parquet stream (see `matched_filter_scatter`
+    for the algebra). State = one (key, pos) row per sample position
+    still inside the correlation horizon — the streamed analog of the
+    O(n) correlation series itself; a production deployment evicts
+    completed positions (n_terms = k and event time past the
+    watermark) exactly like `stream_dedup_within_watermark` evicts
+    seen keys. Returns the streaming aggregate; the caller drains and
+    scores (threshold + trigger clustering) at read-out, the
+    `stream_bls` discipline."""
+    src = spark.readStream.schema(schema).parquet(input_dir)
+    return matched_filter_scatter(
+        src, template, key_cols=key_cols, idx_col=idx_col,
+        value_col=value_col, mu=mu, dec_type=dec_type,
+    )

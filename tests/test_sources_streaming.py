@@ -945,3 +945,58 @@ def test_stream_dedup_within_watermark_suppresses_then_evicts(spark, tmp_path):
     # 'a' emitted twice (once per epoch around the eviction), its
     # within-window duplicate suppressed; 'z' and 'b' once each
     assert sorted(r[0] for r in rows) == ["a", "a", "b", "z"]
+
+
+def test_stream_matched_filter_equals_batch(spark, sf_dir):
+    """The drained streaming matched-filter correlation must be
+    BIT-identical to the batch run of the same scatter-gather over the
+    same landed index-carrying stream — decimal fixed-order terms mean
+    micro-batch arrival order cannot move a single position; and on a
+    constant series every complete position's correlation must be ~0
+    (the template is mean-subtracted)."""
+    from miletos_spark.plans.driver_queries import (
+        _flare_template,
+        land_stream_flare_events,
+        FLARE_STREAM_SCHEMA,
+    )
+    from miletos_spark.streaming.ingest import (
+        matched_filter_scatter,
+        stream_matched_filter,
+    )
+    from miletos_spark.streaming.stateful import run_available_now
+    import uuid
+
+    template = _flare_template()
+    land = land_stream_flare_events(spark, sf_dir)
+
+    sdf = stream_matched_filter(
+        spark, land, FLARE_STREAM_SCHEMA, template
+    )
+    name = "mf_" + uuid.uuid4().hex[:8]
+    run_available_now(sdf, name, output_mode="complete")
+    streamed = {
+        (r["event_type"], r["pos"]): (r["n_terms"], r["corr_dec"])
+        for r in spark.table(name).collect()
+    }
+    spark.catalog.dropTempView(name)
+
+    batch = {
+        (r["event_type"], r["pos"]): (r["n_terms"], r["corr_dec"])
+        for r in matched_filter_scatter(
+            spark.read.parquet(land), template
+        ).collect()
+    }
+    assert streamed == batch   # decimal-exact, not approx
+
+    # constant series: complete positions correlate to (sum tmpl)*c ~ 0
+    import pyspark.sql.functions as F
+
+    const = spark.createDataFrame(
+        [("k", i, 5.0) for i in range(10)],
+        "event_type string, idx long, value double",
+    )
+    out = matched_filter_scatter(const, template).collect()
+    complete = [r for r in out if r["n_terms"] == len(template)]
+    assert len(complete) == 10 - len(template) + 1
+    for r in complete:
+        assert abs(float(r["corr_dec"])) < 1e-12
