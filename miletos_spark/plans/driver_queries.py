@@ -5492,10 +5492,16 @@ def q_ivfpq_landed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RECALL_Q = 20           # query-batch size for the recall row
 _RECALL_K = 10
-_RECALL_THRESH = 0.75    # measured mean recall@10: 0.935 (sf0.001),
-                         # 0.90 (sf0.01), 0.875 (sf0.1) — 0.75 leaves
-                         # ≥25 flipped pairs of margin against KMeans
-                         # landing wobble at the driver's sf0.01
+_RECALL_THRESH = 0.85    # measured-minus-margin (VERDICT r6 Wrong #5:
+                         # 0.75 was loose enough to pass a quantizer
+                         # regression to 0.8). Round-7 n_probe sweep at
+                         # the driver's sf0.01: recall@10 = 0.515 / 0.71
+                         # / 0.90 / 1.00 for n_probe 1/2/3/4 (full
+                         # recall/cost curve in SCALE.md); the row runs
+                         # n_probe=3 -> 0.85 = measured − 10 flipped
+                         # pairs of seeded-KMeans landing wobble, and a
+                         # regression to the n_probe=2 tier (0.71) or a
+                         # broken quantizer now fails the row
 
 
 def q_ivfpq_recall_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5545,7 +5551,7 @@ def q_ivfpq_recall_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ivfpq_rerank").alias("method"),
         F.lit(_RECALL_K).cast("long").alias("k"),
         F.lit(_RECALL_Q).cast("long").alias("n_queries"),
-        (F.col("_recall") >= F.lit(_RECALL_THRESH)).alias("recall_ge_075"),
+        (F.col("_recall") >= F.lit(_RECALL_THRESH)).alias("recall_ge_085"),
     )
 
 
@@ -5553,7 +5559,7 @@ SQL_IVFPQ_RECALL_TOPK = """
 SELECT 'ivfpq_rerank' AS method,
        CAST(10 AS BIGINT) AS k,
        CAST(20 AS BIGINT) AS n_queries,
-       TRUE AS recall_ge_075
+       TRUE AS recall_ge_085
 """
 
 
