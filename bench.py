@@ -105,7 +105,34 @@ HEADLINE = [
     "vocab_coverage_docs",
     "doc_embed_docs",
     "substring_dedup_docs",
+    # round-7: substring removal, bigram LM, frozen-table BPE,
+    # BPE-billed packing, keyed streaming matched filter
+    "substring_removal_docs",
+    "lm_bigram_score_docs",
+    "bpe_tokenize_docs",
+    "pack_sequences_bpe_docs",
+    "stream_flare_keyed_events",
 ]
+
+# Queries that probe a WRITE-TIME LANDED index (built by the ingest
+# JVM). VERDICT r6 Wrong #3: once ingest moved to its own JVM, these
+# read cold in the query session where r05 read them warm — headline
+# numbers silently mixed warm and cold round-over-round. They now get
+# ONE untimed warm touch before the timed best-of-2, so the recorded
+# number is the steady-state warm probe (the shape the memoized index
+# gives a long-lived deployment); the cold build itself is still
+# timed, separately and deterministically, under the ingest: labels.
+LANDED_INDEX_PROBES = {
+    "lsh_similarity_topk",
+    "ivf_recovery_topk",
+    "ivf_landed_topk",
+    "pq_recovery_topk",
+    "pq_landed_topk",
+    "ivfpq_recovery_topk",
+    "ivfpq_landed_topk",
+    "ivfpq_recall_topk",
+    "stream_near_dup_docs",
+}
 
 
 def main() -> None:
@@ -152,6 +179,8 @@ def main() -> None:
         # measurement carries first-touch page-cache/codegen noise that
         # has repeatedly read as a round-over-round "regression"; the
         # min of two runs is the plan's actual cost.
+        if name in LANDED_INDEX_PROBES:
+            fn(spark, SF_DIR).count()   # untimed warm touch (see above)
         best, n = None, 0
         for _ in range(2):
             spark._jvm.System.gc()

@@ -7592,19 +7592,21 @@ ORDER BY sp.target
 #      twins) — each window slot goes to a distinct operator family.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- driver-checked window (positions 0-49, all oracle-backed) --
-    # r06 rotation (VERDICT r5 ask #4): promoted 9 never-driver-checked
-    # rows (asof_join, rollup_pricing, time_rollup, near_dup_pairs,
-    # stream_ls_keyed, rolling_std_peakcut, binned_rms, transit_epochs,
-    # + the new ivfpq_recall row); evicted 9 rows green ≥2 consecutive
-    # rounds (rebin, median_normalize, sessionize, fold_phase_bins,
-    # largest_gap, lomb_scargle batch, dedup_exact, transit_windows,
-    # model_loglik) into the judge-sweep overflow block.
-    # r06 second wave: the six NEW capabilities built this round take
-    # window slots immediately (the near_dup_clusters lesson — a new
-    # capability should meet the hard driver signal in its first
-    # round), evicting 6 more rows green since r04 (pricing_summary,
-    # region_revenue, crossmatch_catalog, photometry_events,
-    # flare_band_events, trigger_clusters_events).
+    # r07 rotation (VERDICT r6 ask #1): promoted ALL 22 oracle-backed
+    # entries that had never had a driver row (the round-6 curation
+    # tier: lm_score, chunk, rp_project, tfidf, vocab_coverage,
+    # doc_embed, substring_dedup, training_shards, jsonl_ingest,
+    # mixture_sample, pack_sequences, decontaminate; plus
+    # ivfpq_recovery, brightness_temp/albedo_recirc/visibility, the
+    # stream_trigger_clusters/stream_rebin twins, json_props and the
+    # fits/qlp/csv ingest rows) + the 5 NEW round-7 capabilities
+    # (substring removal, bigram LM, BPE tokenize + BPE packing, keyed
+    # streaming matched filter). Kept: the 17 rows first-green in r06
+    # (one driver round is not yet a signal) and 6 continuity anchors
+    # for the deepest composites (batch+stream BLS, GP, MCMC, both
+    # pipeline lifecycles). Evicted to the judge-sweep overflow: 27
+    # rows green in BOTH r05 and r06.
+    # kept: first green in r06
     "population_nm_recovery_events": q_population_nm_recovery_events,
     "quality_filter_docs": q_quality_filter_docs,
     "pii_scrub_docs": q_pii_scrub_docs,
@@ -7613,49 +7615,81 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_pricing": q_rollup_pricing,
     "time_rollup_events": q_time_rollup_events,
     "transit_epochs_events": q_transit_epochs_events,
+    "rolling_std_peakcut_events": q_rolling_std_peakcut_events,
+    "binned_rms_events": q_binned_rms_events,
+    "near_dup_pairs": q_near_dup_pairs,
+    "near_dup_clusters": q_near_dup_clusters,
+    "ivfpq_recall_topk": q_ivfpq_recall_topk,
+    "split_assign_docs": q_split_assign_docs,
+    "stream_near_dup_recovery_docs": q_stream_near_dup_recovery_docs,
+    "stream_ls_keyed_events": q_stream_ls_keyed_events,
+    "bls_multires_events": q_bls_multires_events,
+    # kept: continuity anchors (deepest composite plans)
+    "bls_spectrum_events": q_bls_spectrum_events,
+    "gp_recovery_events": q_gp_recovery_events,
+    "mcmc_recovery_events": q_mcmc_recovery_events,
+    "pipeline_summary_events": q_pipeline_summary_events,
+    "pipeline_population_events": q_pipeline_population_events,
+    "stream_bls_events": q_stream_bls_events,
+    # promoted: NEW round-7 capabilities (first-round driver signal)
+    "substring_removal_docs": q_substring_removal_docs,
+    "lm_bigram_score_docs": q_lm_bigram_score_docs,
+    "bpe_tokenize_docs": q_bpe_tokenize_docs,
+    "pack_sequences_bpe_docs": q_pack_sequences_bpe_docs,
+    "stream_flare_keyed_events": q_stream_flare_keyed_events,
+    # promoted: never-driver-checked until now
+    "lm_score_docs": q_lm_score_docs,
+    "chunk_docs": q_chunk_docs,
+    "rp_project_embeddings": q_rp_project_embeddings,
+    "tfidf_topk_docs": q_tfidf_topk_docs,
+    "vocab_coverage_docs": q_vocab_coverage_docs,
+    "doc_embed_docs": q_doc_embed_docs,
+    "substring_dedup_docs": q_substring_dedup_docs,
+    "training_shards_docs": q_training_shards_docs,
+    "jsonl_ingest_docs": q_jsonl_ingest_docs,
+    "mixture_sample_docs": q_mixture_sample_docs,
+    "pack_sequences_docs": q_pack_sequences_docs,
+    "decontaminate_docs": q_decontaminate_docs,
+    "ivfpq_recovery_topk": q_ivfpq_recovery_topk,
+    "brightness_temp_events": q_brightness_temp_events,
+    "albedo_recirc_events": q_albedo_recirc_events,
+    "visibility_events": q_visibility_events,
+    "stream_trigger_clusters_events": q_stream_trigger_clusters_events,
+    "stream_rebin_events": q_stream_rebin_events,
+    "json_props_events": q_json_props_events,
+    "fits_ingest_events": q_fits_ingest_events,
+    "qlp_ingest_events": q_qlp_ingest_events,
+    "csv_ingest_events": q_csv_ingest_events,
+    # -- oracle-backed overflow (judge full sweep only, no driver row) --
+    # r07 evictions: green in both r05 and r06
     "sketch_stats_events": q_sketch_stats_events,
     "repetition_stats_docs": q_repetition_stats_docs,
     "spline_recovery_events": q_spline_recovery_events,
     "transit_fit_recovery_events": q_transit_fit_recovery_events,
-    "rolling_std_peakcut_events": q_rolling_std_peakcut_events,
-    "binned_rms_events": q_binned_rms_events,
-    "bls_spectrum_events": q_bls_spectrum_events,
-    "gp_recovery_events": q_gp_recovery_events,
     "bls_multi_recovery_events": q_bls_multi_recovery_events,
     "outlier_period_events": q_outlier_period_events,
-    "near_dup_pairs": q_near_dup_pairs,
-    "near_dup_clusters": q_near_dup_clusters,
     "ivf_recovery_topk": q_ivf_recovery_topk,
     "lsh_similarity_topk": q_lsh_similarity_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "corpus_cleanup": q_corpus_cleanup,
-    "pipeline_summary_events": q_pipeline_summary_events,
-    "ivfpq_recall_topk": q_ivfpq_recall_topk,
-    "split_assign_docs": q_split_assign_docs,
-    "stream_near_dup_recovery_docs": q_stream_near_dup_recovery_docs,
     "bloom_dedup_docs": q_bloom_dedup_docs,
     "pq_recovery_topk": q_pq_recovery_topk,
     "simhash_pairs": q_simhash_pairs,
     "media_features": q_media_features,
     "doc_quality_docs": q_doc_quality_docs,
     "vocab_topk_docs": q_vocab_topk_docs,
-    "pipeline_population_events": q_pipeline_population_events,
-    "stream_ls_keyed_events": q_stream_ls_keyed_events,
-    "mcmc_recovery_events": q_mcmc_recovery_events,
     "derived_features_events": q_derived_features_events,
     "detection_stats_events": q_detection_stats_events,
-    "stream_bls_events": q_stream_bls_events,
     "stream_ls_events": q_stream_ls_events,
     "matched_filter_events": q_matched_filter_events,
     "phase_curve_events": q_phase_curve_events,
     "clip_detrend_events": q_clip_detrend_events,
     "tls_recovery_events": q_tls_recovery_events,
-    "bls_multires_events": q_bls_multires_events,
     "derived_outputs_events": q_derived_outputs_events,
     "stream_bls_keyed_events": q_stream_bls_keyed_events,
     "stream_dedup_docs": q_stream_dedup_docs,
     "ener_spectrum_events": q_ener_spectrum_events,
-    # -- oracle-backed overflow (judge full sweep only, no driver row) --
+    # earlier-round overflow
     "rebin_events": q_rebin_events,
     "median_normalize_events": q_median_normalize_events,
     "sessionize_events": q_sessionize_events,
@@ -7689,23 +7723,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "membership_events": q_membership_events,
     "rebin_count_events": q_rebin_count_events,
     "text_stats_docs": q_text_stats_docs,
-    "mixture_sample_docs": q_mixture_sample_docs,
-    "pack_sequences_docs": q_pack_sequences_docs,
-    "decontaminate_docs": q_decontaminate_docs,
     "stream_near_dup_docs": q_stream_near_dup_docs,
-    "training_shards_docs": q_training_shards_docs,
-    "jsonl_ingest_docs": q_jsonl_ingest_docs,
-    "lm_score_docs": q_lm_score_docs,
-    "lm_bigram_score_docs": q_lm_bigram_score_docs,
-    "chunk_docs": q_chunk_docs,
-    "rp_project_embeddings": q_rp_project_embeddings,
-    "tfidf_topk_docs": q_tfidf_topk_docs,
-    "vocab_coverage_docs": q_vocab_coverage_docs,
-    "doc_embed_docs": q_doc_embed_docs,
-    "substring_dedup_docs": q_substring_dedup_docs,
-    "substring_removal_docs": q_substring_removal_docs,
-    "bpe_tokenize_docs": q_bpe_tokenize_docs,
-    "pack_sequences_bpe_docs": q_pack_sequences_bpe_docs,
     # r06 second-wave evictions (green since r04, still judge-swept)
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -7713,21 +7731,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "photometry_events": q_photometry_events,
     "flare_band_events": q_flare_band_events,
     "trigger_clusters_events": q_trigger_clusters_events,
-    "ivfpq_recovery_topk": q_ivfpq_recovery_topk,
-    "rollup_pricing": q_rollup_pricing,
-    "time_rollup_events": q_time_rollup_events,
-    "json_props_events": q_json_props_events,
     "simhash_docs": q_simhash_docs,
-    "brightness_temp_events": q_brightness_temp_events,
-    "albedo_recirc_events": q_albedo_recirc_events,
-    "visibility_events": q_visibility_events,
-    "stream_trigger_clusters_events": q_stream_trigger_clusters_events,
-    "stream_rebin_events": q_stream_rebin_events,
-    "stream_flare_keyed_events": q_stream_flare_keyed_events,
     "phase_components_events": q_phase_components_events,
-    "fits_ingest_events": q_fits_ingest_events,
-    "qlp_ingest_events": q_qlp_ingest_events,
-    "csv_ingest_events": q_csv_ingest_events,
     # -- rows-only (no SQL oracle by design: iterative/engine-hash) --
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "transit_fit_events": q_transit_fit_events,

@@ -35,28 +35,33 @@ def test_window_rotation_is_deliberate():
     from miletos_spark.plans.driver_queries import QUERIES
 
     window = list(QUERIES)[:DRIVER_WINDOW]
+    # r07: 17 rows first-green in r06 + 6 continuity anchors + the 5
+    # new round-7 capabilities + all 22 previously-never-driver-checked
+    # oracle entries (VERDICT r6 ask #1); 27 rows green in r05+r06
+    # moved to the judge-sweep overflow.
     assert window == [
         "population_nm_recovery_events", "quality_filter_docs",
         "pii_scrub_docs", "dedup_lines_docs",
         "asof_join_events", "rollup_pricing",
         "time_rollup_events", "transit_epochs_events",
-        "sketch_stats_events", "repetition_stats_docs",
-        "spline_recovery_events", "transit_fit_recovery_events",
         "rolling_std_peakcut_events", "binned_rms_events",
-        "bls_spectrum_events", "gp_recovery_events",
-        "bls_multi_recovery_events", "outlier_period_events",
-        "near_dup_pairs", "near_dup_clusters", "ivf_recovery_topk",
-        "lsh_similarity_topk", "embedding_near_dup", "corpus_cleanup",
-        "pipeline_summary_events", "ivfpq_recall_topk",
+        "near_dup_pairs", "near_dup_clusters", "ivfpq_recall_topk",
         "split_assign_docs", "stream_near_dup_recovery_docs",
-        "bloom_dedup_docs", "pq_recovery_topk", "simhash_pairs",
-        "media_features", "doc_quality_docs", "vocab_topk_docs",
-        "pipeline_population_events", "stream_ls_keyed_events",
-        "mcmc_recovery_events", "derived_features_events",
-        "detection_stats_events", "stream_bls_events", "stream_ls_events",
-        "matched_filter_events", "phase_curve_events",
-        "clip_detrend_events", "tls_recovery_events",
-        "bls_multires_events", "derived_outputs_events",
-        "stream_bls_keyed_events", "stream_dedup_docs",
-        "ener_spectrum_events",
+        "stream_ls_keyed_events", "bls_multires_events",
+        "bls_spectrum_events", "gp_recovery_events",
+        "mcmc_recovery_events", "pipeline_summary_events",
+        "pipeline_population_events", "stream_bls_events",
+        "substring_removal_docs", "lm_bigram_score_docs",
+        "bpe_tokenize_docs", "pack_sequences_bpe_docs",
+        "stream_flare_keyed_events",
+        "lm_score_docs", "chunk_docs", "rp_project_embeddings",
+        "tfidf_topk_docs", "vocab_coverage_docs", "doc_embed_docs",
+        "substring_dedup_docs", "training_shards_docs",
+        "jsonl_ingest_docs", "mixture_sample_docs",
+        "pack_sequences_docs", "decontaminate_docs",
+        "ivfpq_recovery_topk", "brightness_temp_events",
+        "albedo_recirc_events", "visibility_events",
+        "stream_trigger_clusters_events", "stream_rebin_events",
+        "json_props_events", "fits_ingest_events", "qlp_ingest_events",
+        "csv_ingest_events",
     ]

@@ -297,6 +297,71 @@ def synth_volume(spark, k: int) -> str:
     return out
 
 
+SKEW_QUERIES = [
+    "dedup_lines_docs",
+    "substring_dedup_docs",
+    "substring_removal_docs",
+]
+
+# one boilerplate line shared by EVERY document — at k× corpus its
+# line key (and each of its 20-gram keys) carries k×n_docs occurrences
+# on a single digest: exactly the content the dedup operators exist to
+# find, and exactly what a row_number-over-partitionBy(digest) plan
+# serializes into one task (VERDICT r6 Wrong #1)
+SKEW_HOT_LINE = "standard cookie banner accept all cookies to continue"
+
+
+def synth_skew(spark, mult: int) -> str:
+    """SKEW-axis corpus: `mult`× document replicas, every copy prefixed
+    with the SAME boilerplate line (hot line key + hot gram keys with
+    mult×n_docs occurrences each). Non-hot text is jittered per copy
+    like `_replicate_corpus`, so only the injected boilerplate is the
+    hot key. Probe: factor ≤ ~mult/10×1.5 means the min-struct-agg
+    winner plans absorb the hot key via map-side combine."""
+    from pyspark.sql import functions as F
+
+    from miletos_spark.schema import load_table
+
+    out = os.path.join(
+        tempfile.gettempdir(), f"miletos_skew_{mult}x_{_base_sig()}"
+    )
+    if os.path.exists(os.path.join(out, "_SUCCESS_SCALE")):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    docs = load_table(spark, BASE, "documents")
+    nd = docs.count()
+
+    def doc_map(df, i):
+        jitter = F.regexp_replace(
+            F.col("text"), r"((\S+\s+){5})\S+", r"$1cp" + str(i)
+        )
+        body = jitter if i else F.col("text")
+        return df.select(
+            (F.col("doc_id") + F.lit(i * 10 * nd)).alias("doc_id"),
+            F.concat(F.lit(SKEW_HOT_LINE + "\n"), body).alias("text"),
+            *[c for c in df.columns if c not in ("doc_id", "text")],
+        )
+
+    copies = [doc_map(docs, i) for i in range(mult)]
+    allc = copies[0]
+    for c in copies[1:]:
+        allc = allc.unionByName(c)
+    allc.write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        src = os.path.join(BASE, f"{t}.parquet")
+        dst = os.path.join(out, f"{t}.parquet")
+        if os.path.exists(src) and not os.path.exists(dst):
+            os.symlink(src, dst)
+    with open(os.path.join(out, "_SUCCESS_SCALE"), "w") as f:
+        f.write("ok")
+    return out
+
+
 def time_query(fn, spark, sf_dir: str) -> float:
     best = None
     for _ in range(2):
@@ -315,6 +380,31 @@ def main() -> None:
         spark = get_spark(app_name="scale_probe")
         spark.sparkContext.setLogLevel("ERROR")
         print(synth_volume(spark, k))
+        return
+    if args and args[0] == "skew":
+        args.pop(0)
+        k = int(args.pop(0)) if args and args[0].isdigit() else 10
+        names = args or SKEW_QUERIES
+        spark = get_spark(app_name="scale_probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        base_skew = synth_skew(spark, 1)
+        kx = synth_skew(spark, k)
+        qs = e.queries()
+        out = {}
+        for name in names:
+            fn = qs[name]
+            t1 = time_query(fn, spark, base_skew)
+            tk = time_query(fn, spark, kx)
+            out[name] = {
+                "t1": round(t1, 3), "tk": round(tk, 3),
+                "factor": round(tk / max(t1, 1e-9), 2),
+            }
+            print(
+                f"# {name}: {t1:.2f}s -> {tk:.2f}s "
+                f"(x{out[name]['factor']})",
+                file=sys.stderr,
+            )
+        print(json.dumps({"k": k, "axis": "skew", "queries": out}))
         return
     k = int(args.pop(0)) if args and args[0].isdigit() else 10
     if args and args[0] == "corpus":
