@@ -77,6 +77,11 @@ CORPUS_QUERIES = [
     "vocab_coverage_docs",
     "substring_dedup_docs",
     "doc_embed_docs",
+    # round-7 additions
+    "substring_removal_docs",
+    "lm_bigram_score_docs",
+    "bpe_tokenize_docs",
+    "pack_sequences_bpe_docs",
 ]
 
 
