@@ -7329,6 +7329,9 @@ _POP_CFG = dict(
     ls_osam=3.0, ls_max_freq=2.0,
     flare_window=1.0 / 24.0, flare_threshold=7.0, gate_ls_power=0.2,
     grid_span_days=_POP_GRID_SPAN,
+    # r07: M9-style per-target component split on the recovered
+    # ephemeris (frozen amplitudes = the RunConfig defaults)
+    phase_components_on_detection=True,
 )
 # injected per-target ephemerides (target, period, epoch, dur_days,
 # depth): periods are EXACT trial-grid floats (period_grid indices 9
@@ -7402,10 +7405,23 @@ def q_pipeline_population_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize(F.col("pb_min_value"), 6).alias("pb_min_value"),
         F.round("pb_min_phase", 4).alias("pb_min_phase"),
         "pb_n_bins",
+        # pc_*: the gated M9-style component split (r07) — the
+        # zero-and-subtract decomposition on the 50-bin grid at each
+        # detected target's recovered (period, duration, depth) with
+        # frozen amplitudes; decimal fixed-order means. dip rides the
+        # recovered depth (rational — quantize); the planetary-flux
+        # means are trig-bearing (round).
+        quantize(F.col("pc_dip_mean"), 6).alias("pc_dip_mean"),
+        F.round(F.col("pc_plan_mean") * 1e4, 6).alias("pc_plan_mean_e4"),
+        "pc_occ_bins",
+        F.round(F.col("pc_occ_plan_mean") * 1e4, 6).alias(
+            "pc_occ_plan_mean_e4"
+        ),
     ).orderBy("target")
 
 
 def _sql_pipeline_population() -> str:
+    from miletos_spark.plans.orchestrator import RunConfig
     from miletos_spark.search.bls import (
         bls_snr_sql,
         duty_cycle_grid,
@@ -7443,6 +7459,14 @@ def _sql_pipeline_population() -> str:
         for t, p, e, du, dp in _pop_targets()
     )
     flare_w = c["flare_window"]
+    # component-split literals: RunConfig's frozen amplitudes and the
+    # exact Python doubles Spark's F.lit() embeds
+    rc = RunConfig(**c)
+    nb = rc.phase_num_bins
+    nb_f = float(nb)
+    a_night = rc.pc_a_night
+    a_diff = rc.pc_a_day - rc.pc_a_night
+    two_pi = 2.0 * math.pi
     pmod = "(((t - e_inj) % p_inj + p_inj) % p_inj) / p_inj"
     return f"""
 WITH targets(target, p_inj, e_inj, dur_inj, dep_inj) AS (VALUES {tvals}),
@@ -7486,8 +7510,8 @@ snrspec AS (
 {snr_spec}
 ),
 blsbest AS (
-  SELECT target, period, epoch, snr FROM (
-    SELECT target, period, epoch, snr, row_number() OVER (
+  SELECT target, period, epoch, dcyc, ampl, snr FROM (
+    SELECT target, period, epoch, dcyc, ampl, snr, row_number() OVER (
       PARTITION BY target ORDER BY snr DESC, period) AS rn
     FROM snrspec WHERE snr IS NOT NULL
   ) WHERE rn = 1
@@ -7553,7 +7577,68 @@ pbs AS (
            row_number() OVER (PARTITION BY target ORDER BY bv, bin) AS rn
     FROM pbb
   ) WHERE rn = 1
-)
+),
+-- gated M9-style component split (r07): the zero-and-subtract
+-- decomposition on the fixed 50-bin grid at each detected target's
+-- recovered (period, duration, depth) with the frozen RunConfig
+-- amplitudes — every float op mirrors orchestrator.py verbatim
+-- (including the (e + phi*p) - e round trip), means via the decimal
+-- VARCHAR hop
+pcb AS (
+  SELECT -0.5 + (CAST(b AS DOUBLE) + 0.5) / {nb_f!r} AS phi
+  FROM (SELECT unnest(range({nb})) AS b)),
+topd AS (
+  SELECT b.target, b.period AS p, b.epoch AS e,
+         b.dcyc * b.period AS dura, b.ampl AS dep
+  FROM blsbest b LEFT JOIN lsbest l USING (target)
+  WHERE b.snr >= {c["bls_snr_accept"]!r}
+    AND (b.snr > {c["gate_bls_snr"]!r}
+         OR coalesce(l.power, 0.0) > {c["gate_ls_power"]!r})),
+pcg AS (
+  SELECT t.target, pcb.phi, t.p, t.e, t.dura, t.dep,
+         t.e + pcb.phi * t.p AS tc
+  FROM topd t CROSS JOIN pcb),
+pcs AS (
+  SELECT target, phi, p, dura, dep,
+         ((tc - e) % p + p) % p AS ph1,
+         ((tc - (e + p / 2.0)) % p + p) % p AS ph2
+  FROM pcg),
+pcv AS (
+  SELECT target, phi, dep,
+         abs(ph1 - CASE WHEN ph1 > p / 2 THEN p ELSE 0.0 END) AS dt1,
+         abs(ph2 - CASE WHEN ph2 > p / 2 THEN p ELSE 0.0 END) AS dt2,
+         dura / 2.0 AS t14h,
+         greatest(dura / 2.0 - dura * 0.1, 0.0) AS t23h
+  FROM pcs),
+pcw AS (
+  SELECT target, phi, dep,
+         CASE WHEN dt1 <= t23h THEN 1.0
+              WHEN dt1 < t14h
+              THEN (t14h - dt1) / greatest(t14h - t23h, 1e-12)
+              ELSE 0.0 END AS s1,
+         CASE WHEN dt2 <= t23h THEN 1.0
+              WHEN dt2 < t14h
+              THEN (t14h - dt2) / greatest(t14h - t23h, 1e-12)
+              ELSE 0.0 END AS s2
+  FROM pcv),
+pcc AS (
+  SELECT target,
+         -dep * s1 AS dip,
+         ({a_night!r} + {a_diff!r}
+            * (1.0 - cos({two_pi!r} * phi)) / 2.0) * (1.0 - s2) AS plan,
+         s2
+  FROM pcw),
+pcagg AS (
+  SELECT target,
+         {_dec_mean_sql("dip", "count(*)")} AS pc_dip_mean,
+         {_dec_mean_sql("plan", "count(*)")} AS pc_plan_mean,
+         CAST(sum(CASE WHEN s2 > 0 THEN 1 ELSE 0 END) AS INT)
+           AS pc_occ_bins,
+         CAST(sum(CAST(CAST(CASE WHEN s2 > 0 THEN plan END AS VARCHAR)
+                       AS DECIMAL(38,18))) AS DOUBLE)
+           / sum(CASE WHEN s2 > 0 THEN 1 ELSE 0 END)
+           AS pc_occ_plan_mean
+  FROM pcc GROUP BY target)
 SELECT sp.target AS target,
        sp.n AS n_samples,
        round(sp.hi - sp.lo, 4) AS span_days,
@@ -7567,12 +7652,17 @@ SELECT sp.target AS target,
           OR l.power > {c["gate_ls_power"]!r}) AS detected,
        {quantize_sql("p2.bv", 6)} AS pb_min_value,
        round(p2.pb_phase, 4) AS pb_min_phase,
-       p2.cnt AS pb_n_bins
+       p2.cnt AS pb_n_bins,
+       {quantize_sql("pc.pc_dip_mean", 6)} AS pc_dip_mean,
+       round(pc.pc_plan_mean * 1e4, 6) AS pc_plan_mean_e4,
+       pc.pc_occ_bins AS pc_occ_bins,
+       round(pc.pc_occ_plan_mean * 1e4, 6) AS pc_occ_plan_mean_e4
 FROM sp
 LEFT JOIN blsbest b USING (target)
 LEFT JOIN lsbest l USING (target)
 LEFT JOIN starts s USING (target)
 LEFT JOIN pbs p2 USING (target)
+LEFT JOIN pcagg pc USING (target)
 ORDER BY sp.target
 """
 

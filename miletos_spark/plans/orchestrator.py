@@ -84,6 +84,18 @@ class RunConfig:
     # (epoch, depth, dura) chi² minimization at the detected period —
     # engine-iterative, so OFF by default in oracle-replayed runs
     nm_fit_on_detection: bool = False
+    # M9-style closed-form phase-curve component split (the reference's
+    # zero-and-subtract decomposition, miletos/main.py:1950-2025) per
+    # DETECTED target: evaluate dip/beam/elli/planetary components on
+    # the fixed phase-bin grid at the target's own recovered
+    # (period, duration, depth) with the frozen amplitudes below, and
+    # summarize per target. Amplitudes are config constants (the
+    # posterior medians a fitted model would supply).
+    phase_components_on_detection: bool = False
+    pc_a_beam: float = 1e-4
+    pc_a_elli: float = 6e-5
+    pc_a_day: float = 3e-4
+    pc_a_night: float = 8e-5
     # optional frozen baseline for GRID construction (BLS trial table,
     # LS frequency grid). None = measure from the detrended data (the
     # reference's behavior; single-series only). Freezing it makes the
@@ -249,6 +261,7 @@ def _analyses(
         cfg.fit_on_detection
         or cfg.phase_bins_on_detection
         or cfg.nm_fit_on_detection
+        or cfg.phase_components_on_detection
     )
     if need_top:
         top = (
@@ -264,6 +277,7 @@ def _analyses(
                 F.col("period").alias("_p"),
                 F.col("epoch").alias("_e"),
                 (F.col("dcyc") * F.col("period")).alias("_dura"),
+                F.col("depth").alias("_dep"),
             )
         )
         joined = det.join(F.broadcast(top), target_col)
@@ -309,6 +323,77 @@ def _analyses(
             )
         )
         out = out.join(F.broadcast(pb), target_col, "left")
+
+    # --- gated per-target phase-curve component split (M9 form) ------
+    # the reference's zero-and-subtract decomposition evaluated on the
+    # fixed phase-bin grid at each DETECTED target's own recovered
+    # (period, duration, depth) with the frozen config amplitudes: one
+    # broadcast cross join (|targets| x num_bins rows), closed-form
+    # column math, decimal fixed-order means (order-independent and
+    # oracle-replayable via the VARCHAR hop)
+    if cfg.phase_components_on_detection and need_top:
+        import math as _math
+
+        from miletos_spark.model.forward import trapezoid_depth_cols
+
+        nb = cfg.phase_num_bins
+        bins = spark.range(nb).select(
+            (
+                F.lit(-0.5)
+                + (F.col("id") + F.lit(0.5)) / F.lit(float(nb))
+            ).alias("phi")
+        )
+        g = top.crossJoin(F.broadcast(bins))
+        # time at bin phase: t = e + phi*p (exact phase placement; the
+        # oracle mirrors the (e + phi*p) - e round trip verbatim)
+        tcol = F.col("_e") + F.col("phi") * F.col("_p")
+        shape1 = trapezoid_depth_cols(
+            tcol, F.col("_p"), F.col("_e"), F.col("_dura")
+        )
+        shape2 = trapezoid_depth_cols(
+            tcol, F.col("_p"), F.col("_e") + F.col("_p") / 2.0,
+            F.col("_dura"),
+        )
+        two_pi = 2.0 * _math.pi
+        beam = F.lit(cfg.pc_a_beam) * F.sin(F.lit(two_pi) * F.col("phi"))
+        elli = -F.lit(cfg.pc_a_elli) * F.cos(
+            F.lit(2.0 * two_pi) * F.col("phi")
+        )
+        fp = F.lit(cfg.pc_a_night) + F.lit(
+            cfg.pc_a_day - cfg.pc_a_night
+        ) * (F.lit(1.0) - F.cos(F.lit(two_pi) * F.col("phi"))) / 2.0
+        comps = g.select(
+            target_col,
+            F.col("phi"),
+            (-F.col("_dep") * shape1).alias("_dip"),
+            beam.alias("_beam"),
+            elli.alias("_elli"),
+            (fp * (F.lit(1.0) - shape2)).alias("_plan"),
+            shape2.alias("_occ"),
+        )
+        stages["components"] = comps
+        dec = "decimal(38,18)"
+        in_occ = F.col("_occ") > 0
+        pc = comps.groupBy(target_col).agg(
+            (
+                F.sum(F.col("_dip").cast(dec)).cast("double")
+                / F.count("*")
+            ).alias("pc_dip_mean"),
+            (
+                F.sum(F.col("_plan").cast(dec)).cast("double")
+                / F.count("*")
+            ).alias("pc_plan_mean"),
+            F.sum(F.when(in_occ, 1).otherwise(0)).cast("int").alias(
+                "pc_occ_bins"
+            ),
+            (
+                F.sum(
+                    F.when(in_occ, F.col("_plan")).cast(dec)
+                ).cast("double")
+                / F.sum(F.when(in_occ, 1).otherwise(0))
+            ).alias("pc_occ_plan_mean"),
+        )
+        out = out.join(F.broadcast(pc), target_col, "left")
 
     # --- gated per-target closed-form depth fit (M5), one job --------
     if cfg.fit_on_detection and need_top:
