@@ -1903,8 +1903,14 @@ def q_training_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     each kept replica onto its source's exact bytes) → post-redaction
     exact dedup (must therefore remove every kept replica, keeping the
     min-id source — each stage is load-bearing, not a concat of
-    no-ops) → exact stratified 8/1/1 split → per-(lang, split) shard
-    manifest with id checksum, token mass, and redaction totals."""
+    no-ops) → exact-substring span REMOVAL over the deduped set (r07:
+    scrubbing makes the injected suffixes IDENTICAL across their
+    doc_id%4 class — '<EMAIL> or <EMAIL> soon' etc. — so the Lee-et-al.
+    cut fires on real cross-doc spans and every manifest's token mass
+    shrinks accordingly) → exact stratified 8/1/1 split →
+    per-(lang, split) shard manifest with id checksum, token mass,
+    redaction totals, and cut-char totals."""
+    from miletos_spark.pipeline.dedup import remove_duplicate_spans
     from miletos_spark.pipeline.sampling import assign_splits
     from miletos_spark.pipeline.text import (
         quality_classifier,
@@ -1933,6 +1939,18 @@ def q_training_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     uniq = sc.join(winners, "doc_id", "left_semi")
+    cleaned = remove_duplicate_spans(
+        uniq.select("doc_id", F.col("text_scrubbed").alias("text")),
+        min_len=20,
+    )
+    uniq = uniq.drop("text_scrubbed").join(
+        cleaned.select(
+            "doc_id",
+            F.col("text_clean").alias("text_scrubbed"),
+            "n_chars_cut",
+        ),
+        "doc_id",
+    )
     split = assign_splits(
         uniq,
         weights=(("train", 8), ("val", 1), ("test", 1)),
@@ -1948,6 +1966,7 @@ def q_training_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_email") + F.col("n_ssn")
             + F.col("n_phone") + F.col("n_ipv4")
         ).cast("long").alias("n_pii_removed"),
+        F.sum("n_chars_cut").cast("long").alias("n_dup_chars_cut"),
     )
 
 
@@ -1971,8 +1990,51 @@ winners AS (
   SELECT min(doc_id) AS doc_id FROM scrub GROUP BY md5(text_scrubbed)),
 uniq AS (
   SELECT scrub.* FROM scrub JOIN winners USING (doc_id)),
+rg AS (
+  SELECT doc_id, CAST(v.i AS INT) AS pos,
+         md5(substr(text_scrubbed, CAST(v.i AS INT), 20)) AS h
+  FROM uniq,
+       unnest(range(1, greatest(length(text_scrubbed) - 19, 0) + 1))
+         AS v(i)),
+rr AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY h) AS cnt,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM rg),
+rd AS (SELECT doc_id, pos FROM rr WHERE cnt >= 2 AND rn > 1),
+rs AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 20
+              THEN 1 ELSE 0 END AS newf
+  FROM rd WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+rsp AS (
+  SELECT doc_id, pos,
+         sum(newf) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS span
+  FROM rs),
+riv AS (SELECT doc_id, span, min(pos) AS st, max(pos) + 20 AS fin
+        FROM rsp GROUP BY 1, 2),
+rcut AS (SELECT DISTINCT doc_id, CAST(v.p AS INT) AS p
+         FROM riv, unnest(range(st, fin)) AS v(p)),
+rch AS (SELECT q.doc_id, CAST(v.p AS INT) AS p,
+               substr(q.text_scrubbed, CAST(v.p AS INT), 1) AS c
+        FROM uniq q, unnest(range(1, length(q.text_scrubbed) + 1))
+          AS v(p)),
+rkept AS (
+  SELECT rch.doc_id, rch.p, rch.c
+  FROM rch LEFT JOIN rcut ON rch.doc_id = rcut.doc_id AND rch.p = rcut.p
+  WHERE rcut.p IS NULL),
+rreb AS (
+  SELECT doc_id, string_agg(c, '' ORDER BY p) AS clean
+  FROM rkept GROUP BY doc_id),
+uniq2 AS (
+  SELECT q.doc_id, q.lang, q.n_pii,
+         coalesce(rreb.clean, '') AS text_scrubbed,
+         length(q.text_scrubbed) - length(coalesce(rreb.clean, ''))
+           AS n_cut
+  FROM uniq q LEFT JOIN rreb USING (doc_id)),
 u AS (
-  SELECT *, {_sql_hash_uniform("doc_id")} AS u FROM uniq),
+  SELECT *, {_sql_hash_uniform("doc_id")} AS u FROM uniq2),
 r AS (
   SELECT *, row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rk,
          count(*) OVER (PARTITION BY lang) AS n_g
@@ -1986,7 +2048,8 @@ SELECT lang,
        CAST(sum(CASE WHEN length(trim(text_scrubbed)) = 0 THEN 0
                 ELSE len(regexp_split_to_array(trim(text_scrubbed), '\\s+'))
                 END) AS BIGINT) AS sum_tokens,
-       CAST(sum(n_pii) AS BIGINT) AS n_pii_removed
+       CAST(sum(n_pii) AS BIGINT) AS n_pii_removed,
+       CAST(sum(n_cut) AS BIGINT) AS n_dup_chars_cut
 FROM r
 GROUP BY 1, 2
 """
