@@ -1028,7 +1028,24 @@ def remove_duplicate_spans(
             a["acc"], F.substring(t, a["nxt"], F.length(t) - a["nxt"] + 1)
         ),
     )
-    out = df.select(id_col, text_col).join(per_doc, id_col, "left")
+    # explicit exchange before stitching the spans back onto their own
+    # source lineage: when `df` is a UNION whose branches each end
+    # hash-partitioned on the id (e.g. a semi-joined union feed), Spark
+    # propagates the branches' claimed partitioning through the Union
+    # while the physical RDD has the SUM of their partition counts —
+    # the ensuing self-join zips 2N vs N partitions and throws
+    # (reproduced under AQE-off/no-broadcast; tests/test_determinism).
+    # The repartition count is deliberately DIFFERENT from the claimed
+    # count: a same-(key, count) repartition is elided as redundant,
+    # which re-exposes the lying claim.
+    ps = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    out = (
+        df.select(id_col, text_col)
+        .repartition(2 * ps, id_col)
+        .join(per_doc, id_col, "left")
+    )
     clean = F.when(F.col("_spans").isNull(), t).otherwise(stitched)
     return out.select(
         F.col(id_col),

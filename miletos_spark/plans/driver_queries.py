@@ -1943,7 +1943,13 @@ def q_training_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         uniq.select("doc_id", F.col("text_scrubbed").alias("text")),
         min_len=20,
     )
-    uniq = uniq.drop("text_scrubbed").join(
+    # explicit exchange on the join key: joining `cleaned` back onto
+    # its own `uniq` lineage is a self-join of the union-fed plan, and
+    # under AQE-off/no-broadcast Spark reuses co-partitioning across
+    # the two branches with mismatched partition counts (the
+    # zipPartitions trap this query already documents for `injected`)
+    ps = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    uniq = uniq.drop("text_scrubbed").repartition(2 * ps, "doc_id").join(
         cleaned.select(
             "doc_id",
             F.col("text_clean").alias("text_scrubbed"),
