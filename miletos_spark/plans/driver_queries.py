@@ -1851,6 +1851,74 @@ GROUP BY ks.k
 """
 
 
+def q_vocab_coverage_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer budgeting with HONEST token mass: the coverage curve
+    of `vocab_coverage_docs`, but over the frozen-table BPE subword
+    stream instead of whitespace words — the curve a tokenizer-size
+    decision actually needs (subword Zipf mass concentrates far faster
+    than word mass). Same exact-integer ranking/coverage machinery."""
+    from miletos_spark.pipeline.text import bpe_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    vc = (
+        docs.select(F.explode(bpe_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("term_freq"))
+    )
+    w = Window.orderBy(F.col("term_freq").desc(), F.col("token"))
+    ranked = vc.select("term_freq", F.row_number().over(w).alias("rk"))
+    total = ranked.agg(F.sum("term_freq").alias("tot"))
+    ks = spark.createDataFrame(
+        [(k,) for k in _VOCAB_COVERAGE_RANKS], "k int"
+    )
+    cum = ranked.select(
+        "rk",
+        F.sum("term_freq").over(
+            Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+    )
+    best = (
+        cum.join(F.broadcast(ks), cum.rk <= ks.k)
+        .groupBy("k")
+        .agg(F.max("cum").alias("covered"))
+    )
+    return best.crossJoin(F.broadcast(total)).select(
+        "k",
+        F.col("covered").cast("long").alias("covered_tokens"),
+        F.col("tot").cast("long").alias("total_tokens"),
+        quantize(F.col("covered") / F.col("tot"), 6).alias("coverage"),
+    )
+
+
+def _sql_vocab_coverage_bpe() -> str:
+    return f"""
+WITH s AS (SELECT {_sql_bpe_render("text")} AS s FROM documents),
+toks AS (
+  SELECT unnest(list_filter(
+           string_split_regex(s, '[' || chr(31) || chr(30) || ']+'),
+           x -> length(x) > 0)) AS tok
+  FROM s),
+vc AS (SELECT tok, count(*) AS term_freq FROM toks GROUP BY tok),
+ranked AS (
+  SELECT term_freq,
+         row_number() OVER (ORDER BY term_freq DESC, tok) AS rk
+  FROM vc),
+tot AS (SELECT CAST(sum(term_freq) AS BIGINT) AS tot FROM ranked),
+cum AS (
+  SELECT rk, sum(term_freq) OVER (ORDER BY rk
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM ranked),
+ks(k) AS (VALUES {", ".join(f"({k})" for k in _VOCAB_COVERAGE_RANKS)})
+SELECT CAST(ks.k AS INT) AS k,
+       CAST(max(cum.cum) AS BIGINT) AS covered_tokens,
+       CAST(max(tot.tot) AS BIGINT) AS total_tokens,
+       {quantize_sql("CAST(max(cum.cum) AS DOUBLE) / max(tot.tot)", 6)}
+         AS coverage
+FROM cum JOIN ks ON cum.rk <= ks.k CROSS JOIN tot
+GROUP BY ks.k
+"""
+
+
 _RP_OUT_DIM, _RP_IN_DIM, _RP_SEED = 8, 64, 42
 
 
@@ -7883,6 +7951,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rebin_count_events": q_rebin_count_events,
     "text_stats_docs": q_text_stats_docs,
     "stream_near_dup_docs": q_stream_near_dup_docs,
+    "vocab_coverage_bpe_docs": q_vocab_coverage_bpe_docs,
     # r06 second-wave evictions (green since r04, still judge-swept)
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -7949,6 +8018,7 @@ def _oracles() -> dict[str, str]:
         "bpe_tokenize_docs": _sql_bpe_tokenize(),
         "stream_flare_keyed_events": _sql_stream_flare_keyed(),
         "pack_sequences_bpe_docs": _sql_pack_sequences_bpe(),
+        "vocab_coverage_bpe_docs": _sql_vocab_coverage_bpe(),
         "pii_scrub_docs": _sql_pii(),
         "dedup_lines_docs": SQL_DEDUP_LINES_DOCS,
         "split_assign_docs": SQL_SPLIT_ASSIGN_DOCS,
