@@ -690,9 +690,14 @@ def bpe_render(text: Column, merges=BPE_MERGES) -> Column:
     exactly one BPE merge-rule pass (the pair cannot be recreated by
     its own merge), and word boundaries (\x1e) can never be crossed.
     DuckDB's `replace` has identical semantics, so the oracle replays
-    the chain byte-for-byte."""
+    the chain byte-for-byte.
+
+    Input text is stripped of the two delimiter control chars first
+    (U+001F/U+001E cannot be legitimate document text, but a crawl that
+    DID carry them would otherwise forge unit boundaries)."""
+    safe = F.regexp_replace(text, f"[{BPE_UNIT}{BPE_WORD}]", "")
     words = F.filter(
-        F.split(F.lower(F.trim(text)), r"\s+"),
+        F.split(F.lower(F.trim(safe)), r"\s+"),
         lambda w: F.length(w) > 0,
     )
     unitized = F.transform(

@@ -1370,9 +1370,13 @@ def _sql_bpe_render(text_expr: str = "text") -> str:
     literal so Spark and the oracle tokenize byte-identically."""
     from miletos_spark.pipeline.text import BPE_MERGES, BPE_UNIT, BPE_WORD
 
+    safe = (
+        f"regexp_replace({text_expr}, "
+        "'[' || chr(31) || chr(30) || ']', '', 'g')"
+    )
     expr = (
         "array_to_string(list_transform(list_filter("
-        f"regexp_split_to_array(lower(trim({text_expr})), '\\s+'), "
+        f"regexp_split_to_array(lower(trim({safe})), '\\s+'), "
         "x -> length(x) > 0), "
         "w -> regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g')"
         "), chr(30))"

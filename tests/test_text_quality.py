@@ -276,3 +276,25 @@ def test_bpe_roundtrip_and_counts(spark):
 
     for i, text in rows:
         assert out[i]["toks"] == _bpe_reference(text, BPE_MERGES)
+
+
+def test_bpe_delimiter_injection_is_sanitized(spark):
+    """Adversarial input carrying the encoder's own control-char
+    delimiters must not forge unit boundaries — it tokenizes exactly
+    like the text with those chars stripped."""
+    from pyspark.sql import functions as F
+
+    from miletos_spark.pipeline.text import bpe_tokens
+
+    evil = "he\x1fllo wo\x1e\x1frld"
+    clean = "hello world"
+    df = spark.createDataFrame(
+        [(0, evil), (1, clean)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["toks"]
+        for r in df.select(
+            "doc_id", bpe_tokens(F.col("text")).alias("toks")
+        ).collect()
+    }
+    assert got[0] == got[1]
