@@ -734,3 +734,36 @@ def bpe_tokens(text: Column, merges=BPE_MERGES) -> Column:
         F.split(bpe_render(text, merges), f"[{BPE_UNIT}{BPE_WORD}]+"),
         lambda t: F.length(t) > 0,
     )
+
+
+# Frozen BPE alphabet (tools/train_bpe.py, same training sample as
+# BPE_MERGES): single-char tokens get ids 1..|alphabet| in sorted
+# order, merged tokens follow in merge-table order, 0 = OOV (a char
+# the tokenizer never saw — digits/punct here, exercising the same
+# unk-token path a production tokenizer ships).
+BPE_ALPHABET: tuple[str, ...] = (
+    'a', 'b', 'c', 'd', 'e', 'f', 'g', 'h', 'i', 'j', 'k', 'l',
+    'm', 'n', 'o', 'p', 'q', 'r', 's', 't', 'u', 'v', 'w', 'y',
+)
+
+
+def bpe_vocab() -> "dict[str, int]":
+    """token -> id under the frozen (alphabet, merges) pair; 0 is
+    reserved for OOV. A pure function of the two frozen literals, so
+    Spark and any oracle derive the identical mapping."""
+    toks = list(BPE_ALPHABET) + [a + b for a, b in BPE_MERGES]
+    return {t: i + 1 for i, t in enumerate(toks)}
+
+
+def bpe_token_ids(text: Column, merges=BPE_MERGES) -> Column:
+    """array<int> of frozen-vocab token ids (0 = OOV): the actual
+    trainer handoff — `bpe_tokens` mapped through a literal map, all
+    JVM-side."""
+    vocab = bpe_vocab()
+    m = F.create_map(
+        *[x for t, i in vocab.items() for x in (F.lit(t), F.lit(i))]
+    )
+    return F.transform(
+        bpe_tokens(text, merges),
+        lambda t: F.coalesce(F.element_at(m, t), F.lit(0)),
+    )

@@ -1423,6 +1423,59 @@ FROM s
 """
 
 
+def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trainer handoff: BPE token IDS under the frozen
+    (alphabet, merges) vocab — id 0 is the unk token (digits/punct are
+    deliberately outside the frozen alphabet, so the OOV path is
+    genuinely exercised on every doc with a number in it). The md5 of
+    the space-joined id sequence pins every id IN ORDER; n_oov and the
+    id-sum are integer cross-checks. Encoding is the literal-replace
+    chain + one literal-map lookup, all JVM-side."""
+    from miletos_spark.pipeline.text import bpe_token_ids
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = bpe_token_ids(F.col("text"))
+    ids_str = F.array_join(
+        F.transform(ids, lambda i: i.cast("string")), " "
+    )
+    return docs.select(
+        "doc_id",
+        F.size(ids).alias("n_tokens_bpe"),
+        F.aggregate(
+            ids, F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("ids_sum"),
+        F.size(F.filter(ids, lambda i: i == 0)).alias("n_oov"),
+        F.md5(ids_str).alias("ids_md5"),
+    )
+
+
+def _sql_bpe_encode() -> str:
+    from miletos_spark.pipeline.text import bpe_vocab
+
+    vocab = bpe_vocab()
+    keys = ", ".join(f"{t!r}" for t in vocab)
+    vals = ", ".join(str(i) for i in vocab.values())
+    return f"""
+WITH s AS (SELECT doc_id, {_sql_bpe_render("text")} AS s FROM documents),
+v AS (SELECT map([{keys}], [{vals}]) AS m),
+t AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(
+             string_split_regex(s, '[' || chr(31) || chr(30) || ']+'),
+             x -> length(x) > 0),
+           tok -> coalesce(map_extract(v.m, tok)[1], 0)) AS ids
+  FROM s CROSS JOIN v)
+SELECT doc_id,
+       CAST(len(ids) AS INT) AS n_tokens_bpe,
+       CAST(coalesce(list_sum(ids), 0) AS BIGINT) AS ids_sum,
+       CAST(len(list_filter(ids, i -> i = 0)) AS INT) AS n_oov,
+       md5(array_to_string(list_transform(ids,
+             i -> CAST(i AS VARCHAR)), ' ')) AS ids_md5
+FROM t
+"""
+
+
 def q_pack_sequences_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing with HONEST token mass: the concat-and-chunk
     layout of `pack_sequences_docs`, but weights = the frozen-table BPE
@@ -7956,6 +8009,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats_docs": q_text_stats_docs,
     "stream_near_dup_docs": q_stream_near_dup_docs,
     "vocab_coverage_bpe_docs": q_vocab_coverage_bpe_docs,
+    "bpe_encode_docs": q_bpe_encode_docs,
     # r06 second-wave evictions (green since r04, still judge-swept)
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -8023,6 +8077,7 @@ def _oracles() -> dict[str, str]:
         "stream_flare_keyed_events": _sql_stream_flare_keyed(),
         "pack_sequences_bpe_docs": _sql_pack_sequences_bpe(),
         "vocab_coverage_bpe_docs": _sql_vocab_coverage_bpe(),
+        "bpe_encode_docs": _sql_bpe_encode(),
         "pii_scrub_docs": _sql_pii(),
         "dedup_lines_docs": SQL_DEDUP_LINES_DOCS,
         "split_assign_docs": SQL_SPLIT_ASSIGN_DOCS,

@@ -298,3 +298,40 @@ def test_bpe_delimiter_injection_is_sanitized(spark):
         ).collect()
     }
     assert got[0] == got[1]
+
+
+def test_bpe_token_ids_roundtrip_and_oov(spark):
+    """Frozen-vocab id encoding: every in-alphabet token maps to its
+    frozen id (alphabet first, merges after, in order), OOV chars map
+    to 0, and the id sequence length equals the token count. The
+    corpus's own chars are all in-alphabet by construction (the
+    alphabet was trained on it), so OOV is exercised with crafted
+    input here."""
+    from pyspark.sql import functions as F
+
+    from miletos_spark.pipeline.text import (
+        bpe_token_ids,
+        bpe_tokens,
+        bpe_vocab,
+    )
+
+    vocab = bpe_vocab()
+    df = spark.createDataFrame(
+        [(0, "scan batch 42 x!z"), (1, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["toks"], r["ids"])
+        for r in df.select(
+            "doc_id",
+            bpe_tokens(F.col("text")).alias("toks"),
+            bpe_token_ids(F.col("text")).alias("ids"),
+        ).collect()
+    }
+    toks, ids = got[0]
+    assert len(toks) == len(ids)
+    for t, i in zip(toks, ids):
+        assert i == vocab.get(t, 0), (t, i)
+    # '4', '2', 'x', '!', 'z' are outside the frozen alphabet -> 0
+    assert ids.count(0) == sum(1 for t in toks if t not in vocab) >= 5
+    assert got[1] == ([], [])

@@ -79,3 +79,9 @@ if __name__ == "__main__":
     for a, b in merges:
         print(f"    ({a!r}, {b!r}),")
     print(")")
+    alphabet = sorted({c for t in texts for w in t.lower().split() for c in w})
+    print()
+    print("BPE_ALPHABET: tuple[str, ...] = (")
+    for i in range(0, len(alphabet), 12):
+        print("    " + " ".join(f"{c!r}," for c in alphabet[i:i + 12]))
+    print(")")
