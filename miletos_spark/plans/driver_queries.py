@@ -1854,11 +1854,20 @@ def q_vocab_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     vc = vocab_counts(docs).select("token", "term_freq")
+    total = vc.agg(F.sum("term_freq").alias("tot"))
+    # rank only the K_max head: orderBy().limit() plans as a
+    # DISTRIBUTED TakeOrderedAndProject (per-partition top-K + merge),
+    # and the row_number window then runs over ≤ K_max rows — a global
+    # window over the full vocab would sort hundreds of millions of
+    # types in ONE task at corpus scale
+    kmax = int(max(_VOCAB_COVERAGE_RANKS))
+    head = vc.orderBy(
+        F.col("term_freq").desc(), F.col("token")
+    ).limit(kmax)
     w = Window.orderBy(F.col("term_freq").desc(), F.col("token"))
-    ranked = vc.select(
+    ranked = head.select(
         "term_freq", F.row_number().over(w).alias("rk")
     )
-    total = ranked.agg(F.sum("term_freq").alias("tot"))
     cum = ranked.select(
         "rk",
         F.sum("term_freq").over(
@@ -1922,9 +1931,17 @@ def q_vocab_coverage_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").alias("term_freq"))
     )
+    total = vc.agg(F.sum("term_freq").alias("tot"))
+    # distributed TakeOrderedAndProject head, bounded window (see
+    # q_vocab_coverage_docs)
+    kmax = int(max(_VOCAB_COVERAGE_RANKS))
+    head = vc.orderBy(
+        F.col("term_freq").desc(), F.col("token")
+    ).limit(kmax)
     w = Window.orderBy(F.col("term_freq").desc(), F.col("token"))
-    ranked = vc.select("term_freq", F.row_number().over(w).alias("rk"))
-    total = ranked.agg(F.sum("term_freq").alias("tot"))
+    ranked = head.select(
+        "term_freq", F.row_number().over(w).alias("rk")
+    )
     ks = spark.createDataFrame(
         [(k,) for k in _VOCAB_COVERAGE_RANKS], "k int"
     )
