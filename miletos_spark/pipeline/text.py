@@ -767,3 +767,153 @@ def bpe_token_ids(text: Column, merges=BPE_MERGES) -> Column:
         bpe_tokens(text, merges),
         lambda t: F.coalesce(F.element_at(m, t), F.lit(0)),
     )
+
+
+def trigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+    model: DataFrame | None = None,
+    broadcast: bool | None = None,
+    broadcast_threshold: int = LM_BROADCAST_THRESHOLD,
+) -> DataFrame:
+    """Trigram stupid backoff (the full Brants et al. 2007 chain):
+
+        S(w | u v) = c(u v w) / c(u v)        trigram seen
+                   = alpha * S(w | v)          else
+        S(w | v)   = c(v w) / c(v)             bigram seen
+                   = alpha * p1(w)             else
+
+    with p1 the add-one unigram model; doc-initial tokens fall through
+    to the shorter contexts naturally (null history). Counts come from
+    `model` (default: self). One array projection builds (prv2, prv,
+    cur) via two shifts — no self-joins on the token stream — then
+    five size-gated left joins against the count tables (uni×2 keys,
+    bi×2 keys, tri), each broadcast-vs-shuffle like `unigram_logprob`.
+
+    Returns (id, n_tokens, n_trigram_hits, n_bigram_backoff,
+    n_unigram_backoff, logprob)."""
+    import math
+
+    def _zipped3(src: DataFrame) -> DataFrame:
+        arr = src.select(
+            F.col(id_col),
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda t: F.length(t) > 0,
+            ).alias("_t"),
+        ).filter(F.size("_t") > 0)
+        n = F.size("_t")
+        sh1 = F.concat(
+            F.array(F.lit(None).cast("string")),
+            F.slice(F.col("_t"), 1, n - 1),
+        )
+        # arrays_zip pads to the LONGEST array, so sh2 must be exactly
+        # length n: a 1-token doc gets ONE null, not the 2-null prefix
+        # (which would zip a phantom (null, null, null) row)
+        null_s = F.lit(None).cast("string")
+        sh2 = (
+            F.when(
+                n >= 3,
+                F.concat(
+                    F.array(null_s, null_s),
+                    F.slice(F.col("_t"), 1, n - 2),
+                ),
+            )
+            .when(n == 2, F.array(null_s, null_s))
+            .otherwise(F.array(null_s))
+        )
+        return (
+            arr.select(
+                F.col(id_col),
+                F.col("_t").alias("cur"),
+                sh1.alias("prv"),
+                sh2.alias("prv2"),
+            )
+            .select(
+                id_col,
+                F.explode(F.arrays_zip("prv2", "prv", "cur")).alias("pc"),
+            )
+            .select(
+                id_col,
+                F.col("pc.prv2").alias("prv2"),
+                F.col("pc.prv").alias("prv"),
+                F.col("pc.cur").alias("cur"),
+            )
+        )
+
+    zipped = _zipped3(df)
+    train = zipped if model is None else _zipped3(model)
+    uni = train.groupBy("cur").agg(F.count("*").alias("c1"))
+    bi = (
+        train.filter(F.col("prv").isNotNull())
+        .groupBy("prv", "cur")
+        .agg(F.count("*").alias("c2"))
+    )
+    tri = (
+        train.filter(F.col("prv2").isNotNull())
+        .groupBy("prv2", "prv", "cur")
+        .agg(F.count("*").alias("c3"))
+    )
+    tot = uni.agg(
+        F.sum("c1").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("v_size"),
+    ).first()
+    n_total, v_size = int(tot["n_total"]), int(tot["v_size"])
+    if broadcast is None:
+        broadcast = v_size <= broadcast_threshold
+    denom = F.lit(n_total + v_size)
+    uni_cur = uni.select(F.col("cur"), F.col("c1").alias("c_cur"))
+    uni_prv = uni.select(
+        F.col("cur").alias("prv"), F.col("c1").alias("c_prv")
+    )
+    bi_ctx = bi.select(
+        F.col("prv").alias("prv2"),
+        F.col("cur").alias("prv"),
+        F.col("c2").alias("c_ctx2"),
+    )
+    j = _lm_join(zipped, uni_cur, "cur", broadcast)
+    j = _lm_join(j, uni_prv, "prv", broadcast)
+    j = _lm_join(j, bi, ["prv", "cur"], broadcast)
+    j = _lm_join(j, bi_ctx, ["prv2", "prv"], broadcast)
+    j = _lm_join(j, tri, ["prv2", "prv", "cur"], broadcast)
+    p1 = F.log((F.coalesce(F.col("c_cur"), F.lit(0)) + F.lit(1)) / denom)
+    ln_a = F.lit(math.log(alpha))
+    s_bi = F.when(
+        F.col("c2").isNotNull(), F.log(F.col("c2") / F.col("c_prv"))
+    ).otherwise(ln_a + p1)
+    lp = (
+        F.when(F.col("prv").isNull(), p1)
+        .when(F.col("prv2").isNull(), s_bi)
+        .when(
+            F.col("c3").isNotNull(),
+            F.log(F.col("c3") / F.col("c_ctx2")),
+        )
+        .otherwise(ln_a + s_bi)
+    )
+    tri_hit = (
+        F.col("prv2").isNotNull() & F.col("c3").isNotNull()
+    ).cast("long")
+    bi_bk = (
+        F.col("prv2").isNotNull()
+        & F.col("c3").isNull()
+        & F.col("c2").isNotNull()
+    ).cast("long")
+    uni_bk = (
+        F.col("prv").isNotNull() & F.col("c2").isNull()
+    ).cast("long")
+    scored = j.select(
+        F.col(id_col),
+        lp.alias("lp"),
+        tri_hit.alias("th"),
+        bi_bk.alias("bb"),
+        uni_bk.alias("ub"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("th").alias("n_trigram_hits"),
+        F.sum("bb").alias("n_bigram_backoff"),
+        F.sum("ub").alias("n_unigram_backoff"),
+        F.sum("lp").alias("logprob"),
+    )

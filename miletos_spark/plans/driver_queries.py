@@ -1326,6 +1326,90 @@ FROM sc GROUP BY doc_id
 """
 
 
+def q_lm_trigram_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram LM scoring with the FULL stupid-backoff chain (Brants
+    et al. 2007): trigram ratio → alpha·bigram → alpha²·add-one
+    unigram, model trained on the even-id half, scoring everything.
+    Three integer hit/backoff counters are exact cross-engine; the ln
+    column is the 4-decimal per-token average."""
+    from miletos_spark.pipeline.text import trigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = trigram_logprob(
+        docs, model=docs.filter(F.col("doc_id") % 2 == 0)
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_trigram_hits",
+        "n_bigram_backoff",
+        "n_unigram_backoff",
+        quantize(F.col("logprob") / F.col("n_tokens"), 4).alias(
+            "avg_logprob"
+        ),
+    )
+
+
+SQL_LM_TRIGRAM_SCORE_DOCS = f"""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> length(x) > 0) AS t
+  FROM documents),
+z AS (
+  SELECT doc_id, u.i AS pos, t[u.i] AS cur,
+         CASE WHEN u.i > 1 THEN t[u.i - 1] END AS prv,
+         CASE WHEN u.i > 2 THEN t[u.i - 2] END AS prv2
+  FROM arr, unnest(range(1, len(t) + 1)) AS u(i)),
+tr AS (SELECT * FROM z WHERE doc_id % 2 = 0),
+uni AS (SELECT cur, count(*) AS c1 FROM tr GROUP BY cur),
+bi AS (SELECT prv, cur, count(*) AS c2 FROM tr
+       WHERE prv IS NOT NULL GROUP BY prv, cur),
+tri AS (SELECT prv2, prv, cur, count(*) AS c3 FROM tr
+        WHERE prv2 IS NOT NULL GROUP BY prv2, prv, cur),
+tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n_total,
+               count(*) AS v_size FROM uni),
+sc AS (
+  SELECT z.doc_id,
+         CASE
+           WHEN z.prv IS NULL
+           THEN ln((coalesce(u1.c1, 0) + 1)
+                   / CAST(tot.n_total + tot.v_size AS DOUBLE))
+           WHEN z.prv2 IS NULL THEN
+             CASE WHEN b.c2 IS NOT NULL
+                  THEN ln(b.c2 / CAST(u2.c1 AS DOUBLE))
+                  ELSE ln(0.4) + ln((coalesce(u1.c1, 0) + 1)
+                       / CAST(tot.n_total + tot.v_size AS DOUBLE)) END
+           WHEN t3.c3 IS NOT NULL
+           THEN ln(t3.c3 / CAST(bc.c2 AS DOUBLE))
+           ELSE ln(0.4) +
+             CASE WHEN b.c2 IS NOT NULL
+                  THEN ln(b.c2 / CAST(u2.c1 AS DOUBLE))
+                  ELSE ln(0.4) + ln((coalesce(u1.c1, 0) + 1)
+                       / CAST(tot.n_total + tot.v_size AS DOUBLE)) END
+         END AS lp,
+         CASE WHEN z.prv2 IS NOT NULL AND t3.c3 IS NOT NULL
+              THEN 1 ELSE 0 END AS th,
+         CASE WHEN z.prv2 IS NOT NULL AND t3.c3 IS NULL
+                   AND b.c2 IS NOT NULL THEN 1 ELSE 0 END AS bb,
+         CASE WHEN z.prv IS NOT NULL AND b.c2 IS NULL
+              THEN 1 ELSE 0 END AS ub
+  FROM z LEFT JOIN uni u1 ON z.cur = u1.cur
+       LEFT JOIN uni u2 ON z.prv = u2.cur
+       LEFT JOIN bi b ON z.prv = b.prv AND z.cur = b.cur
+       LEFT JOIN bi bc ON z.prv2 = bc.prv AND z.prv = bc.cur
+       LEFT JOIN tri t3 ON z.prv2 = t3.prv2 AND z.prv = t3.prv
+                        AND z.cur = t3.cur
+       CROSS JOIN tot)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(th) AS BIGINT) AS n_trigram_hits,
+       CAST(sum(bb) AS BIGINT) AS n_bigram_backoff,
+       CAST(sum(ub) AS BIGINT) AS n_unigram_backoff,
+       {quantize_sql("sum(lp) / count(*)", 4)} AS avg_logprob
+FROM sc GROUP BY doc_id
+"""
+
+
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG/context-window ingestion: overlapping fixed-size token
     chunks (64 tokens, overlap 16) per document — one codegen'd scan +
@@ -8027,6 +8111,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_near_dup_docs": q_stream_near_dup_docs,
     "vocab_coverage_bpe_docs": q_vocab_coverage_bpe_docs,
     "bpe_encode_docs": q_bpe_encode_docs,
+    "lm_trigram_score_docs": q_lm_trigram_score_docs,
     # r06 second-wave evictions (green since r04, still judge-swept)
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -8083,6 +8168,7 @@ def _oracles() -> dict[str, str]:
         "jsonl_ingest_docs": SQL_JSONL_INGEST_DOCS,
         "lm_score_docs": SQL_LM_SCORE_DOCS,
         "lm_bigram_score_docs": SQL_LM_BIGRAM_SCORE_DOCS,
+        "lm_trigram_score_docs": SQL_LM_TRIGRAM_SCORE_DOCS,
         "chunk_docs": SQL_CHUNK_DOCS,
         "rp_project_embeddings": _sql_rp_project(),
         "tfidf_topk_docs": SQL_TFIDF_TOPK_DOCS,

@@ -335,3 +335,52 @@ def test_bpe_token_ids_roundtrip_and_oov(spark):
     # '4', '2', 'x', '!', 'z' are outside the frozen alphabet -> 0
     assert ids.count(0) == sum(1 for t in toks if t not in vocab) >= 5
     assert got[1] == ([], [])
+
+
+def test_trigram_logprob_backoff_chain(spark):
+    """Hand-checked full stupid-backoff chain: trigram hit, bigram-level
+    backoff (alpha * c2/c1), unigram-level backoff (alpha^2 * p1 at the
+    trigram position; alpha * p1 at a bigram position), doc-initial
+    fall-through, and single-token docs."""
+    import math
+
+    from miletos_spark.pipeline.text import trigram_logprob
+
+    # model corpus: "a b c a b c" ->
+    #   uni: a2 b2 c2, N=6, V=3; p1(t)=(c+1)/9
+    #   bi:  (a,b)=2 (b,c)=2 (c,a)=1
+    #   tri: (a,b,c)=2 (b,c,a)=1 (c,a,b)=1
+    model = spark.createDataFrame(
+        [(0, "a b c a b c")], "doc_id long, text string"
+    )
+    la = math.log(0.4)
+    p1 = {t: math.log(3 / 9) for t in "abc"}
+    p1["x"] = math.log(1 / 9)
+    score = spark.createDataFrame(
+        [(1, "a b c"), (2, "b b c"), (3, "a b x"), (4, "a")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in trigram_logprob(score, model=model).collect()
+    }
+    # doc1: p1(a) + S(b|a)=ln(2/2) + tri (a,b,c): ln(2/2)
+    want1 = p1["a"] + math.log(2 / 2) + math.log(2 / 2)
+    assert abs(out[1]["logprob"] - want1) < 1e-12
+    assert out[1]["n_trigram_hits"] == 1
+    # doc2: p1(b) + S(b|b): (b,b) unseen -> la + p1(b);
+    #   (b,b,c) unseen, (b,c) seen -> la + ln(c2(b,c)/c1(b)) = la + ln(2/2)
+    want2 = p1["b"] + (la + p1["b"]) + (la + math.log(2 / 2))
+    assert abs(out[2]["logprob"] - want2) < 1e-12
+    assert out[2]["n_bigram_backoff"] == 1 and out[2]["n_unigram_backoff"] == 1
+    # doc3: p1(a) + S(b|a) + (a,b,x) unseen, (b,x) unseen -> la+la+p1(x)
+    want3 = p1["a"] + math.log(2 / 2) + (la + la + p1["x"])
+    assert abs(out[3]["logprob"] - want3) < 1e-12
+    # single-token doc
+    assert abs(out[4]["logprob"] - p1["a"]) < 1e-12
+    assert out[4]["n_tokens"] == 1
+    # join-path equality
+    sh = {r["doc_id"]: r.asDict()
+          for r in trigram_logprob(score, model=model,
+                                   broadcast=False).collect()}
+    assert sh == out
