@@ -311,27 +311,13 @@ QUALITY_WEIGHTS: dict[str, float] = {
 }
 
 
-def quality_classifier(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    weights: dict[str, float] | None = None,
-) -> DataFrame:
-    """Model-based quality filter (the classifier stage of CCNet /
-    fastText-filter pipelines) as a pure column expression: bounded
-    length and word-length features plus the symbol/digit/caps ratios,
-    one fixed-weight dot product, keep = logit > 0.
-
-    The checked output is the LINEAR logit, not sigmoid(logit): the
-    features are exact int/int divisions and the dot product a fixed
-    left-to-right chain of correctly-rounded IEEE ops, so the logit is
-    bit-identical in any engine — while exp() is only ~1-ulp
-    reproducible across libms. Monotonicity makes the two thresholds
-    equivalent (sigmoid(x) > 0.5 <=> x > 0).
-
-    Returns (id, logit, keep)."""
+def quality_logit(
+    t: Column, weights: dict[str, float] | None = None
+) -> Column:
+    """The quality classifier's linear logit as a bare Column (usable
+    inline on batch AND streaming DataFrames — a streaming filter
+    cannot route through the projecting DataFrame form)."""
     w = dict(QUALITY_WEIGHTS, **(weights or {}))
-    t = F.col(text_col)
     toks = token_count(t)
     non_ws = F.length(F.regexp_replace(t, r"\s", ""))
     n_chars = F.length(t)
@@ -353,7 +339,7 @@ def quality_classifier(
     upper = F.when(
         n_chars > 0, F.length(F.regexp_replace(t, r"[^A-Z]", "")) / n_chars
     ).otherwise(F.lit(0.0))
-    logit = (
+    return (
         F.lit(w["bias"])
         + F.lit(w["f_len"]) * f_len
         + F.lit(w["f_word"]) * f_word
@@ -361,6 +347,28 @@ def quality_classifier(
         + F.lit(w["digit_ratio"]) * digit
         + F.lit(w["upper_ratio"]) * upper
     )
+
+
+def quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Model-based quality filter (the classifier stage of CCNet /
+    fastText-filter pipelines) as a pure column expression: bounded
+    length and word-length features plus the symbol/digit/caps ratios,
+    one fixed-weight dot product, keep = logit > 0.
+
+    The checked output is the LINEAR logit, not sigmoid(logit): the
+    features are exact int/int divisions and the dot product a fixed
+    left-to-right chain of correctly-rounded IEEE ops, so the logit is
+    bit-identical in any engine — while exp() is only ~1-ulp
+    reproducible across libms. Monotonicity makes the two thresholds
+    equivalent (sigmoid(x) > 0.5 <=> x > 0).
+
+    Returns (id, logit, keep)."""
+    logit = quality_logit(F.col(text_col), weights)
     return df.select(
         F.col(id_col),
         logit.alias("logit"),

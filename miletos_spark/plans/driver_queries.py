@@ -3851,6 +3851,106 @@ FROM sc WHERE n = {len(template)}
 """
 
 
+def _land_docs_curation_feed(spark: SparkSession, sf_dir: str) -> str:
+    """Memoized crawl-shaped streaming feed: documents + re-crawl
+    replicas of every 10th doc (+5e6, identical text), PII fragments
+    injected (the training_shards feed), written as 4 parquet files so
+    maxFilesPerTrigger=1 forces the dedup state to work ACROSS
+    micro-batches."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|cur"
+    except OSError:
+        sig = os.path.abspath(sf_dir) + "|cur"
+    key = hashlib.md5(sig.encode()).hexdigest()[:12]
+    land = os.path.join(tempfile.gettempdir(), f"miletos_land_{key}", "data")
+    if not os.path.exists(land):
+        base = load_table(spark, sf_dir, "documents")
+        docs = base.unionByName(
+            base.filter(F.col("doc_id") % 10 == 0).withColumn(
+                "doc_id", F.col("doc_id") + 5000000
+            )
+        )
+        docs.select(
+            "doc_id", "lang", _pii_injected_text().alias("text")
+        ).repartition(4).write.parquet(land)
+    return land
+
+
+CURATION_STREAM_SCHEMA = "doc_id long, lang string, text string"
+
+
+def q_stream_curation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 curation online: the training_shards front half
+    (quality filter → PII scrub → exact dedup) running ON the document
+    firehose — stateless per-row stages plus (lang, content-md5) keyed
+    dedup state across micro-batches, over the crawl-shaped feed with
+    re-crawl replicas that MUST collapse onto their sources post-scrub.
+    Drained append-mode; the checked outputs are arrival-invariant per
+    lang: kept-distinct-doc count, PII-removal total, and a 32-bit
+    md5-prefix checksum over the distinct content set. Oracle: the
+    batch CTE replay of the same three stages."""
+    from miletos_spark.streaming.ingest import stream_curation
+
+    land = _land_docs_curation_feed(spark, sf_dir)
+    sdf = stream_curation(
+        spark, land, CURATION_STREAM_SCHEMA, max_files_per_trigger=1
+    )
+    out = _drain_memory_stream(
+        spark, sdf, "stream_curation_", output_mode="append"
+    )
+    h32 = F.conv(F.substring("scrub_md5", 1, 8), 16, 10).cast("long")
+    return out.groupBy("lang").agg(
+        F.count("*").alias("n_docs_kept"),
+        F.sum("n_pii").alias("n_pii_removed"),
+        F.sum(h32).alias("content_checksum"),
+    )
+
+
+def _sql_stream_curation() -> str:
+    pii_body, last = _sql_pii_steps("feed")
+    return f"""
+WITH feed AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 5000000 AS doc_id, lang, text
+  FROM documents WHERE doc_id % 10 = 0),
+{pii_body},
+qsrc AS (SELECT doc_id, t0 AS text FROM inj),
+{_sql_quality_ctes("qsrc")},
+scrub AS (
+  SELECT s.doc_id, feed.lang, md5(s.t{last}) AS h,
+         s.n_email + s.n_ssn + s.n_phone + s.n_ipv4 AS n_pii
+  FROM s{last} s
+  JOIN feed USING (doc_id)
+  JOIN lg USING (doc_id)
+  WHERE lg.logit > 0),
+dist AS (
+  SELECT lang, h, min(n_pii) AS n_pii
+  FROM scrub GROUP BY lang, h)
+SELECT lang,
+       count(*) AS n_docs_kept,
+       CAST(sum(n_pii) AS BIGINT) AS n_pii_removed,
+       CAST(sum({_sql_hex32("h")}) AS BIGINT) AS content_checksum
+FROM dist GROUP BY lang
+"""
+
+
+def _sql_hex32(col: str) -> str:
+    """32-bit prefix of an existing hex-digest column as a BIGINT
+    (DuckDB twin of Spark's conv(substr(h,1,8),16,10))."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({col},"
+        f" {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
 def q_stream_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.12 Structured Streaming: land events as a micros-timestamp
     parquet dir, run the session_window aggregation as an availableNow
@@ -8112,6 +8212,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_coverage_bpe_docs": q_vocab_coverage_bpe_docs,
     "bpe_encode_docs": q_bpe_encode_docs,
     "lm_trigram_score_docs": q_lm_trigram_score_docs,
+    "stream_curation_docs": q_stream_curation_docs,
     # r06 second-wave evictions (green since r04, still judge-swept)
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -8178,6 +8279,7 @@ def _oracles() -> dict[str, str]:
         "substring_removal_docs": SQL_SUBSTRING_REMOVAL_DOCS,
         "bpe_tokenize_docs": _sql_bpe_tokenize(),
         "stream_flare_keyed_events": _sql_stream_flare_keyed(),
+        "stream_curation_docs": _sql_stream_curation(),
         "pack_sequences_bpe_docs": _sql_pack_sequences_bpe(),
         "vocab_coverage_bpe_docs": _sql_vocab_coverage_bpe(),
         "bpe_encode_docs": _sql_bpe_encode(),

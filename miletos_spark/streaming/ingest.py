@@ -477,3 +477,46 @@ def stream_matched_filter(
         src, template, key_cols=key_cols, idx_col=idx_col,
         value_col=value_col, mu=mu, dec_type=dec_type,
     )
+
+
+def stream_curation(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The curation pipeline ON the firehose: quality filter and PII
+    scrub are stateless per-row stages (the identical column
+    expressions as the batch path — `quality_logit` / `scrub_pii`),
+    then exact dedup on (lang, scrubbed-text md5) keeps one row per
+    distinct content across micro-batches (`dropDuplicates` keyed
+    state, one entry per distinct kept document). This is the
+    incremental form of the `training_shards` front half: a re-crawl
+    replica arriving in ANY later micro-batch collapses onto its
+    source's scrubbed bytes and is dropped by state, not by a batch
+    re-run.
+
+    Emits one row per distinct (lang, scrub_md5): which ARRIVAL won is
+    file-order-dependent, so callers must aggregate arrival-invariant
+    outputs (the distinct content SET, counts, n_pii — equal across
+    group members by construction of identical scrubbed text)."""
+    from miletos_spark.pipeline.text import quality_logit, scrub_pii
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_dir)
+    kept = src.filter(quality_logit(F.col("text")) > 0)
+    sc = scrub_pii(kept, keep_cols=("lang",))
+    return (
+        sc.withColumn("scrub_md5", F.md5("text_scrubbed"))
+        .withColumn(
+            "n_pii",
+            (
+                F.col("n_email") + F.col("n_ssn")
+                + F.col("n_phone") + F.col("n_ipv4")
+            ).cast("long"),
+        )
+        .dropDuplicates(["lang", "scrub_md5"])
+        .select("lang", "scrub_md5", "n_pii")
+    )

@@ -1000,3 +1000,45 @@ def test_stream_matched_filter_equals_batch(spark, sf_dir):
     assert len(complete) == 10 - len(template) + 1
     for r in complete:
         assert abs(float(r["corr_dec"])) < 1e-12
+
+
+def test_stream_curation_dedups_across_microbatches(spark, tmp_path):
+    """A re-crawl replica arriving in a LATER micro-batch must be
+    collapsed by keyed state (same scrubbed bytes as its source), the
+    quality filter must drop junk in-stream, and the scrub must run:
+    the survivor set is exactly {source, distinct-doc}."""
+    import uuid
+
+    from miletos_spark.streaming.ingest import stream_curation
+    from miletos_spark.streaming.stateful import run_available_now
+
+    feed = str(tmp_path / "curation_feed")
+    schema = "doc_id long, lang string, text string"
+    good = ("a decent length document with words to keep " * 10
+            + "mail me at u1@example.com now")
+    other = ("another perfectly reasonable clean document with many "
+             "words inside it " * 10)
+    spark.createDataFrame(
+        [(1, "en", good), (2, "en", "!!! ### $$$")], schema
+    ).coalesce(1).write.parquet(feed + "/b1")
+    # replica of doc 1 in a different file/batch (identical text)
+    spark.createDataFrame(
+        [(3, "en", good), (4, "en", other)], schema
+    ).coalesce(1).write.parquet(feed + "/b2")
+    import glob
+    import shutil
+
+    for i, part in enumerate(
+        sorted(glob.glob(feed + "/b*/part-*.parquet"))
+    ):
+        shutil.move(part, feed + f"/f{i}.parquet")
+    shutil.rmtree(feed + "/b1"); shutil.rmtree(feed + "/b2")
+
+    sdf = stream_curation(spark, feed, schema, max_files_per_trigger=1)
+    name = "cur_" + uuid.uuid4().hex[:8]
+    run_available_now(sdf, name, output_mode="append")
+    rows = spark.table(name).collect()
+    spark.catalog.dropTempView(name)
+    assert len(rows) == 2                       # junk dropped, replica deduped
+    pii = {r["n_pii"] for r in rows}
+    assert pii == {1, 0}                        # the email was scrubbed
