@@ -105,13 +105,18 @@ HEADLINE = [
     "vocab_coverage_docs",
     "doc_embed_docs",
     "substring_dedup_docs",
-    # round-7: substring removal, bigram LM, frozen-table BPE,
-    # BPE-billed packing, keyed streaming matched filter
+    # round-7: substring removal, bigram/trigram LM, frozen-table BPE
+    # (tokenize/encode/coverage/packing), keyed streaming matched
+    # filter, streaming curation
     "substring_removal_docs",
     "lm_bigram_score_docs",
+    "lm_trigram_score_docs",
     "bpe_tokenize_docs",
+    "bpe_encode_docs",
+    "vocab_coverage_bpe_docs",
     "pack_sequences_bpe_docs",
     "stream_flare_keyed_events",
+    "stream_curation_docs",
 ]
 
 # Queries that probe a WRITE-TIME LANDED index (built by the ingest
