@@ -100,6 +100,7 @@ def assign_splits(
     ),
     id_col: str = "doc_id",
     group_col: str | None = None,
+    bucket_count: int | None = None,
 ) -> DataFrame:
     """Deterministic train/val/test split assignment (the dataset-
     versioning primitive every training pipeline needs: a document's
@@ -113,9 +114,17 @@ def assign_splits(
       (new docs slot into splits without moving old ones).
     - ``group_col`` given (exact stratified mode): rank rows within
       each stratum by (hash, id) and cut the ranking at integer
-      boundaries, giving EXACT per-stratum proportions — one shuffle
-      on the stratum key; per-stratum sort, so strata must be bounded
-      (lang/source cardinality, not corpus cardinality, drives skew).
+      boundaries, giving EXACT per-stratum proportions. Plain form:
+      one window per stratum — a per-stratum SORT in one task, fine
+      while strata are small. ``bucket_count=B`` switches to the
+      distributed two-pass rank (the gap-sessionization prefix-sum
+      trick): bucket rows by the hash value itself (order-preserving),
+      count per (stratum, bucket), broadcast the cumulative offsets,
+      and rank inside (stratum, bucket) windows bounded by ~|stratum|/B
+      — BIT-IDENTICAL ranks (equal hashes land in the same bucket, so
+      the (hash, id) tiebreak order is preserved), asserted in
+      tests/test_sampling_packing.py. At 100 TB a lang stratum is
+      billions of rows: use B ~ rows/10M.
 
     Weights are INTEGERS (e.g. 8/1/1 = 80/10/10): boundaries are pure
     integer comparisons (`rank * W <= n * cum_w`, no float fraction
@@ -145,12 +154,51 @@ def assign_splits(
             ).otherwise(expr)
         return df.withColumn("split", expr)
 
-    w = Window.partitionBy(group_col).orderBy(
-        hash_uniform(F.col(id_col)), F.col(id_col)
-    )
-    cnt = Window.partitionBy(group_col)
-    r = F.row_number().over(w)
-    n = F.count("*").over(cnt)
+    if bucket_count is None:
+        w = Window.partitionBy(group_col).orderBy(
+            hash_uniform(F.col(id_col)), F.col(id_col)
+        )
+        cnt = Window.partitionBy(group_col)
+        r = F.row_number().over(w)
+        n = F.count("*").over(cnt)
+    else:
+        B = int(bucket_count)
+        u = hash_uniform(F.col(id_col))
+        work = df.withColumn("_u", u).withColumn(
+            "_bkt",
+            F.least(
+                F.floor(F.col("_u") * B), F.lit(B - 1)
+            ).cast("int"),
+        )
+        counts = work.groupBy(group_col, "_bkt").agg(
+            F.count("*").alias("_c")
+        )
+        woff = (
+            Window.partitionBy(group_col)
+            .orderBy("_bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        wall = Window.partitionBy(group_col)
+        offs = counts.select(
+            group_col,
+            "_bkt",
+            F.coalesce(F.sum("_c").over(woff), F.lit(0)).alias("_off"),
+            F.sum("_c").over(wall).alias("_n"),
+        )
+        work = work.join(F.broadcast(offs), [group_col, "_bkt"])
+        wb = Window.partitionBy(group_col, "_bkt").orderBy(
+            "_u", id_col
+        )
+        r = F.row_number().over(wb) + F.col("_off")
+        n = F.col("_n")
+        expr = F.lit(names[-1])
+        for name, cum in zip(names[:-1][::-1], cums[:-1][::-1]):
+            expr = F.when(
+                r * total <= n * cum, F.lit(name)
+            ).otherwise(expr)
+        return work.withColumn("split", expr).drop(
+            "_u", "_bkt", "_off", "_n"
+        )
     expr = F.lit(names[-1])
     for name, cum in zip(names[:-1][::-1], cums[:-1][::-1]):
         expr = F.when(r * total <= n * cum, F.lit(name)).otherwise(expr)

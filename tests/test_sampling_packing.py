@@ -217,3 +217,30 @@ def test_write_training_shards_layout_and_conservation(spark, sf_dir, tmp_path):
         .first()[0]
     )
     assert per_shard <= 512 * 4 + max_doc
+
+
+def test_assign_splits_bucketed_rank_is_bit_identical(spark):
+    """The distributed two-pass rank (bucket by the hash value +
+    cumulative offsets) must assign EXACTLY the same split to every row
+    as the single-window per-stratum sort, for several bucket counts —
+    including B larger than the stratum."""
+    from pyspark.sql import functions as F
+
+    from miletos_spark.pipeline.sampling import assign_splits
+
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("lang"),
+    )
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(docs, group_col="lang").collect()
+    }
+    for b in (1, 4, 7, 64, 5000):
+        bucketed = {
+            r["doc_id"]: r["split"]
+            for r in assign_splits(
+                docs, group_col="lang", bucket_count=b
+            ).collect()
+        }
+        assert bucketed == plain, b
