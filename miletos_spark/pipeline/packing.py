@@ -33,6 +33,7 @@ def pack_chunks(
     group_cols: Sequence[str] = ("lang", "source"),
     id_col: str = "doc_id",
     capacity: int = 2048,
+    bucket_width: int | None = None,
 ) -> DataFrame:
     """Concat-and-chunk packing: within each group (ordered by
     ``id_col``), a document starting at token offset ``s`` with ``n``
@@ -41,16 +42,58 @@ def pack_chunks(
     boundaries (0 for empty docs). Offsets stay < 2**53 per shard, so
     double-division floor is exact.
 
+    ``bucket_width=W`` routes the running token offset through the
+    distributed two-pass prefix sum (the gap-sessionization trick,
+    operators/sessionize.py): local sums inside (group,
+    floor(id / W)) buckets + broadcast cumulative bucket offsets —
+    id-bucketing is order-preserving, and the sums are exact integer
+    arithmetic, so the layout is BIT-IDENTICAL to the plain window
+    (asserted in tests). Use it when one (lang, source) shard exceeds
+    a task (the plain window sorts a whole shard in one task).
+
     Returns one row per document: group cols, id, tokens, start_bin,
     n_straddle."""
-    w = (
-        Window.partitionBy(*group_cols)
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     n = F.col(token_col).cast("long")
-    start = (F.sum(n).over(w) - n).alias("start_off")
-    out = df.select(*group_cols, id_col, n.alias(token_col), start)
+    if bucket_width is None:
+        w = (
+            Window.partitionBy(*group_cols)
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        start = (F.sum(n).over(w) - n).alias("start_off")
+        out = df.select(*group_cols, id_col, n.alias(token_col), start)
+    else:
+        gcols = list(group_cols)
+        bkt = F.floor(F.col(id_col) / F.lit(int(bucket_width)))
+        dfb = df.select(
+            *gcols, id_col, n.alias(token_col)
+        ).withColumn("_pkt", bkt)
+        wloc = (
+            Window.partitionBy(*gcols, "_pkt")
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        local = dfb.withColumn(
+            "_loc", F.sum(token_col).over(wloc) - F.col(token_col)
+        )
+        summ = dfb.groupBy(*gcols, "_pkt").agg(
+            F.sum(token_col).alias("_tot")
+        )
+        wsum = Window.partitionBy(*gcols).orderBy("_pkt").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = summ.select(
+            *gcols,
+            "_pkt",
+            F.coalesce(F.sum("_tot").over(wsum), F.lit(0)).alias("_off"),
+        )
+        # no broadcast hint, same stance as _sessionize_bucketed: the
+        # offsets table is groups x (id span / W) rows — let AQE choose
+        out = (
+            local.join(offsets, [*gcols, "_pkt"])
+            .withColumn("start_off", F.col("_loc") + F.col("_off"))
+            .select(*gcols, id_col, token_col, "start_off")
+        )
     cap = F.lit(float(capacity))
     start_bin = F.floor(F.col("start_off") / cap)
     end_bin = F.floor((F.col("start_off") + F.col(token_col) - 1) / cap)

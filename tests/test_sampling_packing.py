@@ -244,3 +244,32 @@ def test_assign_splits_bucketed_rank_is_bit_identical(spark):
             ).collect()
         }
         assert bucketed == plain, b
+
+
+def test_pack_chunks_bucketed_prefix_sum_is_bit_identical(spark):
+    """The two-pass distributed token prefix sum must reproduce the
+    plain per-shard window layout exactly (integer sums, order-
+    preserving id buckets), for several widths including W=1 and
+    W > corpus."""
+    from pyspark.sql import functions as F
+
+    from miletos_spark.pipeline.packing import pack_chunks
+
+    docs = spark.range(1500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2).cast("string").alias("lang"),
+        (F.col("id") % 3).cast("string").alias("source"),
+        ((F.col("id") * 37) % 900).cast("int").alias("n_tokens"),
+    )
+    plain = {
+        r["doc_id"]: (r["start_bin"], r["n_straddle"])
+        for r in pack_chunks(docs, capacity=512).collect()
+    }
+    for w in (1, 17, 256, 100000):
+        got = {
+            r["doc_id"]: (r["start_bin"], r["n_straddle"])
+            for r in pack_chunks(
+                docs, capacity=512, bucket_width=w
+            ).collect()
+        }
+        assert got == plain, w
