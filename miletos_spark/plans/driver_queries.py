@@ -6594,6 +6594,10 @@ def q_albedo_recirc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_albedo_recirc() -> str:
+    # `+ 0.0e0` after each round(): the on-grid truth makes the MAP
+    # llik exactly -0.0 (-0.5 * 0.0); DuckDB round() preserves the
+    # sign while Spark round() normalizes to +0.0, and the driver hash
+    # is sign-of-zero-sensitive. IEEE -0.0 + 0.0 = +0.0 aligns both.
     from miletos_spark.model.secondary import sql_albedo_recirc_ctes
 
     obs_cols = ",\n         ".join(
@@ -6607,12 +6611,12 @@ WITH obs0 AS (
 obs AS (SELECT *, {obs_cols} FROM obs0),
 {sql_albedo_recirc_ctes("obs").lstrip()}
 SELECT event_type,
-       round(albb, 4) AS albb,
-       round(epsi, 4) AS epsi,
-       round(psii, 4) AS psii,
-       round(tday, 4) AS tday_k,
-       round(tnight, 4) AS tnight_k,
-       round(llik, 4) AS llik
+       round(albb, 4) + 0.0e0 AS albb,
+       round(epsi, 4) + 0.0e0 AS epsi,
+       round(psii, 4) + 0.0e0 AS psii,
+       round(tday, 4) + 0.0e0 AS tday_k,
+       round(tnight, 4) + 0.0e0 AS tnight_k,
+       round(llik, 4) + 0.0e0 AS llik
 FROM ranked WHERE rn = 1
 """
 
@@ -8091,21 +8095,28 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # for the deepest composites (batch+stream BLS, GP, MCMC, both
     # pipeline lifecycles). Evicted to the judge-sweep overflow: 27
     # rows green in BOTH r05 and r06.
+    # r08 rotation (VERDICT r7 ask #4): promoted the LAST 4 oracle-
+    # backed entries that had never had a driver row
+    # (lm_trigram_score_docs, bpe_encode_docs, stream_curation_docs,
+    # vocab_coverage_bpe_docs) — driver-signal debt is now permanently
+    # cleared: every oracle-backed registry entry has had >=1 driver
+    # row in its history. Evicted 4 rows green in BOTH r06 and r07
+    # whose machinery stays covered in-window: quality_filter_docs +
+    # pii_scrub_docs (both composed inside stream_curation_docs),
+    # time_rollup_events (rebin machinery in stream_rebin_events +
+    # binned_rms_events), split_assign_docs (hash-split family in
+    # mixture_sample_docs).
     # kept: first green in r06
     "population_nm_recovery_events": q_population_nm_recovery_events,
-    "quality_filter_docs": q_quality_filter_docs,
-    "pii_scrub_docs": q_pii_scrub_docs,
     "dedup_lines_docs": q_dedup_lines_docs,
     "asof_join_events": q_asof_join_events,
     "rollup_pricing": q_rollup_pricing,
-    "time_rollup_events": q_time_rollup_events,
     "transit_epochs_events": q_transit_epochs_events,
     "rolling_std_peakcut_events": q_rolling_std_peakcut_events,
     "binned_rms_events": q_binned_rms_events,
     "near_dup_pairs": q_near_dup_pairs,
     "near_dup_clusters": q_near_dup_clusters,
     "ivfpq_recall_topk": q_ivfpq_recall_topk,
-    "split_assign_docs": q_split_assign_docs,
     "stream_near_dup_recovery_docs": q_stream_near_dup_recovery_docs,
     "stream_ls_keyed_events": q_stream_ls_keyed_events,
     "bls_multires_events": q_bls_multires_events,
@@ -8122,6 +8133,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_tokenize_docs": q_bpe_tokenize_docs,
     "pack_sequences_bpe_docs": q_pack_sequences_bpe_docs,
     "stream_flare_keyed_events": q_stream_flare_keyed_events,
+    # promoted r08: the last never-driver-checked oracle entries
+    "lm_trigram_score_docs": q_lm_trigram_score_docs,
+    "bpe_encode_docs": q_bpe_encode_docs,
+    "stream_curation_docs": q_stream_curation_docs,
+    "vocab_coverage_bpe_docs": q_vocab_coverage_bpe_docs,
     # promoted: never-driver-checked until now
     "lm_score_docs": q_lm_score_docs,
     "chunk_docs": q_chunk_docs,
@@ -8209,10 +8225,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rebin_count_events": q_rebin_count_events,
     "text_stats_docs": q_text_stats_docs,
     "stream_near_dup_docs": q_stream_near_dup_docs,
-    "vocab_coverage_bpe_docs": q_vocab_coverage_bpe_docs,
-    "bpe_encode_docs": q_bpe_encode_docs,
-    "lm_trigram_score_docs": q_lm_trigram_score_docs,
-    "stream_curation_docs": q_stream_curation_docs,
+    # r08 evictions: green in both r06 and r07
+    "quality_filter_docs": q_quality_filter_docs,
+    "pii_scrub_docs": q_pii_scrub_docs,
+    "time_rollup_events": q_time_rollup_events,
+    "split_assign_docs": q_split_assign_docs,
     # r06 second-wave evictions (green since r04, still judge-swept)
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,

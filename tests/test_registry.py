@@ -35,18 +35,20 @@ def test_window_rotation_is_deliberate():
     from miletos_spark.plans.driver_queries import QUERIES
 
     window = list(QUERIES)[:DRIVER_WINDOW]
-    # r07: 17 rows first-green in r06 + 6 continuity anchors + the 5
-    # new round-7 capabilities + all 22 previously-never-driver-checked
-    # oracle entries (VERDICT r6 ask #1); 27 rows green in r05+r06
-    # moved to the judge-sweep overflow.
+    # r08: promoted the last 4 never-driver-checked oracle entries
+    # (lm_trigram, bpe_encode, stream_curation, vocab_coverage_bpe —
+    # VERDICT r7 ask #4); evicted 4 rows green in BOTH r06 and r07
+    # whose machinery stays covered in-window (quality_filter +
+    # pii_scrub live inside stream_curation; time_rollup's rebin
+    # machinery in stream_rebin + binned_rms; split_assign's
+    # hash-split family in mixture_sample).
     assert window == [
-        "population_nm_recovery_events", "quality_filter_docs",
-        "pii_scrub_docs", "dedup_lines_docs",
+        "population_nm_recovery_events", "dedup_lines_docs",
         "asof_join_events", "rollup_pricing",
-        "time_rollup_events", "transit_epochs_events",
+        "transit_epochs_events",
         "rolling_std_peakcut_events", "binned_rms_events",
         "near_dup_pairs", "near_dup_clusters", "ivfpq_recall_topk",
-        "split_assign_docs", "stream_near_dup_recovery_docs",
+        "stream_near_dup_recovery_docs",
         "stream_ls_keyed_events", "bls_multires_events",
         "bls_spectrum_events", "gp_recovery_events",
         "mcmc_recovery_events", "pipeline_summary_events",
@@ -54,6 +56,8 @@ def test_window_rotation_is_deliberate():
         "substring_removal_docs", "lm_bigram_score_docs",
         "bpe_tokenize_docs", "pack_sequences_bpe_docs",
         "stream_flare_keyed_events",
+        "lm_trigram_score_docs", "bpe_encode_docs",
+        "stream_curation_docs", "vocab_coverage_bpe_docs",
         "lm_score_docs", "chunk_docs", "rp_project_embeddings",
         "tfidf_topk_docs", "vocab_coverage_docs", "doc_embed_docs",
         "substring_dedup_docs", "training_shards_docs",

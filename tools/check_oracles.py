@@ -40,7 +40,11 @@ def canon(rows: list[dict]) -> list[tuple]:
             if math.isnan(v):
                 return ("float", "NaN")
             if v == 0.0:
-                return ("float", 0.0)  # -0.0 == 0.0
+                # Driver hashes representation: -0.0 != +0.0 there
+                # (r07 albedo_recirc lesson — Spark round() normalizes
+                # the sign, DuckDB round() preserves it). Tag copysign
+                # so the local sweep reproduces the driver verdict.
+                return ("float", 0.0, math.copysign(1.0, v))
             return ("float", v)
         if isinstance(v, list):
             # The DRIVER's pandas canonicalizer cannot hash list cells
