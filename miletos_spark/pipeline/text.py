@@ -702,7 +702,17 @@ def bpe_render(text: Column, merges=BPE_MERGES) -> Column:
 
     Input text is stripped of the two delimiter control chars first
     (U+001F/U+001E cannot be legitimate document text, but a crawl that
-    DID carry them would otherwise forge unit boundaries)."""
+    DID carry them would otherwise forge unit boundaries).
+
+    MERGE-COUNT BOUND: the chain is one `replace` pass — and one
+    codegen expression node — PER MERGE RULE, i.e. O(|merges|·|doc|)
+    work per row. That is the right trade for the frozen ~90-rule
+    table (pure JVM, byte-replayable by the DuckDB oracle) but is
+    pathological at a production 32k-merge vocab, where it would also
+    blow the 64 KB codegen method limit. The production-scale path is
+    `bpe_encode_production` below: per-word lowest-rank-pair merging,
+    O(1) in merge-table size per lookup, equality-tested against this
+    chain."""
     safe = F.regexp_replace(text, f"[{BPE_UNIT}{BPE_WORD}]", "")
     words = F.filter(
         F.split(F.lower(F.trim(safe)), r"\s+"),
@@ -775,6 +785,104 @@ def bpe_token_ids(text: Column, merges=BPE_MERGES) -> Column:
         bpe_tokens(text, merges),
         lambda t: F.coalesce(F.element_at(m, t), F.lit(0)),
     )
+
+
+def bpe_encode_production(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    merges=BPE_MERGES,
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Merge-count-bounded BPE encoder: the production-scale apply path
+    for LARGE merge tables, where the `bpe_render` replace chain's
+    O(|merges|·|doc|) cost and one-codegen-node-per-rule shape break
+    down (see its docstring).
+
+    Per word: repeatedly merge the LOWEST-RANK adjacent pair present,
+    all occurrences left-to-right non-overlapping — the GPT-2 encode
+    loop. This is provably equal to applying the rules sequentially
+    (one global pass per rule, which is what the replace chain does):
+    a pair of rank j can only have its constituent tokens created by
+    rules < j, and merging two adjacent tokens never creates NEW
+    adjacency of an already-existing token pair — so when the chain's
+    pass j runs, every (a_j, b_j) adjacency that will ever exist is
+    already present. Equality is unit-tested against `bpe_tokens` on
+    the frozen table AND on freshly trained larger tables.
+
+    Cost per word is O(L^2) in word length L with O(1) dict lookups in
+    merge-table size; the table ships to executors once as a closure
+    (at 32k merges, ~1 MB — broadcast territory, same as a shipped
+    tokenizer.json). Runs as an Arrow-batched `mapInPandas` stage with
+    a per-batch word cache (natural-language word frequency is Zipfian,
+    so the cache hit rate dominates); no shuffle, no grouping.
+
+    Returns (id_col, out_col) with out_col the space-joined token
+    stream — identical contract to
+    `array_join(bpe_tokens(text), ' ')`."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    pairs_by_rank = list(merges)
+    schema = f"{id_col} long, {out_col} string"
+
+    def encode(it):
+        import re
+
+        import pandas as pd
+
+        # parity with bpe_render: strip the delimiter control chars,
+        # split on JAVA \s (ASCII whitespace only — Python's \s and
+        # str.split() are unicode-aware and would diverge on \xa0)
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        cache: dict[str, str] = {}
+
+        def enc_word(word: str) -> str:
+            hit = cache.get(word)
+            if hit is not None:
+                return hit
+            syms = list(word)
+            while len(syms) > 1:
+                best = None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best is None or r < best):
+                        best = r
+                if best is None:
+                    break
+                a, b = pairs_by_rank[best]
+                ab = a + b
+                out = []
+                i = 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        out.append(ab)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            res = " ".join(syms)
+            cache[word] = res
+            return res
+
+        def enc_doc(text: str) -> str:
+            safe = text.replace(BPE_UNIT, "").replace(BPE_WORD, "")
+            return " ".join(
+                enc_word(w) for w in ws.split(safe.lower()) if w
+            )
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    out_col: pdf[text_col].map(enc_doc),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(encode, schema=schema)
 
 
 def trigram_logprob(
