@@ -544,14 +544,18 @@ def q_bls_spectrum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bls_trials(), "period double, dcyc double, off double"
     )
     spec = bls_search(ev, trials, time_col="t", value_col="value", t_ref=0.0)
+    # quantize (not round) for mean_in/depth: the r8 decimal-exact box
+    # means land EXACTLY on 6-decimal ties over power-of-two in-box
+    # counts, and round() breaks the tie differently per engine (the
+    # stream_bls twins already quantize for the same reason)
     return spec.select(
         F.round("period", 9).alias("period"),
         F.round("dcyc", 9).alias("dcyc"),
         F.round("off", 1).alias("off"),
         "bucket",
         "n_in",
-        F.round("mean_in", 6).alias("mean_in"),
-        F.round("depth", 6).alias("depth"),
+        quantize(F.col("mean_in"), 6).alias("mean_in"),
+        quantize(F.col("depth"), 6).alias("depth"),
         F.round("snr", 4).alias("snr"),
         F.round("epoch", 4).alias("epoch"),
     )
@@ -567,7 +571,8 @@ WITH inner_q AS (
 )
 SELECT round(period, 9) AS period, round(dcyc, 9) AS dcyc,
        round(off, 1) AS off, bucket, n_in,
-       round(mean_in, 6) AS mean_in, round(depth, 6) AS depth,
+       {quantize_sql("mean_in", 6)} AS mean_in,
+       {quantize_sql("depth", 6)} AS depth,
        round(snr, 4) AS snr, round(epoch, 4) AS epoch
 FROM inner_q
 """

@@ -85,6 +85,21 @@ def trial_table(
     return spark.createDataFrame(rows, "period double, dcyc double, off double")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a series to the session's parallelism before the
+    trial-grid crossJoin IF it arrives under-partitioned. A compact
+    series (one small parquet file → ONE scan partition) otherwise
+    serializes the entire |rows|×|trials| fan-out on a single core —
+    measured 3.7× on the sf0.1 box aggregation. Unconditional: the
+    series shuffle itself is milliseconds (the fan-out happens AFTER),
+    and probing the current partition count via `.rdd` would force a
+    full physical planning of the upstream lineage per call — measured
+    ~2 s per multi-signal iteration on the pipeline plan. Numerically
+    safe because every downstream aggregate in this module is an
+    order-independent decimal sum."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def bls_search(
     df: DataFrame,
     trials: DataFrame,
@@ -100,11 +115,23 @@ def bls_search(
     the reference's amplitude/noise split happens on the per-period
     spectrum afterwards).
     """
+    import math as _math
+
+    # decimal moments + decimal box means (same discipline as
+    # `bls_search_multires` and `stream_bls`): order-independent, so
+    # the fan-out below can be REPARTITIONED for parallelism without
+    # the partial-agg reordering moving any rounded output digit. The
+    # float-avg original was only reproducible because the scan
+    # happened to be one partition.
+    v = F.col(value_col)
     g = df.agg(
-        F.avg(value_col).alias("mu"),
-        F.stddev_pop(value_col).alias("sd"),
+        (F.sum(v.cast("decimal(38,18)")).cast("double")
+         / F.count(value_col)).alias("mu"),
+        (F.sum((v * v).cast("decimal(38,18)")).cast("double")
+         / F.count(value_col)).alias("m2"),
     ).first()
-    mu, sd = float(g["mu"]), float(g["sd"])
+    mu = float(g["mu"])
+    sd = _math.sqrt(max(float(g["m2"]) - mu * mu, 0.0))
 
     p = F.col("period")
     t = F.col(time_col) - F.lit(float(t_ref))
@@ -125,11 +152,15 @@ def bls_search(
     tid_w = Window.orderBy("period", "dcyc", "off")
     trials_id = trials.withColumn("tid", F.row_number().over(tid_w))
     boxes = (
-        df.select(time_col, value_col)
+        _spread(df.select(time_col, value_col))
         .crossJoin(F.broadcast(trials_id))
         .withColumn("bucket", bucket)
         .groupBy("tid", "bucket")
-        .agg(F.count("*").alias("n_in"), F.avg(value_col).alias("mean_in"))
+        .agg(
+            F.count("*").alias("n_in"),
+            (F.sum(v.cast("decimal(38,18)")).cast("double")
+             / F.count(value_col)).alias("mean_in"),
+        )
         .join(F.broadcast(trials_id), "tid")
         .drop("tid")
     )
@@ -254,10 +285,19 @@ def bls_search_grouped(
     one shuffle keyed (group, trial, bucket) — no per-target jobs, no
     driver loop over targets."""
     keys = list(group_cols)
+    # decimal per-group moments (mu, m2 → sd) for the same reason as
+    # `bls_search`: order-independence lets the fan-out repartition
+    v = F.col(value_col)
     gstats = df.groupBy(*keys).agg(
-        F.avg(value_col).alias("_mu"),
-        F.stddev_pop(value_col).alias("_sd"),
-    )
+        (F.sum(v.cast("decimal(38,18)")).cast("double")
+         / F.count(value_col)).alias("_mu"),
+        (F.sum((v * v).cast("decimal(38,18)")).cast("double")
+         / F.count(value_col)).alias("_m2"),
+    ).withColumn(
+        "_sd",
+        F.sqrt(F.greatest(F.col("_m2") - F.col("_mu") * F.col("_mu"),
+                          F.lit(0.0))),
+    ).drop("_m2")
 
     p = F.col("period")
     t = F.col(time_col) - F.lit(float(t_ref))
@@ -271,11 +311,15 @@ def bls_search_grouped(
     tid_w = Window.orderBy("period", "dcyc", "off")
     trials_id = trials.withColumn("tid", F.row_number().over(tid_w))
     boxes = (
-        df.select(*keys, time_col, value_col)
+        _spread(df.select(*keys, time_col, value_col))
         .crossJoin(F.broadcast(trials_id))
         .withColumn("bucket", bucket)
         .groupBy(*keys, "tid", "bucket")
-        .agg(F.count("*").alias("n_in"), F.avg(value_col).alias("mean_in"))
+        .agg(
+            F.count("*").alias("n_in"),
+            (F.sum(v.cast("decimal(38,18)")).cast("double")
+             / F.count(value_col)).alias("mean_in"),
+        )
         .join(F.broadcast(trials_id), "tid")
         .drop("tid")
         .join(F.broadcast(gstats), keys)
@@ -803,19 +847,32 @@ def bls_sql(
     bgsel = f"b.{group_col}, " if group_col else ""
     gjoin = f"JOIN g USING ({group_col})" if group_col else "CROSS JOIN g"
     gby = "1, 2, 3, 4, 5" if group_col else "1, 2, 3, 4"
+    # decimal moments + decimal box means (VARCHAR hop, the
+    # `_dec_mean_sql` convention) — twin of the Spark side's
+    # order-independent decimal aggregation; sd = sqrt(m2 - mu²)
     return f"""
 WITH samples AS (
   SELECT {gsel}CAST({time_expr} AS DOUBLE) AS t, CAST({value_expr} AS DOUBLE) AS v
   FROM {table}
 ),
-g AS (SELECT {gsel}avg(v) AS mu, stddev_pop(v) AS sd FROM samples{ggrp}),
+g AS (SELECT {gsel}
+             CAST(sum(CAST(CAST(v AS VARCHAR) AS DECIMAL(38,18))) AS DOUBLE)
+             / count(*) AS mu,
+             sqrt(greatest(
+               CAST(sum(CAST(CAST(v * v AS VARCHAR) AS DECIMAL(38,18)))
+                    AS DOUBLE) / count(*)
+               - pow(CAST(sum(CAST(CAST(v AS VARCHAR) AS DECIMAL(38,18)))
+                          AS DOUBLE) / count(*), 2), 0.0)) AS sd
+      FROM samples{ggrp}),
 trials(period, dcyc, off) AS (VALUES {values}),
 boxes AS (
   SELECT {sgsel}tr.period, tr.dcyc, tr.off,
          CAST(floor((((((s.t - {t_ref!r}) % tr.period + tr.period) % tr.period)
                       / tr.period - tr.off * tr.dcyc) % 1.0 + 1.0) % 1.0
                     / tr.dcyc) AS INT) AS bucket,
-         count(*) AS n_in, avg(s.v) AS mean_in
+         count(*) AS n_in,
+         CAST(sum(CAST(CAST(s.v AS VARCHAR) AS DECIMAL(38,18))) AS DOUBLE)
+         / count(*) AS mean_in
   FROM samples s CROSS JOIN trials tr
   GROUP BY {gby}
 )
