@@ -132,6 +132,9 @@ HEADLINE = [
     "pack_sequences_bpe_docs",
     "stream_flare_keyed_events",
     "stream_curation_docs",
+    # round-8: incremental curation+packing endgame (stream drain ==
+    # batch pack layout, cross-batch offsets in landed state)
+    "stream_pack_shards_docs",
 ]
 
 # Queries that probe a WRITE-TIME LANDED index (built by the ingest

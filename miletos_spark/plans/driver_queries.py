@@ -3956,6 +3956,137 @@ def _sql_hex32(col: str) -> str:
     )
 
 
+def _land_docs_pack_feed(spark: SparkSession, sf_dir: str) -> str:
+    """Memoized DOC-ID-ORDERED streaming feed for incremental packing:
+    the same crawl-shaped content as `_land_docs_curation_feed`
+    (documents + re-crawl replicas at +5e6 with PII injected), but
+    written as 4 files each holding one CONTIGUOUS doc_id range, with
+    strictly increasing mtimes — so `maxFilesPerTrigger=1` presents
+    the corpus to the stream in id order (replicas, at +5e6, arrive
+    LAST, after their sources). Order is assigned at landing, the same
+    stance as the streaming matched filter's cadence index: a stream
+    cannot rank, ingest can — and the packing layout's determinism
+    contract (stream drain ≡ batch `pack_chunks`) rests on it."""
+    import glob as _glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|pack"
+    except OSError:
+        sig = os.path.abspath(sf_dir) + "|pack"
+    key = hashlib.md5(sig.encode()).hexdigest()[:12]
+    land = os.path.join(
+        tempfile.gettempdir(), f"miletos_packland_{key}", "data"
+    )
+    if not os.path.exists(land):
+        base = load_table(spark, sf_dir, "documents")
+        docs = base.unionByName(
+            base.filter(F.col("doc_id") % 10 == 0).withColumn(
+                "doc_id", F.col("doc_id") + 5000000
+            )
+        ).select("doc_id", "lang", _pii_injected_text().alias("text"))
+        n = base.agg(F.max("doc_id")).first()[0] + 1
+        bounds = [0, n // 3, 2 * (n // 3), 5000000, 1 << 62]
+        tmp = land + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        t0 = os.stat(sf_dir).st_mtime
+        for k in range(4):
+            part_dir = os.path.join(tmp, f"_w{k}")
+            (
+                docs.filter(
+                    (F.col("doc_id") >= bounds[k])
+                    & (F.col("doc_id") < bounds[k + 1])
+                )
+                .coalesce(1)
+                .write.parquet(part_dir)
+            )
+            [pf] = _glob.glob(os.path.join(part_dir, "part-*.parquet"))
+            dst = os.path.join(tmp, f"{k:03d}.parquet")
+            shutil.move(pf, dst)
+            shutil.rmtree(part_dir)
+            os.utime(dst, (t0 + k, t0 + k))  # file k strictly older than k+1
+        os.rename(tmp, land)
+    return land
+
+
+def q_stream_pack_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 training-shards endgame online: `stream_curation`'s three
+    stages composed with INCREMENTAL packing — each micro-batch packs
+    its kept docs into 512-token context windows continuing from
+    per-shard running token offsets carried across batches (landed
+    offsets table = the cross-batch leg of the `pack_chunks` two-pass
+    prefix sum; see streaming/ingest.py `stream_pack_shards`). The
+    feed arrives in doc_id order (assigned at landing), so the drained
+    layout is BIT-IDENTICAL to the batch curation→pack composition —
+    which is exactly what the oracle replays. One row per kept
+    distinct doc: (lang, doc_id, n_tokens, start_bin, n_straddle)."""
+    import os
+    import tempfile
+    import uuid
+
+    from miletos_spark.streaming.ingest import stream_pack_shards
+
+    land = _land_docs_pack_feed(spark, sf_dir)
+    work = os.path.join(
+        tempfile.gettempdir(), "miletos_spack_" + uuid.uuid4().hex[:8]
+    )
+    out_dir = os.path.join(work, "out")
+    stream_pack_shards(
+        spark,
+        land,
+        CURATION_STREAM_SCHEMA,
+        out_dir,
+        os.path.join(work, "state"),
+        capacity=512,
+        max_files_per_trigger=1,
+    )
+    return spark.read.parquet(out_dir).select(
+        "lang", "doc_id", "n_tokens", "start_bin", "n_straddle"
+    )
+
+
+def _sql_stream_pack_shards() -> str:
+    pii_body, last = _sql_pii_steps("feed")
+    return f"""
+WITH feed AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 5000000 AS doc_id, lang, text
+  FROM documents WHERE doc_id % 10 = 0),
+{pii_body},
+qsrc AS (SELECT doc_id, t0 AS text FROM inj),
+{_sql_quality_ctes("qsrc")},
+scrub AS (
+  SELECT s.doc_id, feed.lang, md5(s.t{last}) AS h,
+         CAST(CASE WHEN length(trim(s.t{last})) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(s.t{last}), '\\s+')) END
+              AS BIGINT) AS n_tokens
+  FROM s{last} s
+  JOIN feed USING (doc_id)
+  JOIN lg USING (doc_id)
+  WHERE lg.logit > 0),
+dist AS (
+  SELECT lang, h, min(doc_id) AS doc_id, min(n_tokens) AS n_tokens
+  FROM scrub GROUP BY lang, h),
+off AS (
+  SELECT lang, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - n_tokens AS start_off
+  FROM dist)
+SELECT lang, doc_id, n_tokens,
+       CAST(floor(start_off / 512.0) AS BIGINT) AS start_bin,
+       greatest(CAST(floor((start_off + n_tokens - 1) / 512.0) AS BIGINT)
+                - CAST(floor(start_off / 512.0) AS BIGINT), 0) AS n_straddle
+FROM off
+"""
+
+
 def q_stream_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.12 Structured Streaming: land events as a micros-timestamp
     parquet dir, run the session_window aggregation as an availableNow
@@ -8115,7 +8246,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "population_nm_recovery_events": q_population_nm_recovery_events,
     "dedup_lines_docs": q_dedup_lines_docs,
     "asof_join_events": q_asof_join_events,
-    "rollup_pricing": q_rollup_pricing,
     "transit_epochs_events": q_transit_epochs_events,
     "rolling_std_peakcut_events": q_rolling_std_peakcut_events,
     "binned_rms_events": q_binned_rms_events,
@@ -8140,6 +8270,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_flare_keyed_events": q_stream_flare_keyed_events,
     # promoted r08: the last never-driver-checked oracle entries
     "lm_trigram_score_docs": q_lm_trigram_score_docs,
+    # NEW r08 capability: incremental curation+packing endgame
+    "stream_pack_shards_docs": q_stream_pack_shards_docs,
     "bpe_encode_docs": q_bpe_encode_docs,
     "stream_curation_docs": q_stream_curation_docs,
     "vocab_coverage_bpe_docs": q_vocab_coverage_bpe_docs,
@@ -8231,6 +8363,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats_docs": q_text_stats_docs,
     "stream_near_dup_docs": q_stream_near_dup_docs,
     # r08 evictions: green in both r06 and r07
+    "rollup_pricing": q_rollup_pricing,
     "quality_filter_docs": q_quality_filter_docs,
     "pii_scrub_docs": q_pii_scrub_docs,
     "time_rollup_events": q_time_rollup_events,
@@ -8302,6 +8435,7 @@ def _oracles() -> dict[str, str]:
         "bpe_tokenize_docs": _sql_bpe_tokenize(),
         "stream_flare_keyed_events": _sql_stream_flare_keyed(),
         "stream_curation_docs": _sql_stream_curation(),
+        "stream_pack_shards_docs": _sql_stream_pack_shards(),
         "pack_sequences_bpe_docs": _sql_pack_sequences_bpe(),
         "vocab_coverage_bpe_docs": _sql_vocab_coverage_bpe(),
         "bpe_encode_docs": _sql_bpe_encode(),

@@ -520,3 +520,153 @@ def stream_curation(
         .dropDuplicates(["lang", "scrub_md5"])
         .select("lang", "scrub_md5", "n_pii")
     )
+
+
+def stream_pack_shards(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    out_dir: str,
+    state_dir: str,
+    capacity: int = 512,
+    max_files_per_trigger: int | None = 1,
+    timeout_sec: int = 300,
+) -> None:
+    """The training_shards endgame ON the firehose: `stream_curation`'s
+    three stages (quality filter → PII scrub → exact dedup) composed
+    with INCREMENTAL sequence packing — each micro-batch's kept docs
+    are laid out into fixed-capacity context windows continuing from a
+    per-shard running token offset carried across batches.
+
+    Runs as `foreachBatch` (the resumable-job shape, not a monolithic
+    stateful plan), with two landed state tables under `state_dir`:
+
+    - `seen/`  — (lang, scrub_md5) keys already packed; append-only.
+      The cross-batch dedup is an anti-join against it (the same
+      stream-vs-landed-index stance as `stream_near_dup`); at corpus
+      scale this is a Delta/state-store table, here plain parquet.
+    - `offsets/` — (lang, total) running token offset per shard,
+      |langs| rows, rewritten per batch. This is the cross-batch
+      carry of the packing prefix sum: within a batch the offset is a
+      keyed window over the (bounded) micro-batch, across batches it
+      is this table — together exactly the two-pass decomposition
+      `pack_chunks(bucket_width=...)` uses, with micro-batches as the
+      buckets.
+
+    DETERMINISM CONTRACT: the drained layout equals the batch
+    `pack_chunks` (ordered by doc_id within lang) IFF docs arrive in
+    doc_id order per shard — which the landing job guarantees by
+    writing doc_id-ranged files with increasing mtimes (the "ingest
+    can rank, a stream can't" stance: cadence/order is assigned at
+    landing). First-arrival dedup then coincides with keep-min-id
+    because a re-crawl replica's id is always higher than its source's.
+    Asserted bit-identical to the batch composition in tests and by
+    the driver row's oracle.
+
+    Packed rows appended to `out_dir`:
+    (lang, doc_id, n_tokens, start_bin, n_straddle) — one per kept
+    distinct doc; bins use the same double-division floor as
+    `pack_chunks` (offsets < 2**53, exact)."""
+    import os
+
+    from pyspark.sql import Window
+
+    from miletos_spark.pipeline.text import (
+        quality_logit,
+        scrub_pii,
+        token_count,
+    )
+
+    seen_dir = os.path.join(state_dir, "seen")
+    off_dir = os.path.join(state_dir, "offsets")
+
+    def _pack_batch(bdf: DataFrame, batch_id: int) -> None:
+        if bdf.isEmpty():
+            return
+        sp = bdf.sparkSession
+        kept = bdf.filter(quality_logit(F.col("text")) > 0)
+        sc = scrub_pii(kept, keep_cols=("lang",)).select(
+            "doc_id",
+            "lang",
+            "text_scrubbed",
+            F.md5("text_scrubbed").alias("h"),
+        )
+        # in-batch winner per (lang, content): min doc_id — identical
+        # text ⇒ identical token count, so any winner packs the same
+        win = sc.groupBy("lang", "h").agg(F.min("doc_id").alias("doc_id"))
+        sc = sc.join(win, ["lang", "h", "doc_id"], "left_semi")
+        # cross-batch dedup vs the landed seen set
+        if os.path.exists(seen_dir):
+            seen = sp.read.parquet(seen_dir).select("lang", "h")
+            sc = sc.join(seen, ["lang", "h"], "left_anti")
+        new = sc.select(
+            "lang",
+            "h",
+            "doc_id",
+            token_count(F.col("text_scrubbed")).cast("long").alias(
+                "n_tokens"
+            ),
+        ).localCheckpoint(eager=True)  # pin BEFORE mutating seen/
+        new.select("lang", "h").write.mode("append").parquet(seen_dir)
+        # per-shard running offsets (|langs| rows — bounded state)
+        offs: dict[str, int] = {}
+        if os.path.exists(off_dir):
+            offs = {
+                r["lang"]: r["total"]
+                for r in sp.read.parquet(off_dir).collect()
+            }
+        w = (
+            Window.partitionBy("lang")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        local = new.withColumn(
+            "_loc", F.sum("n_tokens").over(w) - F.col("n_tokens")
+        )
+        if offs:
+            base = sp.createDataFrame(
+                list(offs.items()), "lang string, _off long"
+            )
+            local = local.join(F.broadcast(base), "lang", "left").fillna(
+                {"_off": 0}
+            )
+        else:
+            local = local.withColumn("_off", F.lit(0).cast("long"))
+        cap = F.lit(float(capacity))
+        start_off = F.col("_loc") + F.col("_off")
+        start_bin = F.floor(start_off / cap)
+        end_bin = F.floor((start_off + F.col("n_tokens") - 1) / cap)
+        local.select(
+            "lang",
+            "doc_id",
+            "n_tokens",
+            start_bin.cast("long").alias("start_bin"),
+            F.greatest(end_bin - start_bin, F.lit(0))
+            .cast("long")
+            .alias("n_straddle"),
+        ).write.mode("append").parquet(out_dir)
+        for r in (
+            new.groupBy("lang").agg(F.sum("n_tokens").alias("_d")).collect()
+        ):  # O(|langs|) rows
+            offs[r["lang"]] = offs.get(r["lang"], 0) + int(r["_d"])
+        if offs:
+            sp.createDataFrame(
+                [(k, int(v)) for k, v in offs.items()],
+                "lang string, total long",
+            ).coalesce(1).write.mode("overwrite").parquet(off_dir)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_dir)
+    q = (
+        src.writeStream.foreachBatch(_pack_batch)
+        .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"stream_pack_shards drain exceeded {timeout_sec} s"
+        )

@@ -42,9 +42,12 @@ def test_window_rotation_is_deliberate():
     # pii_scrub live inside stream_curation; time_rollup's rebin
     # machinery in stream_rebin + binned_rms; split_assign's
     # hash-split family in mixture_sample).
+    # plus the new r08 capability stream_pack_shards_docs (evicting
+    # rollup_pricing, also r06+r07 green — GROUPING SETS machinery is
+    # a one-liner twin of the checked pricing aggregations)
     assert window == [
         "population_nm_recovery_events", "dedup_lines_docs",
-        "asof_join_events", "rollup_pricing",
+        "asof_join_events",
         "transit_epochs_events",
         "rolling_std_peakcut_events", "binned_rms_events",
         "near_dup_pairs", "near_dup_clusters", "ivfpq_recall_topk",
@@ -56,7 +59,8 @@ def test_window_rotation_is_deliberate():
         "substring_removal_docs", "lm_bigram_score_docs",
         "bpe_tokenize_docs", "pack_sequences_bpe_docs",
         "stream_flare_keyed_events",
-        "lm_trigram_score_docs", "bpe_encode_docs",
+        "lm_trigram_score_docs", "stream_pack_shards_docs",
+        "bpe_encode_docs",
         "stream_curation_docs", "vocab_coverage_bpe_docs",
         "lm_score_docs", "chunk_docs", "rp_project_embeddings",
         "tfidf_topk_docs", "vocab_coverage_docs", "doc_embed_docs",

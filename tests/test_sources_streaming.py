@@ -1042,3 +1042,56 @@ def test_stream_curation_dedups_across_microbatches(spark, tmp_path):
     assert len(rows) == 2                       # junk dropped, replica deduped
     pii = {r["n_pii"] for r in rows}
     assert pii == {1, 0}                        # the email was scrubbed
+
+
+def test_stream_pack_shards_equals_batch_composition(spark, sf_dir):
+    """The incremental curation+packing drain must be BIT-IDENTICAL to
+    the batch composition (quality filter → scrub → min-id dedup →
+    pack_chunks ordered by doc_id per lang) on the same corpus — the
+    determinism contract the doc_id-ordered landing buys (ingest
+    assigns order; cross-batch offsets carry the prefix sum)."""
+    from miletos_spark.pipeline.packing import pack_chunks
+    from miletos_spark.pipeline.text import (
+        quality_logit,
+        scrub_pii,
+        token_count,
+    )
+    from miletos_spark.plans.driver_queries import (
+        _pii_injected_text,
+        q_stream_pack_shards_docs,
+    )
+    from miletos_spark.schema import load_table
+
+    got = {
+        (r["lang"], r["doc_id"], r["n_tokens"], r["start_bin"],
+         r["n_straddle"])
+        for r in q_stream_pack_shards_docs(spark, sf_dir).collect()
+    }
+
+    base = load_table(spark, sf_dir, "documents")
+    feed = base.unionByName(
+        base.filter(F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 5000000
+        )
+    ).select("doc_id", "lang", _pii_injected_text().alias("text"))
+    kept = feed.filter(quality_logit(F.col("text")) > 0)
+    sc = scrub_pii(kept, keep_cols=("lang",)).select(
+        "doc_id", "lang", "text_scrubbed",
+        F.md5("text_scrubbed").alias("h"),
+    )
+    win = sc.groupBy("lang", "h").agg(F.min("doc_id").alias("doc_id"))
+    uniq = sc.join(win, ["lang", "h", "doc_id"], "left_semi")
+    toks = uniq.select(
+        "lang", "doc_id",
+        token_count(F.col("text_scrubbed")).cast("long").alias("n_tokens"),
+    )
+    packed = pack_chunks(
+        toks, token_col="n_tokens", group_cols=("lang",),
+        id_col="doc_id", capacity=512,
+    )
+    want = {
+        (r["lang"], r["doc_id"], r["n_tokens"], r["start_bin"],
+         r["n_straddle"])
+        for r in packed.collect()
+    }
+    assert got == want and len(got) > 0
