@@ -1565,6 +1565,44 @@ FROM t
 """
 
 
+def q_bpe_encode_production_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION BPE encoder (r8): per-word lowest-rank-pair
+    merging (GPT-2 encode loop, Arrow-batched mapInPandas, O(1) dict
+    lookups in merge-table size — `bpe_render`'s replace chain dies
+    past ~600 rules, SCALE.md round-8 probe) driver-checked against
+    the chain's byte-exact DuckDB replay: the md5 of the space-joined
+    token stream pins every token in order, so this row IS the
+    chain≡encoder equivalence proof running inside the correctness
+    gate."""
+    from miletos_spark.pipeline.text import bpe_encode_production
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = bpe_encode_production(docs)
+    return enc.select(
+        "doc_id",
+        F.when(F.length("tokens") == 0, F.lit(0))
+        .otherwise(F.size(F.split("tokens", " ")))
+        .alias("n_tokens_bpe"),
+        F.md5("tokens").alias("tokens_md5"),
+    )
+
+
+def _sql_bpe_encode_production() -> str:
+    return f"""
+WITH s AS (SELECT doc_id, {_sql_bpe_render("text")} AS s FROM documents),
+t AS (
+  SELECT doc_id,
+         list_filter(
+           string_split_regex(s, '[' || chr(31) || chr(30) || ']+'),
+           x -> length(x) > 0) AS toks
+  FROM s)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens_bpe,
+       md5(array_to_string(toks, ' ')) AS tokens_md5
+FROM t
+"""
+
+
 def q_pack_sequences_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing with HONEST token mass: the concat-and-chunk
     layout of `pack_sequences_docs`, but weights = the frozen-table BPE
@@ -8362,6 +8400,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rebin_count_events": q_rebin_count_events,
     "text_stats_docs": q_text_stats_docs,
     "stream_near_dup_docs": q_stream_near_dup_docs,
+    # r08 additions (oracle-backed, judge-sweep; window full this round)
+    "bpe_encode_production_docs": q_bpe_encode_production_docs,
     # r08 evictions: green in both r06 and r07
     "rollup_pricing": q_rollup_pricing,
     "quality_filter_docs": q_quality_filter_docs,
@@ -8439,6 +8479,7 @@ def _oracles() -> dict[str, str]:
         "pack_sequences_bpe_docs": _sql_pack_sequences_bpe(),
         "vocab_coverage_bpe_docs": _sql_vocab_coverage_bpe(),
         "bpe_encode_docs": _sql_bpe_encode(),
+        "bpe_encode_production_docs": _sql_bpe_encode_production(),
         "pii_scrub_docs": _sql_pii(),
         "dedup_lines_docs": SQL_DEDUP_LINES_DOCS,
         "split_assign_docs": SQL_SPLIT_ASSIGN_DOCS,
