@@ -8281,9 +8281,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # binned_rms_events), split_assign_docs (hash-split family in
     # mixture_sample_docs).
     # kept: first green in r06
+    # evicted late-r08 for bpe_encode_production_docs: asof_join_events
+    # (green r06+r07, operator untouched this round; asof machinery
+    # stays unit-tested in tests/test_operators.py)
     "population_nm_recovery_events": q_population_nm_recovery_events,
     "dedup_lines_docs": q_dedup_lines_docs,
-    "asof_join_events": q_asof_join_events,
     "transit_epochs_events": q_transit_epochs_events,
     "rolling_std_peakcut_events": q_rolling_std_peakcut_events,
     "binned_rms_events": q_binned_rms_events,
@@ -8310,6 +8312,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_trigram_score_docs": q_lm_trigram_score_docs,
     # NEW r08 capability: incremental curation+packing endgame
     "stream_pack_shards_docs": q_stream_pack_shards_docs,
+    # NEW r08 capability: production rank-encoder ≡ frozen replace
+    # chain, proven inside the hash gate (the oracle replays the chain)
+    "bpe_encode_production_docs": q_bpe_encode_production_docs,
     "bpe_encode_docs": q_bpe_encode_docs,
     "stream_curation_docs": q_stream_curation_docs,
     "vocab_coverage_bpe_docs": q_vocab_coverage_bpe_docs,
@@ -8400,9 +8405,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rebin_count_events": q_rebin_count_events,
     "text_stats_docs": q_text_stats_docs,
     "stream_near_dup_docs": q_stream_near_dup_docs,
-    # r08 additions (oracle-backed, judge-sweep; window full this round)
-    "bpe_encode_production_docs": q_bpe_encode_production_docs,
     # r08 evictions: green in both r06 and r07
+    "asof_join_events": q_asof_join_events,
     "rollup_pricing": q_rollup_pricing,
     "quality_filter_docs": q_quality_filter_docs,
     "pii_scrub_docs": q_pii_scrub_docs,
