@@ -310,8 +310,14 @@ def bls_search_grouped(
 
     tid_w = Window.orderBy("period", "dcyc", "off")
     trials_id = trials.withColumn("tid", F.row_number().over(tid_w))
+    # No _spread here, unlike the flat path: grouped inputs arrive from
+    # upstream keyed shuffles (detrend/clip stages), already at session
+    # parallelism — an unconditional repartition re-shuffles the whole
+    # multi-target series EVERY multi-signal iteration (measured: the
+    # population pipeline went 11.9 s -> 66 s cold with it). The flat
+    # path keeps it because its input is a raw one-file scan.
     boxes = (
-        _spread(df.select(*keys, time_col, value_col))
+        df.select(*keys, time_col, value_col)
         .crossJoin(F.broadcast(trials_id))
         .withColumn("bucket", bucket)
         .groupBy(*keys, "tid", "bucket")
