@@ -44,10 +44,12 @@ def test_window_rotation_is_deliberate():
     # hash-split family in mixture_sample).
     # plus the new r08 capability stream_pack_shards_docs (evicting
     # rollup_pricing, also r06+r07 green — GROUPING SETS machinery is
-    # a one-liner twin of the checked pricing aggregations)
+    # a one-liner twin of the checked pricing aggregations), and
+    # bpe_encode_production_docs — the chain≡encoder equivalence row —
+    # evicting asof_join_events (r06+r07 green, operator untouched in
+    # r08, unit-covered in test_operators).
     assert window == [
         "population_nm_recovery_events", "dedup_lines_docs",
-        "asof_join_events",
         "transit_epochs_events",
         "rolling_std_peakcut_events", "binned_rms_events",
         "near_dup_pairs", "near_dup_clusters", "ivfpq_recall_topk",
@@ -60,6 +62,7 @@ def test_window_rotation_is_deliberate():
         "bpe_tokenize_docs", "pack_sequences_bpe_docs",
         "stream_flare_keyed_events",
         "lm_trigram_score_docs", "stream_pack_shards_docs",
+        "bpe_encode_production_docs",
         "bpe_encode_docs",
         "stream_curation_docs", "vocab_coverage_bpe_docs",
         "lm_score_docs", "chunk_docs", "rp_project_embeddings",
