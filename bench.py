@@ -135,6 +135,9 @@ HEADLINE = [
     # round-8: incremental curation+packing endgame (stream drain ==
     # batch pack layout, cross-batch offsets in landed state)
     "stream_pack_shards_docs",
+    # round-8: production rank-encoder + one-pass trained linear probe
+    "bpe_encode_production_docs",
+    "linear_probe_docs",
 ]
 
 # Queries that probe a WRITE-TIME LANDED index (built by the ingest

@@ -1603,6 +1603,170 @@ FROM t
 """
 
 
+def _probe_label() -> F.Column:
+    """+/-1 least-squares target: the hand-weighted quality rule's
+    verdict — the repo's recovery-oracle pattern applied to training
+    (the probe must re-learn a decision boundary that provably lives
+    in its feature space; a metadata label like `lang` is UNLEARNABLE
+    on this corpus, which draws every language from one shared
+    vocabulary — measured stopword/length distributions identical)."""
+    from miletos_spark.pipeline.text import quality_logit
+
+    return F.when(quality_logit(F.col("text")) > 0, F.lit(1.0)).otherwise(
+        F.lit(-1.0)
+    )
+
+
+def q_linear_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed one-pass TRAINED classifier (r8): least squares on
+    +/-1 labels (Fisher discriminant) fit with a single corpus
+    aggregation of the Gram moments X'X, X'y (order-independent
+    decimal sums), then a pivot-free Gauss-Jordan solve whose
+    expression strings are GENERATED ONCE and shared verbatim between
+    Spark selectExpr and the DuckDB oracle's CTE chain — bit-identical
+    weights, no collect, no exp (checked output is the linear logit;
+    pipeline/classifier.py). Labels: lang='en'. One row per doc."""
+    from miletos_spark.pipeline.classifier import (
+        probe_features,
+        score_linear_probe,
+        train_linear_probe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = probe_features(docs, _probe_label())
+    w = train_linear_probe(feats)
+    out = score_linear_probe(feats, w)
+    return out.select(
+        "doc_id",
+        (F.round("logit", 6) + F.lit(0.0)).alias("logit"),
+        "pred",
+        "label",
+    )
+
+
+def q_linear_probe_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained probe's weight vector itself, driver-checked: one
+    row per feature (intercept + the five text-shape ratios). Proves
+    the cross-engine solve to the last rounded digit."""
+    from miletos_spark.pipeline.classifier import (
+        PROBE_FEATURES,
+        probe_features,
+        train_linear_probe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = train_linear_probe(probe_features(docs, _probe_label()))
+    stack = ", ".join(
+        f"'{name}', w{i}" for i, name in enumerate(PROBE_FEATURES)
+    )
+    return w.selectExpr(
+        f"stack({len(PROBE_FEATURES)}, {stack}) AS (feature, weight)"
+    ).select(
+        "feature", (F.round("weight", 6) + F.lit(0.0)).alias("weight")
+    )
+
+
+def _sql_probe_ctes() -> str:
+    """Shared oracle CTEs through the solve: features -> decimal Gram
+    moments -> the generated Gauss-Jordan chain (identical strings to
+    the Spark selectExpr steps) -> final weights CTE `wt`."""
+    from miletos_spark.pipeline.classifier import (
+        PROBE_RIDGE_SQL,
+        gauss_jordan_steps,
+    )
+
+    d = 6
+    xs = ["1.0"] + [f"x{i}" for i in range(1, d)]
+    moments = []
+    for i in range(d):
+        for j in range(d):
+            prod = (
+                "1.0" if i == j == 0 else xs[max(i, j)]
+                if min(i, j) == 0
+                else f"{xs[min(i, j)]} * {xs[max(i, j)]}"
+            )
+            m = (
+                f"CAST(sum(CAST(CAST({prod} AS VARCHAR)"
+                f" AS DECIMAL(38,18))) AS DOUBLE)"
+            )
+            if i == j:
+                m = f"{m} + CAST({PROBE_RIDGE_SQL} AS DOUBLE)"
+            moments.append(f"{m} AS a_{i}_{j}")
+        prod = "y" if i == 0 else f"{xs[i]} * y"
+        moments.append(
+            f"CAST(sum(CAST(CAST({prod} AS VARCHAR)"
+            f" AS DECIMAL(38,18))) AS DOUBLE) AS a_{i}_{d}"
+        )
+    steps = gauss_jordan_steps(d)
+    chain = [f"m AS (\n  SELECT {', '.join(moments)}\n  FROM x)"]
+    prev = "m"
+    for si, step in enumerate(steps[:-1]):
+        chain.append(
+            f"g{si} AS (SELECT {', '.join(step)} FROM {prev})"
+        )
+        prev = f"g{si}"
+    chain.append(f"wt AS (SELECT {', '.join(steps[-1])} FROM {prev})")
+    return f"""f AS (
+  SELECT doc_id, lang,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks,
+         length(regexp_replace(text, '\\s', '', 'g')) AS non_ws,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
+  FROM documents),
+x AS (
+  SELECT doc_id,
+         CAST(least(toks, 256) AS DOUBLE) / 256.0 AS x1,
+         least(CASE WHEN toks > 0 THEN non_ws / toks ELSE 0.0 END, 12.0)
+           / 12.0 AS x2,
+         CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS x3,
+         CASE WHEN n_chars > 0 THEN n_digit / n_chars ELSE 0.0 END AS x4,
+         CASE WHEN n_chars > 0 THEN n_upper / n_chars ELSE 0.0 END AS x5,
+         CASE WHEN -0.8 + 3.0 * (CAST(least(toks, 256) AS DOUBLE) / 256.0)
+                   + 1.0 * (least(CASE WHEN toks > 0
+                                       THEN non_ws / toks ELSE 0.0 END, 12.0)
+                            / 12.0)
+                   - 8.0 * (CASE WHEN n_chars > 0
+                                 THEN n_punct / n_chars ELSE 0.0 END)
+                   - 6.0 * (CASE WHEN n_chars > 0
+                                 THEN n_digit / n_chars ELSE 0.0 END)
+                   - 2.0 * (CASE WHEN n_chars > 0
+                                 THEN n_upper / n_chars ELSE 0.0 END) > 0
+              THEN 1.0 ELSE -1.0 END AS y
+  FROM f),
+{','.join(chain)}"""
+
+
+def _sql_linear_probe() -> str:
+    from miletos_spark.pipeline.classifier import probe_score_expr
+
+    s = probe_score_expr()
+    return f"""
+WITH {_sql_probe_ctes()}
+SELECT doc_id,
+       round(({s}), 6) + 0.0e0 AS logit,
+       (({s}) > CAST(0.0 AS DOUBLE)) AS pred,
+       CAST(y AS INT) AS label
+FROM x CROSS JOIN wt
+"""
+
+
+def _sql_linear_probe_weights() -> str:
+    from miletos_spark.pipeline.classifier import PROBE_FEATURES
+
+    rows = " UNION ALL ".join(
+        f"SELECT '{name}' AS feature, round(w{i}, 6) + 0.0e0 AS weight"
+        f" FROM wt"
+        for i, name in enumerate(PROBE_FEATURES)
+    )
+    return f"""
+WITH {_sql_probe_ctes()}
+{rows}
+"""
+
+
 def q_pack_sequences_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing with HONEST token mass: the concat-and-chunk
     layout of `pack_sequences_docs`, but weights = the frozen-table BPE
@@ -8405,6 +8569,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rebin_count_events": q_rebin_count_events,
     "text_stats_docs": q_text_stats_docs,
     "stream_near_dup_docs": q_stream_near_dup_docs,
+    # r08 late additions (oracle-backed, judge-sweep; window already
+    # rotated this round — drive next round)
+    "linear_probe_docs": q_linear_probe_docs,
+    "linear_probe_weights_docs": q_linear_probe_weights_docs,
     # r08 evictions: green in both r06 and r07
     "asof_join_events": q_asof_join_events,
     "rollup_pricing": q_rollup_pricing,
@@ -8484,6 +8652,8 @@ def _oracles() -> dict[str, str]:
         "vocab_coverage_bpe_docs": _sql_vocab_coverage_bpe(),
         "bpe_encode_docs": _sql_bpe_encode(),
         "bpe_encode_production_docs": _sql_bpe_encode_production(),
+        "linear_probe_docs": _sql_linear_probe(),
+        "linear_probe_weights_docs": _sql_linear_probe_weights(),
         "pii_scrub_docs": _sql_pii(),
         "dedup_lines_docs": SQL_DEDUP_LINES_DOCS,
         "split_assign_docs": SQL_SPLIT_ASSIGN_DOCS,
