@@ -1666,6 +1666,30 @@ def q_linear_probe_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_probe_raw_cte(src: str, name: str) -> str:
+    """Raw feature-ingredient columns over (doc_id, text) rows of
+    `src` — one copy of the regex strings, shared by the batch train
+    oracle and the streaming score oracle."""
+    return f"""{name} AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks,
+         length(regexp_replace(text, '\\s', '', 'g')) AS non_ws,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
+  FROM {src})"""
+
+
+_SQL_PROBE_X = """CAST(least(toks, 256) AS DOUBLE) / 256.0 AS x1,
+         least(CASE WHEN toks > 0 THEN non_ws / toks ELSE 0.0 END, 12.0)
+           / 12.0 AS x2,
+         CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS x3,
+         CASE WHEN n_chars > 0 THEN n_digit / n_chars ELSE 0.0 END AS x4,
+         CASE WHEN n_chars > 0 THEN n_upper / n_chars ELSE 0.0 END AS x5"""
+
+
 def _sql_probe_ctes() -> str:
     """Shared oracle CTEs through the solve: features -> decimal Gram
     moments -> the generated Gauss-Jordan chain (identical strings to
@@ -1706,24 +1730,10 @@ def _sql_probe_ctes() -> str:
         )
         prev = f"g{si}"
     chain.append(f"wt AS (SELECT {', '.join(steps[-1])} FROM {prev})")
-    return f"""f AS (
-  SELECT doc_id, lang,
-         CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks,
-         length(regexp_replace(text, '\\s', '', 'g')) AS non_ws,
-         length(text) AS n_chars,
-         length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS n_punct,
-         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
-         length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
-  FROM documents),
+    return f"""{_sql_probe_raw_cte("documents", "f")},
 x AS (
   SELECT doc_id,
-         CAST(least(toks, 256) AS DOUBLE) / 256.0 AS x1,
-         least(CASE WHEN toks > 0 THEN non_ws / toks ELSE 0.0 END, 12.0)
-           / 12.0 AS x2,
-         CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS x3,
-         CASE WHEN n_chars > 0 THEN n_digit / n_chars ELSE 0.0 END AS x4,
-         CASE WHEN n_chars > 0 THEN n_upper / n_chars ELSE 0.0 END AS x5,
+         {_SQL_PROBE_X},
          CASE WHEN -0.8 + 3.0 * (CAST(least(toks, 256) AS DOUBLE) / 256.0)
                    + 1.0 * (least(CASE WHEN toks > 0
                                        THEN non_ws / toks ELSE 0.0 END, 12.0)
@@ -4117,6 +4127,68 @@ def q_stream_curation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_pii").alias("n_pii_removed"),
         F.sum(h32).alias("content_checksum"),
     )
+
+
+def q_stream_probe_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 trained-model deployment online (r8): the one-pass
+    linear-probe trainer fits on the LANDED corpus (pure DataFrame, no
+    collect — weights localCheckpointed so the static join side is not
+    re-trained per micro-batch), then `stream_probe_score` applies the
+    identical engine-shared linear chain to every document arriving on
+    the crawl-shaped firehose. Stateless scoring: per-row features +
+    one broadcast stream-static join. Output one row per arriving doc
+    (sources AND re-crawl replicas — scoring does not dedup); the
+    oracle re-trains and re-scores the same feed entirely in SQL."""
+    from miletos_spark.pipeline.classifier import (
+        probe_features,
+        train_linear_probe,
+    )
+    from miletos_spark.streaming.ingest import stream_probe_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = train_linear_probe(
+        probe_features(docs, _probe_label())
+    ).localCheckpoint(eager=True)
+    land = _land_docs_curation_feed(spark, sf_dir)
+    sdf = stream_probe_score(
+        spark, land, CURATION_STREAM_SCHEMA, w, max_files_per_trigger=1
+    )
+    out = _drain_memory_stream(
+        spark, sdf, "stream_probe_", output_mode="append"
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        (F.round("logit", 6) + F.lit(0.0)).alias("logit"),
+        "pred",
+    )
+
+
+def _sql_stream_probe_score() -> str:
+    from miletos_spark.pipeline.classifier import probe_score_expr
+
+    pii_body, _last = _sql_pii_steps("feed")
+    s = probe_score_expr()
+    return f"""
+WITH feed AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 5000000 AS doc_id, lang, text
+  FROM documents WHERE doc_id % 10 = 0),
+{pii_body},
+fsrc AS (SELECT doc_id, t0 AS text FROM inj),
+{_sql_probe_raw_cte("fsrc", "ff")},
+xx AS (
+  SELECT doc_id,
+         {_SQL_PROBE_X}
+  FROM ff),
+{_sql_probe_ctes()}
+SELECT xx.doc_id,
+       feed.lang,
+       round(({s}), 6) + 0.0e0 AS logit,
+       (({s}) > CAST(0.0 AS DOUBLE)) AS pred
+FROM xx CROSS JOIN wt JOIN feed ON feed.doc_id = xx.doc_id
+"""
 
 
 def _sql_stream_curation() -> str:
@@ -8573,6 +8645,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rotated this round — drive next round)
     "linear_probe_docs": q_linear_probe_docs,
     "linear_probe_weights_docs": q_linear_probe_weights_docs,
+    "stream_probe_score_docs": q_stream_probe_score_docs,
     # r08 evictions: green in both r06 and r07
     "asof_join_events": q_asof_join_events,
     "rollup_pricing": q_rollup_pricing,
@@ -8654,6 +8727,7 @@ def _oracles() -> dict[str, str]:
         "bpe_encode_production_docs": _sql_bpe_encode_production(),
         "linear_probe_docs": _sql_linear_probe(),
         "linear_probe_weights_docs": _sql_linear_probe_weights(),
+        "stream_probe_score_docs": _sql_stream_probe_score(),
         "pii_scrub_docs": _sql_pii(),
         "dedup_lines_docs": SQL_DEDUP_LINES_DOCS,
         "split_assign_docs": SQL_SPLIT_ASSIGN_DOCS,

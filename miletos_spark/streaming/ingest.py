@@ -479,6 +479,54 @@ def stream_matched_filter(
     )
 
 
+def stream_probe_score(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    weights: DataFrame,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """TRAINED-model scoring ON the firehose — the deployment shape of
+    pipeline/classifier.py's one-pass trainer: weights are learned
+    offline from the landed corpus (one aggregation pass + the shared
+    Gauss-Jordan solve, still a DataFrame — nothing is collected), then
+    joined onto the stream as a broadcast static side and applied as
+    the same engine-shared linear-chain expression the batch scorer
+    uses. Stateless: per-row features + one broadcast join, so the
+    per-batch cost is exactly the batch scorer's and state is zero.
+
+    Emits (doc_id, lang, logit, pred) per arriving document."""
+    from miletos_spark.pipeline.classifier import (
+        probe_feature_cols,
+        probe_score_expr,
+    )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_dir)
+    cols = probe_feature_cols(F.col("text"))
+    feats = src.select(
+        "doc_id",
+        "lang",
+        cols["f_len"].alias("x1"),
+        cols["f_word"].alias("x2"),
+        cols["punct"].alias("x3"),
+        cols["digit"].alias("x4"),
+        cols["upper"].alias("x5"),
+    ).withColumn("_k", F.lit(1))
+    joined = feats.join(
+        F.broadcast(weights.withColumn("_k", F.lit(1))), "_k"
+    )
+    s = probe_score_expr()
+    return joined.selectExpr(
+        "doc_id",
+        "lang",
+        f"({s}) AS logit",
+        f"(({s}) > CAST(0.0 AS DOUBLE)) AS pred",
+    )
+
+
 def stream_curation(
     spark: SparkSession,
     input_dir: str,

@@ -82,3 +82,45 @@ def test_solve_strings_are_engine_neutral():
         "w0 + w1 * x1 + w2 * x2 + w3 * x3 + w4 * x4 + w5 * x5"
     )
     assert len(PROBE_FEATURES) == 6
+
+
+def test_stream_scoring_equals_batch(spark, tmp_path):
+    """stream_probe_score over a 2-file feed must emit bit-identical
+    logits to the batch scorer on the same rows (stateless contract)."""
+    from miletos_spark.schema import load_table
+    from miletos_spark.streaming.ingest import stream_probe_score
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    from miletos_spark.pipeline.text import quality_logit
+
+    label = F.when(quality_logit(F.col("text")) > 0, F.lit(1.0)).otherwise(
+        F.lit(-1.0)
+    )
+    w = train_linear_probe(probe_features(docs, label)).localCheckpoint()
+    feed = str(tmp_path / "feed")
+    docs.repartition(2).write.parquet(feed)
+    sdf = stream_probe_score(
+        spark, feed, "doc_id long, lang string, text string", w,
+        max_files_per_trigger=1,
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("probe_stream_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["logit"], r["pred"])
+        for r in spark.sql("SELECT * FROM probe_stream_t").collect()
+    }
+    want = {
+        r["doc_id"]: (r["logit"], r["pred"])
+        for r in score_linear_probe(
+            probe_features(docs, label), w
+        ).collect()
+    }
+    assert got == want and len(got) > 0
