@@ -818,3 +818,92 @@ def mean_pool(
             F.max("_n").cast("long").alias("n_chunks"),
         )
     )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    centers: DataFrame,
+    threshold: float = 0.9,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style cluster-bounded near-dup pairs (Abbas et al.
+    2023: semantic dedup = k-means the embedding space, compare only
+    WITHIN clusters): each vector buckets to its `n_probe` nearest
+    coarse centroids, candidate pairs share a bucket, exact cosine
+    keeps pairs above `threshold`. Work is corpus²/k per cell instead
+    of n² — the same bounded-bucket design as the LSH band path, but
+    with data-adaptive buckets that follow the embedding density
+    (clusters ARE the semantic neighborhoods, so near-dup candidates
+    co-bucket by construction rather than by hash luck).
+
+    n_probe=2 removes the Voronoi-boundary miss class: two
+    near-identical vectors have near-identical distance profiles, so
+    their top-2 cell SETS always intersect even when rank-1 differs
+    across a boundary (a disjoint top-2 would need the pair's distance
+    profiles to disagree about two cells at once — impossible at the
+    near-dup regime the threshold targets).
+
+    `centers` is the broadcast-sized coarse quantizer (cell int,
+    center array<double>) — typically the landed IVF index's, so the
+    clustering is trained once at ingest and reused here. Returns
+    (id_a, id_b, cos_sim), id_a < id_b.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col).alias("_id"), v.alias("_v"))
+    ranked = base.crossJoin(F.broadcast(centers)).select(
+        "_id",
+        "_v",
+        F.struct(
+            _l2sq(F.col("_v"), F.col("center")).alias("_d2"),
+            F.col("cell").alias("cell"),
+        ).alias("_s"),
+    )
+    probed = (
+        ranked.groupBy("_id")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list("_s")), 1, n_probe
+            ).alias("_top"),
+            F.first("_v").alias("_v"),
+        )
+        .select(
+            "_id", "_v", F.explode(F.col("_top.cell")).alias("cell")
+        )
+    )
+    left = probed.select(
+        "cell", F.col("_id").alias("id_a"), F.col("_v").alias("va")
+    )
+    right = probed.select(
+        "cell", F.col("_id").alias("id_b"), F.col("_v").alias("vb")
+    )
+    cand = (
+        left.join(right, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cos_sim", cosine_similarity("va", "vb"))
+        .filter(F.col("cos_sim") > threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def semantic_dedup_drops(pairs: DataFrame) -> DataFrame:
+    """Keep-min-id pruning decisions from a near-dup pair set: a
+    vector is DROPPED iff some smaller-id vector sits above the
+    threshold with it; the kept witness is its smallest such
+    neighbor. One aggregation, no window. Returns
+    (dropped_id, kept_id, cos_sim) where cos_sim is the witness
+    pair's similarity."""
+    return (
+        pairs.groupBy(F.col("id_b").alias("dropped_id"))
+        .agg(F.min(F.struct("id_a", "cos_sim")).alias("_w"))
+        .select(
+            "dropped_id",
+            F.col("_w.id_a").alias("kept_id"),
+            F.col("_w.cos_sim").alias("cos_sim"),
+        )
+    )

@@ -5910,6 +5910,67 @@ FROM scored WHERE cos_sim > {EMB_DUP_THRESHOLD!r}
 """
 
 
+def q_semantic_dedup_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SemDeDup-style cluster-bounded semantic dedup (r8): bucket every
+    vector to its 2 nearest LANDED-IVF centroids (quantizer trained
+    once at ingest, reused), find within-cell cosine pairs above the
+    near-dup cut, emit keep-min-id drop decisions — corpus²/k work
+    instead of n². Same planted-duplicate recovery contract as
+    `embedding_near_dup` (whose brute-force oracle proves the global
+    pair set above 0.9 is EXACTLY the planted set): jittered copies at
+    cos≈0.9999 must be dropped against their sources regardless of the
+    KMeans outcome — near-identical vectors always share a top-2 cell
+    (similarity.py:semantic_dedup_pairs). Oracle: the closed-form
+    planted contract with the replayed exact cosine."""
+    from miletos_spark.pipeline.landing import land_ivf_index
+    from miletos_spark.pipeline.similarity import (
+        semantic_dedup_drops,
+        semantic_dedup_pairs,
+    )
+
+    paths = land_ivf_index(spark, sf_dir)
+    centers = spark.read.parquet(paths["centers"])
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(F.col("vec_id"), v.alias("embedding"))
+    planted = base.filter(F.col("vec_id") < EMB_DUP_PLANT_N).select(
+        (F.col("vec_id") + F.lit(EMB_DUP_ID_OFFSET)).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x + F.lit(0.01)).alias(
+            "embedding"
+        ),
+    )
+    allv = base.unionByName(planted)
+    pairs = semantic_dedup_pairs(
+        allv, centers, threshold=EMB_DUP_THRESHOLD, n_probe=2
+    )
+    drops = semantic_dedup_drops(pairs)
+    return drops.select(
+        "dropped_id", "kept_id", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
+SQL_SEMANTIC_DEDUP_EMBEDDINGS = f"""
+WITH e0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id < {EMB_DUP_PLANT_N}
+),
+pl AS (
+  SELECT vec_id AS kept_id,
+         vec_id + {EMB_DUP_ID_OFFSET} AS dropped_id,
+         v,
+         list_transform(v, x -> x + 0.01) AS vc
+  FROM e0
+)
+SELECT dropped_id, kept_id,
+       round(list_dot_product(v, vc)
+             / (sqrt(list_dot_product(v, v))
+                * sqrt(list_dot_product(vc, vc))), 6) AS cos_sim
+FROM pl
+"""
+
+
 def q_detection_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 detection statistics (`boolposianls`,
     miletos/main.py:11871-11877): best BLS SNR, best LS power, and the
@@ -8646,6 +8707,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "linear_probe_docs": q_linear_probe_docs,
     "linear_probe_weights_docs": q_linear_probe_weights_docs,
     "stream_probe_score_docs": q_stream_probe_score_docs,
+    "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
     # r08 evictions: green in both r06 and r07
     "asof_join_events": q_asof_join_events,
     "rollup_pricing": q_rollup_pricing,
@@ -8728,6 +8790,7 @@ def _oracles() -> dict[str, str]:
         "linear_probe_docs": _sql_linear_probe(),
         "linear_probe_weights_docs": _sql_linear_probe_weights(),
         "stream_probe_score_docs": _sql_stream_probe_score(),
+        "semantic_dedup_embeddings": SQL_SEMANTIC_DEDUP_EMBEDDINGS,
         "pii_scrub_docs": _sql_pii(),
         "dedup_lines_docs": SQL_DEDUP_LINES_DOCS,
         "split_assign_docs": SQL_SPLIT_ASSIGN_DOCS,
