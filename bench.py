@@ -136,8 +136,11 @@ HEADLINE = [
     # batch pack layout, cross-batch offsets in landed state)
     "stream_pack_shards_docs",
     # round-8: production rank-encoder + one-pass trained linear probe
+    # + streamed probe scoring + cluster-bounded semantic dedup
     "bpe_encode_production_docs",
     "linear_probe_docs",
+    "stream_probe_score_docs",
+    "semantic_dedup_embeddings",
 ]
 
 # Queries that probe a WRITE-TIME LANDED index (built by the ingest
@@ -158,6 +161,7 @@ LANDED_INDEX_PROBES = {
     "ivfpq_landed_topk",
     "ivfpq_recall_topk",
     "stream_near_dup_docs",
+    "semantic_dedup_embeddings",
 }
 
 

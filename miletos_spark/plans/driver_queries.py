@@ -5930,9 +5930,15 @@ def q_semantic_dedup_embeddings(
         semantic_dedup_pairs,
     )
 
-    paths = land_ivf_index(spark, sf_dir)
-    centers = spark.read.parquet(paths["centers"])
     emb = load_table(spark, sf_dir, "embeddings")
+    # Occupancy-bounded quantizer: k grows with the corpus so per-cell
+    # pairwise work stays ~256²/2 per cell and TOTAL work stays ~linear
+    # (SemDeDup's own k ∝ n stance). A fixed k=8 at 10× corpus was
+    # measured as a timeout: within-cell candidates grow n²/k, and the
+    # cosine verify is an interpreted higher-order fold.
+    k = max(8, emb.count() // 256)
+    paths = land_ivf_index(spark, sf_dir, n_clusters=k)
+    centers = spark.read.parquet(paths["centers"])
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = emb.select(F.col("vec_id"), v.alias("embedding"))
     planted = base.filter(F.col("vec_id") < EMB_DUP_PLANT_N).select(
