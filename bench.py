@@ -32,6 +32,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # r8 (bls.py `_spread` + order-independent decimal aggregation), which
 # both speeds the family up and moves it toward the stable
 # compute-bound regime.
+# pipeline_population_events r7 8.8 → r8 ~12.6 s is the ONE deliberate
+# trade kept from this work: the grouped BLS box aggregation moved
+# from float avg to decimal moment sums (order-independent — the r05
+# partial-agg-wobble flake class cannot return), and decimal summing
+# of the |targets|×|rows|×|trials| fan-out costs ~30-40% on this entry
+# even with the cast hoisted above the crossJoin. Correctness
+# discipline over a 4-second bench line.
 # headline set: one per operator family (agg, join, window, sessionize,
 # fold, periodogram, BLS, flare, model, detrend, dedup, text, similarity,
 # streaming)

@@ -152,14 +152,20 @@ def bls_search(
     tid_w = Window.orderBy("period", "dcyc", "off")
     trials_id = trials.withColumn("tid", F.row_number().over(tid_w))
     boxes = (
-        _spread(df.select(time_col, value_col))
+        # cast to decimal ONCE per sample, BEFORE the |trials|× fan-out
+        # — double→decimal is BigDecimal string formatting, and casting
+        # after the crossJoin repeats it per (row, trial) (the streaming
+        # path learned this first, ingest.py; ~1.4× on the box stage)
+        _spread(
+            df.select(time_col, v.cast("decimal(38,18)").alias("_vdec"))
+        )
         .crossJoin(F.broadcast(trials_id))
         .withColumn("bucket", bucket)
         .groupBy("tid", "bucket")
         .agg(
             F.count("*").alias("n_in"),
-            (F.sum(v.cast("decimal(38,18)")).cast("double")
-             / F.count(value_col)).alias("mean_in"),
+            (F.sum("_vdec").cast("double") / F.count("_vdec"))
+            .alias("mean_in"),
         )
         .join(F.broadcast(trials_id), "tid")
         .drop("tid")
@@ -317,14 +323,20 @@ def bls_search_grouped(
     # population pipeline went 11.9 s -> 66 s cold with it). The flat
     # path keeps it because its input is a raw one-file scan.
     boxes = (
-        df.select(*keys, time_col, value_col)
+        # decimal cast hoisted above the |trials|× fan-out, same as the
+        # flat and streaming paths (BigDecimal formatting per fanned
+        # row was the cost that made this path slower than its r7
+        # float form)
+        df.select(
+            *keys, time_col, v.cast("decimal(38,18)").alias("_vdec")
+        )
         .crossJoin(F.broadcast(trials_id))
         .withColumn("bucket", bucket)
         .groupBy(*keys, "tid", "bucket")
         .agg(
             F.count("*").alias("n_in"),
-            (F.sum(v.cast("decimal(38,18)")).cast("double")
-             / F.count(value_col)).alias("mean_in"),
+            (F.sum("_vdec").cast("double") / F.count("_vdec"))
+            .alias("mean_in"),
         )
         .join(F.broadcast(trials_id), "tid")
         .drop("tid")

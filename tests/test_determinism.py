@@ -75,6 +75,14 @@ QUERIES = [
     "training_shards_docs",
     "quality_filter_docs",
     "pii_scrub_docs",
+    # round-8: the trained probe's decimal Gram sums + shared solve
+    # must be partition/config-invariant down to the bit (weights AND
+    # per-doc logits); the rank encoder's mapInPandas batching and the
+    # cluster-bounded dedup's survivor dropDuplicates likewise
+    "linear_probe_docs",
+    "linear_probe_weights_docs",
+    "bpe_encode_production_docs",
+    "semantic_dedup_embeddings",
 ]
 
 # driver-ish defaults vs an adversarial layout: tiny partition count,
