@@ -5977,6 +5977,106 @@ FROM pl
 """
 
 
+def _land_emb_arrivals(spark: SparkSession, sf_dir: str) -> str:
+    """Memoized arrival feed for streaming semantic dedup: jittered
+    re-crawl copies of vec_id < EMB_DUP_PLANT_N (+OFFSET, +0.01 — the
+    planted recovery contract) interleaved with an equal count of
+    FRESH xxhash-synthesized vectors (ids +2·OFFSET) that must match
+    nothing; 2 files so the probe spans micro-batches."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|arr"
+    except OSError:
+        sig = os.path.abspath(sf_dir) + "|arr"
+    key = hashlib.md5(sig.encode()).hexdigest()[:12]
+    land = os.path.join(
+        tempfile.gettempdir(), f"miletos_embarr_{key}", "data"
+    )
+    if not os.path.exists(land):
+        emb = load_table(spark, sf_dir, "embeddings")
+        v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        base = emb.filter(F.col("vec_id") < EMB_DUP_PLANT_N)
+        copies = base.select(
+            (F.col("vec_id") + F.lit(EMB_DUP_ID_OFFSET)).alias("vec_id"),
+            F.transform(v, lambda x: x + F.lit(0.01)).alias("embedding"),
+        )
+        idx = F.sequence(F.lit(0), F.lit(EMB_DIM - 1))
+        maxlong = float((1 << 63) - 1)
+        fresh = base.select(
+            (F.col("vec_id") + F.lit(2 * EMB_DUP_ID_OFFSET)).alias(
+                "vec_id"
+            ),
+            F.transform(
+                idx,
+                lambda j: F.xxhash64(F.col("vec_id"), j).cast("double")
+                / F.lit(maxlong),
+            ).alias("embedding"),
+        )
+        copies.unionByName(fresh).repartition(2).write.parquet(land)
+    return land
+
+
+def q_stream_semantic_dedup_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """§2.12 embedding dedup online (r8): arriving vectors check only
+    the members of their 2 nearest LANDED-IVF cells (clustered once at
+    ingest, occupancy-bounded k) — stream_near_dup's incremental-crawl
+    shape in embedding space. Top-2 cell selection is a pure per-row
+    array expression (no stateful agg before the join), so the whole
+    plan is stream-static + stateless until the final pair dedup.
+    Recovery contract: every jittered re-crawl copy must match exactly
+    its source; the fresh synthetic arrivals must match nothing."""
+    from miletos_spark.pipeline.landing import land_ivf_index
+    from miletos_spark.streaming.ingest import stream_semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = max(8, emb.count() // 256)
+    paths = land_ivf_index(spark, sf_dir, n_clusters=k)
+    centers = spark.read.parquet(paths["centers"])
+    land = _land_emb_arrivals(spark, sf_dir)
+    sdf = stream_semantic_dedup(
+        spark,
+        land,
+        "vec_id long, embedding array<double>",
+        centers,
+        paths["cells"],
+        threshold=EMB_DUP_THRESHOLD,
+        max_files_per_trigger=1,
+    )
+    out = _drain_memory_stream(
+        spark, sdf, "stream_semdedup_", output_mode="append"
+    )
+    return out.select(
+        "arrival_id", "matched_id", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
+SQL_STREAM_SEMANTIC_DEDUP = f"""
+WITH e0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id < {EMB_DUP_PLANT_N}
+),
+pl AS (
+  SELECT vec_id + {EMB_DUP_ID_OFFSET} AS arrival_id,
+         vec_id AS matched_id,
+         list_transform(v, x -> x + 0.01) AS va,
+         v AS vm
+  FROM e0
+)
+SELECT arrival_id, matched_id,
+       round(list_dot_product(va, vm)
+             / (sqrt(list_dot_product(va, va))
+                * sqrt(list_dot_product(vm, vm))), 6) AS cos_sim
+FROM pl
+"""
+
+
 def q_detection_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 detection statistics (`boolposianls`,
     miletos/main.py:11871-11877): best BLS SNR, best LS power, and the
@@ -8714,6 +8814,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "linear_probe_weights_docs": q_linear_probe_weights_docs,
     "stream_probe_score_docs": q_stream_probe_score_docs,
     "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
+    "stream_semantic_dedup_embeddings": q_stream_semantic_dedup_embeddings,
     # r08 evictions: green in both r06 and r07
     "asof_join_events": q_asof_join_events,
     "rollup_pricing": q_rollup_pricing,
@@ -8797,6 +8898,7 @@ def _oracles() -> dict[str, str]:
         "linear_probe_weights_docs": _sql_linear_probe_weights(),
         "stream_probe_score_docs": _sql_stream_probe_score(),
         "semantic_dedup_embeddings": SQL_SEMANTIC_DEDUP_EMBEDDINGS,
+        "stream_semantic_dedup_embeddings": SQL_STREAM_SEMANTIC_DEDUP,
         "pii_scrub_docs": _sql_pii(),
         "dedup_lines_docs": SQL_DEDUP_LINES_DOCS,
         "split_assign_docs": SQL_SPLIT_ASSIGN_DOCS,

@@ -737,3 +737,85 @@ def stream_pack_shards(
         raise TimeoutError(
             f"stream_pack_shards drain exceeded {timeout_sec} s"
         )
+
+
+def stream_semantic_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    centers: DataFrame,
+    landed_cells_path: str,
+    threshold: float = 0.9,
+    n_probe: int = 2,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming semantic dedup against the LANDED IVF index — the
+    embedding twin of `stream_near_dup`: the corpus is clustered once
+    at ingest; each ARRIVING vector checks only the members of its
+    `n_probe` nearest cells. The incremental-crawl shape for
+    embedding-space dedup (SemDeDup online).
+
+    Statelessness trick: top-k-per-row is an AGGREGATE in batch code
+    (`similarity.semantic_dedup_pairs` groupBy-sorts candidates), which
+    a stream cannot run before a join — so here the bounded centroid
+    table rides INSIDE each row instead: a 1-row static frame holds
+    all (cell, center) structs as one array, the stream cross-joins it
+    (broadcast, bounded by k·dim doubles), and nearest-2 selection is
+    a pure `array_sort`+`slice` expression per row. Explode the two
+    cells, stream-static equi-join against the cell-partitioned landed
+    vectors (each micro-batch reads ONLY its probed cells' partition
+    dirs), exact-cosine verify, dedup the survivor pairs.
+
+    Emits (arrival_id, matched_id, cos_sim), each pair once across
+    micro-batches (keyed state bounded by the match count)."""
+    from miletos_spark.pipeline.similarity import (
+        _l2sq,
+        cosine_similarity,
+    )
+
+    packed = centers.agg(
+        F.collect_list(F.struct("cell", "center")).alias("_cs")
+    ).withColumn("_k", F.lit(1))
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    with_centers = (
+        src.select(F.col("vec_id").alias("arrival_id"), v.alias("_v"))
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(packed), "_k")
+    )
+    dists = F.transform(
+        F.col("_cs"),
+        lambda c: F.struct(
+            _l2sq(F.col("_v"), c["center"]).alias("_d2"),
+            c["cell"].alias("cell"),
+        ),
+    )
+    probed = (
+        with_centers.withColumn(
+            "_top", F.slice(F.array_sort(dists), 1, n_probe)
+        )
+        .select(
+            "arrival_id", "_v", F.explode(F.col("_top.cell")).alias("cell")
+        )
+    )
+    landed = (
+        spark.read.parquet(landed_cells_path)
+        .select(
+            F.col("vec_id").alias("matched_id"),
+            F.transform(
+                F.col("embedding"), lambda x: x.cast("double")
+            ).alias("_w"),
+            F.col("_cell").cast("int").alias("cell"),
+        )
+    )
+    return (
+        probed.join(landed, "cell")
+        .withColumn("cos_sim", cosine_similarity("_v", "_w"))
+        .filter(F.col("cos_sim") > threshold)
+        .select("arrival_id", "matched_id", "cos_sim")
+        .dropDuplicates(["arrival_id", "matched_id"])
+    )

@@ -1095,3 +1095,24 @@ def test_stream_pack_shards_equals_batch_composition(spark, sf_dir):
         for r in packed.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_semantic_dedup_recovers_and_rejects(spark):
+    """Streaming embedding dedup vs the landed IVF index: every
+    jittered re-crawl copy matches exactly its source across the
+    2-file (multi-micro-batch) feed; fresh synthetic arrivals match
+    nothing."""
+    from miletos_spark.plans.driver_queries import (
+        EMB_DUP_ID_OFFSET,
+        EMB_DUP_PLANT_N,
+        q_stream_semantic_dedup_embeddings,
+    )
+
+    out = q_stream_semantic_dedup_embeddings(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    got = {(r["arrival_id"], r["matched_id"]) for r in out}
+    assert got == {
+        (i + EMB_DUP_ID_OFFSET, i) for i in range(EMB_DUP_PLANT_N)
+    }
+    assert all(r["cos_sim"] > 0.99 for r in out)
