@@ -8684,20 +8684,29 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # binned_rms_events), split_assign_docs (hash-split family in
     # mixture_sample_docs).
     # kept: first green in r06
-    # evicted late-r08 for bpe_encode_production_docs: asof_join_events
-    # (green r06+r07, operator untouched this round; asof machinery
-    # stays unit-tested in tests/test_operators.py)
+    # evicted late-r08 to give every NEW r08 capability a driver row
+    # THIS round (no debt carried into r09) — all six evictees green
+    # in BOTH r06 and r07 with operators untouched in r08, machinery
+    # still covered: asof_join_events (unit-tested, test_operators),
+    # transit_epochs_events (fold/range-join family, unit-tested),
+    # rolling_std_peakcut_events + binned_rms_events (window/agg
+    # families pervasive in the pipeline anchors), near_dup_pairs
+    # (the MinHash-LSH pair machinery IS near_dup_clusters' input,
+    # still in-window), stream_near_dup_recovery_docs (its embedding
+    # twin stream_semantic_dedup_embeddings replaces it in-window;
+    # batch+stream text LSH stays unit- and sweep-covered)
     "population_nm_recovery_events": q_population_nm_recovery_events,
     "dedup_lines_docs": q_dedup_lines_docs,
-    "transit_epochs_events": q_transit_epochs_events,
-    "rolling_std_peakcut_events": q_rolling_std_peakcut_events,
-    "binned_rms_events": q_binned_rms_events,
-    "near_dup_pairs": q_near_dup_pairs,
     "near_dup_clusters": q_near_dup_clusters,
     "ivfpq_recall_topk": q_ivfpq_recall_topk,
-    "stream_near_dup_recovery_docs": q_stream_near_dup_recovery_docs,
     "stream_ls_keyed_events": q_stream_ls_keyed_events,
     "bls_multires_events": q_bls_multires_events,
+    # promoted late-r08: the round's new capability wave
+    "linear_probe_docs": q_linear_probe_docs,
+    "linear_probe_weights_docs": q_linear_probe_weights_docs,
+    "stream_probe_score_docs": q_stream_probe_score_docs,
+    "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
+    "stream_semantic_dedup_embeddings": q_stream_semantic_dedup_embeddings,
     # kept: continuity anchors (deepest composite plans)
     "bls_spectrum_events": q_bls_spectrum_events,
     "gp_recovery_events": q_gp_recovery_events,
@@ -8808,14 +8817,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rebin_count_events": q_rebin_count_events,
     "text_stats_docs": q_text_stats_docs,
     "stream_near_dup_docs": q_stream_near_dup_docs,
-    # r08 late additions (oracle-backed, judge-sweep; window already
-    # rotated this round — drive next round)
-    "linear_probe_docs": q_linear_probe_docs,
-    "linear_probe_weights_docs": q_linear_probe_weights_docs,
-    "stream_probe_score_docs": q_stream_probe_score_docs,
-    "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
-    "stream_semantic_dedup_embeddings": q_stream_semantic_dedup_embeddings,
     # r08 evictions: green in both r06 and r07
+    "transit_epochs_events": q_transit_epochs_events,
+    "rolling_std_peakcut_events": q_rolling_std_peakcut_events,
+    "binned_rms_events": q_binned_rms_events,
+    "near_dup_pairs": q_near_dup_pairs,
+    "stream_near_dup_recovery_docs": q_stream_near_dup_recovery_docs,
     "asof_join_events": q_asof_join_events,
     "rollup_pricing": q_rollup_pricing,
     "quality_filter_docs": q_quality_filter_docs,

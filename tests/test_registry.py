@@ -48,31 +48,28 @@ def test_window_rotation_is_deliberate():
     # bpe_encode_production_docs — the chain≡encoder equivalence row —
     # evicting asof_join_events (r06+r07 green, operator untouched in
     # r08, unit-covered in test_operators).
+    # late-r08 second rotation: ALL five new r08 capabilities got a
+    # driver row this round (linear probe train/weights, streamed probe
+    # scoring, batch+stream semantic dedup) — no driver-signal debt is
+    # carried into r09. Evicted six r06+r07-doubly-green rows with
+    # operators untouched in r08 (see the registry comment for the
+    # machinery-coverage argument per evictee).
     assert window == [
-        "population_nm_recovery_events", "dedup_lines_docs",
-        "transit_epochs_events",
-        "rolling_std_peakcut_events", "binned_rms_events",
-        "near_dup_pairs", "near_dup_clusters", "ivfpq_recall_topk",
-        "stream_near_dup_recovery_docs",
-        "stream_ls_keyed_events", "bls_multires_events",
-        "bls_spectrum_events", "gp_recovery_events",
-        "mcmc_recovery_events", "pipeline_summary_events",
-        "pipeline_population_events", "stream_bls_events",
-        "substring_removal_docs", "lm_bigram_score_docs",
-        "bpe_tokenize_docs", "pack_sequences_bpe_docs",
-        "stream_flare_keyed_events",
-        "lm_trigram_score_docs", "stream_pack_shards_docs",
-        "bpe_encode_production_docs",
-        "bpe_encode_docs",
-        "stream_curation_docs", "vocab_coverage_bpe_docs",
-        "lm_score_docs", "chunk_docs", "rp_project_embeddings",
-        "tfidf_topk_docs", "vocab_coverage_docs", "doc_embed_docs",
-        "substring_dedup_docs", "training_shards_docs",
-        "jsonl_ingest_docs", "mixture_sample_docs",
-        "pack_sequences_docs", "decontaminate_docs",
-        "ivfpq_recovery_topk", "brightness_temp_events",
-        "albedo_recirc_events", "visibility_events",
-        "stream_trigger_clusters_events", "stream_rebin_events",
-        "json_props_events", "fits_ingest_events", "qlp_ingest_events",
-        "csv_ingest_events",
+        "population_nm_recovery_events", "dedup_lines_docs", "near_dup_clusters",
+        "ivfpq_recall_topk", "stream_ls_keyed_events", "bls_multires_events",
+        "linear_probe_docs", "linear_probe_weights_docs", "stream_probe_score_docs",
+        "semantic_dedup_embeddings", "stream_semantic_dedup_embeddings",
+        "bls_spectrum_events", "gp_recovery_events", "mcmc_recovery_events",
+        "pipeline_summary_events", "pipeline_population_events", "stream_bls_events",
+        "substring_removal_docs", "lm_bigram_score_docs", "bpe_tokenize_docs",
+        "pack_sequences_bpe_docs", "stream_flare_keyed_events", "lm_trigram_score_docs",
+        "stream_pack_shards_docs", "bpe_encode_production_docs", "bpe_encode_docs",
+        "stream_curation_docs", "vocab_coverage_bpe_docs", "lm_score_docs",
+        "chunk_docs", "rp_project_embeddings", "tfidf_topk_docs", "vocab_coverage_docs",
+        "doc_embed_docs", "substring_dedup_docs", "training_shards_docs",
+        "jsonl_ingest_docs", "mixture_sample_docs", "pack_sequences_docs",
+        "decontaminate_docs", "ivfpq_recovery_topk", "brightness_temp_events",
+        "albedo_recirc_events", "visibility_events", "stream_trigger_clusters_events",
+        "stream_rebin_events", "json_props_events", "fits_ingest_events",
+        "qlp_ingest_events", "csv_ingest_events",
     ]
