@@ -787,6 +787,79 @@ def bpe_token_ids(text: Column, merges=BPE_MERGES) -> Column:
     )
 
 
+#: word-separator token id and the byte-fallback id base for the
+#: LOSSLESS id scheme (`bpe_token_ids_lossless`): in-vocab tokens keep
+#: their `bpe_vocab` ids (1..~115), 999 separates words, and an
+#: out-of-vocab unit — always a single character, since merge rules
+#: only ever combine in-vocab tokens — maps to 1000 + codepoint.
+BPE_SEP_ID = 999
+BPE_BYTE_BASE = 1000
+
+
+def bpe_token_ids_lossless(text: Column, merges=BPE_MERGES) -> Column:
+    """LOSSLESS token ids: the production answer to OOV is byte
+    fallback (GPT-2 tokenizes raw bytes; SentencePiece ships
+    `byte_fallback`), not an unk sink — so unlike `bpe_token_ids`
+    (id 0 = unk, decode-lossy) this scheme keeps every character:
+    OOV units become 1000+codepoint ids and word boundaries become an
+    explicit separator id, making `bpe_decode_ids` an exact inverse on
+    the normalized text (lower, whitespace-collapsed). ASCII-bounded
+    byte fallback here (matching the corpus and the frozen alphabet);
+    full UTF-8 byte expansion is the same scheme over bytes.
+
+    Returns array<int>; empty text → empty array."""
+    s = bpe_render(text, merges)
+    words = F.filter(
+        F.split(s, BPE_WORD), lambda w: F.length(w) > 0
+    )
+    vocab = bpe_vocab()
+    m = F.create_map(
+        *[x for t, i in vocab.items() for x in (F.lit(t), F.lit(i))]
+    )
+
+    def word_ids(w: Column) -> Column:
+        units = F.filter(
+            F.split(w, f"{BPE_UNIT}+"), lambda t: F.length(t) > 0
+        )
+        return F.transform(
+            units,
+            lambda t: F.coalesce(
+                F.element_at(m, t),
+                F.lit(BPE_BYTE_BASE) + F.ascii(t),
+            ),
+        )
+
+    with_sep = F.transform(
+        words, lambda w: F.concat(word_ids(w), F.array(F.lit(BPE_SEP_ID)))
+    )
+    flat = F.flatten(with_sep)
+    # drop the trailing separator (empty doc → empty array, no slice)
+    return F.when(F.size(flat) > 0, F.slice(flat, 1, F.size(flat) - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+
+
+def bpe_decode_ids(ids: Column) -> Column:
+    """Exact inverse of `bpe_token_ids_lossless`: vocab ids map back
+    through the frozen reverse table, the separator id becomes a
+    space, byte-fallback ids become their character. Pure JVM
+    expressions; decode(encode(t)) equals the normalized text —
+    the driver row's oracle checks that md5 against an INDEPENDENT
+    SQL normalization, so the round-trip is the checked contract."""
+    vocab = bpe_vocab()
+    rm = F.create_map(
+        *[x for t, i in vocab.items() for x in (F.lit(i), F.lit(t))]
+    )
+    return F.array_join(
+        F.transform(
+            ids,
+            lambda i: F.when(i == BPE_SEP_ID, F.lit(" "))
+            .when(i >= BPE_BYTE_BASE, F.char(i - BPE_BYTE_BASE))
+            .otherwise(F.element_at(rm, i)),
+        ),
+        "",
+    )
+
+
 def bpe_encode_production(
     df: DataFrame,
     text_col: str = "text",

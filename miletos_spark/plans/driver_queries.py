@@ -1777,6 +1777,59 @@ WITH {_sql_probe_ctes()}
 """
 
 
+def q_bpe_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS tokenizer round-trip (r8): byte-fallback ids for OOV
+    units (the production answer — GPT-2 raw bytes / SentencePiece
+    byte_fallback — instead of an unk sink) plus explicit
+    word-separator ids make `bpe_decode_ids` an exact inverse. The
+    checked contract: md5(decode(encode(text))) must equal the md5 of
+    an INDEPENDENT SQL normalization of the text (lower + whitespace
+    collapse) — decode has no SQL twin, the equality IS the proof.
+    n_ids is cross-checked structurally (subword units + separators)
+    through the byte-replayed render chain."""
+    from miletos_spark.pipeline.text import (
+        bpe_decode_ids,
+        bpe_token_ids_lossless,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = bpe_token_ids_lossless(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(ids).alias("n_ids"),
+        F.md5(bpe_decode_ids(ids)).alias("roundtrip_md5"),
+    )
+
+
+def _sql_bpe_roundtrip() -> str:
+    return f"""
+WITH n AS (
+  SELECT doc_id,
+         array_to_string(
+           list_filter(
+             string_split_regex(
+               lower(trim(regexp_replace(text,
+                 '[' || chr(31) || chr(30) || ']', '', 'g'))),
+               '\\s+'),
+             w -> length(w) > 0),
+           ' ') AS norm
+  FROM documents),
+s AS (SELECT doc_id, {_sql_bpe_render("text")} AS s FROM documents),
+t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(
+           string_split_regex(s, '[' || chr(31) || chr(30) || ']+'),
+           x -> length(x) > 0)) AS INT) AS n_units,
+         CAST(len(list_filter(string_split(s, chr(30)),
+           w -> length(w) > 0)) AS INT) AS n_words
+  FROM s)
+SELECT n.doc_id,
+       t.n_units + greatest(t.n_words - 1, 0) AS n_ids,
+       md5(n.norm) AS roundtrip_md5
+FROM n JOIN t ON n.doc_id = t.doc_id
+"""
+
+
 def q_pack_sequences_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing with HONEST token mass: the concat-and-chunk
     layout of `pack_sequences_docs`, but weights = the frozen-table BPE
@@ -8817,6 +8870,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rebin_count_events": q_rebin_count_events,
     "text_stats_docs": q_text_stats_docs,
     "stream_near_dup_docs": q_stream_near_dup_docs,
+    # r08 latest addition (oracle-backed, judge-sweep; window already
+    # rotated twice this round — drive in r09)
+    "bpe_roundtrip_docs": q_bpe_roundtrip_docs,
     # r08 evictions: green in both r06 and r07
     "transit_epochs_events": q_transit_epochs_events,
     "rolling_std_peakcut_events": q_rolling_std_peakcut_events,
@@ -8906,6 +8962,7 @@ def _oracles() -> dict[str, str]:
         "stream_probe_score_docs": _sql_stream_probe_score(),
         "semantic_dedup_embeddings": SQL_SEMANTIC_DEDUP_EMBEDDINGS,
         "stream_semantic_dedup_embeddings": SQL_STREAM_SEMANTIC_DEDUP,
+        "bpe_roundtrip_docs": _sql_bpe_roundtrip(),
         "pii_scrub_docs": _sql_pii(),
         "dedup_lines_docs": SQL_DEDUP_LINES_DOCS,
         "split_assign_docs": SQL_SPLIT_ASSIGN_DOCS,

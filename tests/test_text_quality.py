@@ -384,3 +384,41 @@ def test_trigram_logprob_backoff_chain(spark):
           for r in trigram_logprob(score, model=model,
                                    broadcast=False).collect()}
     assert sh == out
+
+
+def test_bpe_lossless_roundtrip_edges(spark):
+    """decode(encode(t)) == normalized t on OOV chars (digits, punct,
+    x/z outside the frozen alphabet), empty docs, and repeated
+    whitespace — the byte-fallback id scheme loses nothing."""
+    from pyspark.sql import functions as F
+
+    from miletos_spark.pipeline.text import (
+        bpe_decode_ids,
+        bpe_token_ids_lossless,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "The quick  BROWN fox! 123 xyzzy"),
+            (2, ""),
+            (3, "   "),
+            (4, "zebra x-ray\tmixed\nlines"),
+            (5, "plain words the model saw"),
+        ],
+        "doc_id long, text string",
+    )
+    ids = bpe_token_ids_lossless(F.col("text"))
+    norm = F.array_join(
+        F.filter(
+            F.split(
+                F.lower(F.trim(F.regexp_replace("text", "[\x1f\x1e]", ""))),
+                r"\s+",
+            ),
+            lambda w: F.length(w) > 0,
+        ),
+        " ",
+    )
+    bad = df.select(
+        (bpe_decode_ids(ids) == norm).alias("ok")
+    ).filter(~F.col("ok"))
+    assert bad.count() == 0
