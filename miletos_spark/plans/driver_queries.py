@@ -1666,6 +1666,48 @@ def q_linear_probe_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_probe_eval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-model EVALUATION (r8): the confusion matrix of the
+    one-pass probe against its training labels — the held-out variant
+    is the same aggregation over a split (split machinery is
+    driver-checked separately in split_assign/mixture_sample). All
+    outputs are exact integers, so the row checks the entire
+    train→score→threshold chain with zero float-rounding surface."""
+    from miletos_spark.pipeline.classifier import (
+        probe_features,
+        score_linear_probe,
+        train_linear_probe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = probe_features(docs, _probe_label())
+    out = score_linear_probe(feats, train_linear_probe(feats))
+    pos = F.col("label") > 0
+    return out.agg(
+        F.sum((F.col("pred") & pos).cast("long")).alias("tp"),
+        F.sum((F.col("pred") & ~pos).cast("long")).alias("fp"),
+        F.sum((~F.col("pred") & pos).cast("long")).alias("fn"),
+        F.sum((~F.col("pred") & ~pos).cast("long")).alias("tn"),
+    )
+
+
+def _sql_probe_eval() -> str:
+    from miletos_spark.pipeline.classifier import probe_score_expr
+
+    s = probe_score_expr()
+    return f"""
+WITH {_sql_probe_ctes()},
+scored AS (
+  SELECT (({s}) > CAST(0.0 AS DOUBLE)) AS pred, y > 0 AS pos
+  FROM x CROSS JOIN wt)
+SELECT CAST(sum(CASE WHEN pred AND pos THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(sum(CASE WHEN pred AND NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(sum(CASE WHEN NOT pred AND pos THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       CAST(sum(CASE WHEN NOT pred AND NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS tn
+FROM scored
+"""
+
+
 def _sql_probe_raw_cte(src: str, name: str) -> str:
     """Raw feature-ingredient columns over (doc_id, text) rows of
     `src` — one copy of the regex strings, shared by the batch train
@@ -8873,6 +8915,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r08 latest addition (oracle-backed, judge-sweep; window already
     # rotated twice this round — drive in r09)
     "bpe_roundtrip_docs": q_bpe_roundtrip_docs,
+    "probe_eval_docs": q_probe_eval_docs,
     # r08 evictions: green in both r06 and r07
     "transit_epochs_events": q_transit_epochs_events,
     "rolling_std_peakcut_events": q_rolling_std_peakcut_events,
@@ -8963,6 +9006,7 @@ def _oracles() -> dict[str, str]:
         "semantic_dedup_embeddings": SQL_SEMANTIC_DEDUP_EMBEDDINGS,
         "stream_semantic_dedup_embeddings": SQL_STREAM_SEMANTIC_DEDUP,
         "bpe_roundtrip_docs": _sql_bpe_roundtrip(),
+        "probe_eval_docs": _sql_probe_eval(),
         "pii_scrub_docs": _sql_pii(),
         "dedup_lines_docs": SQL_DEDUP_LINES_DOCS,
         "split_assign_docs": SQL_SPLIT_ASSIGN_DOCS,
