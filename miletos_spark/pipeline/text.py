@@ -938,6 +938,12 @@ def bpe_encode_production(
                         i += 1
                 syms = out
             res = " ".join(syms)
+            # bounded: a high-cardinality partition (adversarial or
+            # non-Zipfian text) must not grow the Arrow worker's dict
+            # without limit; clear-on-overflow refills the Zipf head
+            # within a few hundred rows, so the hit-rate argument holds
+            if len(cache) >= 1 << 16:
+                cache.clear()
             cache[word] = res
             return res
 

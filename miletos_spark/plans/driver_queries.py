@@ -1625,7 +1625,9 @@ def q_linear_probe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression strings are GENERATED ONCE and shared verbatim between
     Spark selectExpr and the DuckDB oracle's CTE chain — bit-identical
     weights, no collect, no exp (checked output is the linear logit;
-    pipeline/classifier.py). Labels: lang='en'. One row per doc."""
+    pipeline/classifier.py). Labels: the quality-rule verdict from
+    `_probe_label` (a boundary provably in the feature space — the
+    recovery-oracle pattern applied to training). One row per doc."""
     from miletos_spark.pipeline.classifier import (
         probe_features,
         score_linear_probe,
