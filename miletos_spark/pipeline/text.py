@@ -791,9 +791,27 @@ def bpe_token_ids(text: Column, merges=BPE_MERGES) -> Column:
 #: LOSSLESS id scheme (`bpe_token_ids_lossless`): in-vocab tokens keep
 #: their `bpe_vocab` ids (1..~115), 999 separates words, and an
 #: out-of-vocab unit — always a single character, since merge rules
-#: only ever combine in-vocab tokens — maps to 1000 + codepoint.
+#: only ever combine in-vocab tokens — expands to one id PER UTF-8
+#: BYTE, 1000+byte (ids 1000..1255: the GPT-2 / SentencePiece
+#: byte_fallback scheme — any Unicode input stays losslessly
+#: representable with a FIXED 256-entry fallback range).
 BPE_SEP_ID = 999
 BPE_BYTE_BASE = 1000
+
+
+def _utf8_byte_ids(t: Column) -> Column:
+    """array<int> of BPE_BYTE_BASE+byte ids for the UTF-8 bytes of a
+    (short) string — pure JVM: hex(encode(·)) then one id per hex
+    pair. Used only for OOV units, which are single characters
+    (≤4 bytes), so the per-element hex re-evaluation is bounded."""
+    h = F.hex(F.encode(t, "UTF-8"))
+    return F.transform(
+        F.sequence(F.lit(1), (F.length(h) / F.lit(2)).cast("int")),
+        lambda i: (
+            F.lit(BPE_BYTE_BASE)
+            + F.conv(F.substr(h, i * 2 - 1, F.lit(2)), 16, 10).cast("int")
+        ),
+    )
 
 
 def bpe_token_ids_lossless(text: Column, merges=BPE_MERGES) -> Column:
@@ -801,11 +819,17 @@ def bpe_token_ids_lossless(text: Column, merges=BPE_MERGES) -> Column:
     fallback (GPT-2 tokenizes raw bytes; SentencePiece ships
     `byte_fallback`), not an unk sink — so unlike `bpe_token_ids`
     (id 0 = unk, decode-lossy) this scheme keeps every character:
-    OOV units become 1000+codepoint ids and word boundaries become an
-    explicit separator id, making `bpe_decode_ids` an exact inverse on
-    the normalized text (lower, whitespace-collapsed). ASCII-bounded
-    byte fallback here (matching the corpus and the frozen alphabet);
-    full UTF-8 byte expansion is the same scheme over bytes.
+    an OOV unit expands to its UTF-8 bytes as 1000+byte ids and word
+    boundaries become an explicit separator id, making
+    `bpe_decode_ids` an exact inverse on the normalized text (lower,
+    whitespace-collapsed) for ANY Unicode input — r9 closes the
+    ASCII-only bound the r8 scheme documented (codepoint ids above
+    the 256-entry range broke the decode contract silently on
+    non-Latin-1 text).
+
+    On pure-ASCII text the id stream is bit-identical to the r8
+    scheme (1-byte UTF-8 == codepoint), so the frozen-corpus oracle
+    history carries over unchanged.
 
     Returns array<int>; empty text → empty array."""
     s = bpe_render(text, merges)
@@ -821,12 +845,17 @@ def bpe_token_ids_lossless(text: Column, merges=BPE_MERGES) -> Column:
         units = F.filter(
             F.split(w, f"{BPE_UNIT}+"), lambda t: F.length(t) > 0
         )
-        return F.transform(
-            units,
-            lambda t: F.coalesce(
-                F.element_at(m, t),
-                F.lit(BPE_BYTE_BASE) + F.ascii(t),
-            ),
+        return F.flatten(
+            F.transform(
+                units,
+                lambda t: F.coalesce(
+                    F.when(
+                        F.element_at(m, t).isNotNull(),
+                        F.array(F.element_at(m, t)),
+                    ),
+                    _utf8_byte_ids(t),
+                ),
+            )
         )
 
     with_sep = F.transform(
@@ -839,25 +868,39 @@ def bpe_token_ids_lossless(text: Column, merges=BPE_MERGES) -> Column:
 
 
 def bpe_decode_ids(ids: Column) -> Column:
-    """Exact inverse of `bpe_token_ids_lossless`: vocab ids map back
-    through the frozen reverse table, the separator id becomes a
-    space, byte-fallback ids become their character. Pure JVM
-    expressions; decode(encode(t)) equals the normalized text —
-    the driver row's oracle checks that md5 against an INDEPENDENT
-    SQL normalization, so the round-trip is the checked contract."""
+    """Exact inverse of `bpe_token_ids_lossless`: every id maps to a
+    HEX BYTE STRING (vocab tokens and the separator via
+    hex(encode(·)), byte-fallback ids via their byte value), the hex
+    is concatenated ONCE and decoded as UTF-8 at the end — so a
+    multi-byte character whose bytes span several consecutive
+    fallback ids reassembles exactly (decoding id-by-id could never
+    do this). Pure JVM expressions; decode(encode(t)) equals the
+    normalized text — the driver row's oracle checks that md5 against
+    an INDEPENDENT SQL normalization, so the round-trip is the
+    checked contract."""
     vocab = bpe_vocab()
-    rm = F.create_map(
-        *[x for t, i in vocab.items() for x in (F.lit(i), F.lit(t))]
+    import binascii
+
+    rm_hex = F.create_map(
+        *[
+            x
+            for t, i in vocab.items()
+            for x in (
+                F.lit(i),
+                F.lit(binascii.hexlify(t.encode("utf-8")).decode().upper()),
+            )
+        ]
     )
-    return F.array_join(
-        F.transform(
-            ids,
-            lambda i: F.when(i == BPE_SEP_ID, F.lit(" "))
-            .when(i >= BPE_BYTE_BASE, F.char(i - BPE_BYTE_BASE))
-            .otherwise(F.element_at(rm, i)),
-        ),
-        "",
+    hexes = F.transform(
+        ids,
+        lambda i: F.when(i == BPE_SEP_ID, F.lit("20"))
+        .when(
+            i >= BPE_BYTE_BASE,
+            F.lpad(F.conv((i - BPE_BYTE_BASE).cast("string"), 10, 16), 2, "0"),
+        )
+        .otherwise(F.element_at(rm_hex, i)),
     )
+    return F.decode(F.unhex(F.array_join(hexes, "")), "UTF-8")
 
 
 def bpe_encode_production(

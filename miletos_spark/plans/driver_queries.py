@@ -1821,24 +1821,45 @@ WITH {_sql_probe_ctes()}
 """
 
 
+#: planted Unicode rows for the round-trip contract (negative ids, so
+#: they never collide with corpus doc_ids): multi-byte OOV characters
+#: exercise the UTF-8 byte fallback — each char expands to 2-3
+#: fallback ids whose bytes must reassemble exactly on decode. BMP
+#: only (both engines' per-char regex splits agree there); chosen to
+#: lowercase identically under Java and DuckDB (no Turkish İ class).
+BPE_RT_UNICODE_ROWS: tuple[tuple[int, str], ...] = (
+    (-1, "naïve café über —dash"),
+    (-2, "日本語 テスト €99 ßharp"),
+    (-3, "Ünïcode 字节 fallback mixed data"),
+)
+
+
 def q_bpe_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LOSSLESS tokenizer round-trip (r8): byte-fallback ids for OOV
-    units (the production answer — GPT-2 raw bytes / SentencePiece
-    byte_fallback — instead of an unk sink) plus explicit
-    word-separator ids make `bpe_decode_ids` an exact inverse. The
-    checked contract: md5(decode(encode(text))) must equal the md5 of
-    an INDEPENDENT SQL normalization of the text (lower + whitespace
+    """LOSSLESS tokenizer round-trip (r8; full UTF-8 byte fallback
+    r9): byte-fallback ids for OOV units (the production answer —
+    GPT-2 raw bytes / SentencePiece byte_fallback — instead of an unk
+    sink) plus explicit word-separator ids make `bpe_decode_ids` an
+    exact inverse. An OOV unit expands to one id per UTF-8 BYTE
+    (1000..1255 — a fixed 256-entry range), so the contract holds on
+    any Unicode input; planted multi-byte rows (BPE_RT_UNICODE_ROWS)
+    keep that branch exercised even on an ASCII corpus. The checked
+    contract: md5(decode(encode(text))) must equal the md5 of an
+    INDEPENDENT SQL normalization of the text (lower + whitespace
     collapse) — decode has no SQL twin, the equality IS the proof.
-    n_ids is cross-checked structurally (subword units + separators)
-    through the byte-replayed render chain."""
+    n_ids is cross-checked structurally (in-vocab units count 1, OOV
+    units count their UTF-8 byte length, plus separators) through the
+    byte-replayed render chain."""
     from miletos_spark.pipeline.text import (
         bpe_decode_ids,
         bpe_token_ids_lossless,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(
+        list(BPE_RT_UNICODE_ROWS), "doc_id long, text string"
+    )
     ids = bpe_token_ids_lossless(F.col("text"))
-    return docs.select(
+    return docs.unionByName(planted).select(
         "doc_id",
         F.size(ids).alias("n_ids"),
         F.md5(bpe_decode_ids(ids)).alias("roundtrip_md5"),
@@ -1846,8 +1867,20 @@ def q_bpe_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_bpe_roundtrip() -> str:
+    from miletos_spark.pipeline.text import bpe_vocab
+
+    vocab_lit = "[" + ", ".join(
+        "'" + t + "'" for t in bpe_vocab()
+    ) + "]"
+    planted = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS doc_id, '{t}' AS text"
+        for i, t in BPE_RT_UNICODE_ROWS
+    )
     return f"""
-WITH n AS (
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL {planted}),
+n AS (
   SELECT doc_id,
          array_to_string(
            list_filter(
@@ -1857,18 +1890,21 @@ WITH n AS (
                '\\s+'),
              w -> length(w) > 0),
            ' ') AS norm
-  FROM documents),
-s AS (SELECT doc_id, {_sql_bpe_render("text")} AS s FROM documents),
+  FROM d),
+s AS (SELECT doc_id, {_sql_bpe_render("text")} AS s FROM d),
 t AS (
   SELECT doc_id,
-         CAST(len(list_filter(
-           string_split_regex(s, '[' || chr(31) || chr(30) || ']+'),
-           x -> length(x) > 0)) AS INT) AS n_units,
+         CAST(COALESCE(list_sum(list_transform(
+           list_filter(
+             string_split_regex(s, '[' || chr(31) || chr(30) || ']+'),
+             x -> length(x) > 0),
+           x -> CASE WHEN list_contains({vocab_lit}, x)
+                     THEN 1 ELSE strlen(x) END)), 0) AS INT) AS n_unit_ids,
          CAST(len(list_filter(string_split(s, chr(30)),
            w -> length(w) > 0)) AS INT) AS n_words
   FROM s)
 SELECT n.doc_id,
-       t.n_units + greatest(t.n_words - 1, 0) AS n_ids,
+       t.n_unit_ids + greatest(t.n_words - 1, 0) AS n_ids,
        md5(n.norm) AS roundtrip_md5
 FROM n JOIN t ON n.doc_id = t.doc_id
 """
@@ -6010,32 +6046,38 @@ FROM scored WHERE cos_sim > {EMB_DUP_THRESHOLD!r}
 def q_semantic_dedup_embeddings(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """SemDeDup-style cluster-bounded semantic dedup (r8): bucket every
-    vector to its 2 nearest LANDED-IVF centroids (quantizer trained
-    once at ingest, reused), find within-cell cosine pairs above the
-    near-dup cut, emit keep-min-id drop decisions — corpus²/k work
-    instead of n². Same planted-duplicate recovery contract as
+    """SemDeDup-style cluster-bounded semantic dedup (r8; two-level
+    quantizer r9): bucket every vector to its probed (super, fine)
+    cells of the landed TWO-LEVEL IVF quantizer (sample-trained once
+    at ingest — `land_ivf2_index`), find within-bucket cosine pairs
+    above the near-dup cut, emit keep-min-id drop decisions.
+    Within-bucket verify stays ~256²/2 per cell (occupancy-bounded
+    k ∝ n), and r9 makes the ASSIGNMENT sub-quadratic too: O(n·√k)
+    coarse→fine ranking instead of the single-level n·k crossJoin
+    (VERDICT r8 Wrong #1). Same planted-duplicate recovery contract as
     `embedding_near_dup` (whose brute-force oracle proves the global
     pair set above 0.9 is EXACTLY the planted set): jittered copies at
     cos≈0.9999 must be dropped against their sources regardless of the
-    KMeans outcome — near-identical vectors always share a top-2 cell
-    (similarity.py:semantic_dedup_pairs). Oracle: the closed-form
-    planted contract with the replayed exact cosine."""
-    from miletos_spark.pipeline.landing import land_ivf_index
+    quantizer outcome — near-identical vectors always share a probed
+    (super, fine) bucket (similarity.py:semantic_dedup_pairs_2l).
+    Oracle: the closed-form planted contract with the replayed exact
+    cosine."""
+    from miletos_spark.pipeline.landing import land_ivf2_index
     from miletos_spark.pipeline.similarity import (
         semantic_dedup_drops,
-        semantic_dedup_pairs,
+        semantic_dedup_pairs_2l,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     # Occupancy-bounded quantizer: k grows with the corpus so per-cell
-    # pairwise work stays ~256²/2 per cell and TOTAL work stays ~linear
-    # (SemDeDup's own k ∝ n stance). A fixed k=8 at 10× corpus was
-    # measured as a timeout: within-cell candidates grow n²/k, and the
-    # cosine verify is an interpreted higher-order fold.
+    # pairwise work stays ~256²/2 per cell and TOTAL verify work stays
+    # ~linear (SemDeDup's own k ∝ n stance). A fixed k=8 at 10× corpus
+    # was measured as a timeout: within-cell candidates grow n²/k, and
+    # the cosine verify is an interpreted higher-order fold.
     k = max(8, emb.count() // 256)
-    paths = land_ivf_index(spark, sf_dir, n_clusters=k)
-    centers = spark.read.parquet(paths["centers"])
+    paths = land_ivf2_index(spark, sf_dir, n_clusters=k)
+    coarse = spark.read.parquet(paths["coarse"])
+    fine = spark.read.parquet(paths["fine"])
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = emb.select(F.col("vec_id"), v.alias("embedding"))
     planted = base.filter(F.col("vec_id") < EMB_DUP_PLANT_N).select(
@@ -6045,8 +6087,8 @@ def q_semantic_dedup_embeddings(
         ),
     )
     allv = base.unionByName(planted)
-    pairs = semantic_dedup_pairs(
-        allv, centers, threshold=EMB_DUP_THRESHOLD, n_probe=2
+    pairs = semantic_dedup_pairs_2l(
+        allv, coarse, fine, threshold=EMB_DUP_THRESHOLD, n_probe=2
     )
     drops = semantic_dedup_drops(pairs)
     return drops.select(
@@ -6121,27 +6163,31 @@ def _land_emb_arrivals(spark: SparkSession, sf_dir: str) -> str:
 def q_stream_semantic_dedup_embeddings(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """§2.12 embedding dedup online (r8): arriving vectors check only
-    the members of their 2 nearest LANDED-IVF cells (clustered once at
-    ingest, occupancy-bounded k) — stream_near_dup's incremental-crawl
-    shape in embedding space. Top-2 cell selection is a pure per-row
-    array expression (no stateful agg before the join), so the whole
-    plan is stream-static + stateless until the final pair dedup.
+    """§2.12 embedding dedup online (r8; two-level quantizer r9):
+    arriving vectors check only the members of their probed (super,
+    fine) cells of the landed two-level IVF quantizer (sample-trained
+    once at ingest, occupancy-bounded k ∝ n, O(n·√k) assignment) —
+    stream_near_dup's incremental-crawl shape in embedding space.
+    Cell selection is pure per-row array expressions at both levels
+    (no stateful agg before the join), so the whole plan is
+    stream-static + stateless until the final pair dedup.
     Recovery contract: every jittered re-crawl copy must match exactly
     its source; the fresh synthetic arrivals must match nothing."""
-    from miletos_spark.pipeline.landing import land_ivf_index
+    from miletos_spark.pipeline.landing import land_ivf2_index
     from miletos_spark.streaming.ingest import stream_semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
     k = max(8, emb.count() // 256)
-    paths = land_ivf_index(spark, sf_dir, n_clusters=k)
-    centers = spark.read.parquet(paths["centers"])
+    paths = land_ivf2_index(spark, sf_dir, n_clusters=k)
+    coarse = spark.read.parquet(paths["coarse"])
+    fine = spark.read.parquet(paths["fine"])
     land = _land_emb_arrivals(spark, sf_dir)
     sdf = stream_semantic_dedup(
         spark,
         land,
         "vec_id long, embedding array<double>",
-        centers,
+        coarse,
+        fine,
         paths["cells"],
         threshold=EMB_DUP_THRESHOLD,
         max_files_per_trigger=1,

@@ -743,28 +743,35 @@ def stream_semantic_dedup(
     spark: SparkSession,
     input_dir: str,
     schema: str,
-    centers: DataFrame,
+    coarse: DataFrame,
+    fine: DataFrame,
     landed_cells_path: str,
     threshold: float = 0.9,
     n_probe: int = 2,
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """Streaming semantic dedup against the LANDED IVF index — the
-    embedding twin of `stream_near_dup`: the corpus is clustered once
-    at ingest; each ARRIVING vector checks only the members of its
-    `n_probe` nearest cells. The incremental-crawl shape for
-    embedding-space dedup (SemDeDup online).
+    """Streaming semantic dedup against the landed TWO-LEVEL IVF
+    quantizer (`land_ivf2_index`) — the embedding twin of
+    `stream_near_dup`: the corpus is clustered once at ingest; each
+    ARRIVING vector checks only the members of its probed (super,
+    fine) buckets. The incremental-crawl shape for embedding-space
+    dedup (SemDeDup online), with the r9 sub-quadratic assignment: the
+    single-level form ranked all k ∝ n cells per arrival, which is
+    n·k work and an un-broadcastable centers table at real scale.
 
-    Statelessness trick: top-k-per-row is an AGGREGATE in batch code
-    (`similarity.semantic_dedup_pairs` groupBy-sorts candidates), which
-    a stream cannot run before a join — so here the bounded centroid
-    table rides INSIDE each row instead: a 1-row static frame holds
-    all (cell, center) structs as one array, the stream cross-joins it
-    (broadcast, bounded by k·dim doubles), and nearest-2 selection is
-    a pure `array_sort`+`slice` expression per row. Explode the two
-    cells, stream-static equi-join against the cell-partitioned landed
-    vectors (each micro-batch reads ONLY its probed cells' partition
-    dirs), exact-cosine verify, dedup the survivor pairs.
+    Statelessness trick, applied twice: top-k-per-row is an AGGREGATE
+    in batch code, which a stream cannot run before a join — so each
+    bounded center set rides INSIDE the row instead. The ~√k coarse
+    supers sit packed on a broadcast 1-row frame (≈3 MB at 10¹⁰
+    vectors — broadcastable at ANY corpus size); nearest-`n_probe`
+    supers are a pure array_sort+slice expression. The fine level is a
+    stream-static equi-join on `super` against the per-super packed
+    fine centers (broadcast while small; a keyed join once it is
+    not), then the same array expression picks `n_probe` fine cells.
+    Explode the buckets, stream-static join against the
+    `_super`-partitioned landed vectors (each micro-batch reads ONLY
+    its probed supers' partition dirs, filtering `_fine` within),
+    exact-cosine verify, dedup the survivor pairs.
 
     Emits (arrival_id, matched_id, cos_sim), each pair once across
     micro-batches (keyed state bounded by the match count)."""
@@ -773,9 +780,16 @@ def stream_semantic_dedup(
         cosine_similarity,
     )
 
-    packed = centers.agg(
-        F.collect_list(F.struct("cell", "center")).alias("_cs")
+    packed_c = coarse.agg(
+        F.collect_list(
+            F.struct(F.col("super").alias("cell"), F.col("center"))
+        ).alias("_cs")
     ).withColumn("_k", F.lit(1))
+    packed_f = fine.groupBy("super").agg(
+        F.collect_list(
+            F.struct(F.col("fine").alias("cell"), F.col("center"))
+        ).alias("_fs")
+    )
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -785,22 +799,42 @@ def stream_semantic_dedup(
     with_centers = (
         src.select(F.col("vec_id").alias("arrival_id"), v.alias("_v"))
         .withColumn("_k", F.lit(1))
-        .join(F.broadcast(packed), "_k")
+        .join(F.broadcast(packed_c), "_k")
     )
-    dists = F.transform(
+    cdists = F.transform(
         F.col("_cs"),
         lambda c: F.struct(
             _l2sq(F.col("_v"), c["center"]).alias("_d2"),
             c["cell"].alias("cell"),
         ),
     )
-    probed = (
-        with_centers.withColumn(
-            "_top", F.slice(F.array_sort(dists), 1, n_probe)
-        )
-        .select(
-            "arrival_id", "_v", F.explode(F.col("_top.cell")).alias("cell")
-        )
+    probed_super = with_centers.select(
+        "arrival_id",
+        "_v",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(cdists), 1, n_probe),
+                lambda s: s["cell"],
+            )
+        ).alias("super"),
+    )
+    fdists = F.transform(
+        F.col("_fs"),
+        lambda c: F.struct(
+            _l2sq(F.col("_v"), c["center"]).alias("_d2"),
+            c["cell"].alias("cell"),
+        ),
+    )
+    probed = probed_super.join(F.broadcast(packed_f), "super").select(
+        "arrival_id",
+        "_v",
+        "super",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(fdists), 1, n_probe),
+                lambda s: s["cell"],
+            )
+        ).alias("fine"),
     )
     landed = (
         spark.read.parquet(landed_cells_path)
@@ -809,11 +843,12 @@ def stream_semantic_dedup(
             F.transform(
                 F.col("embedding"), lambda x: x.cast("double")
             ).alias("_w"),
-            F.col("_cell").cast("int").alias("cell"),
+            F.col("_super").cast("int").alias("super"),
+            F.col("_fine").cast("int").alias("fine"),
         )
     )
     return (
-        probed.join(landed, "cell")
+        probed.join(landed, ["super", "fine"])
         .withColumn("cos_sim", cosine_similarity("_v", "_w"))
         .filter(F.col("cos_sim") > threshold)
         .select("arrival_id", "matched_id", "cos_sim")

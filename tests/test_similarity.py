@@ -355,3 +355,91 @@ def test_semantic_dedup_recovers_planted_any_k(spark):
         plan = pairs._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_semantic_dedup_2l_recovers_planted_any_quantizer(spark):
+    """The two-level (coarse->fine) path must recover every planted
+    near-dup under ADVERSARIAL random quantizers at both levels (the
+    Voronoi-boundary intersection argument applied twice), drop
+    nothing else, and keep the candidate join an equi-join on
+    (super, fine)."""
+    import numpy as np
+
+    from miletos_spark.pipeline.similarity import (
+        semantic_dedup_drops,
+        semantic_dedup_pairs_2l,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = [(i, [float(x) for x in rng.standard_normal(64)]) for i in range(80)]
+    base = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    planted = base.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
+    )
+    allv = base.unionByName(planted)
+    for k_c, k_f in ((2, 2), (3, 4), (1, 8)):
+        coarse = spark.createDataFrame(
+            [
+                (s, [float(x) for x in rng.standard_normal(64)])
+                for s in range(k_c)
+            ],
+            "super int, center array<double>",
+        )
+        fine = spark.createDataFrame(
+            [
+                (s, j, [float(x) for x in rng.standard_normal(64)])
+                for s in range(k_c)
+                for j in range(k_f)
+            ],
+            "super int, fine int, center array<double>",
+        )
+        pairs = semantic_dedup_pairs_2l(
+            allv, coarse, fine, threshold=0.9, n_probe=2
+        )
+        drops = semantic_dedup_drops(pairs)
+        got = {(r["dropped_id"], r["kept_id"]) for r in drops.collect()}
+        assert got == {(i + 1000, i) for i in range(10)}, (k_c, k_f, got)
+        # scale contract: the only nested-loop is the bounded 1-row
+        # packed-coarse broadcast (textually once per self-join side);
+        # fine centers arrive via an equi-join on super, candidates
+        # via an equi-join on (super, fine)
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_land_ivf2_index_layout_and_assignment(spark, sf_dir):
+    """The landed two-level index: coarse has ~sqrt(k) supers, fine has
+    >=k cells total keyed by super, every corpus vector lands in
+    exactly one (_super, _fine) bucket, and assignment agrees with a
+    brute-force nearest-center replay through the PERSISTED tables."""
+    import math
+
+    import numpy as np
+
+    from miletos_spark.pipeline.landing import land_ivf2_index
+
+    paths = land_ivf2_index(spark, sf_dir, n_clusters=8, overwrite=True)
+    coarse = spark.read.parquet(paths["coarse"]).collect()
+    fine = spark.read.parquet(paths["fine"]).collect()
+    cells = spark.read.parquet(paths["cells"])
+    k_c = math.isqrt(7) + 1
+    assert {r["super"] for r in coarse} == set(range(k_c))
+    assert len(fine) >= 8 - k_c  # ceil split, minus possible empties
+    n_src = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert cells.count() == n_src  # top-1 both levels: one bucket each
+    # replay: nearest coarse then nearest fine (ties by cell id) in
+    # numpy must match the landed assignment for every vector
+    cs = {r["super"]: np.array(r["center"]) for r in coarse}
+    fs: dict[int, list] = {}
+    for r in fine:
+        fs.setdefault(r["super"], []).append((r["fine"], np.array(r["center"])))
+    for row in cells.collect():
+        v = np.array(row["embedding"], dtype=np.float64)
+        want_s = min(
+            sorted(cs), key=lambda s: (((v - cs[s]) ** 2).sum(), s)
+        )
+        cands = sorted(fs[want_s])
+        want_f = min(cands, key=lambda t: (((v - t[1]) ** 2).sum(), t[0]))[0]
+        assert (row["_super"], row["_fine"]) == (want_s, want_f), row["vec_id"]

@@ -388,8 +388,10 @@ def test_trigram_logprob_backoff_chain(spark):
 
 def test_bpe_lossless_roundtrip_edges(spark):
     """decode(encode(t)) == normalized t on OOV chars (digits, punct,
-    x/z outside the frozen alphabet), empty docs, and repeated
-    whitespace — the byte-fallback id scheme loses nothing."""
+    x/z outside the frozen alphabet), empty docs, repeated whitespace
+    — and (r9) on MULTI-BYTE Unicode, where each OOV char expands to
+    one fallback id per UTF-8 byte and the decode reassembles the
+    bytes before the single final UTF-8 decode."""
     from pyspark.sql import functions as F
 
     from miletos_spark.pipeline.text import (
@@ -404,6 +406,8 @@ def test_bpe_lossless_roundtrip_edges(spark):
             (3, "   "),
             (4, "zebra x-ray\tmixed\nlines"),
             (5, "plain words the model saw"),
+            (6, "naïve café über —dash"),
+            (7, "日本語 テスト €99 ßharp"),
         ],
         "doc_id long, text string",
     )
@@ -422,3 +426,8 @@ def test_bpe_lossless_roundtrip_edges(spark):
         (bpe_decode_ids(ids) == norm).alias("ok")
     ).filter(~F.col("ok"))
     assert bad.count() == 0
+    # the fallback range is the FIXED 256-entry byte range — no id may
+    # exceed BPE_BYTE_BASE+255 regardless of input codepoints (the r8
+    # codepoint scheme violated this on non-Latin-1 text)
+    mx = df.select(F.array_max(ids).alias("m")).agg(F.max("m")).first()[0]
+    assert mx is not None and mx <= 1255

@@ -57,12 +57,13 @@ def main() -> None:
           sf_dir, overwrite=True)
     timed("ingest:land_ivf_index", land_ivf_index, spark, sf_dir,
           overwrite=True)
-    # semantic dedup's occupancy-bounded quantizer (k = n/256; the
-    # KMeans fit must stay in this ingest JVM — ml fits poison the
-    # query session's later stream timings)
+    # semantic dedup's occupancy-bounded TWO-LEVEL quantizer
+    # (k = n/256; sample-trained driver-side numpy — no pyspark.ml
+    # fit, but kept in the ingest JVM like every other landing)
+    from miletos_spark.pipeline.landing import land_ivf2_index
     from miletos_spark.schema import load_table as _lt
     k_sem = max(8, _lt(spark, sf_dir, "embeddings").count() // 256)
-    timed("ingest:land_semdedup_index", land_ivf_index, spark, sf_dir,
+    timed("ingest:land_semdedup_index", land_ivf2_index, spark, sf_dir,
           n_clusters=k_sem, overwrite=True)
     timed("ingest:land_pq_index", land_pq_index, spark, sf_dir,
           overwrite=True)
