@@ -13,6 +13,15 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# trained-table oracles (bpe_train_encode) freeze their training
+# corpus to the COMPARE sf dir: export it from argv BEFORE the entry
+# import builds ORACLES (defaults to the driver's sf0.01)
+_sf_arg = next((a for a in sys.argv[1:] if os.path.isdir(a)), None)
+if _sf_arg:
+    os.environ.setdefault(
+        "SPARK_GRAFT_ORACLE_SF_DIR", os.path.abspath(_sf_arg)
+    )
+
 import duckdb
 import numpy as np
 
