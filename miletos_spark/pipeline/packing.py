@@ -27,6 +27,66 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def running_offsets(
+    df: DataFrame,
+    token_col: str = "n_tokens",
+    group_cols: Sequence[str] = ("lang", "source"),
+    id_col: str = "doc_id",
+    bucket_width: int | None = None,
+) -> DataFrame:
+    """The packing layout's first pass, shared by `pack_chunks` and the
+    streaming packer's per-micro-batch leg: the EXCLUSIVE running token
+    offset per row within each group, ordered by ``id_col``.
+
+    ``bucket_width=W`` routes through the distributed two-pass prefix
+    sum (local windows inside (group, floor(id / W)) buckets +
+    cumulative bucket offsets joined back — the gap-sessionization
+    trick): id-bucketing is order-preserving and the sums are exact
+    integer arithmetic, so the result is BIT-IDENTICAL to the plain
+    window while no single task ever sorts a whole group. Returns
+    (group cols, id, tokens, start_off)."""
+    n = F.col(token_col).cast("long")
+    if bucket_width is None:
+        w = (
+            Window.partitionBy(*group_cols)
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        start = (F.sum(n).over(w) - n).alias("start_off")
+        return df.select(*group_cols, id_col, n.alias(token_col), start)
+    gcols = list(group_cols)
+    bkt = F.floor(F.col(id_col) / F.lit(int(bucket_width)))
+    dfb = df.select(
+        *gcols, id_col, n.alias(token_col)
+    ).withColumn("_pkt", bkt)
+    wloc = (
+        Window.partitionBy(*gcols, "_pkt")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = dfb.withColumn(
+        "_loc", F.sum(token_col).over(wloc) - F.col(token_col)
+    )
+    summ = dfb.groupBy(*gcols, "_pkt").agg(
+        F.sum(token_col).alias("_tot")
+    )
+    wsum = Window.partitionBy(*gcols).orderBy("_pkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = summ.select(
+        *gcols,
+        "_pkt",
+        F.coalesce(F.sum("_tot").over(wsum), F.lit(0)).alias("_off"),
+    )
+    # no broadcast hint, same stance as _sessionize_bucketed: the
+    # offsets table is groups x (id span / W) rows — let AQE choose
+    return (
+        local.join(offsets, [*gcols, "_pkt"])
+        .withColumn("start_off", F.col("_loc") + F.col("_off"))
+        .select(*gcols, id_col, token_col, "start_off")
+    )
+
+
 def pack_chunks(
     df: DataFrame,
     token_col: str = "n_tokens",
@@ -53,47 +113,10 @@ def pack_chunks(
 
     Returns one row per document: group cols, id, tokens, start_bin,
     n_straddle."""
-    n = F.col(token_col).cast("long")
-    if bucket_width is None:
-        w = (
-            Window.partitionBy(*group_cols)
-            .orderBy(id_col)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        start = (F.sum(n).over(w) - n).alias("start_off")
-        out = df.select(*group_cols, id_col, n.alias(token_col), start)
-    else:
-        gcols = list(group_cols)
-        bkt = F.floor(F.col(id_col) / F.lit(int(bucket_width)))
-        dfb = df.select(
-            *gcols, id_col, n.alias(token_col)
-        ).withColumn("_pkt", bkt)
-        wloc = (
-            Window.partitionBy(*gcols, "_pkt")
-            .orderBy(id_col)
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        local = dfb.withColumn(
-            "_loc", F.sum(token_col).over(wloc) - F.col(token_col)
-        )
-        summ = dfb.groupBy(*gcols, "_pkt").agg(
-            F.sum(token_col).alias("_tot")
-        )
-        wsum = Window.partitionBy(*gcols).orderBy("_pkt").rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-        offsets = summ.select(
-            *gcols,
-            "_pkt",
-            F.coalesce(F.sum("_tot").over(wsum), F.lit(0)).alias("_off"),
-        )
-        # no broadcast hint, same stance as _sessionize_bucketed: the
-        # offsets table is groups x (id span / W) rows — let AQE choose
-        out = (
-            local.join(offsets, [*gcols, "_pkt"])
-            .withColumn("start_off", F.col("_loc") + F.col("_off"))
-            .select(*gcols, id_col, token_col, "start_off")
-        )
+    out = running_offsets(
+        df, token_col=token_col, group_cols=group_cols,
+        id_col=id_col, bucket_width=bucket_width,
+    )
     cap = F.lit(float(capacity))
     start_bin = F.floor(F.col("start_off") / cap)
     end_bin = F.floor((F.col("start_off") + F.col(token_col) - 1) / cap)

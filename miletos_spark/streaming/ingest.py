@@ -579,6 +579,7 @@ def stream_pack_shards(
     capacity: int = 512,
     max_files_per_trigger: int | None = 1,
     timeout_sec: int = 300,
+    bucket_width: int = 4096,
 ) -> None:
     """The training_shards endgame ON the firehose: `stream_curation`'s
     three stages (quality filter → PII scrub → exact dedup) composed
@@ -587,19 +588,39 @@ def stream_pack_shards(
     per-shard running token offset carried across batches.
 
     Runs as `foreachBatch` (the resumable-job shape, not a monolithic
-    stateful plan), with two landed state tables under `state_dir`:
+    stateful plan), with a CRASH-IDEMPOTENT batch_id-keyed commit
+    protocol (r9; the r8 form appended seen keys before the packed
+    rows landed, so a replay after a mid-batch crash anti-joined the
+    batch against its own keys and silently dropped it):
 
-    - `seen/`  — (lang, scrub_md5) keys already packed; append-only.
-      The cross-batch dedup is an anti-join against it (the same
-      stream-vs-landed-index stance as `stream_near_dup`); at corpus
-      scale this is a Delta/state-store table, here plain parquet.
-    - `offsets/` — (lang, total) running token offset per shard,
-      |langs| rows, rewritten per batch. This is the cross-batch
-      carry of the packing prefix sum: within a batch the offset is a
-      keyed window over the (bounded) micro-batch, across batches it
-      is this table — together exactly the two-pass decomposition
-      `pack_chunks(bucket_width=...)` uses, with micro-batches as the
-      buckets.
+    - every per-batch write goes to a batch-named path, mode
+      overwrite — `seen/b=<id>/`, `out_dir/b=<id>/`, and a FULL
+      offsets snapshot `offsets/b=<id>/` — so a replayed attempt
+      simply rewrites its own orphan dirs;
+    - a batch is COMMITTED by a marker file `commits/<id>` written
+      after all three dirs land; readers consult only committed
+      state (seen keys with b ≤ last committed via the partition
+      column; offsets from the last committed snapshot), so orphans
+      from a crashed attempt are invisible;
+    - a replayed already-committed batch_id is a no-op. foreachBatch
+      retries a failed batch under the SAME id before any higher id
+      runs, so the committed set is always a prefix and `b ≤ last`
+      is the exact committed filter. (On an object store the marker
+      becomes a manifest/Delta commit; the protocol is unchanged.)
+
+    State tables under `state_dir`:
+
+    - `seen/b=*/` — (lang, scrub_md5) keys already packed. The
+      cross-batch dedup is an anti-join against the committed union
+      (the same stream-vs-landed-index stance as `stream_near_dup`).
+    - `offsets/b=*/` — (lang, total) running token offset per shard,
+      |langs| rows per snapshot; superseded snapshots are pruned
+      best-effort after commit. This is the cross-batch carry of the
+      packing prefix sum; within a batch the offset comes from
+      `packing.running_offsets(bucket_width=...)` — the SAME two-pass
+      id-bucketed decomposition the batch packer uses (r9; the r8
+      form ran one window per lang, which serialized a hot lang in a
+      large batch into a single sort task).
 
     DETERMINISM CONTRACT: the drained layout equals the batch
     `pack_chunks` (ordered by doc_id within lang) IFF docs arrive in
@@ -611,14 +632,14 @@ def stream_pack_shards(
     Asserted bit-identical to the batch composition in tests and by
     the driver row's oracle.
 
-    Packed rows appended to `out_dir`:
+    Packed rows under `out_dir/b=*/`:
     (lang, doc_id, n_tokens, start_bin, n_straddle) — one per kept
     distinct doc; bins use the same double-division floor as
     `pack_chunks` (offsets < 2**53, exact)."""
     import os
+    import shutil
 
-    from pyspark.sql import Window
-
+    from miletos_spark.pipeline.packing import running_offsets
     from miletos_spark.pipeline.text import (
         quality_logit,
         scrub_pii,
@@ -627,12 +648,22 @@ def stream_pack_shards(
 
     seen_dir = os.path.join(state_dir, "seen")
     off_dir = os.path.join(state_dir, "offsets")
+    commit_dir = os.path.join(state_dir, "commits")
+
+    def _last_committed() -> int:
+        if not os.path.isdir(commit_dir):
+            return -1
+        ids = [int(x) for x in os.listdir(commit_dir) if x.isdigit()]
+        return max(ids, default=-1)
 
     def _pack_batch(bdf: DataFrame, batch_id: int) -> None:
         # No isEmpty() guard: it costs a scan pass per batch, the file
         # source never fires empty batches for a stateless foreachBatch
         # query, and every stage below is a no-op on zero rows anyway.
         sp = bdf.sparkSession
+        last = _last_committed()
+        if batch_id <= last:
+            return  # replay of a committed batch: exactly-once no-op
         # No up-front repartition: a measured A/B at sf0.1 put the
         # micro-batch shuffle's cost above the parallelism it buys on
         # the regex chain (9.8 s vs 6.8 s warm drain) — and at scale
@@ -649,9 +680,17 @@ def stream_pack_shards(
         # text ⇒ identical token count, so any winner packs the same
         win = sc.groupBy("lang", "h").agg(F.min("doc_id").alias("doc_id"))
         sc = sc.join(win, ["lang", "h", "doc_id"], "left_semi")
-        # cross-batch dedup vs the landed seen set
-        if os.path.exists(seen_dir):
-            seen = sp.read.parquet(seen_dir).select("lang", "h")
+        # cross-batch dedup vs the COMMITTED seen keys only (explicit
+        # schema: an all-empty committed set must read as 0 rows, not
+        # fail inference; b ≤ last hides a crashed attempt's orphans)
+        if last >= 0:
+            seen = (
+                sp.read.option("basePath", seen_dir)
+                .schema("lang string, h string, b int")
+                .parquet(seen_dir)
+                .filter(F.col("b") <= F.lit(last))
+                .select("lang", "h")
+            )
             sc = sc.join(seen, ["lang", "h"], "left_anti")
         new = sc.select(
             "lang",
@@ -660,8 +699,7 @@ def stream_pack_shards(
             token_count(F.col("text_scrubbed")).cast("long").alias(
                 "n_tokens"
             ),
-        ).localCheckpoint(eager=True)  # pin BEFORE mutating seen/
-        new.select("lang", "h").write.mode("append").parquet(seen_dir)
+        ).localCheckpoint(eager=True)  # pin before the state writes
         # per-shard running offsets (|langs| rows — bounded state).
         # Kept entirely JVM-side as a parquet-scan DataFrame: a
         # createDataFrame-from-Python-list relation is backed by a
@@ -670,17 +708,20 @@ def stream_pack_shards(
         # costed ~4.3 s flat (32 sequential runner reads), which was
         # half this drain's wall time.
         cur = (
-            sp.read.parquet(off_dir)
-            if os.path.exists(off_dir)
+            sp.read.schema("lang string, total long")
+            .parquet(os.path.join(off_dir, f"b={last}"))
+            if last >= 0
             else None
         )
-        w = (
-            Window.partitionBy("lang")
-            .orderBy("doc_id")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        local = new.withColumn(
-            "_loc", F.sum("n_tokens").over(w) - F.col("n_tokens")
+        # within-batch leg of the prefix sum: the two-pass id-bucketed
+        # decomposition (bit-identical to a per-lang window; no single
+        # task sorts a hot lang's whole micro-batch)
+        local = running_offsets(
+            new,
+            token_col="n_tokens",
+            group_cols=("lang",),
+            id_col="doc_id",
+            bucket_width=bucket_width,
         )
         if cur is not None:
             local = local.join(
@@ -691,7 +732,7 @@ def stream_pack_shards(
         else:
             local = local.withColumn("_off", F.lit(0).cast("long"))
         cap = F.lit(float(capacity))
-        start_off = F.col("_loc") + F.col("_off")
+        start_off = F.col("start_off") + F.col("_off")
         start_bin = F.floor(start_off / cap)
         end_bin = F.floor((start_off + F.col("n_tokens") - 1) / cap)
         local.select(
@@ -702,11 +743,15 @@ def stream_pack_shards(
             F.greatest(end_bin - start_bin, F.lit(0))
             .cast("long")
             .alias("n_straddle"),
-        ).write.mode("append").parquet(out_dir)
-        # offsets += this batch's per-shard token mass — JVM plan end
-        # to end; the localCheckpoint both materializes the |langs|
-        # rows (so the overwrite below never reads the path it is
-        # replacing) and keeps the next batch's scan lineage O(1).
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"b={batch_id}")
+        )
+        new.select("lang", "h").write.mode("overwrite").parquet(
+            os.path.join(seen_dir, f"b={batch_id}")
+        )
+        # offsets snapshot AFTER this batch — JVM plan end to end; the
+        # localCheckpoint materializes the |langs| rows so the write
+        # never reads a path being replaced on a replay
         delta = new.groupBy("lang").agg(F.sum("n_tokens").alias("_d"))
         if cur is not None:
             upd = delta.join(cur, "lang", "full").select(
@@ -720,7 +765,16 @@ def stream_pack_shards(
             upd = delta.select("lang", F.col("_d").alias("total"))
         upd.localCheckpoint(eager=True).coalesce(1).write.mode(
             "overwrite"
-        ).parquet(off_dir)
+        ).parquet(os.path.join(off_dir, f"b={batch_id}"))
+        # COMMIT: everything for this batch is on disk under its own
+        # paths — the marker makes it visible atomically-enough for a
+        # local fs; then prune superseded offset snapshots best-effort
+        os.makedirs(commit_dir, exist_ok=True)
+        with open(os.path.join(commit_dir, str(batch_id)), "w") as f:
+            f.write("ok")
+        for d in os.listdir(off_dir):
+            if d.startswith("b=") and int(d[2:]) < batch_id:
+                shutil.rmtree(os.path.join(off_dir, d), ignore_errors=True)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

@@ -1116,3 +1116,109 @@ def test_stream_semantic_dedup_recovers_and_rejects(spark):
         (i + EMB_DUP_ID_OFFSET, i) for i in range(EMB_DUP_PLANT_N)
     }
     assert all(r["cos_sim"] > 0.99 for r in out)
+
+
+def test_stream_pack_shards_crash_replay_is_exactly_once(spark, sf_dir):
+    """Crash-idempotence of the batch_id-keyed commit protocol (r9):
+    kill the job 'between the state writes and the commit marker' of
+    the last batch (simulated by deleting its marker, leaving its
+    seen/out/offsets dirs as orphans), restart from a FRESH stream
+    checkpoint over the same feed — the committed batch must be
+    skipped, the orphaned batch re-executed in place, and the final
+    layout must still equal the batch composition exactly (the r8
+    append-before-commit form silently dropped the replayed batch's
+    docs: they anti-joined against their own pre-crash seen keys)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from miletos_spark.pipeline.packing import pack_chunks
+    from miletos_spark.pipeline.text import (
+        quality_logit,
+        scrub_pii,
+        token_count,
+    )
+    from miletos_spark.plans.driver_queries import (
+        CURATION_STREAM_SCHEMA,
+        _land_docs_pack_feed,
+        _pii_injected_text,
+    )
+    from miletos_spark.schema import load_table
+    from miletos_spark.streaming.ingest import stream_pack_shards
+
+    land = _land_docs_pack_feed(spark, sf_dir)
+    work = os.path.join(
+        tempfile.gettempdir(), "miletos_spack_crash_" + uuid.uuid4().hex[:8]
+    )
+    out_dir = os.path.join(work, "out")
+    state = os.path.join(work, "state")
+    stream_pack_shards(
+        spark, land, CURATION_STREAM_SCHEMA, out_dir, state,
+        capacity=512, max_files_per_trigger=1,
+    )
+    commits = sorted(
+        int(x) for x in os.listdir(os.path.join(state, "commits"))
+    )
+    assert len(commits) >= 2, "need >=2 batches to exercise replay"
+    victim = commits[-1]
+    # simulate the crash window: the victim's state dirs are written
+    # (they stay as orphans) but its marker never landed. At a real
+    # pre-commit crash the PREVIOUS offsets snapshot still exists
+    # (pruning runs only after commit), so restore it — rebuilt from
+    # the committed packed rows, which is exactly what it summarizes.
+    os.remove(os.path.join(state, "commits", str(victim)))
+    prev = victim - 1
+    (
+        spark.read.option("basePath", out_dir).parquet(out_dir)
+        .filter(F.col("b") <= prev)
+        .groupBy("lang")
+        .agg(F.sum("n_tokens").alias("total"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(state, "offsets", f"b={prev}"))
+    )
+    # fresh checkpoint = full reprocess; committed prefix must no-op
+    shutil.rmtree(os.path.join(state, "ckpt"))
+    try:
+        stream_pack_shards(
+            spark, land, CURATION_STREAM_SCHEMA, out_dir, state,
+            capacity=512, max_files_per_trigger=1,
+        )
+    except Exception as exc:  # pragma: no cover - diagnostic
+        raise AssertionError(f"replay drain failed: {exc}")
+    got = {
+        (r["lang"], r["doc_id"], r["n_tokens"], r["start_bin"],
+         r["n_straddle"])
+        for r in spark.read.parquet(out_dir)
+        .select("lang", "doc_id", "n_tokens", "start_bin", "n_straddle")
+        .collect()
+    }
+    base = load_table(spark, sf_dir, "documents")
+    feed = base.unionByName(
+        base.filter(F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 5000000
+        )
+    ).select("doc_id", "lang", _pii_injected_text().alias("text"))
+    kept = feed.filter(quality_logit(F.col("text")) > 0)
+    sc = scrub_pii(kept, keep_cols=("lang",)).select(
+        "doc_id", "lang", "text_scrubbed",
+        F.md5("text_scrubbed").alias("h"),
+    )
+    win = sc.groupBy("lang", "h").agg(F.min("doc_id").alias("doc_id"))
+    uniq = sc.join(win, ["lang", "h", "doc_id"], "left_semi")
+    toks = uniq.select(
+        "lang", "doc_id",
+        token_count(F.col("text_scrubbed")).cast("long").alias("n_tokens"),
+    )
+    packed = pack_chunks(
+        toks, token_col="n_tokens", group_cols=("lang",),
+        id_col="doc_id", capacity=512,
+    )
+    want = {
+        (r["lang"], r["doc_id"], r["n_tokens"], r["start_bin"],
+         r["n_straddle"])
+        for r in packed.collect()
+    }
+    assert got == want and len(got) > 0
+    shutil.rmtree(work, ignore_errors=True)
