@@ -125,6 +125,112 @@ def resize_pixels(df: DataFrame, src_px: int, factor: int = 2) -> DataFrame:
     )
 
 
+def phash_frames(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """64-bit perceptual hash (average-hash form) per decoded frame,
+    as a 16-hex-char STRING: bit i = 1 iff pixel i exceeds the frame's
+    mean brightness — the pHash family's thresholded-block scheme
+    over the decoded 8×8 block (classic pHash thresholds DCT
+    coefficients; the codec seam here yields pixel blocks, and the
+    threshold-vs-frame-mean form keeps every comparison exact
+    integer-vs-rational, so engines agree bit-for-bit).
+
+    Nibble n packs bits 4n..4n+3 — the SAME hex packing as
+    `dedup.simhash_md5`, so `simhash_hamming` and the banded join
+    machinery apply to media fingerprints unchanged. The mean is
+    projected to a real attribute first (the HOF-inlining trap), and
+    the 64 bit-terms live in one projection, not a join filter (the
+    64KB codegen lesson). Returns (id, kind, frame, phash_hex).
+
+    Invariance note: a global brightness shift (+c on every pixel)
+    moves the mean by exactly +c, so every bit — and the hash — is
+    UNCHANGED: the standard aHash robustness argument, and why the
+    planted jitter contract survives re-encode-style perturbations."""
+    px = F.col("pixels")
+    mean = F.aggregate(px, F.lit(0.0), lambda a, x: a + x) / F.size(px)
+    d = df.select(
+        F.col(id_col), "kind", "frame", "pixels", mean.alias("_mean")
+    )
+    hex_digits = "0123456789abcdef"
+    chars = []
+    for n in range(16):
+        nib = None
+        for j in range(4):
+            term = F.when(
+                F.element_at(px, 4 * n + j + 1) > F.col("_mean"),
+                F.lit(1 << j),
+            ).otherwise(0)
+            nib = term if nib is None else nib + term
+        chars.append(F.lit(hex_digits).substr(nib + F.lit(1), F.lit(1)))
+    return d.select(
+        F.col(id_col), "kind", "frame", F.concat(*chars).alias("phash_hex")
+    )
+
+
+def media_phash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Media near-dup pairs via the banded Hamming join — the
+    multimodal twin of `dedup.simhash_band_pairs`, over per-frame
+    pHashes instead of document SimHashes: fingerprints split into
+    4 × 16-bit bands; by pigeonhole any pair at Hamming ≤ 3 agrees
+    exactly on at least one band, so the band-equality self-join is a
+    LOSSLESS candidate generator and the exact 64-bit Hamming verify
+    (`simhash_hamming`, reused) filters false candidates. A trimmed
+    re-upload (frames shifted by k) matches frame-by-frame at
+    Hamming 0; a lightly re-encoded frame matches at small Hamming.
+
+    Shuffle is on (band, 4-hex chunk) — bucketed, never all-pairs.
+    Returns (id_a, frame_a, id_b, frame_b, hamming), id_a < id_b
+    (cross-media pairs only: within-media frame similarity is a
+    different question from dedup)."""
+    from miletos_spark.pipeline.dedup import simhash_hamming
+
+    fps = phash_frames(df, id_col=id_col).cache()
+    banded = fps.select(
+        F.col(id_col),
+        "frame",
+        "phash_hex",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring("phash_hex", 1 + 4 * b, 4).alias(
+                            "chunk"
+                        ),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "frame", "phash_hex", "bb.band", "bb.chunk")
+    a = banded.select(
+        "band", "chunk",
+        F.col(id_col).alias("id_a"), F.col("frame").alias("frame_a"),
+        F.col("phash_hex").alias("fp_a"),
+    )
+    b = banded.select(
+        "band", "chunk",
+        F.col(id_col).alias("id_b"), F.col("frame").alias("frame_b"),
+        F.col("phash_hex").alias("fp_b"),
+    )
+    cands = (
+        a.join(b, on=["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "frame_a", "id_b", "frame_b", "fp_a", "fp_b")
+        .dropDuplicates(["id_a", "frame_a", "id_b", "frame_b"])
+    )
+    return (
+        cands.withColumn(
+            "hamming", simhash_hamming(F.col("fp_a"), F.col("fp_b"))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "frame_a", "id_b", "frame_b", "hamming")
+    )
+
+
 def media_features(df: DataFrame) -> DataFrame:
     """Per-frame feature extraction over the pixel block — aggregate
     HOFs only: mean/min/max brightness and RMS contrast."""

@@ -5468,6 +5468,118 @@ FROM agg ORDER BY media_id, frame
 """
 
 
+def q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media NEAR-DUP tier (r9, VERDICT r8 Next #5) — multimodal stops
+    being apply-only: plant re-upload copies at the BINARY payload
+    level (every video re-uploaded with its first frame trimmed, ids
+    +1000 — the classic clipped re-post; every image with its first
+    byte decremented — a minimal re-encode jitter), then run the full
+    pipeline: mapInPandas decode → per-frame pHash (thresholded-block
+    average hash, 16-hex string) → 4-band pigeonhole Hamming join →
+    exact verify at Hamming ≤ 3. Trimmed video frames match their
+    source frame k+1 at Hamming 0 (bit-equal payload bytes); jittered
+    images match at small Hamming (the mean moves ≤ 1/64, so almost
+    no threshold crossings — the aHash robustness argument).
+
+    Oracle: byte-level replay in PIXEL space (copies derived by the
+    same trim/decrement on the replayed pixels) + brute-force
+    all-pairs Hamming — which simultaneously proves the banded
+    candidate generator LOSSLESS at the ≤ 3 cut."""
+    from miletos_spark.pipeline.multimodal import (
+        decode_media,
+        media_phash_pairs,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=64, frame_px=8)
+    vids = media.filter(F.col("kind") == "video").select(
+        (F.col("media_id") + 1000).alias("media_id"),
+        "kind",
+        F.expr("substring(payload, 65)").alias("payload"),
+        "width",
+        "height",
+        (F.col("n_frames") - 1).alias("n_frames"),
+    )
+    b1 = F.conv(
+        F.hex(F.expr("substring(payload, 1, 1)")), 16, 10
+    ).cast("int")
+    jb = F.to_binary(
+        F.lpad(
+            F.conv(F.greatest(b1 - 1, F.lit(0)).cast("string"), 10, 16),
+            2,
+            "0",
+        ),
+        F.lit("hex"),
+    )
+    imgs = media.filter(F.col("kind") == "image").select(
+        (F.col("media_id") + 1000).alias("media_id"),
+        "kind",
+        F.concat(jb, F.expr("substring(payload, 2)")).alias("payload"),
+        "width",
+        "height",
+        "n_frames",
+    )
+    allm = media.unionByName(vids).unionByName(imgs)
+    # no frame sampling: the trimmed-copy contract pairs copy frame f
+    # with source frame f+1, which every-k sampling would misalign
+    return media_phash_pairs(decode_media(allm), max_hamming=3)
+
+
+# Pixel-space replay of the payload-level planting: originals parse
+# from the repeated-md5 hex exactly as SQL_MEDIA_FEATURES; copies are
+# the same pixels trimmed (video, frame-1) or first-pixel-decremented
+# (image). Bits, means and Hamming are integer/rational-exact; the
+# all-pairs join doubles as the banding losslessness proof.
+SQL_MEDIA_NEAR_DUP = """
+WITH ids AS (SELECT range AS media_id FROM range(64)),
+m AS (
+  SELECT media_id,
+         CASE WHEN media_id % 3 = 0 THEN 'video' ELSE 'image' END AS kind,
+         CASE WHEN media_id % 3 = 0 THEN 6 ELSE 1 END AS n_frames,
+         repeat(md5(CAST(media_id AS VARCHAR)),
+                CASE WHEN media_id % 3 = 0 THEN 24 ELSE 4 END) AS hx
+  FROM ids),
+fr AS (
+  SELECT media_id, kind, CAST(f.range AS INT) AS frame, hx
+  FROM m, range(6) f
+  WHERE f.range < n_frames),
+px0 AS (
+  SELECT media_id, kind, frame, CAST(p.range AS INT) AS i,
+         (strpos('0123456789abcdef',
+                 substr(hx, 2*(frame*64 + CAST(p.range AS INT)) + 1, 1)) - 1) * 16
+       + (strpos('0123456789abcdef',
+                 substr(hx, 2*(frame*64 + CAST(p.range AS INT)) + 2, 1)) - 1) AS val
+  FROM fr, range(64) p),
+pxc AS (
+  SELECT media_id + 1000 AS media_id, frame - 1 AS frame, i, val
+  FROM px0 WHERE kind = 'video' AND frame >= 1
+  UNION ALL
+  SELECT media_id + 1000 AS media_id, frame, i,
+         CASE WHEN i = 0 THEN greatest(val - 1, 0) ELSE val END AS val
+  FROM px0 WHERE kind = 'image'),
+allpx AS (
+  SELECT media_id, frame, i, val FROM px0
+  UNION ALL SELECT media_id, frame, i, val FROM pxc),
+mn AS (
+  SELECT media_id, frame, CAST(sum(val) AS DOUBLE) / 64 AS mu
+  FROM allpx GROUP BY media_id, frame),
+bits AS (
+  SELECT p.media_id, p.frame, p.i,
+         CASE WHEN p.val > mn.mu THEN 1 ELSE 0 END AS bit
+  FROM allpx p JOIN mn USING (media_id, frame)),
+ham AS (
+  SELECT a.media_id AS id_a, a.frame AS frame_a,
+         b.media_id AS id_b, b.frame AS frame_b,
+         sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS h
+  FROM bits a JOIN bits b ON a.i = b.i AND a.media_id < b.media_id
+  GROUP BY 1, 2, 3, 4)
+SELECT CAST(id_a AS BIGINT) AS id_a, frame_a,
+       CAST(id_b AS BIGINT) AS id_b, frame_b,
+       CAST(h AS INT) AS hamming
+FROM ham WHERE h <= 3
+"""
+
+
 # --- X2/X4 detrending + X6 interpolation ------------------------------------
 
 
@@ -9087,6 +9199,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r09: on-cluster train→freeze→encode lifecycle (registered here
     # pending the end-of-round window rotation)
     "bpe_train_encode_docs": q_bpe_train_encode_docs,
+    # r09: media near-dup tier (payload-level planted re-uploads →
+    # decode → per-frame pHash → banded Hamming)
+    "media_near_dup": q_media_near_dup,
     # r08 evictions: green in both r06 and r07
     "transit_epochs_events": q_transit_epochs_events,
     "rolling_std_peakcut_events": q_rolling_std_peakcut_events,
@@ -9179,6 +9294,7 @@ def _oracles() -> dict[str, str]:
         "bpe_roundtrip_docs": _sql_bpe_roundtrip(),
         "probe_eval_docs": _sql_probe_eval(),
         "bpe_train_encode_docs": _sql_bpe_train_encode(),
+        "media_near_dup": SQL_MEDIA_NEAR_DUP,
         "pii_scrub_docs": _sql_pii(),
         "dedup_lines_docs": SQL_DEDUP_LINES_DOCS,
         "split_assign_docs": SQL_SPLIT_ASSIGN_DOCS,

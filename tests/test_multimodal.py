@@ -71,3 +71,26 @@ def test_media_features(media):
     assert 0.0 <= row["brightness"] <= 255.0
     assert row["px_min"] <= row["brightness"] <= row["px_max"]
     assert row["contrast"] >= 0.0
+
+
+def test_media_phash_pairs_recover_planted_reuploads(spark):
+    """The banded Hamming join must find every planted re-upload
+    (trimmed video at Hamming 0; first-byte-decremented image at <=3)
+    and the candidate join must be an equi-join on (band, chunk)."""
+    from pyspark.sql import functions as F
+
+    from miletos_spark.plans.driver_queries import q_media_near_dup
+
+    pairs = q_media_near_dup(spark, "unused")
+    rows = pairs.collect()
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    for mid in range(64):
+        assert (mid, mid + 1000) in got, f"planted copy of {mid} missed"
+    # video copies are byte-equal to their source frames -> Hamming 0
+    vid0 = [
+        r for r in rows
+        if r["id_b"] == r["id_a"] + 1000 and r["id_a"] % 3 == 0
+    ]
+    assert vid0 and all(r["hamming"] == 0 for r in vid0)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
