@@ -183,3 +183,112 @@ def score_linear_probe(
         f"(({probe_score_expr(d)}) > CAST(0.0 AS DOUBLE)) AS pred",
         "CAST(y AS INT) AS label",
     )
+
+
+# --- IRLS logistic probe (r9) -----------------------------------------------
+
+#: eta clamp for the IRLS sigmoid: keeps p in [~2e-6, 1-2e-6] so the
+#: working weight s = p(1-p) never rounds to zero on separable data
+#: (standard IRLS safeguarding; written as a shared SQL literal).
+IRLS_ETA_CLAMP_SQL = "13.0"
+
+#: fixed IRLS iteration count — the oracle replays exactly this many
+#: reweighted passes, so the count is part of the checked contract.
+IRLS_ITERS = 3
+
+
+def irls_row_exprs(d: int = 6) -> "list[str]":
+    """Engine-shared per-row strings for one IRLS pass over a row that
+    already carries the current weights w0..w{d-1}: the linear
+    predictor eta (the probe's scoring chain), the CLAMPED rounded
+    sigmoid p, the working weight s = p(1-p) and working response
+    z = eta + (y01 - p)/s. Two quantization guards make the only
+    libm-dependent op (exp) hash-safe: eta is clamped to ±13 before
+    exp, and p is rounded at 12 decimals — a 1-ulp cross-engine exp
+    divergence flips the rounded p only within ~1e-16 of a 5e-13
+    boundary, and the corpus is frozen, so agreement is checked, not
+    hoped for (sigmoid values are irrational: no terminating-decimal
+    tie class). Returned as two sequential projections (eta must be a
+    real attribute before p references it)."""
+    eta = probe_score_expr(d)
+    c = IRLS_ETA_CLAMP_SQL
+    clamp = (
+        f"least(greatest(eta, CAST(-{c} AS DOUBLE)), CAST({c} AS DOUBLE))"
+    )
+    return [
+        f"({eta}) AS eta",
+        f"round(1.0 / (1.0 + exp(-({clamp}))), 12) AS p",
+    ]
+
+
+IRLS_S_EXPR = "(p * (1.0 - p))"
+IRLS_Z_EXPR = (
+    "(eta + (((CAST(y AS DOUBLE) + 1.0) / 2.0) - p) / (p * (1.0 - p)))"
+)
+
+
+def irls_moment_prods(d: int = 6) -> "dict[str, str]":
+    """Engine-shared PRODUCT strings for the weighted Gram moments:
+    m_i_j = s * x_i * x_j and rhs_i = s * x_i * z, with
+    x_0 = CAST(1.0 AS DOUBLE) (the intercept). Both engines wrap these
+    identical strings in their own order-independent decimal-sum
+    spelling (Spark cast(decimal(38,18)); DuckDB the VARCHAR-hop) —
+    the repo's box-aggregation convention."""
+    xs = ["CAST(1.0 AS DOUBLE)"] + [f"x{i}" for i in range(1, d)]
+    prods = {}
+    for i in range(d):
+        for j in range(d):
+            a, b = min(i, j), max(i, j)
+            prods[f"a_{i}_{j}"] = f"(s * {xs[a]} * {xs[b]})"
+        prods[f"a_{i}_{d}"] = f"(s * {xs[i]} * z)"
+    return prods
+
+
+def train_logistic_probe_irls(
+    feats: DataFrame, d: int = 6, iters: int = IRLS_ITERS
+) -> DataFrame:
+    """LOGISTIC probe via IRLS — `iters` fixed reweighted Gram-moment
+    passes, each one the existing single-aggregation shape with a
+    weight column, plus the SAME engine-shared Gauss-Jordan solve as
+    the least-squares probe (`gauss_jordan_steps`, reused verbatim).
+
+    Starts from w = 0 (p = 0.5 exactly, so pass 1 degenerates to the
+    least-squares system on response 2y — the standard IRLS start);
+    each pass scores the corpus with the current 1-row weights frame
+    (broadcast), computes the per-row working weight/response with
+    `irls_row_exprs` (clamped, quantized sigmoid — the only exp in
+    the repo's checked surface), aggregates the weighted moments as
+    order-independent decimal sums, and re-solves. Corpus passes:
+    `iters`; nothing else is iterative. Returns the 1-row weights
+    frame w0..w{d-1}."""
+    sp = feats.sparkSession
+    w = sp.range(1).selectExpr(
+        *[f"CAST(0.0 AS DOUBLE) AS w{i}" for i in range(d)]
+    )
+    prods = irls_moment_prods(d)
+    for _ in range(iters):
+        scored = feats.crossJoin(F.broadcast(w))
+        base = [f"x{i}" for i in range(1, d)] + ["y"]
+        scored = scored.selectExpr(*base, "w0",
+                                   *[f"w{i}" for i in range(1, d)],
+                                   irls_row_exprs(d)[0])
+        scored = scored.selectExpr(*base, "eta", irls_row_exprs(d)[1])
+        scored = scored.selectExpr(
+            *base, "eta", "p",
+            f"{IRLS_S_EXPR} AS s", f"{IRLS_Z_EXPR} AS z",
+        )
+        aggs = []
+        for i in range(d):
+            for j in range(d + 1):
+                nm = f"a_{i}_{j}"
+                m = F.sum(
+                    F.expr(prods[nm]).cast("decimal(38,18)")
+                ).cast("double")
+                if i == j:
+                    m = m + F.expr(f"CAST({PROBE_RIDGE_SQL} AS DOUBLE)")
+                aggs.append(m.alias(nm))
+        m_row = scored.agg(*aggs)
+        for step in gauss_jordan_steps(d):
+            m_row = m_row.selectExpr(*step)
+        w = m_row
+    return w

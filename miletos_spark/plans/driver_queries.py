@@ -1830,6 +1830,145 @@ FROM scored
 """
 
 
+def q_probe_irls_eval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOGISTIC probe via IRLS (r9, VERDICT r8 stretch #8): 3 fixed
+    reweighted Gram-moment passes — each the existing one-pass
+    aggregation with a working-weight column — and the SAME
+    engine-shared Gauss-Jordan solve, then the confusion matrix of
+    the logistic probe against the training labels NEXT TO its delta
+    vs the least-squares probe (same labels, same features, same
+    threshold). All outputs exact integers. The oracle replays the
+    identical fixed iteration count with the identical clamped,
+    12-decimal-quantized sigmoid strings — the repo's only exp on a
+    checked surface, made hash-safe by the quantize guard (see
+    classifier.irls_row_exprs)."""
+    from miletos_spark.pipeline.classifier import (
+        probe_features,
+        score_linear_probe,
+        train_linear_probe,
+        train_logistic_probe_irls,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = probe_features(docs, _probe_label())
+    ir = score_linear_probe(feats, train_logistic_probe_irls(feats))
+    ls = score_linear_probe(feats, train_linear_probe(feats))
+
+    def cm(out: DataFrame, sfx: str) -> DataFrame:
+        pos = F.col("label") > 0
+        return out.agg(
+            F.sum((F.col("pred") & pos).cast("long")).alias("tp" + sfx),
+            F.sum((F.col("pred") & ~pos).cast("long")).alias("fp" + sfx),
+            F.sum((~F.col("pred") & pos).cast("long")).alias("fn" + sfx),
+            F.sum((~F.col("pred") & ~pos).cast("long")).alias("tn" + sfx),
+        )
+
+    return cm(ir, "").crossJoin(cm(ls, "_ls")).select(
+        "tp", "fp", "fn", "tn",
+        (F.col("tp") - F.col("tp_ls")).alias("d_tp"),
+        (F.col("fp") - F.col("fp_ls")).alias("d_fp"),
+        (F.col("fn") - F.col("fn_ls")).alias("d_fn"),
+        (F.col("tn") - F.col("tn_ls")).alias("d_tn"),
+    )
+
+
+def _sql_probe_irls_ctes() -> str:
+    """IRLS oracle chain: wt_0 = 0, then per fixed iteration the
+    shared per-row strings (eta / clamped quantized sigmoid / working
+    weight+response), the weighted decimal Gram moments (shared
+    product strings, VARCHAR-hop decimal sums), and the shared
+    Gauss-Jordan steps. Final weights CTE: `wti`."""
+    from miletos_spark.pipeline.classifier import (
+        IRLS_ITERS,
+        IRLS_S_EXPR,
+        IRLS_Z_EXPR,
+        PROBE_RIDGE_SQL,
+        gauss_jordan_steps,
+        irls_moment_prods,
+        irls_row_exprs,
+    )
+
+    d = 6
+    rows = irls_row_exprs(d)
+    prods = irls_moment_prods(d)
+    steps = gauss_jordan_steps(d)
+    xcols = ", ".join(f"x{i}" for i in range(1, d))
+    chain = [
+        "wt_0 AS (SELECT "
+        + ", ".join(f"CAST(0.0 AS DOUBLE) AS w{i}" for i in range(d))
+        + ")"
+    ]
+    prev_w = "wt_0"
+    for k in range(1, IRLS_ITERS + 1):
+        chain.append(
+            f"sa{k} AS (SELECT {xcols}, y, {rows[0]} "
+            f"FROM x CROSS JOIN {prev_w})"
+        )
+        chain.append(
+            f"sb{k} AS (SELECT {xcols}, y, eta, {rows[1]} FROM sa{k})"
+        )
+        chain.append(
+            f"sc{k} AS (SELECT {xcols}, y, eta, p, {IRLS_S_EXPR} AS s, "
+            f"{IRLS_Z_EXPR} AS z FROM sb{k})"
+        )
+        moments = []
+        for i in range(d):
+            for j in range(d + 1):
+                nm = f"a_{i}_{j}"
+                m = (
+                    f"CAST(sum(CAST(CAST({prods[nm]} AS VARCHAR)"
+                    f" AS DECIMAL(38,18))) AS DOUBLE)"
+                )
+                if i == j:
+                    m = f"{m} + CAST({PROBE_RIDGE_SQL} AS DOUBLE)"
+                moments.append(f"{m} AS {nm}")
+        chain.append(f"mi{k} AS (SELECT {', '.join(moments)} FROM sc{k})")
+        prev = f"mi{k}"
+        for si, step in enumerate(steps[:-1]):
+            chain.append(
+                f"gi{k}_{si} AS (SELECT {', '.join(step)} FROM {prev})"
+            )
+            prev = f"gi{k}_{si}"
+        wname = f"wt_{k}" if k < IRLS_ITERS else "wti"
+        chain.append(f"{wname} AS (SELECT {', '.join(steps[-1])} FROM {prev})")
+        prev_w = wname
+    return ",\n".join(chain)
+
+
+def _sql_probe_irls_eval() -> str:
+    from miletos_spark.pipeline.classifier import probe_score_expr
+
+    s = probe_score_expr()
+    return f"""
+WITH {_sql_probe_ctes()},
+{_sql_probe_irls_ctes()},
+sc_ir AS (
+  SELECT (({s}) > CAST(0.0 AS DOUBLE)) AS pred, y > 0 AS pos
+  FROM x CROSS JOIN wti),
+sc_ls AS (
+  SELECT (({s}) > CAST(0.0 AS DOUBLE)) AS pred, y > 0 AS pos
+  FROM x CROSS JOIN wt),
+ci AS (
+  SELECT
+    CAST(sum(CASE WHEN pred AND pos THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(sum(CASE WHEN pred AND NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(sum(CASE WHEN NOT pred AND pos THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+    CAST(sum(CASE WHEN NOT pred AND NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM sc_ir),
+cl AS (
+  SELECT
+    CAST(sum(CASE WHEN pred AND pos THEN 1 ELSE 0 END) AS BIGINT) AS tp_ls,
+    CAST(sum(CASE WHEN pred AND NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS fp_ls,
+    CAST(sum(CASE WHEN NOT pred AND pos THEN 1 ELSE 0 END) AS BIGINT) AS fn_ls,
+    CAST(sum(CASE WHEN NOT pred AND NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS tn_ls
+  FROM sc_ls)
+SELECT tp, fp, fn, tn,
+       tp - tp_ls AS d_tp, fp - fp_ls AS d_fp,
+       fn - fn_ls AS d_fn, tn - tn_ls AS d_tn
+FROM ci CROSS JOIN cl
+"""
+
+
 def _sql_probe_raw_cte(src: str, name: str) -> str:
     """Raw feature-ingredient columns over (doc_id, text) rows of
     `src` — one copy of the regex strings, shared by the batch train
@@ -9202,6 +9341,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r09: media near-dup tier (payload-level planted re-uploads →
     # decode → per-frame pHash → banded Hamming)
     "media_near_dup": q_media_near_dup,
+    # r09: IRLS logistic probe eval (confusion matrix + delta vs LS)
+    "probe_irls_eval_docs": q_probe_irls_eval_docs,
     # r08 evictions: green in both r06 and r07
     "transit_epochs_events": q_transit_epochs_events,
     "rolling_std_peakcut_events": q_rolling_std_peakcut_events,
@@ -9295,6 +9436,7 @@ def _oracles() -> dict[str, str]:
         "probe_eval_docs": _sql_probe_eval(),
         "bpe_train_encode_docs": _sql_bpe_train_encode(),
         "media_near_dup": SQL_MEDIA_NEAR_DUP,
+        "probe_irls_eval_docs": _sql_probe_irls_eval(),
         "pii_scrub_docs": _sql_pii(),
         "dedup_lines_docs": SQL_DEDUP_LINES_DOCS,
         "split_assign_docs": SQL_SPLIT_ASSIGN_DOCS,

@@ -124,3 +124,84 @@ def test_stream_scoring_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_irls_probe_matches_exact_python_replay(spark, sf_dir):
+    """The IRLS weights must be BIT-IDENTICAL to an independent
+    pure-Python replay of the declared algorithm: fixed 3 passes,
+    left-associated eta chain, +/-13 clamp, 12-decimal-rounded
+    sigmoid, shortest-repr decimal(38,18) sums (Decimal(repr(x)) is
+    exactly Spark's double->decimal cast), ridge, and the same
+    pivot-free Gauss-Jordan order. Pins every IEEE op the engine-
+    shared strings promise."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from miletos_spark.pipeline.classifier import (
+        IRLS_ITERS,
+        probe_features,
+        train_logistic_probe_irls,
+    )
+    from miletos_spark.plans.driver_queries import _probe_label
+    from miletos_spark.schema import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = probe_features(docs, _probe_label())
+    got = train_logistic_probe_irls(feats).first()
+
+    rows = [
+        (1.0, r["x1"], r["x2"], r["x3"], r["x4"], r["x5"], r["y"])
+        for r in feats.collect()
+    ]
+    d = 6
+    w = [0.0] * d
+    for _ in range(IRLS_ITERS):
+        a = [[Decimal(0)] * (d + 1) for _ in range(d)]
+        for x0, x1, x2, x3, x4, x5, y in rows:
+            xs = (x0, x1, x2, x3, x4, x5)
+            eta = w[0]
+            for i in range(1, d):
+                eta = eta + w[i] * xs[i]
+            cl = min(max(eta, -13.0), 13.0)
+            sig = 1.0 / (1.0 + math.exp(-cl))
+            # Spark round(x, 12) = BigDecimal.valueOf(x) (shortest
+            # repr) setScale(12, HALF_UP) — NOT Python's binary round
+            p = float(
+                Decimal(repr(sig)).quantize(
+                    Decimal("1e-12"), ROUND_HALF_UP
+                )
+            )
+            s = p * (1.0 - p)
+            z = eta + (((y + 1.0) / 2.0) - p) / (p * (1.0 - p))
+
+            def dec18(v: float) -> Decimal:
+                # Spark cast(double as decimal(38,18)): shortest repr,
+                # then scale-18 HALF_UP — each TERM truncates before
+                # the sum, not just the total
+                return Decimal(repr(v)).quantize(
+                    Decimal("1e-18"), ROUND_HALF_UP
+                )
+
+            for i in range(d):
+                for j in range(d):
+                    lo, hi = min(i, j), max(i, j)
+                    a[i][j] += dec18((s * xs[lo]) * xs[hi])
+                a[i][d] += dec18((s * xs[i]) * z)
+        m = [
+            [
+                float(a[i][j]) + (1e-3 if i == j else 0.0)
+                for j in range(d + 1)
+            ]
+            for i in range(d)
+        ]
+        for k in range(d):
+            nxt = [row[:] for row in m]
+            for i in range(d):
+                if i == k:
+                    continue
+                for j in range(d + 1):
+                    nxt[i][j] = m[i][j] - (m[i][k] / m[k][k]) * m[k][j]
+            m = nxt
+        w = [m[j][d] / m[j][j] for j in range(d)]
+    for i in range(d):
+        assert got[f"w{i}"] == w[i], (i, got[f"w{i}"], w[i])
