@@ -148,6 +148,14 @@ HEADLINE = [
     "linear_probe_docs",
     "stream_probe_score_docs",
     "semantic_dedup_embeddings",
+    # round-9: UTF-8 lossless roundtrip, trainer→encoder lifecycle,
+    # media pHash near-dup, IRLS logistic probe eval, streaming
+    # semantic dedup (two-level quantizer)
+    "bpe_roundtrip_docs",
+    "bpe_train_encode_docs",
+    "media_near_dup",
+    "probe_irls_eval_docs",
+    "stream_semantic_dedup_embeddings",
 ]
 
 # Queries that probe a WRITE-TIME LANDED index (built by the ingest
@@ -169,6 +177,7 @@ LANDED_INDEX_PROBES = {
     "ivfpq_recall_topk",
     "stream_near_dup_docs",
     "semantic_dedup_embeddings",
+    "stream_semantic_dedup_embeddings",
 }
 
 

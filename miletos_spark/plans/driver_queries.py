@@ -9244,18 +9244,31 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_encode_docs": q_bpe_encode_docs,
     "stream_curation_docs": q_stream_curation_docs,
     "vocab_coverage_bpe_docs": q_vocab_coverage_bpe_docs,
-    # promoted: never-driver-checked until now
-    "lm_score_docs": q_lm_score_docs,
-    "chunk_docs": q_chunk_docs,
+    # r09 rotation (VERDICT r8 asks #2/#3/#5 + stretch #8): promoted
+    # the two entries that had never had a driver row
+    # (bpe_roundtrip_docs — now UTF-8 byte fallback — and
+    # probe_eval_docs) plus the three NEW r9 capabilities
+    # (bpe_train_encode_docs trainer→encoder lifecycle, media_near_dup
+    # pHash banded Hamming, probe_irls_eval_docs logistic IRLS).
+    # Evicted five rows green in BOTH r07 and r08 whose machinery
+    # stays covered in-window: lm_score_docs (unigram chain is the
+    # base case of the checked bigram/trigram rows), chunk_docs
+    # (chunking runs inside doc_embed_docs), vocab_coverage_docs
+    # (whitespace twin of vocab_coverage_bpe_docs),
+    # pack_sequences_docs (whitespace twin of pack_sequences_bpe_docs
+    # + the packing machinery inside stream_pack_shards_docs),
+    # jsonl_ingest_docs (JSON-path machinery in json_props_events).
+    "bpe_roundtrip_docs": q_bpe_roundtrip_docs,
+    "probe_eval_docs": q_probe_eval_docs,
     "rp_project_embeddings": q_rp_project_embeddings,
     "tfidf_topk_docs": q_tfidf_topk_docs,
-    "vocab_coverage_docs": q_vocab_coverage_docs,
+    "bpe_train_encode_docs": q_bpe_train_encode_docs,
     "doc_embed_docs": q_doc_embed_docs,
     "substring_dedup_docs": q_substring_dedup_docs,
     "training_shards_docs": q_training_shards_docs,
-    "jsonl_ingest_docs": q_jsonl_ingest_docs,
+    "media_near_dup": q_media_near_dup,
     "mixture_sample_docs": q_mixture_sample_docs,
-    "pack_sequences_docs": q_pack_sequences_docs,
+    "probe_irls_eval_docs": q_probe_irls_eval_docs,
     "decontaminate_docs": q_decontaminate_docs,
     "ivfpq_recovery_topk": q_ivfpq_recovery_topk,
     "brightness_temp_events": q_brightness_temp_events,
@@ -9331,18 +9344,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rebin_count_events": q_rebin_count_events,
     "text_stats_docs": q_text_stats_docs,
     "stream_near_dup_docs": q_stream_near_dup_docs,
-    # r08 latest addition (oracle-backed, judge-sweep; window already
-    # rotated twice this round — drive in r09)
-    "bpe_roundtrip_docs": q_bpe_roundtrip_docs,
-    "probe_eval_docs": q_probe_eval_docs,
-    # r09: on-cluster train→freeze→encode lifecycle (registered here
-    # pending the end-of-round window rotation)
-    "bpe_train_encode_docs": q_bpe_train_encode_docs,
-    # r09: media near-dup tier (payload-level planted re-uploads →
-    # decode → per-frame pHash → banded Hamming)
-    "media_near_dup": q_media_near_dup,
-    # r09: IRLS logistic probe eval (confusion matrix + delta vs LS)
-    "probe_irls_eval_docs": q_probe_irls_eval_docs,
+    # r09 evictions: green in both r07 and r08, machinery covered
+    # in-window (see the rotation comment above)
+    "lm_score_docs": q_lm_score_docs,
+    "chunk_docs": q_chunk_docs,
+    "vocab_coverage_docs": q_vocab_coverage_docs,
+    "pack_sequences_docs": q_pack_sequences_docs,
+    "jsonl_ingest_docs": q_jsonl_ingest_docs,
     # r08 evictions: green in both r06 and r07
     "transit_epochs_events": q_transit_epochs_events,
     "rolling_std_peakcut_events": q_rolling_std_peakcut_events,

@@ -54,6 +54,16 @@ def test_window_rotation_is_deliberate():
     # carried into r09. Evicted six r06+r07-doubly-green rows with
     # operators untouched in r08 (see the registry comment for the
     # machinery-coverage argument per evictee).
+    # r09 rotation: promoted the two never-driver-checked entries
+    # (bpe_roundtrip_docs — now UTF-8 —, probe_eval_docs) and the
+    # three NEW r9 capabilities (bpe_train_encode_docs lifecycle,
+    # media_near_dup pHash banded Hamming, probe_irls_eval_docs IRLS
+    # logistic). Evicted five r07+r08-doubly-green rows whose
+    # machinery stays covered in-window: lm_score (base case of the
+    # checked bigram/trigram LMs), chunk (inside doc_embed),
+    # vocab_coverage + pack_sequences (whitespace twins of the
+    # checked BPE variants; packing also inside stream_pack_shards),
+    # jsonl_ingest (JSON-path machinery in json_props_events).
     assert window == [
         "population_nm_recovery_events", "dedup_lines_docs", "near_dup_clusters",
         "ivfpq_recall_topk", "stream_ls_keyed_events", "bls_multires_events",
@@ -64,12 +74,12 @@ def test_window_rotation_is_deliberate():
         "substring_removal_docs", "lm_bigram_score_docs", "bpe_tokenize_docs",
         "pack_sequences_bpe_docs", "stream_flare_keyed_events", "lm_trigram_score_docs",
         "stream_pack_shards_docs", "bpe_encode_production_docs", "bpe_encode_docs",
-        "stream_curation_docs", "vocab_coverage_bpe_docs", "lm_score_docs",
-        "chunk_docs", "rp_project_embeddings", "tfidf_topk_docs", "vocab_coverage_docs",
-        "doc_embed_docs", "substring_dedup_docs", "training_shards_docs",
-        "jsonl_ingest_docs", "mixture_sample_docs", "pack_sequences_docs",
-        "decontaminate_docs", "ivfpq_recovery_topk", "brightness_temp_events",
-        "albedo_recirc_events", "visibility_events", "stream_trigger_clusters_events",
-        "stream_rebin_events", "json_props_events", "fits_ingest_events",
-        "qlp_ingest_events", "csv_ingest_events",
+        "stream_curation_docs", "vocab_coverage_bpe_docs", "bpe_roundtrip_docs",
+        "probe_eval_docs", "rp_project_embeddings", "tfidf_topk_docs",
+        "bpe_train_encode_docs", "doc_embed_docs", "substring_dedup_docs",
+        "training_shards_docs", "media_near_dup", "mixture_sample_docs",
+        "probe_irls_eval_docs", "decontaminate_docs", "ivfpq_recovery_topk",
+        "brightness_temp_events", "albedo_recirc_events", "visibility_events",
+        "stream_trigger_clusters_events", "stream_rebin_events", "json_props_events",
+        "fits_ingest_events", "qlp_ingest_events", "csv_ingest_events",
     ]
