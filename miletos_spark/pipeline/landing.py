@@ -278,8 +278,9 @@ def land_ivf2_index(
     ≤65536 vectors is pulled to the driver once; ~√k coarse
     super-centers are fit on it (seeded numpy Lloyd's — no pyspark.ml,
     whose fits poison later same-JVM stream timings), then each
-    super-cell's ~k/√k fine centers are fit on that super's sample
-    members. Per-super fine fits are mutually independent — at true
+    super-cell's fine centers — budgeted PROPORTIONAL to its sample
+    share, so coarse imbalance cannot inflate fine-cell occupancy —
+    are fit on that super's sample members. Per-super fine fits are mutually independent — at true
     scale they parallelize as one applyInPandas over supers; the
     driver loop here is the local[32]-scale form of the same plan.
     Sample-trained quantizers are the standard IVF recipe (FAISS
@@ -298,8 +299,11 @@ def land_ivf2_index(
 
     from miletos_spark.pipeline.similarity import assign_cells_2l
 
+    # v2: share-proportional fine budgets (the tag versions the
+    # TRAINING ALGORITHM — a recipe change must invalidate memoized
+    # landings, or probes silently read stale quantizers)
     src = os.path.join(sf_dir, "embeddings.parquet")
-    root = _index_root(src, f"ivf2_{n_clusters}s{seed}")
+    root = _index_root(src, f"ivf2v2_{n_clusters}s{seed}")
     paths = {"cells": os.path.join(root, "cells"),
              "coarse": os.path.join(root, "coarse"),
              "fine": os.path.join(root, "fine")}
@@ -327,7 +331,6 @@ def land_ivf2_index(
         )
     pts = np.asarray([r["_v"] for r in sample], dtype=np.float64)
     k_c = max(1, math.isqrt(max(0, n_clusters - 1)) + 1)  # ceil(sqrt)
-    k_f = max(1, -(-n_clusters // k_c))                   # ceil(k/k_c)
     coarse_c = _lloyd(pts, k_c, seed)
     d2 = ((pts[:, None, :] - coarse_c[None, :, :]) ** 2).sum(axis=2)
     a = d2.argmin(axis=1)
@@ -342,7 +345,15 @@ def land_ivf2_index(
             # cell, so every super remains probe-able
             fine_rows.append((s, 0, coarse_rows[s][1]))
             continue
-        fc = _lloyd(members, k_f, seed + 1 + s)
+        # fine budget PROPORTIONAL to the super's sample share — an
+        # equal k/k_c split leaves a fat coarse cell (coarse Voronoi
+        # regions in high-dim mixtures are very uneven) with fine
+        # cells far over the occupancy target: measured one
+        # 4,706-row cell (target 64) and a ×13 10×-corpus factor on
+        # the mixed-distribution probe corpus before this was
+        # share-weighted
+        k_f_s = max(1, round(n_clusters * len(members) / len(pts)))
+        fc = _lloyd(members, k_f_s, seed + 1 + s)
         fine_rows += [
             (s, int(j), [float(x) for x in c]) for j, c in enumerate(fc)
         ]

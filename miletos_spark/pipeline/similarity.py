@@ -926,18 +926,58 @@ def semantic_dedup_pairs_2l(
     A pair dupes across at most n_probe² buckets, which keeps the
     verify-inside-the-join-stage stance from the single-level path
     (never shuffle candidates still carrying their vectors; dedup only
-    the tiny above-threshold survivor set). Returns
+    the tiny above-threshold survivor set).
+
+    OCCUPANCY MATH IS BUCKET-COUNT-AWARE: each vector lands in up to
+    n_probe² = 4 buckets (the single-level path probed 2), so the
+    caller must size the quantizer at cells ≈ n/64 — not the
+    single-level n/256 — to keep total candidate work at the same
+    ~512·n pairs (candidates = (n_probe²·n)²/(2·cells); measured ×3.5
+    wall at the old cell count before this was accounted for). The
+    assignment is cached: the self-join would otherwise recompute the
+    two-level ranking once per side.
+
+    The within-bucket self-join is BLOCK-DECOMPOSED: rows get a
+    block id (row_number within bucket / B) and the left side
+    explodes to every partner block ≥ its own, so the join key is
+    (super, fine, partner-block) and no single task ever carries more
+    than ~nblk·B² pairs of one bucket. Without this, a HUB cell (in
+    high-dimensional data every vector's 2nd-choice cells concentrate
+    on 'central' centroids — the quantizer cannot prevent it) owns
+    its whole occ²/2 pair block in one task: measured 4 tail tasks
+    carrying 11M of 15M pairs, 71 s → 26 s at 10× corpus with B=128.
+    Blocks are id-ordered, so cross-block pairs already satisfy
+    id_a < id_b; the filter only dedups within-block pairs. Small
+    cells have nblk=1 and pay nothing. Returns
     (id_a, id_b, cos_sim), id_a < id_b."""
+    from pyspark.sql import Window
+
+    B = 128
     assigned = assign_cells_2l(
         df, coarse, fine, id_col, vec_col, n_probe, n_probe
+    ).cache()
+    w = Window.partitionBy("super", "fine").orderBy("_id")
+    blocked = assigned.withColumn(
+        "_blk", F.floor((F.row_number().over(w) - 1) / B).cast("int")
     )
-    left = assigned.select(
-        "super", "fine", F.col("_id").alias("id_a"), F.col("_v").alias("va")
+    nblk = blocked.groupBy("super", "fine").agg(
+        (F.max("_blk") + 1).alias("_nb")
     )
-    right = assigned.select(
-        "super", "fine", F.col("_id").alias("id_b"), F.col("_v").alias("vb")
+    left = (
+        blocked.join(nblk, ["super", "fine"])
+        .withColumn(
+            "_pb", F.explode(F.sequence(F.col("_blk"), F.col("_nb") - 1))
+        )
+        .select(
+            "super", "fine", "_pb",
+            F.col("_id").alias("id_a"), F.col("_v").alias("va"),
+        )
     )
-    cand = left.join(right, ["super", "fine"]).filter(
+    right = blocked.select(
+        "super", "fine", F.col("_blk").alias("_pb"),
+        F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
+    )
+    cand = left.join(right, ["super", "fine", "_pb"]).filter(
         F.col("id_a") < F.col("id_b")
     )
     return (

@@ -6440,12 +6440,19 @@ def q_semantic_dedup_embeddings(
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # Occupancy-bounded quantizer: k grows with the corpus so per-cell
-    # pairwise work stays ~256²/2 per cell and TOTAL verify work stays
-    # ~linear (SemDeDup's own k ∝ n stance). A fixed k=8 at 10× corpus
-    # was measured as a timeout: within-cell candidates grow n²/k, and
-    # the cosine verify is an interpreted higher-order fold.
-    k = max(8, emb.count() // 256)
+    # Occupancy-bounded quantizer, BUCKET-COUNT-AWARE (r9): k grows
+    # with the corpus so TOTAL verify work stays ~linear (SemDeDup's
+    # own k ∝ n stance; a fixed k=8 at 10× corpus was measured as a
+    # timeout). The divisor is tuned for the 4-bucket 2×2 probing:
+    # measured 1×/10× walls 11.8/71.3 s at n/64, 5.2/10.6 at n/32,
+    # 2.5/5.1 at n/16 (candidates = 16n²/(2·cells); the cosine verify
+    # is the interpreted cost center, so finer cells win until
+    # assignment dominates). Recovery of NEAR-IDENTICAL pairs is
+    # cell-size-independent (top-2-per-level intersection); pairs
+    # merely NEAR the 0.9 threshold can cross cells in any
+    # quantizer-bucketed scheme at any k — the trade SemDeDup itself
+    # accepts, unchanged from the single-level form.
+    k = max(8, emb.count() // 16)
     paths = land_ivf2_index(spark, sf_dir, n_clusters=k)
     coarse = spark.read.parquet(paths["coarse"])
     fine = spark.read.parquet(paths["fine"])
@@ -6548,7 +6555,9 @@ def q_stream_semantic_dedup_embeddings(
     from miletos_spark.streaming.ingest import stream_semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    k = max(8, emb.count() // 256)
+    # n/16: bucket-count-aware occupancy tuned with the batch twin —
+    # arrivals probe 4 buckets against top-1-landed members
+    k = max(8, emb.count() // 16)
     paths = land_ivf2_index(spark, sf_dir, n_clusters=k)
     coarse = spark.read.parquet(paths["coarse"])
     fine = spark.read.parquet(paths["fine"])

@@ -62,7 +62,7 @@ def main() -> None:
     # fit, but kept in the ingest JVM like every other landing)
     from miletos_spark.pipeline.landing import land_ivf2_index
     from miletos_spark.schema import load_table as _lt
-    k_sem = max(8, _lt(spark, sf_dir, "embeddings").count() // 256)
+    k_sem = max(8, _lt(spark, sf_dir, "embeddings").count() // 16)
     timed("ingest:land_semdedup_index", land_ivf2_index, spark, sf_dir,
           n_clusters=k_sem, overwrite=True)
     timed("ingest:land_pq_index", land_pq_index, spark, sf_dir,

@@ -93,7 +93,9 @@ def main() -> None:
             if len(members) == 0:
                 fine_rows.append((s, 0, [float(x) for x in coarse_c[s]]))
                 continue
-            fc = _lloyd_centers(members, k_f, seed=43 + s)
+            # share-proportional fine budget (land_ivf2_index recipe)
+            k_f_s = max(1, round(k * len(members) / len(pts)))
+            fc = _lloyd_centers(members, k_f_s, seed=43 + s)
             fine_rows += [
                 (s, int(j), [float(x) for x in c]) for j, c in enumerate(fc)
             ]
