@@ -154,6 +154,7 @@ HEADLINE = [
     "bpe_roundtrip_docs",
     "bpe_train_encode_docs",
     "media_near_dup",
+    "stream_media_near_dup",
     "probe_irls_eval_docs",
     "stream_semantic_dedup_embeddings",
 ]
@@ -178,6 +179,7 @@ LANDED_INDEX_PROBES = {
     "stream_near_dup_docs",
     "semantic_dedup_embeddings",
     "stream_semantic_dedup_embeddings",
+    "stream_media_near_dup",
 }
 
 

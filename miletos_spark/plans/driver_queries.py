@@ -5631,6 +5631,17 @@ def q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     media = synth_media(spark, n=64, frame_px=8)
+    allm = media.unionByName(_media_reuploads(media))
+    # no frame sampling: the trimmed-copy contract pairs copy frame f
+    # with source frame f+1, which every-k sampling would misalign
+    return media_phash_pairs(decode_media(allm), max_hamming=3)
+
+
+def _media_reuploads(media: DataFrame) -> DataFrame:
+    """The planted re-upload copies, built at the BINARY payload
+    level (ids +1000): videos trimmed by their first 64-byte frame,
+    images with the first byte saturating-decremented. Shared by the
+    batch near-dup row and the streaming arrivals landing."""
     vids = media.filter(F.col("kind") == "video").select(
         (F.col("media_id") + 1000).alias("media_id"),
         "kind",
@@ -5658,18 +5669,17 @@ def q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         "n_frames",
     )
-    allm = media.unionByName(vids).unionByName(imgs)
-    # no frame sampling: the trimmed-copy contract pairs copy frame f
-    # with source frame f+1, which every-k sampling would misalign
-    return media_phash_pairs(decode_media(allm), max_hamming=3)
+    return vids.unionByName(imgs)
 
 
 # Pixel-space replay of the payload-level planting: originals parse
 # from the repeated-md5 hex exactly as SQL_MEDIA_FEATURES; copies are
 # the same pixels trimmed (video, frame-1) or first-pixel-decremented
 # (image). Bits, means and Hamming are integer/rational-exact; the
-# all-pairs join doubles as the banding losslessness proof.
-SQL_MEDIA_NEAR_DUP = """
+# all-pairs join doubles as the banding losslessness proof. The CTE
+# body is shared with the streaming twin's oracle (same pair set,
+# arrival-vs-landed column orientation).
+_SQL_MEDIA_ND_CTES = """
 WITH ids AS (SELECT range AS media_id FROM range(64)),
 m AS (
   SELECT media_id,
@@ -5711,12 +5721,125 @@ ham AS (
          b.media_id AS id_b, b.frame AS frame_b,
          sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS h
   FROM bits a JOIN bits b ON a.i = b.i AND a.media_id < b.media_id
-  GROUP BY 1, 2, 3, 4)
+  GROUP BY 1, 2, 3, 4)"""
+
+SQL_MEDIA_NEAR_DUP = _SQL_MEDIA_ND_CTES + """
 SELECT CAST(id_a AS BIGINT) AS id_a, frame_a,
        CAST(id_b AS BIGINT) AS id_b, frame_b,
        CAST(h AS INT) AS hamming
 FROM ham WHERE h <= 3
 """
+
+# The batch pair set is exactly (source, copy) — sources are 0..63 and
+# copies 1000+, and cross-random frames never reach Hamming <= 3 — so
+# the streaming arrival-vs-landed orientation is the same rows with
+# the copy side as the arrival.
+SQL_STREAM_MEDIA_NEAR_DUP = _SQL_MEDIA_ND_CTES + """
+SELECT CAST(id_b AS BIGINT) AS arrival_id, frame_b AS frame_a,
+       CAST(id_a AS BIGINT) AS matched_id, frame_a AS frame_b,
+       CAST(h AS INT) AS hamming
+FROM ham WHERE h <= 3
+"""
+
+
+def _land_media_phash_index(spark: SparkSession) -> str:
+    """Memoized frame-pHash BAND index over the synthetic media
+    corpus (the synth recipe is deterministic, so the memo key is a
+    recipe-version constant): decode → per-frame pHash → 4 × 16-bit
+    bands, landed partitioned by `band` — `land_dedup_index`'s layout
+    applied to the multimodal tier, so the streaming probe's band
+    join prunes its scan to the arriving bands' dirs."""
+    import os
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), "miletos_mediaidx_v1")
+    land = os.path.join(root, "bands")
+    done = os.path.join(root, "_SUCCESS_INDEX")
+    if not os.path.exists(done):
+        from miletos_spark.pipeline.multimodal import (
+            decode_media,
+            phash_frames,
+            synth_media,
+        )
+
+        fps = phash_frames(
+            decode_media(synth_media(spark, n=64, frame_px=8))
+        )
+        banded = fps.select(
+            "media_id",
+            "frame",
+            "phash_hex",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.substring(
+                                "phash_hex", 1 + 4 * b, 4
+                            ).alias("chunk"),
+                        )
+                        for b in range(4)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("media_id", "frame", "phash_hex", "bb.band", "bb.chunk")
+        banded.write.mode("overwrite").partitionBy("band").parquet(land)
+        with open(done, "w") as f:
+            f.write("ok")
+    return land
+
+
+def _land_media_arrivals(spark: SparkSession) -> str:
+    """The planted re-upload copies as a 2-file streaming feed (the
+    q_media_near_dup payload-level planting, shared via
+    `_media_reuploads`), so the probe spans micro-batches."""
+    import os
+    import tempfile
+
+    from miletos_spark.pipeline.multimodal import synth_media
+
+    root = os.path.join(tempfile.gettempdir(), "miletos_mediaarr_v1")
+    land = os.path.join(root, "data")
+    done = os.path.join(root, "_SUCCESS_INDEX")
+    if not os.path.exists(done):
+        media = synth_media(spark, n=64, frame_px=8)
+        _media_reuploads(media).repartition(2).write.mode(
+            "overwrite"
+        ).parquet(land)
+        with open(done, "w") as f:
+            f.write("ok")
+    return land
+
+
+def q_stream_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 media near-dup ONLINE (r9): re-upload detection on the
+    ingest firehose — the corpus' frame pHashes are banded and landed
+    once at ingest; each arriving payload is decoded (the mapInPandas
+    codec seam runs per micro-batch), pHashed, and band-joined
+    against the landed index; exact Hamming verify at ≤ 3 where the
+    4-band pigeonhole is lossless. Trimmed video re-uploads match
+    their source frames at Hamming 0, jittered images at small
+    Hamming. Stateless stream-static plan until the final pair dedup.
+    Oracle: the shared pixel-space replay, arrival-oriented."""
+    from miletos_spark.pipeline.multimodal import MEDIA_SCHEMA
+    from miletos_spark.streaming.ingest import stream_media_near_dup
+
+    bands = _land_media_phash_index(spark)
+    land = _land_media_arrivals(spark)
+    sdf = stream_media_near_dup(
+        spark,
+        land,
+        MEDIA_SCHEMA,
+        bands,
+        max_hamming=3,
+        max_files_per_trigger=1,
+    )
+    out = _drain_memory_stream(
+        spark, sdf, "stream_mediand_", output_mode="append"
+    )
+    return out.select(
+        "arrival_id", "frame_a", "matched_id", "frame_b", "hamming"
+    )
 
 
 # --- X2/X4 detrending + X6 interpolation ------------------------------------
@@ -9267,9 +9390,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # pack_sequences_docs (whitespace twin of pack_sequences_bpe_docs
     # + the packing machinery inside stream_pack_shards_docs),
     # jsonl_ingest_docs (JSON-path machinery in json_props_events).
+    # (second r9 promotion: stream_media_near_dup — the sixth new
+    # capability — replaces rp_project_embeddings, green r07+r08 and
+    # untouched in r9; its seeded hash-fold projection family stays
+    # covered by doc_embed_docs' hash_embed in-window)
     "bpe_roundtrip_docs": q_bpe_roundtrip_docs,
     "probe_eval_docs": q_probe_eval_docs,
-    "rp_project_embeddings": q_rp_project_embeddings,
+    "stream_media_near_dup": q_stream_media_near_dup,
     "tfidf_topk_docs": q_tfidf_topk_docs,
     "bpe_train_encode_docs": q_bpe_train_encode_docs,
     "doc_embed_docs": q_doc_embed_docs,
@@ -9355,6 +9482,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_near_dup_docs": q_stream_near_dup_docs,
     # r09 evictions: green in both r07 and r08, machinery covered
     # in-window (see the rotation comment above)
+    "rp_project_embeddings": q_rp_project_embeddings,
     "lm_score_docs": q_lm_score_docs,
     "chunk_docs": q_chunk_docs,
     "vocab_coverage_docs": q_vocab_coverage_docs,
@@ -9453,6 +9581,7 @@ def _oracles() -> dict[str, str]:
         "probe_eval_docs": _sql_probe_eval(),
         "bpe_train_encode_docs": _sql_bpe_train_encode(),
         "media_near_dup": SQL_MEDIA_NEAR_DUP,
+        "stream_media_near_dup": SQL_STREAM_MEDIA_NEAR_DUP,
         "probe_irls_eval_docs": _sql_probe_irls_eval(),
         "pii_scrub_docs": _sql_pii(),
         "dedup_lines_docs": SQL_DEDUP_LINES_DOCS,

@@ -793,6 +793,77 @@ def stream_pack_shards(
         )
 
 
+def stream_media_near_dup(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    landed_bands_path: str,
+    max_hamming: int = 3,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming MEDIA near-dup against a landed frame-pHash band
+    index — re-upload detection on the ingest firehose (r9): the
+    corpus' per-frame pHashes are banded and landed once at ingest
+    (partitioned by band, the `land_dedup_index` layout applied to
+    the multimodal tier); each ARRIVING media payload is decoded
+    (the mapInPandas codec seam runs fine inside a micro-batch),
+    pHashed per frame, and its 4 × 16-bit bands equi-join the landed
+    band dirs. Exact 64-bit Hamming verify keeps pairs at ≤
+    `max_hamming` (pigeonhole: the band join is lossless there). A
+    trimmed re-upload matches its source frames at Hamming 0; a
+    lightly re-encoded frame at small Hamming.
+
+    Stateless end to end until the final pair dedup: decode and
+    hashing are per-row, the band join is stream-static. Emits
+    (arrival_id, frame_a, matched_id, frame_b, hamming)."""
+    from miletos_spark.pipeline.dedup import simhash_hamming
+    from miletos_spark.pipeline.multimodal import decode_media, phash_frames
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_dir)
+    fps = phash_frames(decode_media(src))
+    banded = fps.select(
+        F.col("media_id").alias("arrival_id"),
+        F.col("frame").alias("frame_a"),
+        F.col("phash_hex").alias("fp_a"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring("phash_hex", 1 + 4 * b, 4).alias(
+                            "chunk"
+                        ),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("arrival_id", "frame_a", "fp_a", "bb.band", "bb.chunk")
+    landed = spark.read.parquet(landed_bands_path).select(
+        F.col("media_id").alias("matched_id"),
+        F.col("frame").alias("frame_b"),
+        F.col("phash_hex").alias("fp_b"),
+        F.col("band").cast("int").alias("band"),
+        "chunk",
+    )
+    # verify BEFORE the dedup: on a stream the dropDuplicates is keyed
+    # STATE, so it must hold only the (bounded) match set, not every
+    # band candidate — the opposite order from the batch LSH stance,
+    # for a state-size reason rather than a compute one (the Hamming
+    # verify is 4 cheap codegen terms; re-running it ×4 band dups is
+    # noise next to unbounded candidate state)
+    return (
+        banded.join(landed, ["band", "chunk"])
+        .withColumn("hamming", simhash_hamming(F.col("fp_a"), F.col("fp_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["arrival_id", "frame_a", "matched_id", "frame_b"])
+        .select("arrival_id", "frame_a", "matched_id", "frame_b", "hamming")
+    )
+
+
 def stream_semantic_dedup(
     spark: SparkSession,
     input_dir: str,

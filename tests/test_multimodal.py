@@ -94,3 +94,24 @@ def test_media_phash_pairs_recover_planted_reuploads(spark):
     assert vid0 and all(r["hamming"] == 0 for r in vid0)
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_stream_media_near_dup_equals_batch(spark):
+    """The streaming arrival-vs-landed drain must equal the batch
+    banded join reoriented (copy side as arrival) — same planted
+    re-uploads, same Hamming cut, bit-equal pair set."""
+    from miletos_spark.plans.driver_queries import (
+        q_media_near_dup,
+        q_stream_media_near_dup,
+    )
+
+    got = {
+        (r["arrival_id"], r["frame_a"], r["matched_id"], r["frame_b"],
+         r["hamming"])
+        for r in q_stream_media_near_dup(spark, "unused").collect()
+    }
+    batch = {
+        (r["id_b"], r["frame_b"], r["id_a"], r["frame_a"], r["hamming"])
+        for r in q_media_near_dup(spark, "unused").collect()
+    }
+    assert got == batch and len(got) > 0

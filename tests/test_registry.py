@@ -75,7 +75,7 @@ def test_window_rotation_is_deliberate():
         "pack_sequences_bpe_docs", "stream_flare_keyed_events", "lm_trigram_score_docs",
         "stream_pack_shards_docs", "bpe_encode_production_docs", "bpe_encode_docs",
         "stream_curation_docs", "vocab_coverage_bpe_docs", "bpe_roundtrip_docs",
-        "probe_eval_docs", "rp_project_embeddings", "tfidf_topk_docs",
+        "probe_eval_docs", "stream_media_near_dup", "tfidf_topk_docs",
         "bpe_train_encode_docs", "doc_embed_docs", "substring_dedup_docs",
         "training_shards_docs", "media_near_dup", "mixture_sample_docs",
         "probe_irls_eval_docs", "decontaminate_docs", "ivfpq_recovery_topk",

@@ -447,3 +447,56 @@ def test_land_ivf2_index_layout_and_assignment(spark, sf_dir):
         cands = sorted(fs[want_s])
         want_f = min(cands, key=lambda t: (((v - t[1]) ** 2).sum(), t[0]))[0]
         assert (row["_super"], row["_fine"]) == (want_s, want_f), row["vec_id"]
+
+
+def test_semantic_dedup_2l_block_join_equals_bruteforce(spark):
+    """With a degenerate 1-cell quantizer and >B rows, every pair is
+    co-bucketed and the block-decomposed self-join must reproduce the
+    brute-force above-threshold pair set EXACTLY (blocks change task
+    shapes, never results)."""
+    import numpy as np
+
+    from miletos_spark.pipeline.similarity import semantic_dedup_pairs_2l
+
+    rng = np.random.default_rng(5)
+    base = [
+        (i, [float(x) for x in rng.standard_normal(16)]) for i in range(150)
+    ]
+    # plant 30 jittered copies so the survivor set is non-trivial
+    planted = [
+        (i + 500, [x + 0.01 for x in v]) for i, v in base[:30]
+    ]
+    rows = base + planted
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    coarse = spark.createDataFrame(
+        [(0, [0.0] * 16)], "super int, center array<double>"
+    )
+    fine = spark.createDataFrame(
+        [(0, 0, [0.0] * 16)], "super int, fine int, center array<double>"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs_2l(
+            df, coarse, fine, threshold=0.9, n_probe=2
+        ).collect()
+    }
+    import math
+
+    def cos(u, v):
+        d = sum(a * b for a, b in zip(u, v))
+        return d / (
+            math.sqrt(sum(a * a for a in u)) * math.sqrt(sum(b * b for b in v))
+        )
+
+    want = {
+        (a, b)
+        for i, (a, u) in enumerate(rows)
+        for (b, v) in rows[i + 1:]
+        if a < b and cos(u, v) > 0.9
+    } | {
+        (min(a, b), max(a, b))
+        for i, (a, u) in enumerate(rows)
+        for (b, v) in rows[i + 1:]
+        if a > b and cos(u, v) > 0.9
+    }
+    assert got == want and len(got) >= 30
