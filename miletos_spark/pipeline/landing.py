@@ -387,6 +387,54 @@ def land_ivf2_index(
     return paths
 
 
+def update_ivf2_index(
+    spark: SparkSession,
+    paths: dict[str, str],
+    new_vecs: "DataFrame",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[str, str]:
+    """Incremental maintenance for the two-level quantizer index —
+    the embedding twin of `update_dedup_index`: append a new-vector
+    batch (a crawl increment) WITHOUT rebuilding. The quantizer
+    (coarse/fine tables) is FROZEN at first landing; the batch pays
+    only O(batch) assignment — top-1 at both levels through the
+    PERSISTED tables, i.e. bit-identically to how the original corpus
+    was assigned — plus a partition-append into the `_super` dirs, so
+    every reader (the batch pair join, the streaming arrival probe)
+    sees the grown index with no migration step.
+
+    Occupancy drift is the caller's rebuild trigger: k is frozen
+    while n grows, so cells fatten at rate batch/n — re-land when
+    they overflow the occupancy target (the standard IVF
+    compact-when-skewed deployment stance). Idempotence/exactly-once
+    is the caller's contract (dedup the batch first, as the crawl
+    pipeline does); at-least-once appends would duplicate members,
+    which the pair-distinct downstream tolerates but pays for."""
+    from miletos_spark.pipeline.similarity import assign_cells_2l
+
+    coarse = spark.read.parquet(paths["coarse"])
+    fine = spark.read.parquet(paths["fine"])
+    assigned = assign_cells_2l(
+        new_vecs, coarse, fine,
+        id_col=id_col, vec_col=vec_col,
+        n_probe_coarse=1, n_probe_fine=1,
+    )
+    (
+        assigned.select(
+            F.col("_id").alias("vec_id"),
+            F.col("_v").alias("embedding"),
+            F.col("super").alias("_super"),
+            F.col("fine").alias("_fine"),
+        )
+        .repartition("_super")
+        .write.mode("append")
+        .partitionBy("_super")
+        .parquet(paths["cells"])
+    )
+    return paths
+
+
 def _train_codebooks(sample, m: int, n_centroids: int, seed: int) -> list:
     """Seeded Lloyd's per subspace over a bounded driver-side sample
     of (sub, sv) rows (the standard PQ recipe — Jegou et al. 2011
