@@ -945,7 +945,8 @@ def semantic_dedup_pairs_2l(
     high-dimensional data every vector's 2nd-choice cells concentrate
     on 'central' centroids — the quantizer cannot prevent it) owns
     its whole occ²/2 pair block in one task: measured 4 tail tasks
-    carrying 11M of 15M pairs, 71 s → 26 s at 10× corpus with B=128.
+    carrying 11M of 15M pairs, 71 s → 39 s at 10× corpus with B=128
+    (→ 5 s after the caller's cell-count retune; SCALE.md table).
     Blocks are id-ordered, so cross-block pairs already satisfy
     id_a < id_b; the filter only dedups within-block pairs. Small
     cells have nblk=1 and pay nothing. Returns
