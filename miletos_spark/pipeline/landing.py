@@ -280,9 +280,12 @@ def land_ivf2_index(
     whose fits poison later same-JVM stream timings), then each
     super-cell's fine centers — budgeted PROPORTIONAL to its sample
     share, so coarse imbalance cannot inflate fine-cell occupancy —
-    are fit on that super's sample members. Per-super fine fits are mutually independent — at true
-    scale they parallelize as one applyInPandas over supers; the
-    driver loop here is the local[32]-scale form of the same plan.
+    are fit on that super's sample members. Per-super fine fits are
+    mutually independent; the driver loop here is the local[32]-scale
+    form, bounded to sample-size trainable cells — the cluster-scale
+    form that removes that bound is `fit_fine_distributed` (one
+    applyInPandas over supers, per-super samples, true-count
+    budgets), recovery-equivalent by test.
     Sample-trained quantizers are the standard IVF recipe (FAISS
     trains coarse quantizers on subsets; same stance as
     `_train_codebooks`).
@@ -385,6 +388,85 @@ def land_ivf2_index(
     with open(done, "w") as f:
         f.write("ok")
     return paths
+
+
+def fit_fine_distributed(
+    spark: SparkSession,
+    emb: "DataFrame",
+    coarse: "DataFrame",
+    n_clusters: int,
+    seed: int = 42,
+    cap_per_super: int = 8192,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "DataFrame":
+    """The CLUSTER-SCALE form of the per-super fine fits: the driver
+    loop in `land_ivf2_index` is bounded by its 65k global sample, so
+    it can train at most sample-size fine cells — beyond that (k in
+    the millions at real corpus sizes) the fits must parallelize.
+    They are mutually independent, so this is one `applyInPandas`
+    over supers: top-1 coarse assignment (packed broadcast ranking,
+    stateless), a per-super hash-threshold sample of ≤`cap_per_super`
+    members, then the same seeded Lloyd's per group — per-super
+    budgets proportional to TRUE member counts (a bounded k_c-row
+    aggregate), not sample shares. Returns the
+    (super, fine, center) frame, same contract as the landed fine
+    table; `test_landing` pins planted-recovery equivalence with the
+    driver-side form."""
+    import pandas as pd
+
+    from miletos_spark.pipeline.similarity import assign_cells_2l
+
+    # top-1 coarse only: reuse the two-level ranking with a degenerate
+    # fine table (one fine cell per super at the super's own center)
+    degen_fine = coarse.select(
+        "super", F.lit(0).alias("fine"), F.col("center")
+    )
+    assigned = assign_cells_2l(
+        emb, coarse, degen_fine,
+        id_col=id_col, vec_col=vec_col,
+        n_probe_coarse=1, n_probe_fine=1,
+    ).select(F.col("_id").alias("vec_id"), F.col("_v").alias("v"), "super")
+    counts = {
+        r["super"]: r["cnt"]
+        for r in assigned.groupBy("super").agg(
+            F.count("*").alias("cnt")
+        ).collect()
+    }  # k_c rows — bounded
+    total = max(1, sum(counts.values()))
+    budgets = {
+        s: max(1, round(n_clusters * c / total)) for s, c in counts.items()
+    }
+    mod = 1 << 20
+    # per-super sample: a global hash threshold sized for the LARGEST
+    # super still bounds every group at ~cap_per_super
+    biggest = max(counts.values())
+    thresh = (
+        mod if biggest <= cap_per_super
+        else max(1, int(mod * cap_per_super / biggest))
+    )
+    sample = assigned.filter(
+        F.pmod(F.xxhash64("vec_id"), F.lit(mod)) < thresh
+    )
+
+    def fit(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        s = int(key[0])
+        pts = np.asarray(list(pdf["v"]), dtype=np.float64)
+        k_f = min(budgets.get(s, 1), len(pts))
+        cents = _lloyd(pts, k_f, seed + 1 + s)
+        return pd.DataFrame(
+            {
+                "super": [s] * len(cents),
+                "fine": list(range(len(cents))),
+                "center": [list(map(float, c)) for c in cents],
+            }
+        )
+
+    return sample.groupBy("super").applyInPandas(
+        fit, schema="super int, fine int, center array<double>"
+    )
 
 
 def update_ivf2_index(

@@ -192,3 +192,48 @@ def test_bucketed_band_index_join_skips_static_exchange(spark, tmp_path):
         assert a == b
     finally:
         spark.sql("DROP TABLE IF EXISTS _test_band_idx")
+
+
+def test_fit_fine_distributed_recovers_planted(spark, sf_dir):
+    """The applyInPandas per-super fine fit (the cluster-scale form of
+    land_ivf2_index's driver loop) must yield a fine table of the
+    same contract — share-proportional budgets, one row per (super,
+    fine) — under which the planted near-dup contract still recovers
+    exactly (quantizer-independence of top-2-per-level probing), with
+    every fine cell keyed to an existing super."""
+    from pyspark.sql import functions as F
+
+    from miletos_spark.pipeline.landing import (
+        fit_fine_distributed,
+        land_ivf2_index,
+    )
+    from miletos_spark.pipeline.similarity import (
+        semantic_dedup_drops,
+        semantic_dedup_pairs_2l,
+    )
+    from miletos_spark.schema import load_table
+
+    paths = land_ivf2_index(spark, sf_dir, n_clusters=8)
+    coarse = spark.read.parquet(paths["coarse"])
+    emb = load_table(spark, sf_dir, "embeddings")
+    fine = fit_fine_distributed(spark, emb, coarse, n_clusters=8).cache()
+    rows = fine.collect()
+    supers = {r["super"] for r in coarse.collect()}
+    assert {r["super"] for r in rows} <= supers
+    assert len(rows) >= 4  # proportional budgets over non-empty supers
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", v.alias("embedding"))
+    planted = base.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.01)).alias(
+            "embedding"
+        ),
+    )
+    drops = semantic_dedup_drops(
+        semantic_dedup_pairs_2l(
+            base.unionByName(planted), coarse, fine,
+            threshold=0.9, n_probe=2,
+        )
+    )
+    got = {(r["dropped_id"], r["kept_id"]) for r in drops.collect()}
+    assert got == {(i + 1000, i) for i in range(10)}
