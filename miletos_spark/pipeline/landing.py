@@ -464,9 +464,23 @@ def fit_fine_distributed(
             }
         )
 
-    return sample.groupBy("super").applyInPandas(
+    fitted = sample.groupBy("super").applyInPandas(
         fit, schema="super int, fine int, center array<double>"
+    ).localCheckpoint(eager=True)
+    # ADVICE r9: a super whose hash-threshold sample selected zero
+    # rows (possible under heavy skew — the threshold is sized for the
+    # LARGEST super) or a truly empty super produces no group above,
+    # and assign_cells_2l's inner join on 'super' would then silently
+    # drop every vector probed into it. Backfill any missing super
+    # with its coarse center as fine cell 0 — the same degenerate-
+    # super fallback land_ivf2_index's driver path takes. (The
+    # localCheckpoint both pins the nondeterministic-sample lineage
+    # and keeps the anti-join from re-running the fits.)
+    backfill = (
+        coarse.join(fitted.select("super").distinct(), "super", "anti")
+        .select("super", F.lit(0).alias("fine"), "center")
     )
+    return fitted.unionByName(backfill)
 
 
 def update_ivf2_index(

@@ -954,9 +954,16 @@ def semantic_dedup_pairs_2l(
     from pyspark.sql import Window
 
     B = 128
+    # localCheckpoint, not cache: the self-join reads the assignment
+    # twice, but a .cache() here is never unpersisted (the function
+    # returns a lazy frame — there is no terminal action to hook), so
+    # repeated invocations in one session (bench loops, multiple
+    # driver rows) accumulate executor storage (ADVICE r9). Local
+    # checkpoint blocks are reference-tracked: the ContextCleaner
+    # drops them once this frame is garbage-collected.
     assigned = assign_cells_2l(
         df, coarse, fine, id_col, vec_col, n_probe, n_probe
-    ).cache()
+    ).localCheckpoint(eager=True)
     w = Window.partitionBy("super", "fine").orderBy("_id")
     blocked = assigned.withColumn(
         "_blk", F.floor((F.row_number().over(w) - 1) / B).cast("int")

@@ -50,6 +50,16 @@ LS_FMIN, LS_DF, LS_NFREQ = 0.05, 0.01, 146
 SESSION_GAP_SEC = 14400.0
 
 
+def _sql_str(s: str) -> str:
+    """Escape a Python string for interpolation into a DuckDB
+    single-quoted literal (double every quote). The BPE oracles
+    interpolate LEARNED tokens and planted texts; on the current
+    [a-z]-only corpus this is a no-op, but a corpus containing an
+    apostrophe would otherwise yield merge tokens that break the
+    generated oracle SQL (ADVICE r9)."""
+    return s.replace("'", "''")
+
+
 def _dec_mean_sql(col: str = "value", cnt: str = "count(*)") -> str:
     """DuckDB twin of the Spark decimal fixed-order mean. The VARCHAR
     hop matters: Spark's double→decimal cast goes through the SHORTEST
@@ -1477,10 +1487,11 @@ def _sql_bpe_render(text_expr: str = "text", merges=None) -> str:
         "), chr(30))"
     )
     for a, b in merges:
+        ea, eb = _sql_str(a), _sql_str(b)
         expr = (
             f"replace({expr}, "
-            f"'{BPE_UNIT}{a}{BPE_UNIT}{BPE_UNIT}{b}{BPE_UNIT}', "
-            f"'{BPE_UNIT}{a}{b}{BPE_UNIT}')"
+            f"'{BPE_UNIT}{ea}{BPE_UNIT}{BPE_UNIT}{eb}{BPE_UNIT}', "
+            f"'{BPE_UNIT}{ea}{eb}{BPE_UNIT}')"
         )
     return expr
 
@@ -1677,6 +1688,22 @@ def q_bpe_train_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from miletos_spark.pipeline.bpe_train import train_bpe
     from miletos_spark.pipeline.text import bpe_encode_production
 
+    # The ORACLE's trainer ran on SPARK_GRAFT_ORACLE_SF_DIR at module
+    # import (ORACLES is a dict of strings — it cannot see this call's
+    # sf_dir). When that env var is EXPLICITLY set, the caller is a
+    # comparison harness: a different runtime dir here means the two
+    # trainers would learn different tables and the hash mismatch
+    # would misattribute to the encoder — raise loudly instead
+    # (ADVICE r9). Unset env (bench, ad-hoc runs) stays unrestricted.
+    oracle_sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
+    if oracle_sf and os.path.abspath(oracle_sf) != os.path.abspath(sf_dir):
+        raise ValueError(
+            "bpe_train_encode_docs: oracle merge table was trained on "
+            f"SPARK_GRAFT_ORACLE_SF_DIR={oracle_sf!r} but the Spark "
+            f"query is running at sf_dir={sf_dir!r} — the comparison "
+            "would diverge by construction; re-export the env var or "
+            "compare at the oracle's dir"
+        )
     docs = load_table(spark, sf_dir, "documents")
     merges = train_bpe(
         docs, n_merges=BPE_TRAIN_ENCODE_MERGES, min_count=2
@@ -2129,10 +2156,10 @@ def _sql_bpe_roundtrip() -> str:
     from miletos_spark.pipeline.text import bpe_vocab
 
     vocab_lit = "[" + ", ".join(
-        "'" + t + "'" for t in bpe_vocab()
+        "'" + _sql_str(t) + "'" for t in bpe_vocab()
     ) + "]"
     planted = " UNION ALL ".join(
-        f"SELECT CAST({i} AS BIGINT) AS doc_id, '{t}' AS text"
+        f"SELECT CAST({i} AS BIGINT) AS doc_id, '{_sql_str(t)}' AS text"
         for i, t in BPE_RT_UNICODE_ROWS
     )
     return f"""

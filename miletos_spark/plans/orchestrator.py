@@ -52,9 +52,15 @@ class RunConfig:
 
     # masking (F2): [(t0, t1), ...] in time units of the input
     mask_windows: list[tuple[float, float]] = field(default_factory=list)
-    # detrend (X4)
+    # detrend (X4): max_iter 5 matches the reference's clip↔detrend
+    # fixpoint cap (`maxmnumbiterbdtr`, miletos/main.py:8586) — the
+    # loop early-exits when the kept row count stabilizes, so on
+    # fast-converging series this costs nothing; on slowly-converging
+    # ones (see test_orchestrator's slow-convergence fixture) the
+    # reference-parity default is load-bearing. Oracle-replayed
+    # queries pin their own value explicitly.
     detrend_half_width: int = 25
-    detrend_max_iter: int = 2
+    detrend_max_iter: int = 5
     # BLS (P2); osam=10 is the reference default (miletos/main.py:5482)
     # — off-grid periods smear phase by Δf·baseline, so osam must keep
     # that under the smallest duty cycle

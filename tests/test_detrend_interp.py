@@ -159,3 +159,34 @@ def test_gp_detrend_large_region_uses_state_space(spark):
     out = gp_detrend(df, timescale_days=2.0, gap_days=1.0, group_cols=("g",))
     mx = out.agg(F.max(F.abs(F.col("value_detrended") - 1.0))).first()[0]
     assert mx < 0.005
+
+
+def test_clip_detrend_slow_convergence_needs_five_iters(spark):
+    """Reference parity for the clip↔detrend fixpoint cap: the
+    reference runs up to 5 alternating rounds (`maxmnumbiterbdtr`,
+    miletos/main.py:8586). Tiered outliers — each clip pass shrinks σ
+    enough to expose the NEXT tier — make iterations 3–5 change the
+    kept set, so `RunConfig.detrend_max_iter = 5` is load-bearing,
+    not a free parameter (VERDICT r9 Wrong #3)."""
+    from miletos_spark.operators.detrend import clip_detrend_loop
+    from miletos_spark.plans.orchestrator import RunConfig
+
+    assert RunConfig().detrend_max_iter == 5
+
+    # flat 0.0 baseline + 4 spikes per tier, isolated (spacing ≥ 9 ≫
+    # the 7-row median window) so the rolling median stays exactly 0:
+    # detrended = 1 + value. σ ladders: 50 → 8 → 1.5 → 0.35, each
+    # inside the previous pass's 3σ band and outside its own.
+    tiers = {0: 50.0, 1: 8.0, 2: 1.5, 3: 0.35}
+    spike_at = {
+        40 + t * 90 + j * 9: amp
+        for t, amp in tiers.items()
+        for j in range(4)
+    }
+    rows = [(float(i), spike_at.get(i, 0.0)) for i in range(416)]
+    df = spark.createDataFrame(rows, "time double, value double")
+
+    k2 = clip_detrend_loop(df, half_width=3, max_iter=2).count()
+    k5 = clip_detrend_loop(df, half_width=3, max_iter=5).count()
+    assert k2 == 408  # tiers 3–4 survive a 2-iteration cap
+    assert k5 == 400  # the reference cap removes all four tiers

@@ -237,3 +237,32 @@ def test_fit_fine_distributed_recovers_planted(spark, sf_dir):
     )
     got = {(r["dropped_id"], r["kept_id"]) for r in drops.collect()}
     assert got == {(i + 1000, i) for i in range(10)}
+
+
+def test_fit_fine_distributed_backfills_empty_super(spark):
+    """ADVICE r9: a super that catches no sample rows (or no vectors
+    at all) must still appear in the fine table — otherwise
+    assign_cells_2l's inner join on 'super' silently drops every
+    vector probed into it. A planted far-away coarse center that owns
+    nothing must come back as its own coarse center at fine cell 0
+    (the land_ivf2_index degenerate-super fallback)."""
+    from pyspark.sql import functions as F
+
+    from miletos_spark.pipeline.landing import fit_fine_distributed
+
+    vecs = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 8).cast("double"), F.lit(0.0)
+        ).alias("embedding"),
+    )
+    # super 0 owns everything; super 1 is planted far away and empty
+    coarse = spark.createDataFrame(
+        [(0, [3.5, 0.0]), (1, [1.0e6, 1.0e6])],
+        "super int, center array<double>",
+    )
+    fine = fit_fine_distributed(spark, vecs, coarse, n_clusters=4)
+    rows = {(r["super"], r["fine"]): r["center"] for r in fine.collect()}
+    assert any(s == 0 for s, _ in rows)          # real fits landed
+    assert (1, 0) in rows                        # backfilled
+    assert rows[(1, 0)] == [1.0e6, 1.0e6]        # = its coarse center
