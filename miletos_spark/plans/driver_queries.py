@@ -6583,7 +6583,7 @@ def q_semantic_dedup_embeddings(
     (super, fine) bucket (similarity.py:semantic_dedup_pairs_2l).
     Oracle: the closed-form planted contract with the replayed exact
     cosine."""
-    from miletos_spark.pipeline.landing import land_ivf2_index
+    from miletos_spark.pipeline.landing import land_ivf2_index_auto
     from miletos_spark.pipeline.similarity import (
         semantic_dedup_drops,
         semantic_dedup_pairs_2l,
@@ -6593,17 +6593,18 @@ def q_semantic_dedup_embeddings(
     # Occupancy-bounded quantizer, BUCKET-COUNT-AWARE (r9): k grows
     # with the corpus so TOTAL verify work stays ~linear (SemDeDup's
     # own k ∝ n stance; a fixed k=8 at 10× corpus was measured as a
-    # timeout). The divisor is tuned for the 4-bucket 2×2 probing:
-    # measured 1×/10× walls 11.8/71.3 s at n/64, 5.2/10.6 at n/32,
-    # 2.5/5.1 at n/16 (candidates = 16n²/(2·cells); the cosine verify
-    # is the interpreted cost center, so finer cells win until
+    # timeout). The n/16 divisor is tuned for the 4-bucket 2×2
+    # probing: measured 1×/10× walls 11.8/71.3 s at n/64, 5.2/10.6 at
+    # n/32, 2.5/5.1 at n/16 (candidates = 16n²/(2·cells); the cosine
+    # verify is the interpreted cost center, so finer cells win until
     # assignment dominates). Recovery of NEAR-IDENTICAL pairs is
     # cell-size-independent (top-2-per-level intersection); pairs
     # merely NEAR the 0.9 threshold can cross cells in any
     # quantizer-bucketed scheme at any k — the trade SemDeDup itself
-    # accepts, unchanged from the single-level form.
-    k = max(8, emb.count() // 16)
-    paths = land_ivf2_index(spark, sf_dir, n_clusters=k)
+    # accepts, unchanged from the single-level form. k derives from a
+    # count PERSISTED in the index metadata (r10): warm invocations
+    # run zero driver-side jobs before the pair plan.
+    paths = land_ivf2_index_auto(spark, sf_dir, divisor=16)
     coarse = spark.read.parquet(paths["coarse"])
     fine = spark.read.parquet(paths["fine"])
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -6701,14 +6702,13 @@ def q_stream_semantic_dedup_embeddings(
     stream-static + stateless until the final pair dedup.
     Recovery contract: every jittered re-crawl copy must match exactly
     its source; the fresh synthetic arrivals must match nothing."""
-    from miletos_spark.pipeline.landing import land_ivf2_index
+    from miletos_spark.pipeline.landing import land_ivf2_index_auto
     from miletos_spark.streaming.ingest import stream_semantic_dedup
 
-    emb = load_table(spark, sf_dir, "embeddings")
     # n/16: bucket-count-aware occupancy tuned with the batch twin —
-    # arrivals probe 4 buckets against top-1-landed members
-    k = max(8, emb.count() // 16)
-    paths = land_ivf2_index(spark, sf_dir, n_clusters=k)
+    # arrivals probe 4 buckets against top-1-landed members; corpus
+    # size comes from the landed index metadata, not a per-query count
+    paths = land_ivf2_index_auto(spark, sf_dir, divisor=16)
     coarse = spark.read.parquet(paths["coarse"])
     fine = spark.read.parquet(paths["fine"])
     land = _land_emb_arrivals(spark, sf_dir)

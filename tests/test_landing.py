@@ -266,3 +266,29 @@ def test_fit_fine_distributed_backfills_empty_super(spark):
     assert any(s == 0 for s, _ in rows)          # real fits landed
     assert (1, 0) in rows                        # backfilled
     assert rows[(1, 0)] == [1.0e6, 1.0e6]        # = its coarse center
+
+
+def test_land_ivf2_auto_warm_runs_no_count(spark, sf_dir, monkeypatch):
+    """VERDICT r9 Wrong #2: the semantic-dedup queries must not pay a
+    full-table count per invocation. The auto landing persists the
+    corpus size in its metadata — a warm call (and the query built on
+    it) must run with DataFrame.count POISONED, proving no driver-side
+    count happens outside the one-time ingest."""
+    from pyspark.sql import DataFrame
+
+    from miletos_spark.pipeline.landing import land_ivf2_index_auto
+    from miletos_spark.plans.driver_queries import (
+        q_semantic_dedup_embeddings,
+    )
+
+    cold = land_ivf2_index_auto(spark, sf_dir, divisor=16)  # pays count
+
+    def boom(self):
+        raise AssertionError("driver-side count() in the warm path")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    warm = land_ivf2_index_auto(spark, sf_dir, divisor=16)
+    assert warm == cold
+    # the full query builds its plan without any count job either
+    df = q_semantic_dedup_embeddings(spark, sf_dir)
+    assert "dropped_id" in df.columns

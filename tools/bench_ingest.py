@@ -58,13 +58,11 @@ def main() -> None:
     timed("ingest:land_ivf_index", land_ivf_index, spark, sf_dir,
           overwrite=True)
     # semantic dedup's occupancy-bounded TWO-LEVEL quantizer
-    # (k = n/256; sample-trained driver-side numpy — no pyspark.ml
-    # fit, but kept in the ingest JVM like every other landing)
-    from miletos_spark.pipeline.landing import land_ivf2_index
-    from miletos_spark.schema import load_table as _lt
-    k_sem = max(8, _lt(spark, sf_dir, "embeddings").count() // 16)
-    timed("ingest:land_semdedup_index", land_ivf2_index, spark, sf_dir,
-          n_clusters=k_sem, overwrite=True)
+    # (k = n/16, sized and PERSISTED by the auto landing — the corpus
+    # count is paid here, in the ingest JVM, never per query)
+    from miletos_spark.pipeline.landing import land_ivf2_index_auto
+    timed("ingest:land_semdedup_index", land_ivf2_index_auto, spark,
+          sf_dir, divisor=16, overwrite=True)
     timed("ingest:land_pq_index", land_pq_index, spark, sf_dir,
           overwrite=True)
     timed("ingest:land_ivfpq_index", land_ivfpq_index, spark, sf_dir,
