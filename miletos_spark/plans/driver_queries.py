@@ -4798,23 +4798,28 @@ def q_stream_pack_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    from miletos_spark.streaming.ingest import stream_pack_shards
+    from miletos_spark.streaming.ingest import (
+        read_committed_shards,
+        stream_pack_shards,
+    )
 
     land = _land_docs_pack_feed(spark, sf_dir)
     work = os.path.join(
         tempfile.gettempdir(), "miletos_spack_" + uuid.uuid4().hex[:8]
     )
     out_dir = os.path.join(work, "out")
+    state_dir = os.path.join(work, "state")
     stream_pack_shards(
         spark,
         land,
         CURATION_STREAM_SCHEMA,
         out_dir,
-        os.path.join(work, "state"),
+        state_dir,
         capacity=512,
         max_files_per_trigger=1,
     )
-    return spark.read.parquet(out_dir).select(
+    # committed batches only — the reader half of the commit protocol
+    return read_committed_shards(spark, out_dir, state_dir).select(
         "lang", "doc_id", "n_tokens", "start_bin", "n_straddle"
     )
 

@@ -602,11 +602,24 @@ def stream_pack_shards(
       state (seen keys with b ≤ last committed via the partition
       column; offsets from the last committed snapshot), so orphans
       from a crashed attempt are invisible;
-    - a replayed already-committed batch_id is a no-op. foreachBatch
-      retries a failed batch under the SAME id before any higher id
-      runs, so the committed set is always a prefix and `b ≤ last`
-      is the exact committed filter. (On an object store the marker
-      becomes a manifest/Delta commit; the protocol is unchanged.)
+    - a replayed already-committed batch_id is a no-op — VERIFIED, not
+      assumed (ADVICE r9): the commit marker records the batch's
+      INPUT-FILE MANIFEST, and a skip first checks the replayed
+      batch's files against it. The stream-local batch_id only aligns
+      with the durable markers while the checkpoint lives exactly as
+      long as state_dir AND the trigger size is unchanged; a restart
+      with a fresh checkpoint or a different maxFilesPerTrigger
+      renumbers batches (e.g. batch 0 suddenly covers the whole
+      feed), and the unverified form would skip uncommitted input as
+      'already committed' and silently drop it. A manifest mismatch
+      raises instead. foreachBatch retries a failed batch under the
+      SAME id before any higher id runs, so the committed set is
+      always a prefix and `b ≤ last` is the exact committed filter.
+      (On an object store the marker becomes a manifest/Delta commit;
+      the protocol is unchanged.)
+    - readers of `out_dir` must apply the same committed filter —
+      `read_committed_shards` is that reader (orphan `b=*` dirs from
+      a crashed attempt are invisible through it).
 
     State tables under `state_dir`:
 
@@ -636,6 +649,7 @@ def stream_pack_shards(
     (lang, doc_id, n_tokens, start_bin, n_straddle) — one per kept
     distinct doc; bins use the same double-division floor as
     `pack_chunks` (offsets < 2**53, exact)."""
+    import json
     import os
     import shutil
 
@@ -656,6 +670,25 @@ def stream_pack_shards(
         ids = [int(x) for x in os.listdir(commit_dir) if x.isdigit()]
         return max(ids, default=-1)
 
+    def _batch_manifest(batch_id: int) -> list | None:
+        # the file source's own per-batch log (written BEFORE the
+        # batch executes) is the authoritative input manifest —
+        # `bdf.inputFiles()` is empty on a foreachBatch frame
+        d = os.path.join(state_dir, "ckpt", "sources", "0")
+        for name in (str(batch_id), f"{batch_id}.compact"):
+            p = os.path.join(d, name)
+            if not os.path.exists(p):
+                continue
+            paths = []
+            with open(p) as f:
+                for ln in f:
+                    if ln.startswith("{"):
+                        o = json.loads(ln)
+                        if o.get("batchId", batch_id) == batch_id:
+                            paths.append(o["path"])
+            return sorted(paths)
+        return None
+
     def _pack_batch(bdf: DataFrame, batch_id: int) -> None:
         # No isEmpty() guard: it costs a scan pass per batch, the file
         # source never fires empty batches for a stateless foreachBatch
@@ -663,7 +696,27 @@ def stream_pack_shards(
         sp = bdf.sparkSession
         last = _last_committed()
         if batch_id <= last:
-            return  # replay of a committed batch: exactly-once no-op
+            # replay of a committed batch id: verify it IS the same
+            # batch before no-opping — a fresh checkpoint or a changed
+            # trigger size renumbers batches, and skipping unverified
+            # would silently drop the input (ADVICE r9)
+            mpath = os.path.join(commit_dir, str(batch_id))
+            try:
+                with open(mpath) as f:
+                    want = json.load(f)
+            except (OSError, ValueError):
+                want = None
+            got = _batch_manifest(batch_id)
+            if want is None or got is None or want != got:
+                raise RuntimeError(
+                    f"stream_pack_shards: batch {batch_id} is marked "
+                    "committed but its input manifest differs "
+                    f"(committed {want!r} vs replayed {got!r}) — the "
+                    "checkpoint and state_dir are misaligned (fresh "
+                    "checkpoint? changed maxFilesPerTrigger?); refusing "
+                    "to skip uncommitted input"
+                )
+            return  # verified replay: exactly-once no-op
         # No up-front repartition: a measured A/B at sf0.1 put the
         # micro-batch shuffle's cost above the parallelism it buys on
         # the regex chain (9.8 s vs 6.8 s warm drain) — and at scale
@@ -767,11 +820,15 @@ def stream_pack_shards(
             "overwrite"
         ).parquet(os.path.join(off_dir, f"b={batch_id}"))
         # COMMIT: everything for this batch is on disk under its own
-        # paths — the marker makes it visible atomically-enough for a
-        # local fs; then prune superseded offset snapshots best-effort
+        # paths — the marker (whose CONTENT is the batch's input-file
+        # manifest, so replays are verifiable) makes it visible
+        # atomically-enough for a local fs; then prune superseded
+        # offset snapshots best-effort
         os.makedirs(commit_dir, exist_ok=True)
-        with open(os.path.join(commit_dir, str(batch_id)), "w") as f:
-            f.write("ok")
+        tmp = os.path.join(commit_dir, f".{batch_id}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(_batch_manifest(batch_id), f)
+        os.replace(tmp, os.path.join(commit_dir, str(batch_id)))
         for d in os.listdir(off_dir):
             if d.startswith("b=") and int(d[2:]) < batch_id:
                 shutil.rmtree(os.path.join(off_dir, d), ignore_errors=True)
@@ -791,6 +848,40 @@ def stream_pack_shards(
         raise TimeoutError(
             f"stream_pack_shards drain exceeded {timeout_sec} s"
         )
+
+
+SHARD_ROW_SCHEMA = (
+    "lang string, doc_id long, n_tokens long, start_bin long, "
+    "n_straddle long"
+)
+
+
+def read_committed_shards(
+    spark: SparkSession, out_dir: str, state_dir: str
+) -> DataFrame:
+    """The READER half of `stream_pack_shards`' commit protocol
+    (ADVICE r9): packed rows from COMMITTED batches only — uncommitted
+    `b=*` orphan dirs left by a crashed attempt are invisible. Plain
+    `spark.read.parquet(out_dir)` would see them; every consumer must
+    come through here (or apply the same `b ≤ last` filter)."""
+    import os
+
+    commit_dir = os.path.join(state_dir, "commits")
+    ids = (
+        [int(x) for x in os.listdir(commit_dir) if x.isdigit()]
+        if os.path.isdir(commit_dir)
+        else []
+    )
+    last = max(ids, default=-1)
+    if last < 0:
+        return spark.createDataFrame([], SHARD_ROW_SCHEMA)
+    return (
+        spark.read.option("basePath", out_dir)
+        .schema(SHARD_ROW_SCHEMA + ", b int")
+        .parquet(out_dir)
+        .filter(F.col("b") <= F.lit(last))
+        .drop("b")
+    )
 
 
 def stream_media_near_dup(

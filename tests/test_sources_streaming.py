@@ -1222,3 +1222,66 @@ def test_stream_pack_shards_crash_replay_is_exactly_once(spark, sf_dir):
     }
     assert got == want and len(got) > 0
     shutil.rmtree(work, ignore_errors=True)
+
+
+def test_stream_pack_shards_manifest_guards_misaligned_replay(
+    spark, sf_dir
+):
+    """ADVICE r9: the commit marker records the batch's input-file
+    MANIFEST; a restart whose stream-local batch numbering no longer
+    matches the durable markers (fresh checkpoint + a different
+    trigger size, so batch 0 suddenly covers the whole feed) must
+    raise instead of skipping uncommitted input as 'already
+    committed'. And readers must see committed batches only:
+    `read_committed_shards` hides orphan b=* dirs a crashed attempt
+    left behind."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    import pytest as _pytest
+
+    from miletos_spark.plans.driver_queries import (
+        CURATION_STREAM_SCHEMA,
+        _land_docs_pack_feed,
+    )
+    from miletos_spark.streaming.ingest import (
+        read_committed_shards,
+        stream_pack_shards,
+    )
+
+    land = _land_docs_pack_feed(spark, sf_dir)
+    work = os.path.join(
+        tempfile.gettempdir(), "miletos_spack_mani_" + uuid.uuid4().hex[:8]
+    )
+    out_dir = os.path.join(work, "out")
+    state = os.path.join(work, "state")
+    stream_pack_shards(
+        spark, land, CURATION_STREAM_SCHEMA, out_dir, state,
+        capacity=512, max_files_per_trigger=1,
+    )
+    committed = read_committed_shards(spark, out_dir, state)
+    n_committed = committed.count()
+    assert n_committed > 0
+
+    # a crashed attempt's orphan dir is invisible through the reader
+    orphan = os.path.join(out_dir, "b=99")
+    committed.limit(5).withColumn(
+        "b", F.lit(99)
+    ).drop("b").write.mode("overwrite").parquet(orphan)
+    assert read_committed_shards(spark, out_dir, state).count() == n_committed
+    assert spark.read.option("basePath", out_dir).parquet(
+        out_dir
+    ).count() > n_committed  # the unfiltered read DOES see it
+    shutil.rmtree(orphan)
+
+    # fresh checkpoint + different trigger size: batch 0 now covers
+    # the whole feed; the manifest check must refuse the silent skip
+    shutil.rmtree(os.path.join(state, "ckpt"))
+    with _pytest.raises(Exception, match="manifest"):
+        stream_pack_shards(
+            spark, land, CURATION_STREAM_SCHEMA, out_dir, state,
+            capacity=512, max_files_per_trigger=None,
+        )
+    shutil.rmtree(work, ignore_errors=True)

@@ -367,6 +367,145 @@ def synth_skew(spark, mult: int) -> str:
     return out
 
 
+def _media_corpus(spark, n: int, hub: bool):
+    """Synthetic media corpus of size n (+ its planted re-uploads).
+    `hub=True` zeroes every video's FIRST frame at the payload level —
+    all videos then share one black-frame pHash, the identical-hash
+    replica hub that raw banding turns into a k²/2 bucket (VERDICT r9
+    Wrong #1)."""
+    from pyspark.sql import functions as F
+
+    from miletos_spark.pipeline.multimodal import synth_media
+    from miletos_spark.plans.driver_queries import _media_reuploads
+
+    m = synth_media(spark, n=n, frame_px=8)
+    if hub:
+        z = F.to_binary(F.lit("00" * 64), F.lit("hex"))
+        m = m.withColumn(
+            "payload",
+            F.when(
+                F.col("kind") == "video",
+                F.concat(z, F.expr("substring(payload, 65)")),
+            ).otherwise(F.col("payload")),
+        )
+    return m, _media_reuploads(m)
+
+
+def media_probe(spark, k: int) -> dict:
+    """Media-tier corpus-axis probe (VERDICT r9 Missing #4): times the
+    batch near-dup pairs, the hub-corpus dedup DECISIONS (max_df
+    guard on), and the streaming arrival-vs-landed twin at 1× and k×
+    media counts; also counts the DISTINCT-fp near pairs entering the
+    band join on the hub corpus at both sizes — the join-work metric
+    that must scale with distinct-hash near-duplication, not replica
+    count."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from miletos_spark.pipeline.dedup import banded_fp_pairs_distinct
+    from miletos_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        media_dedup_decisions,
+        media_phash_pairs,
+        phash_frames,
+    )
+    from miletos_spark.plans.driver_queries import _drain_memory_stream
+    from miletos_spark.streaming.ingest import stream_media_near_dup
+
+    N0 = 512
+    out: dict = {}
+
+    def run(label, fn_by_n):
+        t1 = tk = None
+        for tag, n in (("t1", N0), ("tk", N0 * k)):
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn_by_n(n)
+                el = time.perf_counter() - t0
+                best = el if best is None or el < best else best
+            if tag == "t1":
+                t1 = best
+            else:
+                tk = best
+        out[label] = {
+            "t1": round(t1, 3), "tk": round(tk, 3),
+            "factor": round(tk / max(t1, 1e-9), 2),
+        }
+        print(
+            f"# media:{label}: {t1:.2f}s -> {tk:.2f}s "
+            f"(x{out[label]['factor']})",
+            file=sys.stderr,
+        )
+
+    def pairs_n(n):
+        m, re = _media_corpus(spark, n, hub=False)
+        media_phash_pairs(decode_media(m.unionByName(re)), 3).count()
+
+    def decisions_hub_n(n):
+        m, re = _media_corpus(spark, n, hub=True)
+        media_dedup_decisions(
+            decode_media(m.unionByName(re)),
+            max_hamming=3, frac_threshold=0.8, max_df=16,
+        ).count()
+
+    def stream_n(n):
+        root = os.path.join(
+            tempfile.gettempdir(), f"miletos_mediaprobe_{n}_{_base_sig()}"
+        )
+        bands = os.path.join(root, "bands")
+        arr = os.path.join(root, "arrivals")
+        if not os.path.exists(os.path.join(root, "_OK")):
+            m, re = _media_corpus(spark, n, hub=False)
+            fps = phash_frames(decode_media(m))
+            banded = fps.select(
+                "media_id", "frame", "phash_hex",
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.substring("phash_hex", 1 + 4 * b, 4).alias(
+                                "chunk"
+                            ),
+                        )
+                        for b in range(4)
+                    ])
+                ).alias("bb"),
+            ).select("media_id", "frame", "phash_hex", "bb.band", "bb.chunk")
+            banded.write.mode("overwrite").partitionBy("band").parquet(bands)
+            re.repartition(2).write.mode("overwrite").parquet(arr)
+            with open(os.path.join(root, "_OK"), "w") as f:
+                f.write("ok")
+        sdf = stream_media_near_dup(
+            spark, arr, MEDIA_SCHEMA, bands, max_hamming=3,
+            max_files_per_trigger=1,
+        )
+        _drain_memory_stream(
+            spark, sdf, "media_probe_", output_mode="append"
+        ).count()
+
+    run("media_near_dup", pairs_n)
+    run("media_dedup_decisions_hub", decisions_hub_n)
+    run("stream_media_near_dup", stream_n)
+
+    # join-work evidence: distinct-fp near pairs on the hub corpus
+    counts = {}
+    for tag, n in (("n1", N0), ("nk", N0 * k)):
+        m, re = _media_corpus(spark, n, hub=True)
+        fps = phash_frames(decode_media(m.unionByName(re)))
+        counts[tag] = {
+            "distinct_fps": fps.select("phash_hex").distinct().count(),
+            "near_fp_pairs": banded_fp_pairs_distinct(
+                fps.select(F.col("phash_hex").alias("fp")), "fp", 3
+            ).count(),
+        }
+    out["hub_join_work"] = counts
+    print(f"# media:hub_join_work: {counts}", file=sys.stderr)
+    return out
+
+
 def time_query(fn, spark, sf_dir: str) -> float:
     best = None
     for _ in range(2):
@@ -385,6 +524,14 @@ def main() -> None:
         spark = get_spark(app_name="scale_probe")
         spark.sparkContext.setLogLevel("ERROR")
         print(synth_volume(spark, k))
+        return
+    if args and args[0] == "media":
+        args.pop(0)
+        k = int(args.pop(0)) if args and args[0].isdigit() else 10
+        spark = get_spark(app_name="scale_probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        out = media_probe(spark, k)
+        print(json.dumps({"k": k, "axis": "media", "queries": out}))
         return
     if args and args[0] == "skew":
         args.pop(0)
