@@ -9514,7 +9514,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_ls_keyed_events": q_stream_ls_keyed_events,
     "bls_multires_events": q_bls_multires_events,
     # promoted late-r08: the round's new capability wave
-    "linear_probe_docs": q_linear_probe_docs,
     "linear_probe_weights_docs": q_linear_probe_weights_docs,
     "stream_probe_score_docs": q_stream_probe_score_docs,
     "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
@@ -9528,7 +9527,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_bls_events": q_stream_bls_events,
     # promoted: NEW round-7 capabilities (first-round driver signal)
     "substring_removal_docs": q_substring_removal_docs,
-    "lm_bigram_score_docs": q_lm_bigram_score_docs,
     "bpe_tokenize_docs": q_bpe_tokenize_docs,
     "pack_sequences_bpe_docs": q_pack_sequences_bpe_docs,
     "stream_flare_keyed_events": q_stream_flare_keyed_events,
@@ -9539,7 +9537,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NEW r08 capability: production rank-encoder ≡ frozen replace
     # chain, proven inside the hash gate (the oracle replays the chain)
     "bpe_encode_production_docs": q_bpe_encode_production_docs,
-    "bpe_encode_docs": q_bpe_encode_docs,
     "stream_curation_docs": q_stream_curation_docs,
     "vocab_coverage_bpe_docs": q_vocab_coverage_bpe_docs,
     # r09 rotation (VERDICT r8 asks #2/#3/#5 + stretch #8): promoted
@@ -9560,6 +9557,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # capability — replaces rp_project_embeddings, green r07+r08 and
     # untouched in r9; its seeded hash-fold projection family stays
     # covered by doc_embed_docs' hash_embed in-window)
+    # r10 rotation (VERDICT r9 asks #1/#2/#3): promoted simhash_docs —
+    # the LAST oracle-backed entry whose only driver appearances
+    # (r01/r02) predate its oracle; driver-signal debt back to zero —
+    # plus the two NEW r10 capabilities (media_dedup_decisions:
+    # per-media verdicts over the hub-safe collapsed band join;
+    # near_dup_clusters_incremental: O(batch+touched) cluster
+    # maintenance whose oracle IS the full rebuild). Evicted three
+    # rows green in BOTH r08 and r09 with machinery covered in-window:
+    # bpe_encode_docs (the frozen replace chain is replayed inside
+    # bpe_encode_production_docs' and bpe_train_encode_docs' hash
+    # gates), linear_probe_docs (same per-doc scores aggregate into
+    # probe_eval_docs' exact confusion matrix; weights row and stream
+    # scoring stay), lm_bigram_score_docs (the checked trigram row's
+    # stupid-backoff chain contains the bigram level as its own
+    # fallback).
+    "simhash_docs": q_simhash_docs,
     "bpe_roundtrip_docs": q_bpe_roundtrip_docs,
     "probe_eval_docs": q_probe_eval_docs,
     "stream_media_near_dup": q_stream_media_near_dup,
@@ -9675,8 +9688,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "photometry_events": q_photometry_events,
     "flare_band_events": q_flare_band_events,
     "trigger_clusters_events": q_trigger_clusters_events,
-    "simhash_docs": q_simhash_docs,
     "phase_components_events": q_phase_components_events,
+    # r10 evictions: green in both r08 and r09, machinery covered
+    # in-window (see the rotation comment above)
+    "bpe_encode_docs": q_bpe_encode_docs,
+    "linear_probe_docs": q_linear_probe_docs,
+    "lm_bigram_score_docs": q_lm_bigram_score_docs,
     # -- rows-only (no SQL oracle by design: iterative/engine-hash) --
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "transit_fit_events": q_transit_fit_events,

@@ -64,18 +64,29 @@ def test_window_rotation_is_deliberate():
     # vocab_coverage + pack_sequences (whitespace twins of the
     # checked BPE variants; packing also inside stream_pack_shards),
     # jsonl_ingest (JSON-path machinery in json_props_events).
+    # r10 rotation: promoted simhash_docs (the last oracle-backed
+    # entry with no post-oracle driver row — r01/r02 predate its
+    # oracle) plus the two NEW r10 capabilities
+    # (media_dedup_decisions, near_dup_clusters_incremental). Evicted
+    # three r08+r09-doubly-green rows whose machinery stays covered
+    # in-window: bpe_encode (frozen chain replayed inside
+    # bpe_encode_production/bpe_train_encode hash gates),
+    # linear_probe (weights + eval confusion matrix + stream scoring
+    # stay), lm_bigram (the trigram backoff chain contains it).
     assert window == [
         "population_nm_recovery_events", "dedup_lines_docs", "near_dup_clusters",
         "ivfpq_recall_topk", "stream_ls_keyed_events", "bls_multires_events",
-        "linear_probe_docs", "linear_probe_weights_docs", "stream_probe_score_docs",
+        "linear_probe_weights_docs", "stream_probe_score_docs",
         "semantic_dedup_embeddings", "stream_semantic_dedup_embeddings",
         "bls_spectrum_events", "gp_recovery_events", "mcmc_recovery_events",
         "pipeline_summary_events", "pipeline_population_events", "stream_bls_events",
-        "substring_removal_docs", "lm_bigram_score_docs", "bpe_tokenize_docs",
+        "substring_removal_docs", "bpe_tokenize_docs",
         "pack_sequences_bpe_docs", "stream_flare_keyed_events", "lm_trigram_score_docs",
-        "stream_pack_shards_docs", "bpe_encode_production_docs", "bpe_encode_docs",
-        "stream_curation_docs", "vocab_coverage_bpe_docs", "bpe_roundtrip_docs",
-        "probe_eval_docs", "stream_media_near_dup", "tfidf_topk_docs",
+        "stream_pack_shards_docs", "bpe_encode_production_docs",
+        "stream_curation_docs", "vocab_coverage_bpe_docs", "simhash_docs",
+        "bpe_roundtrip_docs",
+        "probe_eval_docs", "stream_media_near_dup", "media_dedup_decisions",
+        "near_dup_clusters_incremental", "tfidf_topk_docs",
         "bpe_train_encode_docs", "doc_embed_docs", "substring_dedup_docs",
         "training_shards_docs", "media_near_dup", "mixture_sample_docs",
         "probe_irls_eval_docs", "decontaminate_docs", "ivfpq_recovery_topk",
