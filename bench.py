@@ -157,6 +157,16 @@ HEADLINE = [
     "stream_media_near_dup",
     "probe_irls_eval_docs",
     "stream_semantic_dedup_embeddings",
+    # round-10: hub-safe media decisions + incremental cluster
+    # maintenance, batch-inference seam, DSIR importance resampling,
+    # quality funnel, corpus drift monitor
+    "media_dedup_decisions",
+    "near_dup_clusters_incremental",
+    "doc_embed_infer_docs",
+    "dsir_select_docs",
+    "quality_funnel_docs",
+    "corpus_drift_docs",
+    "stream_dsir_score_docs",
 ]
 
 # Queries that probe a WRITE-TIME LANDED index (built by the ingest

@@ -359,7 +359,13 @@ def banded_fp_pairs_distinct(
     distinct input)."""
     from pyspark.sql import Window
 
-    d = fps.select(F.col(fp_col).alias("fp")).distinct()
+    # pinned: the distinct table feeds the size probe AND the join —
+    # unpinned, the distinct shuffle would run twice
+    d = (
+        fps.select(F.col(fp_col).alias("fp"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     banded = d.select(
         "fp",
         F.explode(
@@ -374,30 +380,58 @@ def banded_fp_pairs_distinct(
             )
         ).alias("bb"),
     ).select("fp", "bb.band", "bb.chunk")
-    w = Window.partitionBy("band", "chunk").orderBy("fp")
-    blocked = banded.withColumn(
-        "_blk", F.floor((F.row_number().over(w) - 1) / block).cast("int")
-    )
-    nblk = blocked.groupBy("band", "chunk").agg(
-        (F.max("_blk") + 1).alias("_nb")
-    )
-    left = (
-        blocked.join(nblk, ["band", "chunk"])
-        .withColumn(
-            "_pb", F.explode(F.sequence(F.col("_blk"), F.col("_nb") - 1))
+    # BOUNDED CUTOVER (the connected-components stance, r10 perf):
+    # one cheap bucket-size probe decides whether the block
+    # decomposition is needed at all. On hub-free inputs every
+    # (band, chunk) bucket sits far below `block`, every block id
+    # would be 0, and the window + partner-explode machinery is four
+    # wasted shuffles — measured 9.6 s -> ~3 s on the sf0.1 simhash
+    # row. The blocked path is the fallback the moment any bucket
+    # crosses `block`, so hub safety is never probed away.
+    mx = (
+        banded.groupBy("band", "chunk")
+        .agg(F.count("*").alias("_c"))
+        .agg(F.max("_c").alias("m"))
+        .first()["m"]
+    ) or 0
+    if mx <= block:
+        left = banded.select(
+            "band", "chunk", F.col("fp").alias("fp_a")
         )
-        .select("band", "chunk", "_pb", F.col("fp").alias("fp_a"))
-    )
-    right = blocked.select(
-        "band", "chunk", F.col("_blk").alias("_pb"),
-        F.col("fp").alias("fp_b"),
-    )
-    cands = (
-        left.join(right, ["band", "chunk", "_pb"])
-        .filter(F.col("fp_a") < F.col("fp_b"))
-        .select("fp_a", "fp_b")
-        .dropDuplicates(["fp_a", "fp_b"])
-    )
+        right = banded.select(
+            "band", "chunk", F.col("fp").alias("fp_b")
+        )
+        cands = (
+            left.join(right, ["band", "chunk"])
+            .filter(F.col("fp_a") < F.col("fp_b"))
+            .select("fp_a", "fp_b")
+            .dropDuplicates(["fp_a", "fp_b"])
+        )
+    else:
+        w = Window.partitionBy("band", "chunk").orderBy("fp")
+        blocked = banded.withColumn(
+            "_blk", F.floor((F.row_number().over(w) - 1) / block).cast("int")
+        )
+        nblk = blocked.groupBy("band", "chunk").agg(
+            (F.max("_blk") + 1).alias("_nb")
+        )
+        left = (
+            blocked.join(nblk, ["band", "chunk"])
+            .withColumn(
+                "_pb", F.explode(F.sequence(F.col("_blk"), F.col("_nb") - 1))
+            )
+            .select("band", "chunk", "_pb", F.col("fp").alias("fp_a"))
+        )
+        right = blocked.select(
+            "band", "chunk", F.col("_blk").alias("_pb"),
+            F.col("fp").alias("fp_b"),
+        )
+        cands = (
+            left.join(right, ["band", "chunk", "_pb"])
+            .filter(F.col("fp_a") < F.col("fp_b"))
+            .select("fp_a", "fp_b")
+            .dropDuplicates(["fp_a", "fp_b"])
+        )
     return cands.withColumn(
         "hamming", simhash_hamming(F.col("fp_a"), F.col("fp_b"))
     ).filter(F.col("hamming") <= max_hamming)
@@ -418,6 +452,29 @@ def class_member_pairs(
     payload tuple < b-side tuple."""
     from pyspark.sql import Window
 
+    sa = F.struct(*[F.col(f"{c}_a") for c in payload_cols])
+    sb = F.struct(*[F.col(f"{c}_b") for c in payload_cols])
+    # BOUNDED CUTOVER (same stance as banded_fp_pairs_distinct): when
+    # no class exceeds `block` members — singleton classes being the
+    # norm on duplicate-light corpora — the direct keyed self-join is
+    # the whole answer and the window/partner-explode stages are
+    # skipped; any larger class flips to the blocked decomposition.
+    mx = (
+        members.groupBy(class_col)
+        .agg(F.count("*").alias("_c"))
+        .agg(F.max("_c").alias("m"))
+        .first()["m"]
+    ) or 0
+    if mx <= block:
+        left = members.select(
+            class_col,
+            *[F.col(c).alias(f"{c}_a") for c in payload_cols],
+        )
+        right = members.select(
+            class_col,
+            *[F.col(c).alias(f"{c}_b") for c in payload_cols],
+        )
+        return left.join(right, class_col).filter(sa < sb)
     w = Window.partitionBy(class_col).orderBy(*payload_cols)
     blocked = members.withColumn(
         "_blk", F.floor((F.row_number().over(w) - 1) / block).cast("int")
@@ -437,8 +494,6 @@ def class_member_pairs(
         class_col, F.col("_blk").alias("_pb"),
         *[F.col(c).alias(f"{c}_b") for c in payload_cols],
     )
-    sa = F.struct(*[F.col(f"{c}_a") for c in payload_cols])
-    sb = F.struct(*[F.col(f"{c}_b") for c in payload_cols])
     return (
         left.join(right, [class_col, "_pb"])
         .filter(sa < sb)
@@ -477,9 +532,16 @@ def simhash_band_pairs(
     MinHash-LSH join, never all-pairs. Returns (id_a, id_b, hamming),
     id_a < id_b — the same pair set as banding raw rows.
     """
-    fps = simhash_md5(df, text_col=text_col, id_col=id_col).localCheckpoint(
-        eager=True
-    )
+    # _spread stance (search/bls.py): the fingerprint HOF is the
+    # expensive stage, and a compact corpus (one parquet file -> ONE
+    # scan partition) serializes it on a single core — measured 11 s
+    # vs 1.8 s across 32 tasks at sf0.1. Repartition the raw rows
+    # BEFORE the HOF; the (id, text) shuffle is one corpus pass, paid
+    # where the compute parallelism is bought.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    fps = simhash_md5(
+        df.repartition(par), text_col=text_col, id_col=id_col
+    ).localCheckpoint(eager=True)
     near = banded_fp_pairs_distinct(
         fps.select(F.col("simhash_hex").alias("fp")), "fp", max_hamming
     )

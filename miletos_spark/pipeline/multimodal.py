@@ -204,7 +204,12 @@ def media_phash_pairs(
         class_member_pairs,
     )
 
-    fps = phash_frames(df, id_col=id_col).localCheckpoint(eager=True)
+    # _spread stance: parallelize the decode+pHash HOF before pinning
+    # (a one-file media table otherwise computes it on a single core)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    fps = phash_frames(
+        df.repartition(par), id_col=id_col
+    ).localCheckpoint(eager=True)
     near = banded_fp_pairs_distinct(
         fps.select(F.col("phash_hex").alias("fp")), "fp", max_hamming
     )
@@ -290,7 +295,11 @@ def media_dedup_decisions(
         connected_components,
     )
 
-    fps = phash_frames(decoded, id_col=id_col).localCheckpoint(eager=True)
+    # _spread stance: parallelize the pHash HOF before pinning
+    par = decoded.sparkSession.sparkContext.defaultParallelism
+    fps = phash_frames(
+        decoded.repartition(par), id_col=id_col
+    ).localCheckpoint(eager=True)
     members = fps.select(
         F.col(id_col).alias("_mid"), F.col("frame").alias("_mf"),
         F.col("phash_hex").alias("fp"),

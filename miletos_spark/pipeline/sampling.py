@@ -203,3 +203,307 @@ def assign_splits(
     for name, cum in zip(names[:-1][::-1], cums[:-1][::-1]):
         expr = F.when(r * total <= n * cum, F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling", arXiv:2302.03169):
+# select raw-corpus documents whose hashed-n-gram distribution looks
+# like a TARGET corpus, by importance weights under two bag-of-hashed-
+# n-grams models. Beyond-reference addition (no miletos counterpart);
+# the curation tier's "pick data that looks like the good data" step.
+#
+# 100 TB shape: ONE n-gram explode + count pass per corpus reduced to
+# an m-row bucket table (m is a constant, default 64 — the paper uses
+# 10k; both are broadcast-sized), then scoring the raw corpus is a
+# broadcast hash join + map-side sum — no shuffle wider than the
+# per-doc aggregate. Selection is a top-k (TakeOrderedAndProject:
+# per-partition partial top-k, no global sort). Everything is
+# engine-exact up to ln (quantized before ranking, the tfidf stance).
+# ---------------------------------------------------------------------------
+
+
+def _md5_bucket(col: Column, m: int) -> Column:
+    """Deterministic n-gram -> bucket in [0, m): first 8 md5 hex
+    nibbles as u32, mod m — replayed nibble-for-nibble by the DuckDB
+    oracle (`_sql_md5_32 % m`)."""
+    k = F.conv(F.substring(F.md5(col), 1, 8), 16, 10)
+    return F.pmod(k.cast("long"), F.lit(m))
+
+
+def hashed_ngram_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_buckets: int = 64,
+    keep_cols: "tuple[str, ...]" = (),
+) -> DataFrame:
+    """Explode each document into its unigram+bigram hash buckets
+    (one row per n-gram INSTANCE — counts, not presence). Tokens and
+    bigrams come from one array projection (the `bigram_logprob`
+    shifted-slice idiom: no self-join); docs with no tokens emit no
+    rows. Returns (id_col, *keep_cols, bucket)."""
+    keep = list(keep_cols)
+    arr = df.select(
+        F.col(id_col),
+        *keep,
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda t: F.length(t) > 0,
+        ).alias("_t"),
+    ).filter(F.size("_t") > 0)
+    n = F.size("_t")
+    uni = arr.select(id_col, *keep, F.explode("_t").alias("_g"))
+    big = (
+        arr.filter(n >= 2)
+        .select(
+            id_col,
+            *keep,
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("_t"), 1, n - 1),
+                    F.slice(F.col("_t"), 2, n - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("_g"),
+        )
+    )
+    grams = uni.unionByName(big)
+    return grams.select(
+        id_col, *keep, _md5_bucket(F.col("_g"), m_buckets).alias("bucket")
+    )
+
+
+def dsir_bucket_logratios(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_buckets: int = 64,
+) -> DataFrame:
+    """The m-row importance model: per bucket b,
+
+        logratio(b) = ln((ct_b + 1) / (Ct + m)) - ln((cr_b + 1) / (Cr + m))
+
+    with ct/cr the bucket's n-gram counts in the target/raw corpus and
+    Ct/Cr the corpus totals (add-one smoothing keeps every bucket
+    finite). Buckets unseen in both corpora still get a row, so the
+    scoring join never drops an n-gram. Returns (bucket, logratio) —
+    m rows, broadcast-sized by construction."""
+    spark = target.sparkSession
+    tc = (
+        hashed_ngram_buckets(target, text_col, id_col, m_buckets)
+        .groupBy("bucket").agg(F.count("*").alias("ct"))
+    )
+    rc = (
+        hashed_ngram_buckets(raw, text_col, id_col, m_buckets)
+        .groupBy("bucket").agg(F.count("*").alias("cr"))
+    )
+    allb = spark.range(m_buckets).select(F.col("id").alias("bucket"))
+    joined = (
+        allb.join(tc, "bucket", "left")
+        .join(rc, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+        )
+        # pin the m-row count table (repo lineage-pinning convention):
+        # every downstream reference (totals, ratios, the scoring
+        # broadcast) would otherwise re-trigger BOTH full gram scans —
+        # at 100 TB that is corpus passes, not plan nodes
+        .localCheckpoint(eager=True)
+    )
+    tot = joined.agg(
+        F.sum("ct").alias("tot_t"), F.sum("cr").alias("tot_r")
+    )
+    return joined.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "ct",
+        "cr",
+        (
+            F.log((F.col("ct") + 1).cast("double"))
+            - F.log((F.col("tot_t") + m_buckets).cast("double"))
+            - F.log((F.col("cr") + 1).cast("double"))
+            + F.log((F.col("tot_r") + m_buckets).cast("double"))
+        ).alias("logratio"),
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_buckets: int = 64,
+) -> DataFrame:
+    """Importance-resample ``k`` raw documents toward the target
+    distribution: per-doc log-weight = sum of its n-gram buckets'
+    logratios, then Gumbel top-k (Plackett-Luce sampling WITHOUT
+    replacement proportional to softmax of the log-weights — the
+    paper's resampling step, derandomized): the Gumbel noise is
+    g = -ln(-ln(u)) with u the md5 hash uniform of the doc id, so the
+    selection is a pure function of the corpus and reproducible in the
+    DuckDB oracle. Ranking uses the QUANTIZED key (then id) — the
+    tfidf quantize-then-rank stance, since ln is only ~1-ulp portable.
+
+    Returns the k selected raw rows with (logw_q, key_q) attached,
+    ordered by (key_q desc, id).
+
+    Scan budget: target 1×, raw 2× (model counts + scoring) — the
+    gram explode is a pure scan+project, cheaper to recompute than to
+    materialize corpus-sized; the m-row model itself is pinned
+    (localCheckpoint in dsir_bucket_logratios) so no reference
+    re-triggers a corpus pass."""
+    from miletos_spark.functions.scalars import quantize
+
+    ratios = dsir_bucket_logratios(
+        target, raw, text_col, id_col, m_buckets
+    )
+    # Scoring is the PACKED-MODEL FOLD (shared with the streaming
+    # deployment): the m-row model collapses to one broadcast row and
+    # each raw doc folds its grams through the array — no explode, no
+    # groupBy, no score⋈raw self-join (the first form's SortMergeJoin
+    # re-shuffled the whole raw corpus on doc_id just to re-attach its
+    # own aggregate). One raw scan straight into the top-k.
+    packed = dsir_pack_model(ratios)
+    # Floor u at 2^-32: u = 0 (md5 prefix all-zero, p = 2^-32) would
+    # make ln(u) null in Spark and an ERROR in DuckDB — the floor is
+    # identical in both engines, so the key stays engine-exact.
+    u = F.greatest(
+        hash_uniform(F.col(id_col)), F.lit(1.0 / TWO_32)
+    )
+    keyed = (
+        raw.withColumn(
+            "_t",
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda t: F.length(t) > 0,
+            ),
+        )
+        .crossJoin(F.broadcast(packed))
+        .withColumn("_logw", dsir_logw_fold("_t", "lr_arr", m_buckets))
+        .withColumn("_g", -F.log(-F.log(u)))
+        .select(
+            "*",
+            quantize(F.col("_logw"), 6).alias("logw_q"),
+            quantize(F.col("_logw") + F.col("_g"), 6).alias("key_q"),
+        )
+        .drop("_t", "lr_arr", "_logw", "_g")
+    )
+    return keyed.orderBy(F.col("key_q").desc(), id_col).limit(k)
+
+
+def corpus_drift(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_buckets: int = 64,
+) -> DataFrame:
+    """Corpus drift monitor: per group (source / crawl / time slice),
+    the KL divergence of the group's hashed-n-gram distribution from
+    the whole corpus's —
+
+        KL(p_g || p) = sum_b p_gb * ( ln p_gb - ln p_b )
+
+    over the same add-one-smoothed m-bucket model DSIR uses (every
+    bucket contributes, including group-zero buckets: smoothing keeps
+    ln finite). The observability twin of `dsir_select`: a spiking
+    KL(source) is a crawl gone off-distribution BEFORE it trains.
+
+    ONE gram scan: the global bucket table is the group table
+    re-aggregated (sum over groups), not a second corpus pass; the
+    per-group model is |groups|×m rows, built by cross-joining the
+    distinct groups with the bucket range so zero-count cells exist.
+    Returns (group_col, n_grams, kl_q) with kl quantized at 6 (ln
+    portability — the tfidf stance)."""
+    from miletos_spark.functions.scalars import quantize
+
+    spark = df.sparkSession
+    m = m_buckets
+    gc = (
+        hashed_ngram_buckets(
+            df, text_col, id_col, m, keep_cols=(group_col,)
+        )
+        .groupBy(group_col, "bucket")
+        .agg(F.count("*").alias("c_gb"))
+        # pin the |groups|x m count table: glob/tot/cells each
+        # reference it, and unpinned each reference re-runs the gram
+        # scan (the one corpus pass this op is allowed)
+        .localCheckpoint(eager=True)
+    )
+    glob = gc.groupBy("bucket").agg(F.sum("c_gb").alias("c_b"))
+    tot = gc.agg(F.sum("c_gb").alias("c_all"))
+    groups = gc.select(group_col).distinct()
+    cells = (
+        groups.crossJoin(
+            spark.range(m).select(F.col("id").alias("bucket"))
+        )
+        .join(gc, [group_col, "bucket"], "left")
+        .join(F.broadcast(glob), "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            F.coalesce("c_gb", F.lit(0)).alias("c_gb"),
+            F.coalesce("c_b", F.lit(0)).alias("c_b"),
+            "c_all",
+        )
+    )
+    gt = cells.groupBy(group_col).agg(
+        F.sum("c_gb").alias("c_g")
+    )
+    p_gb = (F.col("c_gb") + 1).cast("double") / (F.col("c_g") + m).cast("double")
+    p_b = (F.col("c_b") + 1).cast("double") / (F.col("c_all") + m).cast("double")
+    kl = cells.join(F.broadcast(gt), group_col).groupBy(group_col).agg(
+        F.max("c_g").cast("long").alias("n_grams"),
+        F.sum(p_gb * (F.log(p_gb) - F.log(p_b))).alias("_kl"),
+    )
+    return kl.select(
+        group_col, "n_grams", quantize(F.col("_kl"), 6).alias("kl_q")
+    )
+
+
+def dsir_pack_model(model: DataFrame) -> DataFrame:
+    """Pack the m-row bucket model into ONE row holding the logratio
+    array indexed by bucket (the `assign_cells_2l` packed-broadcast
+    stance): the streaming scorer cross-joins this single row onto the
+    firehose and evaluates per-doc log-weights as a pure per-row fold —
+    no explode, no stateful groupBy, no watermark. Returns
+    (lr_arr array<double>)."""
+    return model.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("bucket", "logratio"))),
+            lambda s: s["logratio"],
+        ).alias("lr_arr")
+    )
+
+
+def dsir_logw_fold(tokens_col: str, lr_arr_col: str, m_buckets: int) -> Column:
+    """Per-row importance log-weight: fold the doc's unigram+bigram
+    stream through the packed logratio array (element_at is 1-based).
+    `tokens_col` must be a REAL attribute (the HOF re-evaluation trap);
+    empty token arrays fold to 0.0 — the same null-model stance as
+    `dsir_select`'s left-join coalesce."""
+    t = F.col(tokens_col)
+    n = F.size(t)
+    grams = F.concat(
+        t,
+        F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(t, 1, n - 1),
+                F.slice(t, 2, n - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    return F.aggregate(
+        grams,
+        F.lit(0.0),
+        lambda acc, g: acc
+        + F.element_at(
+            F.col(lr_arr_col), (_md5_bucket(g, m_buckets) + 1).cast("int")
+        ),
+    )

@@ -1155,3 +1155,135 @@ def trigram_logprob(
         F.sum("ub").alias("n_unigram_backoff"),
         F.sum("lp").alias("logprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality filter cascade with per-rule attrition (the funnel report):
+# Gopher-family rules (Rae et al. 2021, arXiv:2112.11446 §A1.1) applied
+# in a declared order with FIRST-FAILING-RULE attribution — the
+# observability layer every production curation pipeline runs before
+# committing to thresholds ("rule 3 deleted 40% of German" is a bug you
+# want to see in the report, not in the trained model). Beyond-reference
+# addition (no miletos counterpart).
+#
+# 100 TB shape: ONE stateless scan computes every per-doc stat and the
+# first-failing rule (pure column expressions + per-doc HOFs, no
+# shuffle), then one map-side-combinable aggregate reduces to a single
+# row of drop counters; the per-rule funnel rows are expressions over
+# that row. No second pass per rule — the naive form is R scans.
+# ---------------------------------------------------------------------------
+
+
+def funnel_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc stats feeding the funnel rules: whitespace token count,
+    mean word length (non-ws chars / tokens), English stopword
+    fraction, and the most-frequent-token share (Gopher's repetition
+    family, unigram form). The token array is projected to a real
+    attribute BEFORE the HOF stats (the CollapseProject re-evaluation
+    trap — inlined, the split would re-run per distinct element)."""
+    t = F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        t.alias("_text"),
+        F.filter(
+            F.split(F.lower(F.trim(t)), r"\s+"),
+            lambda w: F.length(w) > 0,
+        ).alias("_w"),
+    )
+    n = F.size("_w")
+    sw = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(F.col("_w"), lambda w: F.array_contains(sw, w)))
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("_w")),
+            lambda d: F.size(F.filter(F.col("_w"), lambda w: w == d)),
+        )
+    )
+    non_ws = F.length(F.regexp_replace(F.col("_text"), r"\s", ""))
+    return base.select(
+        id_col,
+        n.alias("n_tokens"),
+        F.when(n > 0, non_ws / n).otherwise(F.lit(0.0)).alias("mean_word_len"),
+        (stop_hits / F.greatest(n, F.lit(1))).alias("stop_frac"),
+        F.when(n > 0, top / n).otherwise(F.lit(0.0)).alias("top_token_share"),
+    )
+
+
+def default_funnel_rules() -> "list[tuple[str, Column]]":
+    """The Gopher-scaled rule cascade (ordered; thresholds scaled to
+    the short synthetic docs the same way doc_quality's are). Each
+    entry is (name, KEEP predicate over funnel_stats columns)."""
+    return [
+        ("min_tokens", F.col("n_tokens") >= 20),
+        ("max_tokens", F.col("n_tokens") <= 90),
+        ("word_len", F.col("mean_word_len") <= 4.9),
+        ("stopwords", F.col("stop_frac") >= 0.02),
+        ("repetition", F.col("top_token_share") <= 0.15),
+    ]
+
+
+def funnel_dropped_by(
+    rules: "list[tuple[str, Column]] | None" = None,
+) -> Column:
+    """First-failing-rule attribution: the name of the first rule in
+    the cascade whose keep predicate fails, else NULL (doc kept)."""
+    rules = default_funnel_rules() if rules is None else rules
+    expr = F.lit(None).cast("string")
+    for name, keep in reversed(rules):
+        expr = F.when(~keep, F.lit(name)).otherwise(expr)
+    return expr
+
+
+def quality_funnel(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rules: "list[tuple[str, Column]] | None" = None,
+) -> DataFrame:
+    """The attrition report: one row per rule with (rule_idx, rule,
+    n_in, n_dropped, n_out) under first-failing semantics — rule i's
+    input is everything the earlier rules kept, all integers, so the
+    report is engine-exact. One scan + one single-row aggregate; the
+    per-rule rows are pure expressions over that row (no window, no
+    per-rule pass)."""
+    rules = default_funnel_rules() if rules is None else rules
+    stats = funnel_stats(df, text_col, id_col)
+    tag = funnel_dropped_by(rules)
+    agg = stats.select(tag.alias("_dropped_by")).agg(
+        F.count("*").alias("_n_total"),
+        *[
+            F.sum((F.col("_dropped_by") == name).cast("long")).alias(f"_d{i}")
+            for i, (name, _) in enumerate(rules)
+        ],
+    )
+    rows = []
+    for i, (name, _) in enumerate(rules):
+        n_in = F.col("_n_total") - sum(
+            (F.col(f"_d{j}") for j in range(i)), F.lit(0)
+        )
+        rows.append(
+            F.struct(
+                F.lit(i).alias("rule_idx"),
+                F.lit(name).alias("rule"),
+                n_in.cast("long").alias("n_in"),
+                F.col(f"_d{i}").cast("long").alias("n_dropped"),
+                (n_in - F.col(f"_d{i}")).cast("long").alias("n_out"),
+            )
+        )
+    return agg.select(F.explode(F.array(*rows)).alias("_r")).select("_r.*")
+
+
+def apply_funnel(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rules: "list[tuple[str, Column]] | None" = None,
+) -> DataFrame:
+    """The filter half: rows of ``df`` surviving the whole cascade
+    (same one-scan stats; keep = no rule fails)."""
+    rules = default_funnel_rules() if rules is None else rules
+    stats = funnel_stats(df, text_col, id_col)
+    kept = stats.filter(funnel_dropped_by(rules).isNull()).select(id_col)
+    return df.join(kept, id_col, "left_semi")

@@ -884,6 +884,132 @@ FROM documents
 """
 
 
+def q_dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023,
+    arXiv:2302.03169): select the 40 non-English documents whose
+    hashed-n-gram (unigram+bigram, md5 mod 64 buckets) distribution
+    looks most English-target-like, via Gumbel top-k over per-doc
+    importance log-weights. Beyond-reference curation op. The whole
+    chain — tokenize, bucket, add-one-smoothed bucket log-ratios,
+    per-doc sum, derandomized Gumbel key from the md5 hash uniform —
+    is replayed by the DuckDB oracle; ranking is on the QUANTIZED key
+    (tfidf quantize-then-rank stance, ln being ~1-ulp portable).
+
+    Plan shape: two count scans reduced to a 64-row broadcast model,
+    one broadcast-join scoring pass, top-k (no global sort)."""
+    from miletos_spark.pipeline.sampling import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    raw = docs.filter(F.col("lang") != "en")
+    picked = dsir_select(raw, target, k=40, m_buckets=64)
+    return picked.select("doc_id", "lang", "source", "logw_q", "key_q")
+
+
+def _sql_dsir_select() -> str:
+    md5b = _sql_md5_32("g")
+    u = f"GREATEST({_sql_hash_uniform('doc_id')}, 1.0 / 4294967296.0)"
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, lang, source,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> length(x) > 0) AS t
+  FROM documents),
+nz AS (SELECT * FROM tok WHERE len(t) > 0),
+grams AS (
+  SELECT doc_id, lang, t[u.i] AS g
+  FROM nz, unnest(range(1, CAST(len(t) + 1 AS BIGINT))) AS u(i)
+  UNION ALL
+  SELECT doc_id, lang, t[u.i] || ' ' || t[u.i + 1] AS g
+  FROM nz, unnest(range(1, CAST(len(t) AS BIGINT))) AS u(i)),
+b AS (SELECT doc_id, lang, {md5b} % 64 AS bucket FROM grams),
+allb AS (SELECT CAST(u.b AS BIGINT) AS bucket FROM unnest(range(0, 64)) AS u(b)),
+tc AS (SELECT bucket, count(*) AS ct FROM b WHERE lang = 'en' GROUP BY bucket),
+rc AS (SELECT bucket, count(*) AS cr FROM b WHERE lang <> 'en' GROUP BY bucket),
+cnt AS (
+  SELECT allb.bucket,
+         coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr
+  FROM allb LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)),
+tot AS (SELECT sum(ct) AS tot_t, sum(cr) AS tot_r FROM cnt),
+model AS (
+  SELECT bucket,
+         ln(CAST(ct + 1 AS DOUBLE)) - ln(CAST(tot_t + 64 AS DOUBLE))
+         - ln(CAST(cr + 1 AS DOUBLE)) + ln(CAST(tot_r + 64 AS DOUBLE))
+           AS logratio
+  FROM cnt CROSS JOIN tot),
+logw AS (
+  SELECT b.doc_id, sum(m.logratio) AS logw
+  FROM b JOIN model m USING (bucket)
+  WHERE b.lang <> 'en'
+  GROUP BY b.doc_id),
+keyed AS (
+  SELECT d.doc_id, d.lang, d.source,
+         {quantize_sql('coalesce(w.logw, 0.0)', 6)} AS logw_q,
+         {quantize_sql('coalesce(w.logw, 0.0) + (-ln(-ln(' + u + ')))', 6)}
+           AS key_q
+  FROM documents d LEFT JOIN logw w USING (doc_id)
+  WHERE d.lang <> 'en')
+SELECT doc_id, lang, source, logw_q, key_q
+FROM keyed
+ORDER BY key_q DESC, doc_id
+LIMIT 40
+"""
+
+
+def q_corpus_drift_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitor: per-source KL divergence of the source's
+    hashed-n-gram (unigram+bigram, md5 mod 64) distribution from the
+    whole corpus's, over the same add-one-smoothed bucket model DSIR
+    trains (sampling.corpus_drift). The curation observability twin of
+    dsir_select_docs: a spiking source is off-distribution BEFORE it
+    trains. One gram scan; the global table is the group table
+    re-aggregated; KL quantized at 6 (ln portability)."""
+    from miletos_spark.pipeline.sampling import corpus_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_drift(docs, group_col="source", m_buckets=64)
+
+
+def _sql_corpus_drift() -> str:
+    md5b = _sql_md5_32("g")
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> length(x) > 0) AS t
+  FROM documents),
+nz AS (SELECT * FROM tok WHERE len(t) > 0),
+grams AS (
+  SELECT doc_id, source, t[u.i] AS g
+  FROM nz, unnest(range(1, CAST(len(t) + 1 AS BIGINT))) AS u(i)
+  UNION ALL
+  SELECT doc_id, source, t[u.i] || ' ' || t[u.i + 1] AS g
+  FROM nz, unnest(range(1, CAST(len(t) AS BIGINT))) AS u(i)),
+b AS (SELECT source, {md5b} % 64 AS bucket FROM grams),
+gc AS (SELECT source, bucket, count(*) AS c_gb FROM b GROUP BY 1, 2),
+gl AS (SELECT bucket, sum(c_gb) AS c_b FROM gc GROUP BY 1),
+tot AS (SELECT sum(c_gb) AS c_all FROM gc),
+cells AS (
+  SELECT s.source, r.bucket,
+         coalesce(gc.c_gb, 0) AS c_gb, coalesce(gl.c_b, 0) AS c_b
+  FROM (SELECT DISTINCT source FROM gc) s
+  CROSS JOIN (SELECT CAST(u.b AS BIGINT) AS bucket
+              FROM unnest(range(0, 64)) AS u(b)) r
+  LEFT JOIN gc USING (source, bucket)
+  LEFT JOIN gl USING (bucket)),
+gt AS (SELECT source, sum(c_gb) AS c_g FROM cells GROUP BY 1)
+SELECT source, CAST(c_g AS BIGINT) AS n_grams,
+       {quantize_sql(
+           "sum( (CAST(c_gb + 1 AS DOUBLE) / CAST(c_g + 64 AS DOUBLE))"
+           " * ( ln(CAST(c_gb + 1 AS DOUBLE) / CAST(c_g + 64 AS DOUBLE))"
+           "   - ln(CAST(c_b + 1 AS DOUBLE) / CAST(c_all + 64 AS DOUBLE)) ) )",
+           6,
+       )} AS kl_q
+FROM cells JOIN gt USING (source) CROSS JOIN tot
+GROUP BY source, c_g
+"""
+
+
 def q_mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based mixture sampling (alpha=0.5, keep_frac=0.3):
     per-language keep fraction min(1, 0.3*sqrt(N/N_lang)) applied via a
@@ -2406,6 +2532,43 @@ def q_doc_embed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_embed_infer_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_embed_docs routed through the BATCH-INFERENCE SEAM
+    (pipeline/inference.batch_infer): chunk → Arrow-batched
+    `mapInPandas` model call (the pluggable seam a real encoder plugs
+    into; here the deterministic hash stub, bit-equal to the JVM
+    `hash_embed` — pinned in tests/test_inference.py) → mean-pool.
+    Oracle = the SAME SQL as doc_embed_docs: the seam must be
+    invisible to every downstream consumer, and the hash gate proves
+    it. max_batch_rows=256 exercises the re-chunking path (sf0.01 has
+    more chunks per partition than that)."""
+    from miletos_spark.pipeline.inference import (
+        batch_infer,
+        hash_embed_model_fn,
+    )
+    from miletos_spark.pipeline.similarity import mean_pool
+    from miletos_spark.pipeline.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=64, overlap=16)
+    embedded = batch_infer(
+        chunks,
+        hash_embed_model_fn(8),
+        text_col="chunk_text",
+        dim=8,
+        max_batch_rows=256,
+    )
+    pooled = mean_pool(embedded, group_col="doc_id", dim=8)
+    return pooled.select(
+        "doc_id",
+        "n_chunks",
+        *[
+            quantize(F.col("emb")[j], 6).alias(f"e{j}")
+            for j in range(8)
+        ],
+    )
+
+
 def _sql_doc_embed() -> str:
     comps = ",\n         ".join(
         quantize_sql(
@@ -2920,6 +3083,73 @@ SELECT lang,
        CAST(sum(n_cut) AS BIGINT) AS n_dup_chars_cut
 FROM r
 GROUP BY 1, 2
+"""
+
+
+def q_quality_funnel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-cascade attrition report (Gopher rule family, Rae et al.
+    2021): five ordered keep rules — min/max token count, mean word
+    length, stopword fraction, top-token repetition share — with
+    FIRST-FAILING-RULE attribution: one row per rule, (n_in, n_dropped,
+    n_out), all integers. One stateless scan + one single-row
+    map-side-combinable aggregate; the rows are expressions over it
+    (text.quality_funnel). The curation-pipeline observability op:
+    which rule is eating the corpus, before the thresholds ship."""
+    from miletos_spark.pipeline.text import quality_funnel
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_funnel(docs)
+
+
+SQL_QUALITY_FUNNEL_DOCS = r"""
+WITH tok AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> length(x) > 0) AS w
+  FROM documents),
+s AS (
+  SELECT doc_id, len(w) AS n,
+         CASE WHEN len(w) > 0
+              THEN length(regexp_replace(text, '\s', '', 'g')) * 1.0 / len(w)
+              ELSE 0.0 END AS mwl,
+         len(list_filter(w, x -> x IN
+             ('the','and','of','to','in','is','that','it','for','was')))
+           * 1.0 / greatest(len(w), 1) AS stopf,
+         CASE WHEN len(w) > 0 THEN
+           (SELECT max(c) FROM (
+              SELECT count(*) AS c FROM unnest(w) AS u(g) GROUP BY g))
+           * 1.0 / len(w)
+         ELSE 0.0 END AS tops
+  FROM tok),
+sel AS (
+  SELECT CASE WHEN NOT (n >= 20)      THEN 'min_tokens'
+              WHEN NOT (n <= 90)      THEN 'max_tokens'
+              WHEN NOT (mwl <= 4.9)   THEN 'word_len'
+              WHEN NOT (stopf >= 0.02) THEN 'stopwords'
+              WHEN NOT (tops <= 0.15) THEN 'repetition'
+         END AS dropped_by
+  FROM s),
+a AS (
+  SELECT count(*) AS n_total,
+         count(*) FILTER (dropped_by = 'min_tokens') AS d0,
+         count(*) FILTER (dropped_by = 'max_tokens') AS d1,
+         count(*) FILTER (dropped_by = 'word_len')   AS d2,
+         count(*) FILTER (dropped_by = 'stopwords')  AS d3,
+         count(*) FILTER (dropped_by = 'repetition') AS d4
+  FROM sel)
+SELECT 0 AS rule_idx, 'min_tokens' AS rule,
+       CAST(n_total AS BIGINT) AS n_in, CAST(d0 AS BIGINT) AS n_dropped,
+       CAST(n_total - d0 AS BIGINT) AS n_out FROM a
+UNION ALL SELECT 1, 'max_tokens', CAST(n_total - d0 AS BIGINT),
+       CAST(d1 AS BIGINT), CAST(n_total - d0 - d1 AS BIGINT) FROM a
+UNION ALL SELECT 2, 'word_len', CAST(n_total - d0 - d1 AS BIGINT),
+       CAST(d2 AS BIGINT), CAST(n_total - d0 - d1 - d2 AS BIGINT) FROM a
+UNION ALL SELECT 3, 'stopwords', CAST(n_total - d0 - d1 - d2 AS BIGINT),
+       CAST(d3 AS BIGINT),
+       CAST(n_total - d0 - d1 - d2 - d3 AS BIGINT) FROM a
+UNION ALL SELECT 4, 'repetition',
+       CAST(n_total - d0 - d1 - d2 - d3 AS BIGINT), CAST(d4 AS BIGINT),
+       CAST(n_total - d0 - d1 - d2 - d3 - d4 AS BIGINT) FROM a
 """
 
 
@@ -4683,6 +4913,103 @@ SELECT xx.doc_id,
        round(({s}), 6) + 0.0e0 AS logit,
        (({s}) > CAST(0.0 AS DOUBLE)) AS pred
 FROM xx CROSS JOIN wt JOIN feed ON feed.doc_id = xx.doc_id
+"""
+
+
+def q_stream_dsir_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR deployment online: the bucket log-ratio model is trained
+    on the LANDED corpora (target = en docs, raw = the rest — the same
+    model dsir_select_docs fits), packed to ONE broadcast row, and
+    every document arriving on the crawl-shaped firehose folds its
+    hashed n-grams through it — stateless per-row scoring, no explode,
+    no stateful agg, no watermark (streaming/ingest.stream_dsir_score).
+    Output one row per arrival (sources AND re-crawl replicas — scoring
+    does not dedup); the oracle retrains the model and rescores the
+    whole feed in SQL."""
+    from miletos_spark.pipeline.sampling import dsir_bucket_logratios
+    from miletos_spark.streaming.ingest import stream_dsir_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = dsir_bucket_logratios(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+        m_buckets=64,
+    )
+    land = _land_docs_curation_feed(spark, sf_dir)
+    sdf = stream_dsir_score(
+        spark, land, CURATION_STREAM_SCHEMA, model, m_buckets=64,
+        max_files_per_trigger=1,
+    )
+    out = _drain_memory_stream(
+        spark, sdf, "stream_dsir_", output_mode="append"
+    )
+    return out.select(
+        "doc_id", "lang", "n_grams", quantize(F.col("logw"), 6).alias("logw_q")
+    )
+
+
+def _sql_stream_dsir_score() -> str:
+    pii_body, _last = _sql_pii_steps("feed")
+    md5b = _sql_md5_32("g")
+    return rf"""
+WITH feed AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 5000000 AS doc_id, lang, text
+  FROM documents WHERE doc_id % 10 = 0),
+{pii_body},
+fsrc AS (SELECT doc_id, t0 AS text FROM inj),
+mtok AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> length(x) > 0) AS t
+  FROM documents),
+mnz AS (SELECT * FROM mtok WHERE len(t) > 0),
+mgrams AS (
+  SELECT doc_id, lang, t[u.i] AS g
+  FROM mnz, unnest(range(1, CAST(len(t) + 1 AS BIGINT))) AS u(i)
+  UNION ALL
+  SELECT doc_id, lang, t[u.i] || ' ' || t[u.i + 1] AS g
+  FROM mnz, unnest(range(1, CAST(len(t) AS BIGINT))) AS u(i)),
+mb AS (SELECT doc_id, lang, {md5b} % 64 AS bucket FROM mgrams),
+allb AS (SELECT CAST(u.b AS BIGINT) AS bucket FROM unnest(range(0, 64)) AS u(b)),
+tc AS (SELECT bucket, count(*) AS ct FROM mb WHERE lang = 'en' GROUP BY bucket),
+rc AS (SELECT bucket, count(*) AS cr FROM mb WHERE lang <> 'en' GROUP BY bucket),
+cnt AS (
+  SELECT allb.bucket,
+         coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr
+  FROM allb LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)),
+tot AS (SELECT sum(ct) AS tot_t, sum(cr) AS tot_r FROM cnt),
+model AS (
+  SELECT bucket,
+         ln(CAST(ct + 1 AS DOUBLE)) - ln(CAST(tot_t + 64 AS DOUBLE))
+         - ln(CAST(cr + 1 AS DOUBLE)) + ln(CAST(tot_r + 64 AS DOUBLE))
+           AS logratio
+  FROM cnt CROSS JOIN tot),
+ftok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> length(x) > 0) AS t
+  FROM fsrc),
+fnz AS (SELECT * FROM ftok WHERE len(t) > 0),
+fgrams AS (
+  SELECT doc_id, t[u.i] AS g
+  FROM fnz, unnest(range(1, CAST(len(t) + 1 AS BIGINT))) AS u(i)
+  UNION ALL
+  SELECT doc_id, t[u.i] || ' ' || t[u.i + 1] AS g
+  FROM fnz, unnest(range(1, CAST(len(t) AS BIGINT))) AS u(i)),
+fb AS (SELECT doc_id, {md5b} % 64 AS bucket FROM fgrams),
+w AS (
+  SELECT fb.doc_id, sum(m.logratio) AS logw
+  FROM fb JOIN model m USING (bucket)
+  GROUP BY fb.doc_id)
+SELECT ftok.doc_id, feed.lang,
+       CAST(CASE WHEN len(ftok.t) >= 2 THEN 2 * len(ftok.t) - 1
+                 ELSE len(ftok.t) END AS BIGINT) AS n_grams,
+       {quantize_sql('coalesce(w.logw, 0.0)', 6)} AS logw_q
+FROM ftok
+JOIN feed ON feed.doc_id = ftok.doc_id
+LEFT JOIN w ON w.doc_id = ftok.doc_id
 """
 
 
@@ -9527,7 +9854,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_bls_events": q_stream_bls_events,
     # promoted: NEW round-7 capabilities (first-round driver signal)
     "substring_removal_docs": q_substring_removal_docs,
-    "bpe_tokenize_docs": q_bpe_tokenize_docs,
     "pack_sequences_bpe_docs": q_pack_sequences_bpe_docs,
     "stream_flare_keyed_events": q_stream_flare_keyed_events,
     # promoted r08: the last never-driver-checked oracle entries
@@ -9578,16 +9904,34 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_media_near_dup": q_stream_media_near_dup,
     "media_dedup_decisions": q_media_dedup_decisions,
     "near_dup_clusters_incremental": q_near_dup_clusters_incremental,
-    "tfidf_topk_docs": q_tfidf_topk_docs,
+    # r10 second rotation: promoted the round's FIVE new capabilities
+    # (dsir_select importance resampling, its streamed deployment,
+    # quality_funnel attrition, corpus_drift KL monitor, and the
+    # batch-inference seam row). Evicted five rows green in BOTH r08
+    # and r09 whose machinery stays covered in-window:
+    # doc_embed_docs (doc_embed_infer_docs runs the SAME chunk→embed→
+    # pool chain against the SAME oracle, with the JVM hash_embed
+    # pinned bit-equal to the seam stub in tests/test_inference.py),
+    # substring_dedup_docs (the span-detection chain lives inside the
+    # checked substring_removal_docs), bpe_tokenize_docs (the frozen
+    # replace chain is replayed inside bpe_encode_production_docs' and
+    # bpe_train_encode_docs' hash gates — the bpe_encode_docs eviction
+    # argument), ivfpq_recovery_topk (ivfpq_recall_topk runs the full
+    # IVF-PQ probe chain AGAINST the brute-force baseline in one plan —
+    # strictly stronger), tfidf_topk_docs (quantize-then-rank is now
+    # in-window via dsir_select_docs; the distributed top-K head via
+    # vocab_coverage_bpe_docs).
+    "dsir_select_docs": q_dsir_select_docs,
+    "stream_dsir_score_docs": q_stream_dsir_score_docs,
+    "quality_funnel_docs": q_quality_funnel_docs,
+    "corpus_drift_docs": q_corpus_drift_docs,
+    "doc_embed_infer_docs": q_doc_embed_infer_docs,
     "bpe_train_encode_docs": q_bpe_train_encode_docs,
-    "doc_embed_docs": q_doc_embed_docs,
-    "substring_dedup_docs": q_substring_dedup_docs,
     "training_shards_docs": q_training_shards_docs,
     "media_near_dup": q_media_near_dup,
     "mixture_sample_docs": q_mixture_sample_docs,
     "probe_irls_eval_docs": q_probe_irls_eval_docs,
     "decontaminate_docs": q_decontaminate_docs,
-    "ivfpq_recovery_topk": q_ivfpq_recovery_topk,
     "brightness_temp_events": q_brightness_temp_events,
     "albedo_recirc_events": q_albedo_recirc_events,
     "visibility_events": q_visibility_events,
@@ -9613,6 +9957,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_recovery_topk": q_pq_recovery_topk,
     "simhash_pairs": q_simhash_pairs,
     "media_features": q_media_features,
+    # r10 second-rotation evictions: green in both r08 and r09,
+    # machinery covered in-window (see the window comment)
+    "tfidf_topk_docs": q_tfidf_topk_docs,
+    "doc_embed_docs": q_doc_embed_docs,
+    "substring_dedup_docs": q_substring_dedup_docs,
+    "ivfpq_recovery_topk": q_ivfpq_recovery_topk,
+    "bpe_tokenize_docs": q_bpe_tokenize_docs,
     "doc_quality_docs": q_doc_quality_docs,
     "vocab_topk_docs": q_vocab_topk_docs,
     "derived_features_events": q_derived_features_events,
@@ -9747,6 +10098,13 @@ def _oracles() -> dict[str, str]:
         "tfidf_topk_docs": SQL_TFIDF_TOPK_DOCS,
         "vocab_coverage_docs": SQL_VOCAB_COVERAGE_DOCS,
         "doc_embed_docs": _sql_doc_embed(),
+        # Same oracle by design: the inference seam must be invisible
+        # to downstream consumers (bit-equal stub, pinned in tests).
+        "doc_embed_infer_docs": _sql_doc_embed(),
+        "dsir_select_docs": _sql_dsir_select(),
+        "quality_funnel_docs": SQL_QUALITY_FUNNEL_DOCS,
+        "corpus_drift_docs": _sql_corpus_drift(),
+        "stream_dsir_score_docs": _sql_stream_dsir_score(),
         "substring_dedup_docs": SQL_SUBSTRING_DEDUP_DOCS,
         "substring_removal_docs": SQL_SUBSTRING_REMOVAL_DOCS,
         "bpe_tokenize_docs": _sql_bpe_tokenize(),

@@ -1070,3 +1070,53 @@ def stream_semantic_dedup(
         .select("arrival_id", "matched_id", "cos_sim")
         .dropDuplicates(["arrival_id", "matched_id"])
     )
+
+
+def stream_dsir_score(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    model: DataFrame,
+    m_buckets: int = 64,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """DSIR importance scoring ON the firehose — the deployment shape
+    of `sampling.dsir_select`'s scoring half: the m-row bucket
+    log-ratio model is trained offline on the landed corpora
+    (`dsir_bucket_logratios`), PACKED to one broadcast row
+    (`dsir_pack_model`), and each arriving document folds its
+    unigram+bigram hash buckets through the packed array — a stateless
+    per-row expression, so there is no explode, no stateful groupBy,
+    no watermark, and per-batch cost is exactly the batch scorer's.
+
+    Emits (doc_id, lang, n_grams, logw) per arriving document (logw
+    raw; callers quantize at the checked surface)."""
+    from miletos_spark.pipeline.sampling import (
+        dsir_logw_fold,
+        dsir_pack_model,
+    )
+
+    packed = dsir_pack_model(model).localCheckpoint(eager=True)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_dir)
+    base = src.select(
+        "doc_id",
+        "lang",
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda t: F.length(t) > 0,
+        ).alias("_t"),
+    ).withColumn("_k", F.lit(1))
+    joined = base.join(
+        F.broadcast(packed.withColumn("_k", F.lit(1))), "_k"
+    )
+    n = F.size("_t")
+    n_grams = F.when(n >= 2, n + n - 1).otherwise(n).cast("long")
+    return joined.select(
+        "doc_id",
+        "lang",
+        n_grams.alias("n_grams"),
+        dsir_logw_fold("_t", "lr_arr", m_buckets).alias("logw"),
+    )

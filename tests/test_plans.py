@@ -212,3 +212,49 @@ def test_pq_landed_probe_never_scans_vectors(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "embeddings.parquet" not in plan
     assert "codes" in plan and "codebook" in plan
+
+
+def test_dsir_and_drift_broadcast_the_bucket_model(spark, sf_dir):
+    """The DSIR scoring join and the drift model joins must broadcast
+    their m-row tables — a shuffled join keyed on 64 buckets would be
+    both slow and a skew trap at 100 TB — and neither may contain a
+    cartesian product."""
+    import contextlib
+    import io
+
+    import __spark_entry__ as e
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        qs = e.queries()
+        for name in ("dsir_select_docs", "corpus_drift_docs"):
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                qs[name](spark, sf_dir).explain()
+            p = buf.getvalue()
+            assert "CartesianProduct" not in p, name
+            assert p.count("BroadcastExchange") >= 1, name
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_batch_infer_seam_stays_out_of_jvm_path(spark, sf_dir):
+    """doc_embed_docs (JVM hash_embed) must NOT contain a Python
+    evaluation node; doc_embed_infer_docs (the seam) must contain
+    exactly the one mapInPandas stage."""
+    import contextlib
+    import io
+
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    for name, want_python in (
+        ("doc_embed_docs", False),
+        ("doc_embed_infer_docs", True),
+    ):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            qs[name](spark, sf_dir).explain()
+        p = buf.getvalue()
+        has_python = ("MapInPandas" in p) or ("ArrowEvalPython" in p)
+        assert has_python == want_python, name

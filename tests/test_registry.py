@@ -73,6 +73,17 @@ def test_window_rotation_is_deliberate():
     # bpe_encode_production/bpe_train_encode hash gates),
     # linear_probe (weights + eval confusion matrix + stream scoring
     # stay), lm_bigram (the trigram backoff chain contains it).
+    # r10 second rotation: promoted the round's FIVE new capabilities
+    # (dsir_select + its streamed deployment, quality_funnel,
+    # corpus_drift, and the batch-inference seam row). Evicted five
+    # r08+r09-doubly-green rows, machinery covered in-window:
+    # doc_embed (doc_embed_infer runs the same chain vs the SAME
+    # oracle; JVM hash_embed pinned bit-equal to the seam stub),
+    # substring_dedup (span chain inside substring_removal),
+    # bpe_tokenize (chain replayed in the production/lifecycle hash
+    # gates), ivfpq_recovery (ivfpq_recall runs the full chain vs the
+    # brute baseline), tfidf (quantize-then-rank via dsir_select,
+    # top-K head via vocab_coverage_bpe).
     assert window == [
         "population_nm_recovery_events", "dedup_lines_docs", "near_dup_clusters",
         "ivfpq_recall_topk", "stream_ls_keyed_events", "bls_multires_events",
@@ -80,16 +91,18 @@ def test_window_rotation_is_deliberate():
         "semantic_dedup_embeddings", "stream_semantic_dedup_embeddings",
         "bls_spectrum_events", "gp_recovery_events", "mcmc_recovery_events",
         "pipeline_summary_events", "pipeline_population_events", "stream_bls_events",
-        "substring_removal_docs", "bpe_tokenize_docs",
+        "substring_removal_docs",
         "pack_sequences_bpe_docs", "stream_flare_keyed_events", "lm_trigram_score_docs",
         "stream_pack_shards_docs", "bpe_encode_production_docs",
         "stream_curation_docs", "vocab_coverage_bpe_docs", "simhash_docs",
         "bpe_roundtrip_docs",
         "probe_eval_docs", "stream_media_near_dup", "media_dedup_decisions",
-        "near_dup_clusters_incremental", "tfidf_topk_docs",
-        "bpe_train_encode_docs", "doc_embed_docs", "substring_dedup_docs",
+        "near_dup_clusters_incremental",
+        "dsir_select_docs", "stream_dsir_score_docs", "quality_funnel_docs",
+        "corpus_drift_docs", "doc_embed_infer_docs",
+        "bpe_train_encode_docs",
         "training_shards_docs", "media_near_dup", "mixture_sample_docs",
-        "probe_irls_eval_docs", "decontaminate_docs", "ivfpq_recovery_topk",
+        "probe_irls_eval_docs", "decontaminate_docs",
         "brightness_temp_events", "albedo_recirc_events", "visibility_events",
         "stream_trigger_clusters_events", "stream_rebin_events", "json_props_events",
         "fits_ingest_events", "qlp_ingest_events", "csv_ingest_events",

@@ -273,3 +273,216 @@ def test_pack_chunks_bucketed_prefix_sum_is_bit_identical(spark):
             ).collect()
         }
         assert got == plain, w
+
+
+def test_dsir_select_matches_python_reference(spark):
+    """dsir_select against a from-scratch pure-Python replay of the
+    whole chain (tokenize -> md5 buckets -> smoothed log-ratios ->
+    per-doc sums -> Gumbel keys -> top-k) on a tiny corpus."""
+    import hashlib
+    import math
+
+    from miletos_spark.pipeline.sampling import dsir_select
+
+    tgt_rows = [
+        (100 + i, "alpha beta gamma alpha beta") for i in range(4)
+    ]
+    raw_rows = [
+        (0, "alpha beta gamma alpha"),       # target-like
+        (1, "delta epsilon zeta delta"),     # off-target
+        (2, "alpha beta delta"),             # mixed
+        (3, "eta theta iota kappa"),         # off-target
+        (4, "beta gamma alpha beta gamma"),  # target-like
+        (5, ""),                             # no tokens -> logw 0
+    ]
+    target = spark.createDataFrame(tgt_rows, ["doc_id", "text"])
+    raw = spark.createDataFrame(raw_rows, ["doc_id", "text"])
+    m = 16
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % m
+
+    def grams(text):
+        t = [w for w in text.lower().strip().split() if w]
+        return [bucket(g) for g in t] + [
+            bucket(a + " " + b) for a, b in zip(t, t[1:])
+        ]
+
+    tc, rc = [0] * m, [0] * m
+    for _, txt in tgt_rows:
+        for b in grams(txt):
+            tc[b] += 1
+    for _, txt in raw_rows:
+        for b in grams(txt):
+            rc[b] += 1
+    Ct, Cr = sum(tc), sum(rc)
+    lr = [
+        math.log(tc[b] + 1) - math.log(Ct + m)
+        - math.log(rc[b] + 1) + math.log(Cr + m)
+        for b in range(m)
+    ]
+
+    def q6(x):
+        a = math.floor(x * 1e12 + 0.5) / 1e12
+        return math.floor(a * 1e6 + 0.5) / 1e6
+
+    def key(doc_id, txt):
+        logw = sum(lr[b] for b in grams(txt))
+        u = max(
+            int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+            / 2**32,
+            1.0 / 2**32,
+        )
+        g = -math.log(-math.log(u))
+        return q6(logw + g), q6(logw)
+
+    expect = sorted(
+        ((key(i, t)[0], i, key(i, t)[1]) for i, t in raw_rows),
+        key=lambda r: (-r[0], r[1]),
+    )[:3]
+    got = [
+        (r["key_q"], r["doc_id"], r["logw_q"])
+        for r in dsir_select(raw, target, k=3, m_buckets=m)
+        .select("key_q", "doc_id", "logw_q").collect()
+    ]
+    assert got == [(k, i, w) for k, i, w in expect]
+
+
+def test_dsir_upsamples_target_like_docs(spark):
+    """Docs sharing the target's vocabulary must carry higher
+    importance log-weights than off-target docs."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from miletos_spark.pipeline.sampling import dsir_select
+
+    target = spark.createDataFrame(
+        [(1000 + i, "solar transit flux period depth") for i in range(8)],
+        ["doc_id", "text"],
+    )
+    raw = spark.createDataFrame(
+        [(i, "solar transit flux period") for i in range(10)]
+        + [(10 + i, "invoice ledger payroll tax audit") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    picked = dsir_select(raw, target, k=20, m_buckets=64).collect()
+    logw = {r["doc_id"]: r["logw_q"] for r in picked}
+    assert min(logw[i] for i in range(10)) > max(
+        logw[i] for i in range(10, 20)
+    )
+    top10 = sorted(picked, key=lambda r: (-r["key_q"], r["doc_id"]))[:10]
+    assert sum(1 for r in top10 if r["doc_id"] < 10) >= 8
+
+
+def test_corpus_drift_matches_python_reference(spark):
+    """corpus_drift KL per group vs a from-scratch replay; the
+    off-distribution group must dominate."""
+    import hashlib
+    import math
+
+    from miletos_spark.pipeline.sampling import corpus_drift
+
+    rows = (
+        [(i, "srcA", "alpha beta gamma delta") for i in range(6)]
+        + [(10 + i, "srcB", "alpha beta gamma epsilon") for i in range(6)]
+        + [(20 + i, "srcC", "zeta eta theta iota kappa zeta") for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    m = 32
+
+    def grams(text):
+        t = [w for w in text.lower().strip().split() if w]
+        gs = t + [a + " " + b for a, b in zip(t, t[1:])]
+        return [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % m for g in gs
+        ]
+
+    cg, call = {}, [0] * m
+    for _, src, txt in rows:
+        for b in grams(txt):
+            cg.setdefault(src, [0] * m)[b] += 1
+            call[b] += 1
+    tot = sum(call)
+
+    def q6(x):
+        a = math.floor(x * 1e12 + 0.5) / 1e12
+        return math.floor(a * 1e6 + 0.5) / 1e6
+
+    expect = {}
+    for src, counts in cg.items():
+        n = sum(counts)
+        kl = sum(
+            ((c + 1) / (n + m))
+            * (math.log((c + 1) / (n + m)) - math.log((call[b] + 1) / (tot + m)))
+            for b, c in enumerate(counts)
+        )
+        expect[src] = (n, q6(kl))
+
+    got = {
+        r["source"]: (r["n_grams"], r["kl_q"])
+        for r in corpus_drift(df, m_buckets=m).collect()
+    }
+    assert got == expect
+    assert got["srcC"][1] > max(got["srcA"][1], got["srcB"][1])
+
+
+def test_stream_dsir_score_equals_batch_scoring(spark, tmp_path):
+    """The streamed per-row fold must reproduce the batch explode+sum
+    log-weights bit-for-bit on the same docs (same engine, same model
+    doubles — only the plan shape differs)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from miletos_spark.pipeline.sampling import (
+        dsir_bucket_logratios,
+        hashed_ngram_buckets,
+    )
+    from miletos_spark.streaming.ingest import stream_dsir_score
+
+    target = spark.createDataFrame(
+        [(100 + i, "en", "solar transit flux period depth") for i in range(6)],
+        ["doc_id", "lang", "text"],
+    )
+    raw = spark.createDataFrame(
+        [(i, "de", "solar transit flux period") for i in range(5)]
+        + [(5 + i, "fr", "invoice ledger payroll tax audit") for i in range(5)]
+        + [(99, "zh", "")],
+        ["doc_id", "lang", "text"],
+    )
+    model = dsir_bucket_logratios(target, raw, m_buckets=32)
+
+    feed = str(tmp_path / "feed")
+    raw.repartition(2).write.parquet(feed)
+    sdf = stream_dsir_score(
+        spark, feed, "doc_id long, lang string, text string",
+        model, m_buckets=32, max_files_per_trigger=1,
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("t_stream_dsir")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["doc_id"]: (r["n_grams"], r["logw"])
+        for r in spark.sql("SELECT * FROM t_stream_dsir").collect()
+    }
+
+    batch = (
+        hashed_ngram_buckets(raw, m_buckets=32)
+        .join(
+            F.broadcast(model.select("bucket", "logratio")), "bucket"
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"), F.sum("logratio").alias("logw"))
+    )
+    expect = {
+        r["doc_id"]: (r["n_grams"], r["logw"]) for r in batch.collect()
+    }
+    expect[99] = (0, 0.0)  # empty doc: no grams, null-model weight
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k][0] == expect[k][0], k
+        assert abs(got[k][1] - expect[k][1]) < 1e-12, k

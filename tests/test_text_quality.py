@@ -431,3 +431,62 @@ def test_bpe_lossless_roundtrip_edges(spark):
     # codepoint scheme violated this on non-Latin-1 text)
     mx = df.select(F.array_max(ids).alias("m")).agg(F.max("m")).first()[0]
     assert mx is not None and mx <= 1255
+
+
+def test_quality_funnel_matches_python_reference(spark):
+    """quality_funnel vs a from-scratch replay of first-failing-rule
+    attribution on a corpus crafted to hit every rule."""
+    from miletos_spark.pipeline.text import apply_funnel, quality_funnel
+
+    rows = [
+        (0, "too short"),                                      # min_tokens
+        (1, " ".join("w%d" % i for i in range(95))),           # max_tokens
+        (2, "the " + " ".join(["lengthy"] * 30)),              # word_len (7.0 > 4.9) -> repetition? word_len fires first
+        (3, " ".join("u%d" % i for i in range(40))),           # stopwords (0 stop hits)
+        (4, "the " + " ".join("v%d" % i for i in range(10))
+            + " spam" * 29),                                   # repetition
+        (5, "the cat sat on a mat " * 5 + "and it was fine"),  # kept
+        (6, "of all red dots " + " ".join("k%d" % i for i in range(30))),  # kept
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    stop = {"the", "and", "of", "to", "in", "is", "that", "it", "for", "was"}
+
+    def dropped(text):
+        w = [x for x in text.lower().strip().split() if x]
+        n = len(w)
+        mwl = sum(len(x) for x in w) / n if n else 0.0
+        stopf = sum(1 for x in w if x in stop) / max(n, 1)
+        tops = max((w.count(d) for d in set(w)), default=0) / n if n else 0.0
+        if not n >= 20:
+            return "min_tokens"
+        if not n <= 90:
+            return "max_tokens"
+        if not mwl <= 4.9:
+            return "word_len"
+        if not stopf >= 0.02:
+            return "stopwords"
+        if not tops <= 0.15:
+            return "repetition"
+        return None
+
+    tags = [dropped(t) for _, t in rows]
+    names = ["min_tokens", "max_tokens", "word_len", "stopwords", "repetition"]
+    expect, n_in = [], len(rows)
+    for i, nm in enumerate(names):
+        d = tags.count(nm)
+        expect.append((i, nm, n_in, d, n_in - d))
+        n_in -= d
+
+    got = [
+        (r["rule_idx"], r["rule"], r["n_in"], r["n_dropped"], r["n_out"])
+        for r in quality_funnel(docs).orderBy("rule_idx").collect()
+    ]
+    assert got == expect
+    # every rule must actually fire on this corpus, and some docs survive
+    assert all(e[3] >= 1 for e in expect)
+    assert expect[-1][4] >= 1
+
+    kept = {r["doc_id"] for r in apply_funnel(docs).collect()}
+    assert kept == {i for i, (di, t) in enumerate(rows) if dropped(t) is None}
+    assert len(kept) == expect[-1][4]

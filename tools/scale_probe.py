@@ -82,6 +82,12 @@ CORPUS_QUERIES = [
     "lm_bigram_score_docs",
     "bpe_tokenize_docs",
     "pack_sequences_bpe_docs",
+    # round-10 additions: curation selection/observability + the seam
+    "dsir_select_docs",
+    "corpus_drift_docs",
+    "quality_funnel_docs",
+    "doc_embed_infer_docs",
+    "stream_dsir_score_docs",
 ]
 
 
