@@ -167,6 +167,7 @@ HEADLINE = [
     "quality_funnel_docs",
     "corpus_drift_docs",
     "stream_dsir_score_docs",
+    "dsir_landed_select_docs",
 ]
 
 # Queries that probe a WRITE-TIME LANDED index (built by the ingest

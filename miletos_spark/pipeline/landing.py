@@ -924,3 +924,133 @@ def land_pq_index(
     with open(done, "w") as f:
         f.write("ok")
     return paths
+
+
+def land_dsir_model(
+    spark: SparkSession,
+    sf_dir: str,
+    m_buckets: int = 64,
+    overwrite: bool = False,
+) -> str:
+    """Materialize the DSIR bucket-count model for the documents corpus
+    (target = en, raw = the rest — the registry split): the m-row
+    (bucket, ct, cr) table `sampling.dsir_bucket_logratios` derives its
+    log-ratios from. COUNTS are landed, not ratios: counts are the
+    additive sufficient statistic, which is what makes the incremental
+    update below exact. Returns the model path."""
+    from pyspark.sql import functions as F
+
+    from miletos_spark.pipeline.sampling import hashed_ngram_buckets
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    root = _index_root(src, f"dsir{m_buckets}")
+    path = os.path.join(root, "model")
+    if os.path.exists(path) and not overwrite:
+        return path
+    from miletos_spark.schema import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    dsir_bucket_counts(docs, m_buckets).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def dsir_bucket_counts(docs: "DataFrame", m_buckets: int) -> "DataFrame":
+    """The m-row (bucket, ct, cr) count table over a document frame
+    (target = en rows, raw = the rest) — the additive sufficient
+    statistic land_dsir_model persists and update_dsir_model folds."""
+    from pyspark.sql import functions as F
+
+    from miletos_spark.pipeline.sampling import hashed_ngram_buckets
+
+    spark = docs.sparkSession
+    grams = hashed_ngram_buckets(
+        docs, m_buckets=m_buckets, keep_cols=("lang",)
+    )
+    return (
+        spark.range(m_buckets).select(F.col("id").alias("bucket"))
+        .join(
+            grams.groupBy("bucket").agg(
+                F.sum((F.col("lang") == "en").cast("long")).alias("ct"),
+                F.sum((F.col("lang") != "en").cast("long")).alias("cr"),
+            ),
+            "bucket",
+            "left",
+        )
+        .select(
+            "bucket",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+        )
+    )
+
+
+def update_dsir_model(
+    spark: SparkSession,
+    path: str,
+    new_docs: "DataFrame",
+    m_buckets: int = 64,
+) -> str:
+    """Incremental DSIR model maintenance — fold a crawl increment into
+    the landed bucket counts WITHOUT re-scanning the corpus: bucket
+    counts are ADDITIVE (the model's sufficient statistic), so
+    landed + batch == full rebuild EXACTLY (asserted in tests; the
+    log-ratios derived downstream are then bit-identical too, same
+    integer inputs through the same ln). O(batch) gram work + an m-row
+    overwrite. The m_buckets must match the landed table — checked,
+    a mismatch raises instead of silently corrupting the model."""
+    from pyspark.sql import functions as F
+
+    from miletos_spark.pipeline.sampling import hashed_ngram_buckets
+
+    landed = spark.read.parquet(path)
+    n_landed = landed.count()
+    if n_landed != m_buckets:
+        raise ValueError(
+            f"update_dsir_model: landed model has {n_landed} buckets, "
+            f"expected {m_buckets} — wrong model or wrong params"
+        )
+    grams = hashed_ngram_buckets(
+        new_docs, m_buckets=m_buckets, keep_cols=("lang",)
+    )
+    delta = grams.groupBy("bucket").agg(
+        F.sum((F.col("lang") == "en").cast("long")).alias("d_ct"),
+        F.sum((F.col("lang") != "en").cast("long")).alias("d_cr"),
+    )
+    merged = (
+        landed.join(delta, "bucket", "left")
+        .select(
+            "bucket",
+            (F.col("ct") + F.coalesce("d_ct", F.lit(0))).alias("ct"),
+            (F.col("cr") + F.coalesce("d_cr", F.lit(0))).alias("cr"),
+        )
+        # the m-row read must complete before the overwrite starts
+        .localCheckpoint(eager=True)
+    )
+    merged.coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def dsir_logratios_from_landed(
+    spark: SparkSession, path: str, m_buckets: int = 64
+) -> "DataFrame":
+    """Derive the (bucket, logratio) scoring model from the landed
+    count table — the same smoothed formula as
+    `sampling.dsir_bucket_logratios`, reading counts instead of
+    re-scanning corpora."""
+    from pyspark.sql import functions as F
+
+    landed = spark.read.parquet(path)
+    tot = landed.agg(
+        F.sum("ct").alias("tot_t"), F.sum("cr").alias("tot_r")
+    )
+    return landed.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log((F.col("ct") + 1).cast("double"))
+            - F.log((F.col("tot_t") + m_buckets).cast("double"))
+            - F.log((F.col("cr") + 1).cast("double"))
+            + F.log((F.col("tot_r") + m_buckets).cast("double"))
+        ).alias("logratio"),
+    )

@@ -332,11 +332,12 @@ def dsir_bucket_logratios(
 
 def dsir_select(
     raw: DataFrame,
-    target: DataFrame,
+    target: "DataFrame | None",
     k: int,
     text_col: str = "text",
     id_col: str = "doc_id",
     m_buckets: int = 64,
+    model: "DataFrame | None" = None,
 ) -> DataFrame:
     """Importance-resample ``k`` raw documents toward the target
     distribution: per-doc log-weight = sum of its n-gram buckets'
@@ -349,7 +350,9 @@ def dsir_select(
     tfidf quantize-then-rank stance, since ln is only ~1-ulp portable.
 
     Returns the k selected raw rows with (logw_q, key_q) attached,
-    ordered by (key_q desc, id).
+    ordered by (key_q desc, id). Pass a prebuilt (bucket, logratio)
+    ``model`` (e.g. `landing.dsir_logratios_from_landed`) to skip the
+    two-corpus fit — `target` is ignored then.
 
     Scan budget: target 1×, raw 2× (model counts + scoring) — the
     gram explode is a pure scan+project, cheaper to recompute than to
@@ -358,16 +361,17 @@ def dsir_select(
     re-triggers a corpus pass."""
     from miletos_spark.functions.scalars import quantize
 
-    ratios = dsir_bucket_logratios(
-        target, raw, text_col, id_col, m_buckets
-    )
+    if model is None:
+        model = dsir_bucket_logratios(
+            target, raw, text_col, id_col, m_buckets
+        )
     # Scoring is the PACKED-MODEL FOLD (shared with the streaming
     # deployment): the m-row model collapses to one broadcast row and
     # each raw doc folds its grams through the array — no explode, no
     # groupBy, no score⋈raw self-join (the first form's SortMergeJoin
     # re-shuffled the whole raw corpus on doc_id just to re-attach its
     # own aggregate). One raw scan straight into the top-k.
-    packed = dsir_pack_model(ratios)
+    packed = dsir_pack_model(model)
     # Floor u at 2^-32: u = 0 (md5 prefix all-zero, p = 2^-32) would
     # make ln(u) null in Spark and an ERROR in DuckDB — the floor is
     # identical in both engines, so the key stays engine-exact.

@@ -1010,6 +1010,62 @@ GROUP BY source, c_g
 """
 
 
+def q_dsir_landed_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental DSIR model maintenance as a driver-checked contract
+    (the near_dup_clusters_incremental pattern): the corpus is split by
+    a deterministic hash into an initial load and a crawl increment;
+    bucket counts are LANDED from the initial half
+    (landing.dsir_bucket_counts), the increment is folded in with
+    `update_dsir_model` — O(batch) gram work, counts being the
+    additive sufficient statistic — and selection runs over the
+    landed-model log-ratios. The oracle is the FULL-CORPUS model's
+    selection (_sql_dsir_select verbatim), so append==rebuild is
+    exactly what the hash gate proves. The update is guarded by a done
+    marker (count folds are NOT replay-idempotent; production uses the
+    stream_pack_shards commit protocol — documented at
+    update_dsir_model)."""
+    import hashlib
+    import os as _os
+    import tempfile
+
+    from miletos_spark.pipeline.landing import (
+        dsir_bucket_counts,
+        dsir_logratios_from_landed,
+        update_dsir_model,
+    )
+    from miletos_spark.pipeline.sampling import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.pmod(F.xxhash64("doc_id"), F.lit(7)) == 0
+    src = _os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = _os.stat(src)
+        sig = f"{_os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|dsiri"
+    except OSError:
+        sig = _os.path.abspath(src) + "|dsiri"
+    root = _os.path.join(
+        tempfile.gettempdir(),
+        "miletos_dsiridx_" + hashlib.md5(sig.encode()).hexdigest()[:12],
+    )
+    mpath = _os.path.join(root, "model")
+    done_init = _os.path.join(root, "_SUCCESS_INIT")
+    done_upd = _os.path.join(root, "_SUCCESS_UPDATE")
+    if not _os.path.exists(done_init):
+        dsir_bucket_counts(docs.filter(~is_batch), 64).coalesce(
+            1
+        ).write.mode("overwrite").parquet(mpath)
+        with open(done_init, "w") as f:
+            f.write("ok")
+    if not _os.path.exists(done_upd):
+        update_dsir_model(spark, mpath, docs.filter(is_batch), m_buckets=64)
+        with open(done_upd, "w") as f:
+            f.write("ok")
+    model = dsir_logratios_from_landed(spark, mpath, 64)
+    raw = docs.filter(F.col("lang") != "en")
+    picked = dsir_select(raw, None, k=40, m_buckets=64, model=model)
+    return picked.select("doc_id", "lang", "source", "logw_q", "key_q")
+
+
 def q_mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based mixture sampling (alpha=0.5, keep_frac=0.3):
     per-language keep fraction min(1, 0.3*sqrt(N/N_lang)) applied via a
@@ -9957,6 +10013,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_recovery_topk": q_pq_recovery_topk,
     "simhash_pairs": q_simhash_pairs,
     "media_features": q_media_features,
+    # incremental DSIR model: landed counts + O(batch) fold, proven
+    # through the full-model selection oracle
+    "dsir_landed_select_docs": q_dsir_landed_select_docs,
     # r10 second-rotation evictions: green in both r08 and r09,
     # machinery covered in-window (see the window comment)
     "tfidf_topk_docs": q_tfidf_topk_docs,
@@ -10105,6 +10164,8 @@ def _oracles() -> dict[str, str]:
         "quality_funnel_docs": SQL_QUALITY_FUNNEL_DOCS,
         "corpus_drift_docs": _sql_corpus_drift(),
         "stream_dsir_score_docs": _sql_stream_dsir_score(),
+        # the full-corpus model's selection: append==rebuild IS the gate
+        "dsir_landed_select_docs": _sql_dsir_select(),
         "substring_dedup_docs": SQL_SUBSTRING_DEDUP_DOCS,
         "substring_removal_docs": SQL_SUBSTRING_REMOVAL_DOCS,
         "bpe_tokenize_docs": _sql_bpe_tokenize(),

@@ -362,3 +362,104 @@ def test_update_cluster_index_drains_emptied_bucket(spark, tmp_path):
     want = _cluster_set(connected_components(df(e1 + e2)))
     assert _cluster_set(spark.read.parquet(path).select(
         "node", "component")) == want
+
+
+def test_dsir_model_append_equals_rebuild(spark, tmp_path):
+    """Landed DSIR bucket counts folded with a crawl increment must be
+    BIT-IDENTICAL to a full rebuild over the union (counts are the
+    additive sufficient statistic), and the derived log-ratios too."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from miletos_spark.pipeline.landing import (
+        dsir_logratios_from_landed,
+        land_dsir_model,
+        update_dsir_model,
+    )
+
+    m = 16
+    base = spark.createDataFrame(
+        [(i, "en", "alpha beta gamma delta") for i in range(6)]
+        + [(10 + i, "de", "epsilon zeta eta theta") for i in range(6)],
+        ["doc_id", "lang", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(100, "en", "alpha beta iota"), (101, "fr", "kappa lambda mu"),
+         (102, "zh", "")],
+        ["doc_id", "lang", "text"],
+    )
+
+    d1 = str(tmp_path / "sf_base")
+    base.coalesce(1).write.parquet(os.path.join(d1, "documents.parquet"))
+    d2 = str(tmp_path / "sf_full")
+    base.unionByName(batch).coalesce(1).write.parquet(
+        os.path.join(d2, "documents.parquet")
+    )
+
+    p_inc = land_dsir_model(spark, d1, m_buckets=m, overwrite=True)
+    update_dsir_model(spark, p_inc, batch, m_buckets=m)
+    p_full = land_dsir_model(spark, d2, m_buckets=m, overwrite=True)
+
+    inc = {
+        r["bucket"]: (r["ct"], r["cr"])
+        for r in spark.read.parquet(p_inc).collect()
+    }
+    full = {
+        r["bucket"]: (r["ct"], r["cr"])
+        for r in spark.read.parquet(p_full).collect()
+    }
+    assert inc == full and len(inc) == m
+
+    lr_inc = {
+        r["bucket"]: r["logratio"]
+        for r in dsir_logratios_from_landed(spark, p_inc, m).collect()
+    }
+    lr_full = {
+        r["bucket"]: r["logratio"]
+        for r in dsir_logratios_from_landed(spark, p_full, m).collect()
+    }
+    assert lr_inc == lr_full  # exact float equality
+
+    # replayed-batch misuse is on the caller (documented); wrong-m raises
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="buckets"):
+        update_dsir_model(spark, p_inc, batch, m_buckets=m * 2)
+
+
+def test_dsir_landed_logratios_match_live_model(spark, tmp_path):
+    """The landed-count derivation must equal sampling's live
+    two-corpus model bit-for-bit on the same docs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from miletos_spark.pipeline.landing import (
+        dsir_logratios_from_landed,
+        land_dsir_model,
+    )
+    from miletos_spark.pipeline.sampling import dsir_bucket_logratios
+
+    m = 16
+    docs = spark.createDataFrame(
+        [(i, "en", "alpha beta gamma") for i in range(5)]
+        + [(10 + i, "de", "delta epsilon zeta eta") for i in range(7)],
+        ["doc_id", "lang", "text"],
+    )
+    d = str(tmp_path / "sf")
+    docs.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    p = land_dsir_model(spark, d, m_buckets=m, overwrite=True)
+    landed = {
+        r["bucket"]: r["logratio"]
+        for r in dsir_logratios_from_landed(spark, p, m).collect()
+    }
+    live = {
+        r["bucket"]: r["logratio"]
+        for r in dsir_bucket_logratios(
+            docs.filter(F.col("lang") == "en"),
+            docs.filter(F.col("lang") != "en"),
+            m_buckets=m,
+        ).collect()
+    }
+    assert landed == live
