@@ -168,6 +168,7 @@ HEADLINE = [
     "corpus_drift_docs",
     "stream_dsir_score_docs",
     "dsir_landed_select_docs",
+    "stream_funnel_docs",
 ]
 
 # Queries that probe a WRITE-TIME LANDED index (built by the ingest

@@ -5069,6 +5069,74 @@ LEFT JOIN w ON w.doc_id = ftok.doc_id
 """
 
 
+def q_stream_funnel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation observability online: the Gopher funnel's
+    first-failing-rule attribution runs stateless on the crawl-shaped
+    firehose; the only streaming state is the per-rule counter
+    (complete-mode agg, |rules|+1 rows, bounded forever). The drained
+    counters assemble into the same ordered (rule_idx, rule, n_in,
+    n_dropped, n_out) report as the batch row — arrival-invariant by
+    commutativity of counts. Oracle: the batch funnel replayed over
+    the feed (docs + re-crawl replicas, PII injection included — the
+    injected fragments change token/stopword stats, so the replay
+    injects identically)."""
+    from miletos_spark.streaming.ingest import stream_quality_funnel
+
+    land = _land_docs_curation_feed(spark, sf_dir)
+    sdf = stream_quality_funnel(
+        spark, land, CURATION_STREAM_SCHEMA, max_files_per_trigger=1
+    )
+    out = _drain_memory_stream(
+        spark, sdf, "stream_funnel_", output_mode="complete"
+    )
+    names = ["min_tokens", "max_tokens", "word_len", "stopwords",
+             "repetition"]
+    agg = out.agg(
+        F.sum("n").alias("_n_total"),
+        *[
+            F.sum(
+                F.when(F.col("dropped_by") == nm, F.col("n")).otherwise(0)
+            ).alias(f"_d{i}")
+            for i, nm in enumerate(names)
+        ],
+    )
+    rows = []
+    for i, nm in enumerate(names):
+        n_in = F.col("_n_total") - sum(
+            (F.col(f"_d{j}") for j in range(i)), F.lit(0)
+        )
+        rows.append(
+            F.struct(
+                F.lit(i).alias("rule_idx"),
+                F.lit(nm).alias("rule"),
+                n_in.cast("long").alias("n_in"),
+                F.col(f"_d{i}").cast("long").alias("n_dropped"),
+                (n_in - F.col(f"_d{i}")).cast("long").alias("n_out"),
+            )
+        )
+    return agg.select(F.explode(F.array(*rows)).alias("_r")).select("_r.*")
+
+
+def _sql_stream_funnel() -> str:
+    pii_body, _last = _sql_pii_steps("feed")
+    # the batch funnel SQL, re-rooted on the injected feed text
+    body = SQL_QUALITY_FUNNEL_DOCS
+    body = body.replace(
+        "WITH tok AS (\n  SELECT doc_id, text,",
+        "fsrc AS (SELECT doc_id, t0 AS text FROM inj),\ntok AS (\n  SELECT doc_id, text,",
+    ).replace("FROM documents),", "FROM fsrc),", 1)
+    return (
+        "WITH feed AS (\n"
+        "  SELECT doc_id, lang, text FROM documents\n"
+        "  UNION ALL\n"
+        "  SELECT doc_id + 5000000 AS doc_id, lang, text\n"
+        "  FROM documents WHERE doc_id % 10 = 0),\n"
+        + pii_body + ",\n"
+        + body.lstrip()  # the batch SQL's leading "WITH " was consumed
+        # by the fsrc re-rooting replace above
+    )
+
+
 def _sql_stream_curation() -> str:
     pii_body, last = _sql_pii_steps("feed")
     return f"""
@@ -10016,6 +10084,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # incremental DSIR model: landed counts + O(batch) fold, proven
     # through the full-model selection oracle
     "dsir_landed_select_docs": q_dsir_landed_select_docs,
+    # funnel on the firehose: |rules|+1-row complete-mode state
+    "stream_funnel_docs": q_stream_funnel_docs,
     # r10 second-rotation evictions: green in both r08 and r09,
     # machinery covered in-window (see the window comment)
     "tfidf_topk_docs": q_tfidf_topk_docs,
@@ -10166,6 +10236,7 @@ def _oracles() -> dict[str, str]:
         "stream_dsir_score_docs": _sql_stream_dsir_score(),
         # the full-corpus model's selection: append==rebuild IS the gate
         "dsir_landed_select_docs": _sql_dsir_select(),
+        "stream_funnel_docs": _sql_stream_funnel(),
         "substring_dedup_docs": SQL_SUBSTRING_DEDUP_DOCS,
         "substring_removal_docs": SQL_SUBSTRING_REMOVAL_DOCS,
         "bpe_tokenize_docs": _sql_bpe_tokenize(),

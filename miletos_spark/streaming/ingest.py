@@ -1120,3 +1120,33 @@ def stream_dsir_score(
         n_grams.alias("n_grams"),
         dsir_logw_fold("_t", "lr_arr", m_buckets).alias("logw"),
     )
+
+
+def stream_quality_funnel(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The quality filter-cascade funnel ON the firehose: per-row
+    first-failing-rule attribution (`text.funnel_dropped_by`) is a
+    stateless column expression, so the ONLY streaming state is the
+    per-rule counter — a complete-mode aggregate of |rules|+1 rows
+    (each rule + the kept NULL bucket), bounded forever regardless of
+    arrival volume. The observability twin of `stream_curation`: the
+    attrition report stays current as the crawl arrives, without a
+    batch re-scan. Emits (dropped_by, n) in complete mode; callers
+    assemble the ordered funnel rows from the final counters
+    (integer-exact, arrival-invariant by commutativity of counts)."""
+    from miletos_spark.pipeline.text import funnel_dropped_by, funnel_stats
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_dir)
+    stats = funnel_stats(src)
+    return (
+        stats.select(funnel_dropped_by().alias("dropped_by"))
+        .groupBy("dropped_by")
+        .agg(F.count("*").alias("n"))
+    )

@@ -486,3 +486,93 @@ def test_stream_dsir_score_equals_batch_scoring(spark, tmp_path):
     for k in expect:
         assert got[k][0] == expect[k][0], k
         assert abs(got[k][1] - expect[k][1]) < 1e-12, k
+
+
+def test_stream_funnel_equals_batch_funnel(spark, tmp_path):
+    """Drained complete-mode funnel counters must assemble into the
+    exact batch report (counts commute; arrival order irrelevant)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from miletos_spark.pipeline.text import funnel_dropped_by, funnel_stats
+    from miletos_spark.streaming.ingest import stream_quality_funnel
+
+    docs = spark.createDataFrame(
+        [(0, "en", "too short"),
+         (1, "en", " ".join("w%d" % i for i in range(95))),
+         (2, "en", "the cat sat on a mat " * 5 + "and it was fine"),
+         (3, "de", " ".join("u%d" % i for i in range(40)))],
+        ["doc_id", "lang", "text"],
+    )
+    feed = str(tmp_path / "feed")
+    docs.repartition(2).write.parquet(feed)
+    sdf = stream_quality_funnel(
+        spark, feed, "doc_id long, lang string, text string",
+        max_files_per_trigger=1,
+    )
+    q = (
+        sdf.writeStream.format("memory").queryName("t_stream_funnel")
+        .outputMode("complete").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["dropped_by"]: r["n"]
+        for r in spark.sql("SELECT * FROM t_stream_funnel").collect()
+    }
+    expect = {
+        r["dropped_by"]: r["n"]
+        for r in funnel_stats(docs)
+        .select(funnel_dropped_by().alias("dropped_by"))
+        .groupBy("dropped_by").agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expect
+
+
+def test_new_tier_deterministic_under_repartition(spark):
+    """Hash-derived selections and quantized reports must not depend on
+    physical layout: repartitioned inputs give identical outputs."""
+    from miletos_spark.pipeline.sampling import corpus_drift, dsir_select
+    from miletos_spark.pipeline.text import quality_funnel
+
+    docs = spark.createDataFrame(
+        [(i, "en", "src%d" % (i % 3),
+          "alpha beta gamma the delta w%d w%d" % (i % 5, i % 7))
+         for i in range(40)]
+        + [(100 + i, "de", "src%d" % (i % 3),
+            "epsilon zeta eta theta k%d" % (i % 4)) for i in range(40)],
+        ["doc_id", "lang", "source", "text"],
+    )
+    shuffled = docs.repartition(13, "source")
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    def sel(d):
+        return [
+            (r["doc_id"], r["key_q"], r["logw_q"])
+            for r in dsir_select(
+                d.filter(F.col("lang") != "en"),
+                d.filter(F.col("lang") == "en"),
+                k=10, m_buckets=32,
+            ).collect()
+        ]
+
+    assert sel(docs) == sel(shuffled)
+
+    def funnel(d):
+        return sorted(
+            (r["rule_idx"], r["n_in"], r["n_dropped"], r["n_out"])
+            for r in quality_funnel(d).collect()
+        )
+
+    assert funnel(docs) == funnel(shuffled)
+
+    def drift(d):
+        return {
+            r["source"]: (r["n_grams"], r["kl_q"])
+            for r in corpus_drift(d, m_buckets=32).collect()
+        }
+
+    assert drift(docs) == drift(shuffled)

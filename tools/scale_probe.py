@@ -88,6 +88,8 @@ CORPUS_QUERIES = [
     "quality_funnel_docs",
     "doc_embed_infer_docs",
     "stream_dsir_score_docs",
+    "stream_funnel_docs",
+    "dsir_landed_select_docs",
 ]
 
 
