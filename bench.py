@@ -169,6 +169,7 @@ HEADLINE = [
     "stream_dsir_score_docs",
     "dsir_landed_select_docs",
     "stream_funnel_docs",
+    "stream_decontaminate_docs",
 ]
 
 # Queries that probe a WRITE-TIME LANDED index (built by the ingest
@@ -243,6 +244,19 @@ def main() -> None:
             fn(spark, SF_DIR).count()   # untimed warm touch (see above)
         best, n = None, 0
         for _ in range(2):
+            # PLAN-CACHE HYGIENE (r10): queries carrying an internal
+            # .cache() (the optimizer-barrier idiom) would otherwise
+            # have run 2 resolve its rebuilt DataFrame against run 1's
+            # cached intermediates via canonicalized-plan matching —
+            # best-of-2 then times a memoized read, not the query
+            # (caught on simhash_pairs: 2.0 s "plan" that was really
+            # an 11 s single-task compute behind a cache hit). Clear
+            # the SQL cache so both runs execute the plan; OS page
+            # cache and JVM warmth still carry, which is the intended
+            # steady-state. Memoized tempdir landings (parquet) are
+            # unaffected — those are deliberately warm via the
+            # LANDED_INDEX_PROBES touch above.
+            spark.catalog.clearCache()
             spark._jvm.System.gc()
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)

@@ -5137,6 +5137,73 @@ def _sql_stream_funnel() -> str:
     )
 
 
+def q_stream_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination online: benchmark grams come from the LANDED
+    static split (doc_id % 50 == 0, clean text), arrivals on the
+    crawl-shaped firehose (PII-injected; replicas of eval docs are
+    excluded by the same %50 rule — +5e6 preserves id % 50) explode,
+    join, and aggregate per doc in complete mode. State is bounded by
+    contamination volume (clean docs never reach the aggregate).
+    Oracle: the batch gram chain replayed over the injected feed
+    against the clean eval split."""
+    from miletos_spark.pipeline.dedup import token_ngram_hashes
+    from miletos_spark.streaming.ingest import stream_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = (
+        token_ngram_hashes(docs.filter(F.col("doc_id") % 50 == 0), n=4)
+        .select("gram", F.col("doc_id").alias("eval_id"))
+        .localCheckpoint(eager=True)
+    )
+    land = _land_docs_curation_feed(spark, sf_dir)
+    sdf = stream_decontaminate(spark, land, CURATION_STREAM_SCHEMA, ev, n=4)
+    out = _drain_memory_stream(
+        spark, sdf, "stream_decon_", output_mode="complete"
+    )
+    return out.filter(F.pmod(F.col("doc_id"), F.lit(50)) != 0).select(
+        "doc_id", "n_hits", "n_eval_docs"
+    )
+
+
+SQL_STREAM_DECONTAMINATE_TAIL = r"""
+fsrc AS (SELECT doc_id, t0 AS text FROM inj),
+ctoks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM fsrc WHERE doc_id % 50 <> 0),
+cgrams AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(t[u.i:u.i+3], ' ')) AS gram
+  FROM ctoks, unnest(range(1, greatest(len(t) - 2, 1))) AS u(i)
+  WHERE len(t) >= 4),
+etoks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE doc_id % 50 = 0),
+egrams AS (
+  SELECT DISTINCT md5(array_to_string(t[u.i:u.i+3], ' ')) AS gram,
+         doc_id AS eval_id
+  FROM etoks, unnest(range(1, greatest(len(t) - 2, 1))) AS u(i)
+  WHERE len(t) >= 4)
+SELECT c.doc_id,
+       count(DISTINCT c.gram) AS n_hits,
+       count(DISTINCT e.eval_id) AS n_eval_docs
+FROM cgrams c JOIN egrams e USING (gram)
+GROUP BY c.doc_id
+"""
+
+
+def _sql_stream_decontaminate() -> str:
+    pii_body, _last = _sql_pii_steps("feed")
+    return (
+        "WITH feed AS (\n"
+        "  SELECT doc_id, lang, text FROM documents\n"
+        "  UNION ALL\n"
+        "  SELECT doc_id + 5000000 AS doc_id, lang, text\n"
+        "  FROM documents WHERE doc_id % 10 = 0),\n"
+        + pii_body + ",\n"
+        + SQL_STREAM_DECONTAMINATE_TAIL.lstrip()
+    )
+
+
 def _sql_stream_curation() -> str:
     pii_body, last = _sql_pii_steps("feed")
     return f"""
@@ -10086,6 +10153,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_landed_select_docs": q_dsir_landed_select_docs,
     # funnel on the firehose: |rules|+1-row complete-mode state
     "stream_funnel_docs": q_stream_funnel_docs,
+    # decontamination on the firehose: state bounded by contamination
+    "stream_decontaminate_docs": q_stream_decontaminate_docs,
     # r10 second-rotation evictions: green in both r08 and r09,
     # machinery covered in-window (see the window comment)
     "tfidf_topk_docs": q_tfidf_topk_docs,
@@ -10237,6 +10306,7 @@ def _oracles() -> dict[str, str]:
         # the full-corpus model's selection: append==rebuild IS the gate
         "dsir_landed_select_docs": _sql_dsir_select(),
         "stream_funnel_docs": _sql_stream_funnel(),
+        "stream_decontaminate_docs": _sql_stream_decontaminate(),
         "substring_dedup_docs": SQL_SUBSTRING_DEDUP_DOCS,
         "substring_removal_docs": SQL_SUBSTRING_REMOVAL_DOCS,
         "bpe_tokenize_docs": _sql_bpe_tokenize(),

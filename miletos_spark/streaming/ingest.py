@@ -1150,3 +1150,38 @@ def stream_quality_funnel(
         .groupBy("dropped_by")
         .agg(F.count("*").alias("n"))
     )
+
+
+def stream_decontaminate(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    eval_grams: DataFrame,
+    n: int = 4,
+) -> DataFrame:
+    """Train/eval decontamination ON the firehose — the last batch
+    curation stage to get a streaming twin (quality filter, PII scrub,
+    exact/near/semantic/media dedup, probe scoring, DSIR scoring and
+    the funnel already have theirs): arriving documents explode into
+    distinct token n-gram hashes (stateless — `token_ngram_hashes`
+    dedups per doc BEFORE the explode), stream-static broadcast join
+    against the benchmark gram table, and a complete-mode per-doc
+    aggregate assembles the contamination summary. The inner join
+    drops clean documents before any state is written, so the
+    aggregate's state is bounded by CONTAMINATION VOLUME (the thing a
+    healthy pipeline keeps near zero), not arrival volume. collect_set
+    (not countDistinct — distinct aggregates are unsupported on
+    streams) carries the per-doc gram/eval-id sets; their sizes equal
+    the batch `decontaminate` counts exactly.
+
+    Emits (doc_id, n_hits, n_eval_docs) per contaminated arrival."""
+    from miletos_spark.pipeline.dedup import token_ngram_hashes
+
+    reader = spark.readStream.schema(schema)
+    src = reader.option("maxFilesPerTrigger", 1).parquet(input_dir)
+    grams = token_ngram_hashes(src, n=n)
+    joined = grams.join(F.broadcast(eval_grams), "gram")
+    return joined.groupBy("doc_id").agg(
+        F.size(F.collect_set("gram")).alias("n_hits"),
+        F.size(F.collect_set("eval_id")).alias("n_eval_docs"),
+    )

@@ -576,3 +576,55 @@ def test_new_tier_deterministic_under_repartition(spark):
         }
 
     assert drift(docs) == drift(shuffled)
+
+
+def test_stream_decontaminate_equals_batch(spark, tmp_path):
+    """Drained streamed contamination summaries must equal the batch
+    decontaminate counts over the same docs."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from miletos_spark.pipeline.dedup import (
+        decontaminate,
+        token_ngram_hashes,
+    )
+    from miletos_spark.streaming.ingest import stream_decontaminate
+
+    evd = spark.createDataFrame(
+        [(1000, "en", "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "lang", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [(0, "en", "intro words then the quick brown fox jumps away"),
+         (1, "en", "totally unrelated content with no overlap at all ok"),
+         (2, "en", "over the lazy dog it went the quick brown fox jumps")],
+        ["doc_id", "lang", "text"],
+    )
+    ev = token_ngram_hashes(evd, n=4).select(
+        "gram", F.col("doc_id").alias("eval_id")
+    ).localCheckpoint(eager=True)
+
+    feed = str(tmp_path / "feed")
+    corpus.repartition(2).write.parquet(feed)
+    sdf = stream_decontaminate(
+        spark, feed, "doc_id long, lang string, text string", ev, n=4
+    )
+    q = (
+        sdf.writeStream.format("memory").queryName("t_stream_decon")
+        .outputMode("complete").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["doc_id"]: (r["n_hits"], r["n_eval_docs"])
+        for r in spark.sql("SELECT * FROM t_stream_decon").collect()
+    }
+    expect = {
+        r["doc_id"]: (r["n_hits"], r["n_eval_docs"])
+        for r in decontaminate(
+            token_ngram_hashes(corpus, n=4), ev
+        ).collect()
+    }
+    assert got == expect
+    assert 0 in got and 2 in got and 1 not in got

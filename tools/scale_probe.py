@@ -90,6 +90,7 @@ CORPUS_QUERIES = [
     "stream_dsir_score_docs",
     "stream_funnel_docs",
     "dsir_landed_select_docs",
+    "stream_decontaminate_docs",
 ]
 
 
