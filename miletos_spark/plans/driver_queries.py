@@ -10027,7 +10027,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # batch+stream text LSH stays unit- and sweep-covered)
     "population_nm_recovery_events": q_population_nm_recovery_events,
     "dedup_lines_docs": q_dedup_lines_docs,
-    "near_dup_clusters": q_near_dup_clusters,
     "ivfpq_recall_topk": q_ivfpq_recall_topk,
     "stream_ls_keyed_events": q_stream_ls_keyed_events,
     "bls_multires_events": q_bls_multires_events,
@@ -10117,14 +10116,26 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_funnel_docs": q_quality_funnel_docs,
     "corpus_drift_docs": q_corpus_drift_docs,
     "doc_embed_infer_docs": q_doc_embed_infer_docs,
+    # r10 third rotation — zero driver-signal debt into r11: the three
+    # late-round capabilities get their driver row THIS round (the
+    # late-r08 precedent). Evicted, all r08+r09 doubly green with their
+    # chains CONTAINED in an in-window row's oracle: decontaminate_docs
+    # (stream_decontaminate_docs replays the identical gram chain +
+    # eval join over the stricter injected feed), near_dup_clusters
+    # (near_dup_clusters_incremental's oracle IS the full-rebuild
+    # closure over the same LSH+jaccard+clustering chain),
+    # albedo_recirc_events (the M10 secondary-sampler module stays
+    # driver-checked via brightness_temp_events + visibility_events;
+    # albedo's closed-form inversion is unit-pinned in test_model).
+    "dsir_landed_select_docs": q_dsir_landed_select_docs,
+    "stream_funnel_docs": q_stream_funnel_docs,
+    "stream_decontaminate_docs": q_stream_decontaminate_docs,
     "bpe_train_encode_docs": q_bpe_train_encode_docs,
     "training_shards_docs": q_training_shards_docs,
     "media_near_dup": q_media_near_dup,
     "mixture_sample_docs": q_mixture_sample_docs,
     "probe_irls_eval_docs": q_probe_irls_eval_docs,
-    "decontaminate_docs": q_decontaminate_docs,
     "brightness_temp_events": q_brightness_temp_events,
-    "albedo_recirc_events": q_albedo_recirc_events,
     "visibility_events": q_visibility_events,
     "stream_trigger_clusters_events": q_stream_trigger_clusters_events,
     "stream_rebin_events": q_stream_rebin_events,
@@ -10148,15 +10159,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_recovery_topk": q_pq_recovery_topk,
     "simhash_pairs": q_simhash_pairs,
     "media_features": q_media_features,
-    # incremental DSIR model: landed counts + O(batch) fold, proven
-    # through the full-model selection oracle
-    "dsir_landed_select_docs": q_dsir_landed_select_docs,
-    # funnel on the firehose: |rules|+1-row complete-mode state
-    "stream_funnel_docs": q_stream_funnel_docs,
-    # decontamination on the firehose: state bounded by contamination
-    "stream_decontaminate_docs": q_stream_decontaminate_docs,
-    # r10 second-rotation evictions: green in both r08 and r09,
-    # machinery covered in-window (see the window comment)
+    # r10 second/third-rotation evictions: green in both r08 and r09,
+    # machinery covered in-window (see the window comments)
+    "near_dup_clusters": q_near_dup_clusters,
+    "decontaminate_docs": q_decontaminate_docs,
+    "albedo_recirc_events": q_albedo_recirc_events,
     "tfidf_topk_docs": q_tfidf_topk_docs,
     "doc_embed_docs": q_doc_embed_docs,
     "substring_dedup_docs": q_substring_dedup_docs,

@@ -73,6 +73,15 @@ def test_window_rotation_is_deliberate():
     # bpe_encode_production/bpe_train_encode hash gates),
     # linear_probe (weights + eval confusion matrix + stream scoring
     # stay), lm_bigram (the trigram backoff chain contains it).
+    # r10 third rotation: the three late-round capabilities
+    # (dsir_landed_select, stream_funnel, stream_decontaminate) get
+    # their driver row THIS round — zero driver-signal debt into r11
+    # (the late-r08 precedent). Evicted three r08+r09-doubly-green rows
+    # whose chains are CONTAINED in an in-window row's oracle:
+    # decontaminate (stream_decontaminate replays the same gram chain),
+    # near_dup_clusters (the incremental row's oracle IS the full
+    # rebuild), albedo_recirc (M10 stays via brightness_temp +
+    # visibility; inversion unit-pinned).
     # r10 second rotation: promoted the round's FIVE new capabilities
     # (dsir_select + its streamed deployment, quality_funnel,
     # corpus_drift, and the batch-inference seam row). Evicted five
@@ -85,7 +94,7 @@ def test_window_rotation_is_deliberate():
     # brute baseline), tfidf (quantize-then-rank via dsir_select,
     # top-K head via vocab_coverage_bpe).
     assert window == [
-        "population_nm_recovery_events", "dedup_lines_docs", "near_dup_clusters",
+        "population_nm_recovery_events", "dedup_lines_docs",
         "ivfpq_recall_topk", "stream_ls_keyed_events", "bls_multires_events",
         "linear_probe_weights_docs", "stream_probe_score_docs",
         "semantic_dedup_embeddings", "stream_semantic_dedup_embeddings",
@@ -100,10 +109,12 @@ def test_window_rotation_is_deliberate():
         "near_dup_clusters_incremental",
         "dsir_select_docs", "stream_dsir_score_docs", "quality_funnel_docs",
         "corpus_drift_docs", "doc_embed_infer_docs",
+        "dsir_landed_select_docs", "stream_funnel_docs",
+        "stream_decontaminate_docs",
         "bpe_train_encode_docs",
         "training_shards_docs", "media_near_dup", "mixture_sample_docs",
-        "probe_irls_eval_docs", "decontaminate_docs",
-        "brightness_temp_events", "albedo_recirc_events", "visibility_events",
+        "probe_irls_eval_docs",
+        "brightness_temp_events", "visibility_events",
         "stream_trigger_clusters_events", "stream_rebin_events", "json_props_events",
         "fits_ingest_events", "qlp_ingest_events", "csv_ingest_events",
     ]
