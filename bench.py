@@ -170,6 +170,7 @@ HEADLINE = [
     "dsir_landed_select_docs",
     "stream_funnel_docs",
     "stream_decontaminate_docs",
+    "quality_funnel_by_lang_docs",
 ]
 
 # Queries that probe a WRITE-TIME LANDED index (built by the ingest

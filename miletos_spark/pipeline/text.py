@@ -1181,7 +1181,10 @@ def trigram_logprob(
 
 
 def funnel_stats(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Per-doc stats feeding the funnel rules: whitespace token count,
     mean word length (non-ws chars / tokens), English stopword
@@ -1190,8 +1193,10 @@ def funnel_stats(
     attribute BEFORE the HOF stats (the CollapseProject re-evaluation
     trap — inlined, the split would re-run per distinct element)."""
     t = F.col(text_col)
+    keep = list(keep_cols)
     base = df.select(
         F.col(id_col),
+        *keep,
         t.alias("_text"),
         F.filter(
             F.split(F.lower(F.trim(t)), r"\s+"),
@@ -1210,6 +1215,7 @@ def funnel_stats(
     non_ws = F.length(F.regexp_replace(F.col("_text"), r"\s", ""))
     return base.select(
         id_col,
+        *keep,
         n.alias("n_tokens"),
         F.when(n > 0, non_ws / n).otherwise(F.lit(0.0)).alias("mean_word_len"),
         (stop_hits / F.greatest(n, F.lit(1))).alias("stop_frac"),
@@ -1247,23 +1253,39 @@ def quality_funnel(
     text_col: str = "text",
     id_col: str = "doc_id",
     rules: "list[tuple[str, Column]] | None" = None,
+    group_col: str | None = None,
 ) -> DataFrame:
     """The attrition report: one row per rule with (rule_idx, rule,
     n_in, n_dropped, n_out) under first-failing semantics — rule i's
     input is everything the earlier rules kept, all integers, so the
-    report is engine-exact. One scan + one single-row aggregate; the
-    per-rule rows are pure expressions over that row (no window, no
-    per-rule pass)."""
+    report is engine-exact. One scan + one tiny aggregate; the
+    per-rule rows are pure expressions over it (no window, no
+    per-rule pass).
+
+    ``group_col`` (e.g. "lang") gives the PER-GROUP funnel — the
+    question the report exists to answer ("rule 3 deleted 40% of
+    German" is a threshold bug you want in the report, not in the
+    trained model): same single scan, the aggregate is |groups| rows
+    instead of one, and the output carries group_col first."""
     rules = default_funnel_rules() if rules is None else rules
-    stats = funnel_stats(df, text_col, id_col)
-    tag = funnel_dropped_by(rules)
-    agg = stats.select(tag.alias("_dropped_by")).agg(
-        F.count("*").alias("_n_total"),
-        *[
-            F.sum((F.col("_dropped_by") == name).cast("long")).alias(f"_d{i}")
-            for i, (name, _) in enumerate(rules)
-        ],
+    stats = funnel_stats(
+        df, text_col, id_col,
+        keep_cols=(group_col,) if group_col else (),
     )
+    tag = funnel_dropped_by(rules)
+    counters = [
+        F.sum((F.col("_dropped_by") == name).cast("long")).alias(f"_d{i}")
+        for i, (name, _) in enumerate(rules)
+    ]
+    tagged = stats.select(
+        *((group_col,) if group_col else ()), tag.alias("_dropped_by")
+    )
+    if group_col:
+        agg = tagged.groupBy(group_col).agg(
+            F.count("*").alias("_n_total"), *counters
+        )
+    else:
+        agg = tagged.agg(F.count("*").alias("_n_total"), *counters)
     rows = []
     for i, (name, _) in enumerate(rules):
         n_in = F.col("_n_total") - sum(
@@ -1278,7 +1300,10 @@ def quality_funnel(
                 (n_in - F.col(f"_d{i}")).cast("long").alias("n_out"),
             )
         )
-    return agg.select(F.explode(F.array(*rows)).alias("_r")).select("_r.*")
+    exploded = F.explode(F.array(*rows)).alias("_r")
+    if group_col:
+        return agg.select(group_col, exploded).select(group_col, "_r.*")
+    return agg.select(exploded).select("_r.*")
 
 
 def apply_funnel(

@@ -3209,6 +3209,52 @@ UNION ALL SELECT 4, 'repetition',
 """
 
 
+def q_quality_funnel_by_lang_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PER-LANGUAGE funnel — the question the attrition report
+    exists to answer ("rule 3 deleted 40% of German" is a threshold
+    bug you want in the report, not in the trained model): the same
+    single scan as quality_funnel_docs, aggregate keyed by lang
+    (|langs| rows), funnel rows carried per group."""
+    from miletos_spark.pipeline.text import quality_funnel
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_funnel(docs, group_col="lang")
+
+
+def _sql_quality_funnel_by_lang() -> str:
+    # the batch funnel SQL with the per-lang grouping threaded through
+    body = SQL_QUALITY_FUNNEL_DOCS
+    body = (
+        body.replace(
+            "  SELECT doc_id, text,",
+            "  SELECT doc_id, lang, text,", 1,
+        )
+        .replace(
+            "  SELECT doc_id, len(w) AS n,",
+            "  SELECT doc_id, lang, len(w) AS n,", 1,
+        )
+        .replace(
+            "  SELECT CASE WHEN NOT (n >= 20)      THEN 'min_tokens'",
+            "  SELECT lang, CASE WHEN NOT (n >= 20)      THEN 'min_tokens'",
+            1,
+        )
+        .replace(
+            "  SELECT count(*) AS n_total,",
+            "  SELECT lang, count(*) AS n_total,", 1,
+        )
+        .replace("  FROM sel)", "  FROM sel GROUP BY lang)", 1)
+        .replace(
+            "SELECT 0 AS rule_idx, 'min_tokens' AS rule,",
+            "SELECT lang, 0 AS rule_idx, 'min_tokens' AS rule,", 1,
+        )
+        .replace("UNION ALL SELECT 1,", "UNION ALL SELECT lang, 1,", 1)
+        .replace("UNION ALL SELECT 2,", "UNION ALL SELECT lang, 2,", 1)
+        .replace("UNION ALL SELECT 3,", "UNION ALL SELECT lang, 3,", 1)
+        .replace("UNION ALL SELECT 4,", "UNION ALL SELECT lang, 4,", 1)
+    )
+    return body
+
+
 def q_quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering (the CCNet/fastText classifier
     stage): fixed-weight linear model over bounded length/word-length
@@ -10165,6 +10211,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_docs": q_decontaminate_docs,
     "albedo_recirc_events": q_albedo_recirc_events,
     "tfidf_topk_docs": q_tfidf_topk_docs,
+    # per-group funnel (machinery = the in-window funnel row's)
+    "quality_funnel_by_lang_docs": q_quality_funnel_by_lang_docs,
     "doc_embed_docs": q_doc_embed_docs,
     "substring_dedup_docs": q_substring_dedup_docs,
     "ivfpq_recovery_topk": q_ivfpq_recovery_topk,
@@ -10314,6 +10362,7 @@ def _oracles() -> dict[str, str]:
         "dsir_landed_select_docs": _sql_dsir_select(),
         "stream_funnel_docs": _sql_stream_funnel(),
         "stream_decontaminate_docs": _sql_stream_decontaminate(),
+        "quality_funnel_by_lang_docs": _sql_quality_funnel_by_lang(),
         "substring_dedup_docs": SQL_SUBSTRING_DEDUP_DOCS,
         "substring_removal_docs": SQL_SUBSTRING_REMOVAL_DOCS,
         "bpe_tokenize_docs": _sql_bpe_tokenize(),

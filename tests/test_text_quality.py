@@ -490,3 +490,43 @@ def test_quality_funnel_matches_python_reference(spark):
     kept = {r["doc_id"] for r in apply_funnel(docs).collect()}
     assert kept == {i for i, (di, t) in enumerate(rows) if dropped(t) is None}
     assert len(kept) == expect[-1][4]
+
+
+def test_quality_funnel_by_group_consistency(spark):
+    """Per-group funnels must sum to the global funnel, conserve rows
+    within each group, and chain (rule i's n_out == rule i+1's n_in)."""
+    from miletos_spark.pipeline.text import quality_funnel
+
+    rows = []
+    for i in range(30):
+        lang = ["en", "de", "fr"][i % 3]
+        if i % 5 == 0:
+            rows.append((i, lang, "tiny"))
+        elif i % 5 == 1:
+            rows.append((i, lang, " ".join("w%d" % j for j in range(95))))
+        else:
+            rows.append(
+                (i, lang, "the cat sat on mat " + " ".join(
+                    "x%d" % j for j in range(20)))
+            )
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+
+    per = quality_funnel(docs, group_col="lang").collect()
+    glob = {
+        r["rule_idx"]: (r["n_in"], r["n_dropped"], r["n_out"])
+        for r in quality_funnel(docs).collect()
+    }
+    by_rule = {}
+    by_group = {}
+    for r in per:
+        by_rule.setdefault(r["rule_idx"], [0, 0, 0])
+        for j, c in enumerate(("n_in", "n_dropped", "n_out")):
+            by_rule[r["rule_idx"]][j] += r[c]
+        by_group.setdefault(r["lang"], {})[r["rule_idx"]] = (
+            r["n_in"], r["n_dropped"], r["n_out"]
+        )
+    assert {k: tuple(v) for k, v in by_rule.items()} == glob
+    for lang, chain in by_group.items():
+        for i in range(4):
+            assert chain[i][2] == chain[i + 1][0], (lang, i)
+            assert chain[i][0] == chain[i][1] + chain[i][2], (lang, i)
