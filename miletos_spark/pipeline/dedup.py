@@ -332,6 +332,7 @@ def banded_fp_pairs_distinct(
     fp_col: str = "fp",
     max_hamming: int = 3,
     block: int = 128,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Hamming-near pairs among DISTINCT 16-hex-char fingerprints via
     the 4-band pigeonhole join — the hub-safe core shared by
@@ -356,16 +357,28 @@ def banded_fp_pairs_distinct(
     one of the 4 × 16-bit bands, so candidates are lossless at the
     ≤ 3 cut. Returns (fp_a, fp_b, hamming) with fp_a < fp_b and
     1 ≤ hamming ≤ max_hamming (identical pairs cannot occur on
-    distinct input)."""
+    distinct input).
+
+    SIDE EFFECT (ADVICE r10): when ``max_bucket`` is None, the
+    bounded-cutover probe below runs EAGERLY at DataFrame-construction
+    time — merely building the plan (explain(), tools/plan_report)
+    executes the distinct + a count job. Landed band indexes persist
+    the max (band, chunk) bucket size over DISTINCT fingerprints at
+    write time (landing.band_bucket_stats); pass it as ``max_bucket``
+    and construction is FULLY lazy — no probe job, no eager pin (the
+    self-join's identical distinct subtrees collapse to a
+    ReusedExchange, so a landed columnar read recomputes nothing
+    expensive) — the stance that killed the semantic tier's per-query
+    emb.count()."""
     from pyspark.sql import Window
 
-    # pinned: the distinct table feeds the size probe AND the join —
-    # unpinned, the distinct shuffle would run twice
-    d = (
-        fps.select(F.col(fp_col).alias("fp"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    d = fps.select(F.col(fp_col).alias("fp")).distinct()
+    if max_bucket is None:
+        # pinned: the distinct table feeds the size probe AND both
+        # sides of the band self-join — unpinned, the distinct shuffle
+        # would run two to three times (the probe is a separate job,
+        # outside ReusedExchange's reach)
+        d = d.localCheckpoint(eager=True)
     banded = d.select(
         "fp",
         F.explode(
@@ -387,13 +400,17 @@ def banded_fp_pairs_distinct(
     # would be 0, and the window + partner-explode machinery is four
     # wasted shuffles — measured 9.6 s -> ~3 s on the sf0.1 simhash
     # row. The blocked path is the fallback the moment any bucket
-    # crosses `block`, so hub safety is never probed away.
-    mx = (
-        banded.groupBy("band", "chunk")
-        .agg(F.count("*").alias("_c"))
-        .agg(F.max("_c").alias("m"))
-        .first()["m"]
-    ) or 0
+    # crosses `block`, so hub safety is never probed away. Landed
+    # inputs pass the write-time stat instead (no job runs here).
+    if max_bucket is not None:
+        mx = max_bucket
+    else:
+        mx = (
+            banded.groupBy("band", "chunk")
+            .agg(F.count("*").alias("_c"))
+            .agg(F.max("_c").alias("m"))
+            .first()["m"]
+        ) or 0
     if mx <= block:
         left = banded.select(
             "band", "chunk", F.col("fp").alias("fp_a")
@@ -442,6 +459,7 @@ def class_member_pairs(
     class_col: str,
     payload_cols: list[str],
     block: int = 128,
+    max_class: int | None = None,
 ) -> DataFrame:
     """All unordered member pairs WITHIN each equivalence class
     (identical-fingerprint expansion), block-decomposed: a class of k
@@ -449,7 +467,16 @@ def class_member_pairs(
     task ever materializes a whole class's pair set — the same
     (key, partner-block) scheme as the semantic tier. Output columns
     are `{c}_a`/`{c}_b` per payload column, ordered so the a-side
-    payload tuple < b-side tuple."""
+    payload tuple < b-side tuple.
+
+    SIDE EFFECT (ADVICE r10): when ``max_class`` is None, the
+    bounded-cutover probe runs EAGERLY at construction time, and
+    ``members`` is pinned first (localCheckpoint) so an expensive
+    caller plan executes ONCE, not once for the probe plus once per
+    self-join side. Landed indexes persist the max class size at
+    write time (landing.band_bucket_stats); pass it as ``max_class``
+    and construction is fully lazy — no probe, no eager pin (callers
+    with expensive unlanded plans should pin themselves)."""
     from pyspark.sql import Window
 
     sa = F.struct(*[F.col(f"{c}_a") for c in payload_cols])
@@ -459,12 +486,16 @@ def class_member_pairs(
     # norm on duplicate-light corpora — the direct keyed self-join is
     # the whole answer and the window/partner-explode stages are
     # skipped; any larger class flips to the blocked decomposition.
-    mx = (
-        members.groupBy(class_col)
-        .agg(F.count("*").alias("_c"))
-        .agg(F.max("_c").alias("m"))
-        .first()["m"]
-    ) or 0
+    if max_class is not None:
+        mx = max_class
+    else:
+        members = members.localCheckpoint(eager=True)
+        mx = (
+            members.groupBy(class_col)
+            .agg(F.count("*").alias("_c"))
+            .agg(F.max("_c").alias("m"))
+            .first()["m"]
+        ) or 0
     if mx <= block:
         left = members.select(
             class_col,

@@ -1191,26 +1191,56 @@ def funnel_stats(
     fraction, and the most-frequent-token share (Gopher's repetition
     family, unigram form). The token array is projected to a real
     attribute BEFORE the HOF stats (the CollapseProject re-evaluation
-    trap — inlined, the split would re-run per distinct element)."""
+    trap — inlined, the split would re-run per distinct element).
+
+    The top-token count is LINEAR per doc: sort the token array once
+    and fold run lengths (max run == max count on a sorted array) —
+    the previous array_distinct × filter spelling was O(distinct·n)
+    per row, quadratic on real long crawl docs (ADVICE r10). The
+    _spread stance (search/bls.py) applies for the same reason as
+    doc_repetition: a one-file corpus scan would otherwise run every
+    per-row HOF on a single core before the first exchange. Batch
+    inputs are repartitioned to the session parallelism; streaming
+    inputs keep their micro-batch partitioning (repartition would add
+    a per-batch shuffle for a stateless scan)."""
     t = F.col(text_col)
     keep = list(keep_cols)
+    if not df.isStreaming:
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     base = df.select(
         F.col(id_col),
         *keep,
         t.alias("_text"),
-        F.filter(
-            F.split(F.lower(F.trim(t)), r"\s+"),
-            lambda w: F.length(w) > 0,
+        F.array_sort(
+            F.filter(
+                F.split(F.lower(F.trim(t)), r"\s+"),
+                lambda w: F.length(w) > 0,
+            )
         ).alias("_w"),
     )
     n = F.size("_w")
     sw = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
     stop_hits = F.size(F.filter(F.col("_w"), lambda w: F.array_contains(sw, w)))
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(F.col("_w")),
-            lambda d: F.size(F.filter(F.col("_w"), lambda w: w == d)),
-        )
+    # max run length on the sorted array == max token count; one O(n)
+    # fold, no distinct-element rescan
+    top = F.aggregate(
+        F.col("_w"),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            F.when(acc["prev"] == w, acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(acc["prev"] == w, acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     non_ws = F.length(F.regexp_replace(F.col("_text"), r"\s", ""))
     return base.select(

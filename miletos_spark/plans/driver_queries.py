@@ -1020,14 +1020,18 @@ def q_dsir_landed_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     additive sufficient statistic — and selection runs over the
     landed-model log-ratios. The oracle is the FULL-CORPUS model's
     selection (_sql_dsir_select verbatim), so append==rebuild is
-    exactly what the hash gate proves. The update is guarded by a done
-    marker (count folds are NOT replay-idempotent; production uses the
-    stream_pack_shards commit protocol — documented at
-    update_dsir_model)."""
+    exactly what the hash gate proves. Both the initial load and the
+    fold publish through `pipeline.commit.publish_version` (r11,
+    ADVICE r10): each writes a NEW model directory derived only from
+    the previous committed version plus its increment, then flips one
+    atomic pointer — count folds are not replay-idempotent, and the
+    old overwrite-then-marker ordering had a crash window that would
+    silently double the batch contribution on rerun."""
     import hashlib
     import os as _os
     import tempfile
 
+    from miletos_spark.pipeline.commit import current_version, publish_version
     from miletos_spark.pipeline.landing import (
         dsir_bucket_counts,
         dsir_logratios_from_landed,
@@ -1040,26 +1044,34 @@ def q_dsir_landed_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _os.path.join(sf_dir, "documents.parquet")
     try:
         st = _os.stat(src)
-        sig = f"{_os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|dsiri"
+        sig = f"{_os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|dsiri2"
     except OSError:
-        sig = _os.path.abspath(src) + "|dsiri"
+        sig = _os.path.abspath(src) + "|dsiri2"
     root = _os.path.join(
         tempfile.gettempdir(),
         "miletos_dsiridx_" + hashlib.md5(sig.encode()).hexdigest()[:12],
     )
-    mpath = _os.path.join(root, "model")
-    done_init = _os.path.join(root, "_SUCCESS_INIT")
-    done_upd = _os.path.join(root, "_SUCCESS_UPDATE")
-    if not _os.path.exists(done_init):
-        dsir_bucket_counts(docs.filter(~is_batch), 64).coalesce(
-            1
-        ).write.mode("overwrite").parquet(mpath)
-        with open(done_init, "w") as f:
-            f.write("ok")
-    if not _os.path.exists(done_upd):
-        update_dsir_model(spark, mpath, docs.filter(is_batch), m_buckets=64)
-        with open(done_upd, "w") as f:
-            f.write("ok")
+    _os.makedirs(root, exist_ok=True)
+    ptr = _os.path.join(root, "MODEL_CURRENT")
+    if current_version(ptr) is None:
+        publish_version(
+            ptr,
+            "model_v0",
+            lambda d: dsir_bucket_counts(docs.filter(~is_batch), 64)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(d),
+        )
+    v0 = current_version(ptr)
+    if _os.path.basename(v0) == "model_v0":
+        publish_version(
+            ptr,
+            "model_v1",
+            lambda d: update_dsir_model(
+                spark, v0, docs.filter(is_batch), m_buckets=64, out_path=d
+            ),
+        )
+    mpath = current_version(ptr)
     model = dsir_logratios_from_landed(spark, mpath, 64)
     raw = docs.filter(F.col("lang") != "en")
     picked = dsir_select(raw, None, k=40, m_buckets=64, model=model)
@@ -6478,14 +6490,22 @@ def _land_media_phash_index(spark: SparkSession) -> str:
     recipe-version constant): decode → per-frame pHash → 4 × 16-bit
     bands, landed partitioned by `band` — `land_dedup_index`'s layout
     applied to the multimodal tier, so the streaming probe's band
-    join prunes its scan to the arriving bands' dirs."""
+    join prunes its scan to the arriving bands' dirs. Band-bucket
+    stats (max distinct-fp bucket, max identical-fp class) are
+    persisted at write time so the bounded-cutover pair functions on
+    the landed path skip their per-invocation probe job (VERDICT r10
+    Wrong #2)."""
     import os
     import tempfile
 
-    root = os.path.join(tempfile.gettempdir(), "miletos_mediaidx_v1")
+    root = os.path.join(tempfile.gettempdir(), "miletos_mediaidx_v2")
     land = os.path.join(root, "bands")
     done = os.path.join(root, "_SUCCESS_INDEX")
     if not os.path.exists(done):
+        from miletos_spark.pipeline.landing import (
+            band_bucket_stats,
+            write_index_stats,
+        )
         from miletos_spark.pipeline.multimodal import (
             decode_media,
             phash_frames,
@@ -6514,6 +6534,11 @@ def _land_media_phash_index(spark: SparkSession) -> str:
             ).alias("bb"),
         ).select("media_id", "frame", "phash_hex", "bb.band", "bb.chunk")
         banded.write.mode("overwrite").partitionBy("band").parquet(land)
+        landed = spark.read.parquet(land)
+        write_index_stats(
+            root,
+            band_bucket_stats(landed, ["band", "chunk"], fp_col="phash_hex"),
+        )
         with open(done, "w") as f:
             f.write("ok")
     return land

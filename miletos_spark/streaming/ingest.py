@@ -700,11 +700,11 @@ def stream_pack_shards(
             # batch before no-opping — a fresh checkpoint or a changed
             # trigger size renumbers batches, and skipping unverified
             # would silently drop the input (ADVICE r9)
-            mpath = os.path.join(commit_dir, str(batch_id))
+            from miletos_spark.pipeline.commit import read_marker
+
             try:
-                with open(mpath) as f:
-                    want = json.load(f)
-            except (OSError, ValueError):
+                want = read_marker(os.path.join(commit_dir, str(batch_id)))
+            except ValueError:
                 want = None
             got = _batch_manifest(batch_id)
             if want is None or got is None or want != got:
@@ -822,13 +822,14 @@ def stream_pack_shards(
         # COMMIT: everything for this batch is on disk under its own
         # paths — the marker (whose CONTENT is the batch's input-file
         # manifest, so replays are verifiable) makes it visible
-        # atomically-enough for a local fs; then prune superseded
-        # offset snapshots best-effort
-        os.makedirs(commit_dir, exist_ok=True)
-        tmp = os.path.join(commit_dir, f".{batch_id}.tmp")
-        with open(tmp, "w") as f:
-            json.dump(_batch_manifest(batch_id), f)
-        os.replace(tmp, os.path.join(commit_dir, str(batch_id)))
+        # atomically via the shared commit seam (pipeline.commit, r11);
+        # then prune superseded offset snapshots best-effort
+        from miletos_spark.pipeline.commit import write_marker
+
+        write_marker(
+            os.path.join(commit_dir, str(batch_id)),
+            _batch_manifest(batch_id),
+        )
         for d in os.listdir(off_dir):
             if d.startswith("b=") and int(d[2:]) < batch_id:
                 shutil.rmtree(os.path.join(off_dir, d), ignore_errors=True)
@@ -1158,6 +1159,7 @@ def stream_decontaminate(
     schema: str,
     eval_grams: DataFrame,
     n: int = 4,
+    max_files_per_trigger: int | None = 1,
 ) -> DataFrame:
     """Train/eval decontamination ON the firehose — the last batch
     curation stage to get a streaming twin (quality filter, PII scrub,
@@ -1174,11 +1176,19 @@ def stream_decontaminate(
     streams) carries the per-doc gram/eval-id sets; their sizes equal
     the batch `decontaminate` counts exactly.
 
-    Emits (doc_id, n_hits, n_eval_docs) per contaminated arrival."""
+    Emits (doc_id, n_hits, n_eval_docs) per contaminated arrival.
+
+    ``max_files_per_trigger`` is exposed like every sibling streaming
+    op (r10 verdict: the hard-coded 1-file trigger was pathological at
+    scale — ~0.35 s/batch overhead priced by the r9 cost model — and
+    uncorrectable by the caller); the registry's test default is kept.
+    """
     from miletos_spark.pipeline.dedup import token_ngram_hashes
 
     reader = spark.readStream.schema(schema)
-    src = reader.option("maxFilesPerTrigger", 1).parquet(input_dir)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_dir)
     grams = token_ngram_hashes(src, n=n)
     joined = grams.join(F.broadcast(eval_grams), "gram")
     return joined.groupBy("doc_id").agg(

