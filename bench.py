@@ -171,6 +171,9 @@ HEADLINE = [
     "stream_funnel_docs",
     "stream_decontaminate_docs",
     "quality_funnel_by_lang_docs",
+    # round-11: deterministic serving order + streaming media verdicts
+    "training_order_docs",
+    "stream_media_decisions",
 ]
 
 # Queries that probe a WRITE-TIME LANDED index (built by the ingest

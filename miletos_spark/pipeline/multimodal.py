@@ -353,6 +353,123 @@ def media_dedup_decisions(
     )
 
 
+def media_arrival_decisions(
+    arrival_fps: DataFrame,
+    landed_banded: DataFrame,
+    max_hamming: int = 3,
+    frac_threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """DIRECTIONAL media dedup decisions for a batch of ARRIVALS
+    against a landed corpus pHash band index (r11, VERDICT r10 Missing
+    #3) — the evidence composition `stream_media_decisions` runs per
+    micro-batch, and `media_dedup_decisions`' containment rule with
+    the corpus side read from the index instead of recomputed: arrival
+    B is a re-upload of corpus media A when ≥ ``frac_threshold`` of
+    B's (discriminative) frames match SOME frame of A at Hamming ≤
+    ``max_hamming``.
+
+    Fingerprint-first, frame pairs never materialized: DISTINCT
+    arrival fps band-join the index's DISTINCT fps (identical hashes
+    hit at Hamming 0, so no separate identity relation is needed in
+    the cross-corpus orientation), the verified near relation expands
+    through the index's fp→media PRESENCE table, and the per-(B, A)
+    matched count is a keyed aggregation. Per-bucket join work is
+    |batch fps in bucket| × |distinct index fps in bucket| — batch- ×
+    hub-safe-index-sized, never replica-quadratic.
+
+    ``max_df`` drops fingerprints whose document frequency IN THE
+    LANDED CORPUS exceeds it from both the numerator and the
+    denominator (nf re-based to discriminative frames) — the same
+    non-discriminative-frame guard as the batch op, with df measured
+    where it is known at index time.
+
+    ``arrival_fps``: (arrival_id, frame, fp); ``landed_banded``: the
+    landed (media_id, frame, phash_hex, band, chunk) table. Returns
+    (arrival_id, matched_id, n_frames, n_matched)."""
+    from miletos_spark.pipeline.dedup import simhash_hamming
+
+    pres = (
+        landed_banded.filter(F.col("band") == 0)
+        .select("media_id", F.col("phash_hex").alias("fp"))
+        .distinct()
+    )
+    arr = arrival_fps.select("arrival_id", "frame", "fp")
+    if max_df is not None:
+        # the HUB set (landed df > max_df) is what gets dropped — an
+        # anti-join against it, NOT a semi-join against the keepers:
+        # arrival fps absent from the index have df = 0 and are
+        # trivially discriminative, and a keeper semi-join would drop
+        # them too
+        hub_fps = (
+            pres.groupBy("fp")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("fp")
+        )
+        pres = pres.join(hub_fps, "fp", "left_anti")
+        arr = arr.join(hub_fps, "fp", "left_anti")
+    landed_d = landed_banded.select("band", "chunk", "phash_hex").distinct()
+    d_arr = arr.select("fp").distinct()
+    banded_arr = d_arr.select(
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring("fp", 1 + 4 * b, 4).alias("chunk"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(F.col("fp").alias("fp_a"), "bb.band", "bb.chunk")
+    rel = (
+        banded_arr.join(
+            landed_d.select(
+                "band", "chunk", F.col("phash_hex").alias("fp_b")
+            ),
+            ["band", "chunk"],
+        )
+        .dropDuplicates(["fp_a", "fp_b"])
+        .withColumn("hamming", simhash_hamming(F.col("fp_a"), F.col("fp_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("fp_a", "fp_b")
+    )
+    matched = (
+        arr.select("arrival_id", "frame", F.col("fp").alias("fp_a"))
+        .join(rel, "fp_a")
+        .join(
+            pres.select(
+                F.col("media_id").alias("matched_id"),
+                F.col("fp").alias("fp_b"),
+            ),
+            "fp_b",
+        )
+        .filter(F.col("arrival_id") != F.col("matched_id"))
+        .select("arrival_id", "matched_id", "frame")
+        .distinct()
+        .groupBy("arrival_id", "matched_id")
+        .agg(F.count("*").alias("n_matched"))
+    )
+    nf = arr.groupBy("arrival_id").agg(
+        F.count_distinct("frame").alias("n_frames")
+    )
+    return (
+        matched.join(nf, "arrival_id")
+        .filter(
+            F.col("n_matched") >= F.lit(frac_threshold) * F.col("n_frames")
+        )
+        .select(
+            "arrival_id",
+            "matched_id",
+            F.col("n_frames").cast("long").alias("n_frames"),
+            F.col("n_matched").cast("long").alias("n_matched"),
+        )
+    )
+
+
 def media_features(df: DataFrame) -> DataFrame:
     """Per-frame feature extraction over the pixel block — aggregate
     HOFs only: mean/min/max brightness and RMS contrast."""

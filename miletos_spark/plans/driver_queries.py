@@ -1182,6 +1182,97 @@ FROM b GROUP BY lang, source, start_bin
 """
 
 
+def q_training_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order serving (r11, VERDICT r10 Missing
+    #1) — the stage between `training_shards_docs` and an actual
+    training run: documents pack into 512-token sequences per lang
+    (`pack_chunks`), sequences get their epoch-2 serving rank under
+    seed 7 (`packing.epoch_order` — md5(seed|epoch|key) permutation
+    key, two-pass prefix-sum rank, NO global sort), and every row
+    resolves (epoch, rank) → (shard, offset_in_shard) for the resume
+    contract (shards of 16 sequences). All-integer output, hash-exact;
+    the oracle replays the permutation nibble-for-nibble and ranks it
+    with a plain window — proving the distributed bucketed rank equals
+    the global sort's."""
+    from miletos_spark.pipeline.packing import epoch_order, pack_chunks
+    from miletos_spark.pipeline.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    packed = pack_chunks(toks, group_cols=("lang",), capacity=512)
+    seqs = (
+        packed.groupBy("lang", "start_bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("tokens_started"),
+        )
+        .select(
+            "lang",
+            F.col("start_bin").cast("long").alias("seq_bin"),
+            "n_docs",
+            F.col("tokens_started").cast("long").alias("tokens_started"),
+        )
+    )
+    order = epoch_order(
+        seqs, seed=7, epoch=2, key_cols=("lang", "seq_bin"), bucket_count=64
+    )
+    sh = F.floor(F.col("seq_bin") / F.lit(16.0)).cast("long")
+    return order.select(
+        "lang",
+        "seq_bin",
+        sh.alias("shard"),
+        (F.col("seq_bin") - sh * 16).cast("long").alias("offset_in_shard"),
+        "n_docs",
+        "tokens_started",
+        F.col("epoch").cast("int").alias("epoch"),
+        "rank",
+    )
+
+
+def _sql_training_order() -> str:
+    """Oracle for q_training_order_docs — built lazily because it
+    composes `_sql_md5_32`, defined further down the module."""
+    return rf"""
+WITH toks AS (
+  SELECT lang, doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+              AS BIGINT) AS n_tokens
+  FROM documents),
+off AS (
+  SELECT lang, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - n_tokens AS start_off
+  FROM toks),
+seqs AS (
+  SELECT lang, CAST(floor(start_off / 512.0) AS BIGINT) AS seq_bin,
+         count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens_started
+  FROM off GROUP BY lang, CAST(floor(start_off / 512.0) AS BIGINT)),
+keyed AS (
+  SELECT *,
+         {_sql_md5_32("'7|2|' || lang || '|' || CAST(seq_bin AS VARCHAR)")}
+           AS u32
+  FROM seqs),
+r AS (
+  SELECT lang, seq_bin, n_docs, tokens_started,
+         row_number() OVER (ORDER BY u32, lang, seq_bin) - 1 AS rank
+  FROM keyed)
+SELECT lang, seq_bin,
+       CAST(floor(seq_bin / 16.0) AS BIGINT) AS shard,
+       CAST(seq_bin - 16 * floor(seq_bin / 16.0) AS BIGINT)
+         AS offset_in_shard,
+       n_docs, tokens_started,
+       CAST(2 AS INT) AS epoch,
+       CAST(rank AS BIGINT) AS rank
+FROM r
+"""
+
+
 def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination: flag corpus docs sharing verbatim
     token 4-grams with the held-out split (doc_id % 50 == 0 — a
@@ -6597,6 +6688,72 @@ def q_stream_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_media_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 media dedup DECISIONS online (r11, VERDICT r10 Missing
+    #3): the planted re-uploads (trimmed videos, jittered images at
+    the binary payload level) arrive on a 2-file firehose and must be
+    recovered as per-ARRIVAL media verdicts against the landed pHash
+    band index — ≥ 80% of the arrival's frames matching some frame of
+    one corpus media at Hamming ≤ 3 (the directional containment that
+    catches trimmed re-posts). foreachBatch with zero cross-batch
+    state: an arrival's whole payload sits in one row, so its verdict
+    completes inside its micro-batch; the corpus side is the static
+    landed index. Oracle: the shared pixel-space replay composed to
+    arrival-oriented matched-frame fractions."""
+    import os
+    import tempfile
+    import uuid
+
+    from miletos_spark.pipeline.multimodal import MEDIA_SCHEMA
+    from miletos_spark.streaming.ingest import (
+        read_media_decisions,
+        stream_media_decisions,
+    )
+
+    bands = _land_media_phash_index(spark)
+    land = _land_media_arrivals(spark)
+    work = os.path.join(
+        tempfile.gettempdir(), "miletos_smdec_" + uuid.uuid4().hex[:8]
+    )
+    stream_media_decisions(
+        spark,
+        land,
+        MEDIA_SCHEMA,
+        bands,
+        os.path.join(work, "out"),
+        os.path.join(work, "state"),
+        max_hamming=3,
+        frac_threshold=0.8,
+        max_files_per_trigger=1,
+    )
+    return read_media_decisions(spark, os.path.join(work, "out")).select(
+        "arrival_id", "matched_id", "n_frames", "n_matched"
+    )
+
+
+# Directional arrival-vs-corpus composition of the shared pixel-space
+# replay: arrivals are the planted copies (ids ≥ 1000, always id_b in
+# `ham` since sources are 0..63), the corpus side is the landed index's
+# media. n_frames is the arrival's full frame count (max_df is None on
+# the driver row — exact all-frame semantics for the replay).
+SQL_STREAM_MEDIA_DECISIONS = _SQL_MEDIA_ND_CTES + """,
+mt AS (
+  SELECT id_b AS arrival_id, id_a AS matched_id,
+         count(DISTINCT frame_b) AS m
+  FROM ham WHERE h <= 3 AND id_a < 1000 AND id_b >= 1000
+  GROUP BY 1, 2),
+nfr AS (
+  SELECT media_id AS arrival_id, count(DISTINCT frame) AS nf
+  FROM allpx WHERE media_id >= 1000 GROUP BY 1)
+SELECT CAST(arrival_id AS BIGINT) AS arrival_id,
+       CAST(matched_id AS BIGINT) AS matched_id,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(m AS BIGINT) AS n_matched
+FROM mt JOIN nfr USING (arrival_id)
+WHERE m >= 0.8 * nf
+"""
+
+
 # --- X2/X4 detrending + X6 interpolation ------------------------------------
 
 
@@ -10124,7 +10281,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NEW r08 capability: production rank-encoder ≡ frozen replace
     # chain, proven inside the hash gate (the oracle replays the chain)
     "bpe_encode_production_docs": q_bpe_encode_production_docs,
-    "stream_curation_docs": q_stream_curation_docs,
     "vocab_coverage_bpe_docs": q_vocab_coverage_bpe_docs,
     # r09 rotation (VERDICT r8 asks #2/#3/#5 + stretch #8): promoted
     # the two entries that had never had a driver row
@@ -10161,7 +10317,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # fallback).
     "simhash_docs": q_simhash_docs,
     "bpe_roundtrip_docs": q_bpe_roundtrip_docs,
-    "probe_eval_docs": q_probe_eval_docs,
     "stream_media_near_dup": q_stream_media_near_dup,
     "media_dedup_decisions": q_media_dedup_decisions,
     "near_dup_clusters_incremental": q_near_dup_clusters_incremental,
@@ -10203,7 +10358,28 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_decontaminate_docs": q_stream_decontaminate_docs,
     "bpe_train_encode_docs": q_bpe_train_encode_docs,
     "training_shards_docs": q_training_shards_docs,
-    "media_near_dup": q_media_near_dup,
+    # r11 rotation (VERDICT r10 Next #1/#2/#3): promoted
+    # training_order_docs (NEW — seeded epoch-keyed serving order over
+    # the packed sequences, two-pass prefix-sum rank, the stage between
+    # training_shards and an actual run), stream_media_decisions (NEW —
+    # per-arrival containment verdicts vs the landed pHash index), and
+    # quality_funnel_by_lang_docs (the one oracle-backed entry with
+    # zero driver history — driver-signal debt back to zero). Evicted
+    # three rows green in BOTH r09 and r10 with machinery covered
+    # in-window: media_near_dup (its decode→pHash→hub-safe banded
+    # Hamming chain is contained in media_dedup_decisions' evidence
+    # composition over the same planted corpus, and the band join stays
+    # exercised by stream_media_near_dup), stream_curation_docs (its
+    # quality→scrub→exact-dedup firehose stages run inside
+    # stream_pack_shards_docs' composed chain against a stricter
+    # bit-identical-layout oracle), probe_eval_docs (the scoring→
+    # threshold→exact-confusion-matrix machinery is probe_irls_eval's
+    # same final stage; LS training stays checked via
+    # linear_probe_weights_docs, streamed scoring via
+    # stream_probe_score_docs).
+    "training_order_docs": q_training_order_docs,
+    "stream_media_decisions": q_stream_media_decisions,
+    "quality_funnel_by_lang_docs": q_quality_funnel_by_lang_docs,
     "mixture_sample_docs": q_mixture_sample_docs,
     "probe_irls_eval_docs": q_probe_irls_eval_docs,
     "brightness_temp_events": q_brightness_temp_events,
@@ -10236,8 +10412,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_docs": q_decontaminate_docs,
     "albedo_recirc_events": q_albedo_recirc_events,
     "tfidf_topk_docs": q_tfidf_topk_docs,
-    # per-group funnel (machinery = the in-window funnel row's)
-    "quality_funnel_by_lang_docs": q_quality_funnel_by_lang_docs,
+    # r11 evictions: green in both r09 and r10, machinery covered
+    # in-window (see the r11 rotation comment)
+    "media_near_dup": q_media_near_dup,
+    "stream_curation_docs": q_stream_curation_docs,
+    "probe_eval_docs": q_probe_eval_docs,
     "doc_embed_docs": q_doc_embed_docs,
     "substring_dedup_docs": q_substring_dedup_docs,
     "ivfpq_recovery_topk": q_ivfpq_recovery_topk,
@@ -10367,6 +10546,9 @@ def _oracles() -> dict[str, str]:
         "quality_filter_docs": SQL_QUALITY_FILTER_DOCS,
         "stream_near_dup_recovery_docs": SQL_STREAM_NEAR_DUP_RECOVERY_DOCS,
         "training_shards_docs": _sql_training_shards(),
+        # the oracle ranks with a plain global window — proving the
+        # distributed two-pass bucketed rank equals a full sort's
+        "training_order_docs": _sql_training_order(),
         "jsonl_ingest_docs": SQL_JSONL_INGEST_DOCS,
         "lm_score_docs": SQL_LM_SCORE_DOCS,
         "lm_bigram_score_docs": SQL_LM_BIGRAM_SCORE_DOCS,
@@ -10408,6 +10590,7 @@ def _oracles() -> dict[str, str]:
         "bpe_train_encode_docs": _sql_bpe_train_encode(),
         "media_near_dup": SQL_MEDIA_NEAR_DUP,
         "stream_media_near_dup": SQL_STREAM_MEDIA_NEAR_DUP,
+        "stream_media_decisions": SQL_STREAM_MEDIA_DECISIONS,
         "media_dedup_decisions": SQL_MEDIA_DEDUP_DECISIONS,
         "probe_irls_eval_docs": _sql_probe_irls_eval(),
         "pii_scrub_docs": _sql_pii(),

@@ -174,3 +174,85 @@ def test_media_dedup_decisions_black_frame_hub(spark):
         # only the genuine re-upload pairs; boilerplate-only overlap
         # (1 of 2 frames) stays below the 0.8 containment cut
         assert got == {(0, 0), (100, 0)}, f"max_df={mdf}: {got}"
+
+
+def test_stream_media_decisions_equals_batch_composition(spark, tmp_path):
+    """stream≡batch for the media verdict tier (r11): draining the
+    planted re-uploads through `stream_media_decisions` (2-file feed,
+    1-file triggers) yields exactly the verdict set the batch
+    `media_arrival_decisions` composition produces over all arrivals
+    at once against the same landed band index."""
+    import os
+
+    from miletos_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        media_arrival_decisions,
+        phash_frames,
+        synth_media,
+    )
+    from miletos_spark.plans.driver_queries import _media_reuploads
+    from miletos_spark.streaming.ingest import (
+        read_media_decisions,
+        stream_media_decisions,
+    )
+
+    media = synth_media(spark, n=24, frame_px=8)
+    arrivals = _media_reuploads(media)
+
+    # landed index: banded corpus fps
+    banded = phash_frames(decode_media(media)).select(
+        "media_id",
+        "frame",
+        "phash_hex",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring("phash_hex", 1 + 4 * b, 4).alias("chunk"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("media_id", "frame", "phash_hex", "bb.band", "bb.chunk")
+    bands_path = str(tmp_path / "bands")
+    banded.write.partitionBy("band").parquet(bands_path)
+
+    feed = str(tmp_path / "feed")
+    arrivals.repartition(2).write.parquet(feed)
+    out_dir = str(tmp_path / "out")
+    stream_media_decisions(
+        spark,
+        feed,
+        MEDIA_SCHEMA,
+        bands_path,
+        out_dir,
+        str(tmp_path / "state"),
+        max_hamming=3,
+        frac_threshold=0.8,
+        max_files_per_trigger=1,
+    )
+    got = {
+        (r["arrival_id"], r["matched_id"], r["n_frames"], r["n_matched"])
+        for r in read_media_decisions(spark, out_dir).collect()
+    }
+
+    arr_fps = phash_frames(decode_media(arrivals)).select(
+        F.col("media_id").alias("arrival_id"),
+        "frame",
+        F.col("phash_hex").alias("fp"),
+    )
+    want = {
+        (r["arrival_id"], r["matched_id"], r["n_frames"], r["n_matched"])
+        for r in media_arrival_decisions(
+            arr_fps, spark.read.parquet(bands_path),
+            max_hamming=3, frac_threshold=0.8,
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    # every planted copy (ids +1000) decides onto its source
+    assert {(a - 1000, m) for a, m, _, _ in got} == {
+        (m, m) for _, m, _, _ in got
+    }

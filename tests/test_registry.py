@@ -93,6 +93,19 @@ def test_window_rotation_is_deliberate():
     # gates), ivfpq_recovery (ivfpq_recall runs the full chain vs the
     # brute baseline), tfidf (quantize-then-rank via dsir_select,
     # top-K head via vocab_coverage_bpe).
+    # r11 rotation (VERDICT r10 Next #1/#2/#3): promoted
+    # training_order_docs (NEW — seeded epoch-keyed serving order,
+    # two-pass prefix-sum rank), stream_media_decisions (NEW —
+    # per-arrival containment verdicts vs the landed pHash index), and
+    # quality_funnel_by_lang_docs (the one oracle-backed entry with no
+    # driver history — debt back to zero). Evicted three
+    # r09+r10-doubly-green rows, machinery covered in-window:
+    # media_near_dup (decode→pHash→hub-safe banded chain contained in
+    # media_dedup_decisions; band join in stream_media_near_dup),
+    # stream_curation_docs (its firehose stages run inside
+    # stream_pack_shards_docs' stricter composed chain),
+    # probe_eval_docs (scoring→threshold→confusion machinery is
+    # probe_irls_eval's final stage; LS weights + stream scoring stay).
     assert window == [
         "population_nm_recovery_events", "dedup_lines_docs",
         "ivfpq_recall_topk", "stream_ls_keyed_events", "bls_multires_events",
@@ -103,16 +116,19 @@ def test_window_rotation_is_deliberate():
         "substring_removal_docs",
         "pack_sequences_bpe_docs", "stream_flare_keyed_events", "lm_trigram_score_docs",
         "stream_pack_shards_docs", "bpe_encode_production_docs",
-        "stream_curation_docs", "vocab_coverage_bpe_docs", "simhash_docs",
+        "vocab_coverage_bpe_docs", "simhash_docs",
         "bpe_roundtrip_docs",
-        "probe_eval_docs", "stream_media_near_dup", "media_dedup_decisions",
+        "stream_media_near_dup", "media_dedup_decisions",
         "near_dup_clusters_incremental",
         "dsir_select_docs", "stream_dsir_score_docs", "quality_funnel_docs",
         "corpus_drift_docs", "doc_embed_infer_docs",
         "dsir_landed_select_docs", "stream_funnel_docs",
         "stream_decontaminate_docs",
         "bpe_train_encode_docs",
-        "training_shards_docs", "media_near_dup", "mixture_sample_docs",
+        "training_shards_docs",
+        "training_order_docs", "stream_media_decisions",
+        "quality_funnel_by_lang_docs",
+        "mixture_sample_docs",
         "probe_irls_eval_docs",
         "brightness_temp_events", "visibility_events",
         "stream_trigger_clusters_events", "stream_rebin_events", "json_props_events",

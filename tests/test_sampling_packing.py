@@ -628,3 +628,89 @@ def test_stream_decontaminate_equals_batch(spark, tmp_path):
     }
     assert got == expect
     assert 0 in got and 2 in got and 1 not in got
+
+
+def test_epoch_order_is_pure_function_and_matches_global_sort(spark):
+    """Deterministic training-order serving (r11): the serving rank is
+    a pure function of (seed, epoch, corpus) — bit-identical across
+    recomputation and input partitioning — the distributed two-pass
+    bucketed rank equals a plain global sort's row_number, and a
+    different epoch is a genuinely different permutation."""
+    import hashlib as _hl
+
+    from pyspark.sql import Window
+
+    from miletos_spark.pipeline.packing import epoch_order
+
+    seqs = spark.createDataFrame(
+        [(l, b) for l in ("en", "de", "zh") for b in range(40)],
+        "lang string, seq_bin long",
+    )
+
+    def ranks(df, seed, epoch, bucket_count=8):
+        return {
+            (r["lang"], r["seq_bin"]): r["rank"]
+            for r in epoch_order(
+                df, seed=seed, epoch=epoch,
+                key_cols=("lang", "seq_bin"), bucket_count=bucket_count,
+            ).collect()
+        }
+
+    a = ranks(seqs, 7, 2)
+    # pure function: recompute, different partitioning, different B
+    assert ranks(seqs, 7, 2) == a
+    assert ranks(seqs.repartition(13), 7, 2) == a
+    assert ranks(seqs, 7, 2, bucket_count=3) == a
+    # a dense permutation of 0..N-1
+    assert sorted(a.values()) == list(range(120))
+    # different epoch / seed => different permutation
+    assert ranks(seqs, 7, 3) != a
+    assert ranks(seqs, 8, 2) != a
+
+    # equals the global-sort reference (python replay of the md5 key)
+    def py_u32(lang, b, seed=7, epoch=2):
+        s = f"{seed}|{epoch}|{lang}|{b}"
+        return int(_hl.md5(s.encode()).hexdigest()[:8], 16)
+
+    ref = sorted(
+        ((py_u32(l, b), l, b) for l in ("en", "de", "zh") for b in range(40))
+    )
+    want = {(l, b): i for i, (_, l, b) in enumerate(ref)}
+    assert a == want
+
+
+def test_epoch_order_resume_is_shard_local(spark):
+    """The (epoch, rank) → (shard, offset) resume contract: resuming
+    at rank r serves exactly the global tail, each shard contributes
+    exactly its unserved sequences, and a fully-served shard drops out
+    entirely (the filter prunes it — no read of its rows)."""
+    from miletos_spark.pipeline.packing import epoch_order, resume_from
+
+    seqs = spark.createDataFrame(
+        [("en", b, b // 16) for b in range(64)],
+        "lang string, seq_bin long, shard long",
+    )
+    order = epoch_order(
+        seqs, seed=3, epoch=1, key_cols=("lang", "seq_bin"), bucket_count=4
+    ).localCheckpoint(eager=True)
+    full = sorted(
+        (r["rank"], r["shard"], r["seq_bin"]) for r in order.collect()
+    )
+    assert [t[0] for t in full] == list(range(64))
+
+    r0 = 40
+    tail = sorted(
+        (r["rank"], r["shard"], r["seq_bin"])
+        for r in resume_from(order, r0).collect()
+    )
+    assert tail == full[r0:]
+    # shard-local: per shard, the resumed set is exactly that shard's
+    # sequences with rank >= r0 — shards fully served drop out
+    by_shard: dict = {}
+    for rk, sh, sb in full:
+        by_shard.setdefault(sh, []).append((rk, sb))
+    want_shards = {
+        sh for sh, rows in by_shard.items() if any(rk >= r0 for rk, _ in rows)
+    }
+    got_shards = {sh for _, sh, _ in tail}
+    assert got_shards == want_shards

@@ -91,6 +91,9 @@ CORPUS_QUERIES = [
     "stream_funnel_docs",
     "dsir_landed_select_docs",
     "stream_decontaminate_docs",
+    # round-11 additions: serving order + streaming media verdicts
+    "training_order_docs",
+    "stream_media_decisions",
 ]
 
 
