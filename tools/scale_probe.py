@@ -91,9 +91,10 @@ CORPUS_QUERIES = [
     "stream_funnel_docs",
     "dsir_landed_select_docs",
     "stream_decontaminate_docs",
-    # round-11 additions: serving order + streaming media verdicts
+    # round-11 addition: deterministic serving order (the streaming
+    # media verdicts probe on the media axis, not the corpus axis —
+    # its input is the synthetic media feed, not the documents table)
     "training_order_docs",
-    "stream_media_decisions",
 ]
 
 
@@ -463,7 +464,7 @@ def media_probe(spark, k: int) -> dict:
             max_hamming=3, frac_threshold=0.8, max_df=16,
         ).count()
 
-    def stream_n(n):
+    def _land_probe_media(n):
         root = os.path.join(
             tempfile.gettempdir(), f"miletos_mediaprobe_{n}_{_base_sig()}"
         )
@@ -490,6 +491,10 @@ def media_probe(spark, k: int) -> dict:
             re.repartition(2).write.mode("overwrite").parquet(arr)
             with open(os.path.join(root, "_OK"), "w") as f:
                 f.write("ok")
+        return bands, arr
+
+    def stream_n(n):
+        bands, arr = _land_probe_media(n)
         sdf = stream_media_near_dup(
             spark, arr, MEDIA_SCHEMA, bands, max_hamming=3,
             max_files_per_trigger=1,
@@ -498,9 +503,31 @@ def media_probe(spark, k: int) -> dict:
             spark, sdf, "media_probe_", output_mode="append"
         ).count()
 
+    def decisions_stream_n(n):
+        # shares the landed bands/arrivals with stream_n; fresh
+        # out/state per call — the verdict composition is what's timed
+        import uuid
+
+        from miletos_spark.streaming.ingest import (
+            read_media_decisions,
+            stream_media_decisions,
+        )
+
+        bands, arr = _land_probe_media(n)
+        work = os.path.join(
+            tempfile.gettempdir(), "miletos_mdec_" + uuid.uuid4().hex[:8]
+        )
+        stream_media_decisions(
+            spark, arr, MEDIA_SCHEMA, bands,
+            os.path.join(work, "out"), os.path.join(work, "state"),
+            max_hamming=3, frac_threshold=0.8, max_files_per_trigger=1,
+        )
+        read_media_decisions(spark, os.path.join(work, "out")).count()
+
     run("media_near_dup", pairs_n)
     run("media_dedup_decisions_hub", decisions_hub_n)
     run("stream_media_near_dup", stream_n)
+    run("stream_media_decisions", decisions_stream_n)
 
     # join-work evidence: distinct-fp near pairs on the hub corpus
     counts = {}
