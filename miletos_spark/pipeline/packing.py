@@ -223,6 +223,100 @@ def resume_from(order: DataFrame, rank: int) -> DataFrame:
     return order.filter(F.col("rank") >= int(rank))
 
 
+def land_epoch_order(
+    spark,
+    seqs: DataFrame,
+    path: str,
+    seed: int,
+    epoch: int,
+    key_cols: Sequence[str] = ("lang", "seq_bin"),
+    shard_col: str = "shard",
+    bucket_count: int = 64,
+) -> str:
+    """Land one epoch's serving order PARTITIONED BY SHARD, with
+    per-shard rank bounds persisted in the index stats — the serving
+    table a trainer's data loader actually reads. Two properties the
+    landing buys over the computed form:
+
+    - resume at rank r touches only shards still holding unserved
+      sequences, and the shard list comes from the O(|shards|) stats
+      metadata (`shards_for_resume`) — no file is opened to discover
+      a shard is already fully served;
+    - the rank-range scan is partition-pruned (`resume_from_landed`
+      filters on the partition column) plus rank-pushdown inside each
+      shard dir — asserted in test_plans.
+
+    Idempotent: the order is a pure function of (seed, epoch, corpus),
+    so mode-overwrite rewrites are replay-safe (no fold, no state —
+    the `publish_version` machinery is not needed here). Returns
+    ``path``."""
+    from miletos_spark.pipeline.landing import write_index_stats
+
+    order = epoch_order(
+        seqs, seed=seed, epoch=epoch, key_cols=key_cols,
+        bucket_count=bucket_count,
+    )
+    (
+        order.repartition(shard_col)
+        .write.mode("overwrite")
+        .partitionBy(shard_col)
+        .parquet(path)
+    )
+    landed = spark.read.parquet(path)
+    bounds = landed.groupBy(shard_col).agg(
+        F.min("rank").alias("min_rank"), F.max("rank").alias("max_rank")
+    ).collect()
+    write_index_stats(
+        path,
+        {
+            "seed": int(seed),
+            "epoch": int(epoch),
+            "shards": {
+                str(r[shard_col]): [int(r["min_rank"]), int(r["max_rank"])]
+                for r in bounds
+            },
+        },
+        name="_order_stats.json",
+    )
+    return path
+
+
+def shards_for_resume(path: str, rank: int) -> "list[str]":
+    """The shards that still hold unserved sequences at resume rank
+    ``rank`` — resolved from the landed order's per-shard rank bounds
+    (O(|shards|) metadata, no Spark job, no file opened)."""
+    from miletos_spark.pipeline.landing import read_index_stats
+
+    stats = read_index_stats(path, name="_order_stats.json")
+    if stats is None:
+        raise ValueError(
+            f"land_epoch_order stats missing under {path} — not a landed "
+            "order table?"
+        )
+    return sorted(
+        sh for sh, (_, hi) in stats["shards"].items() if hi >= int(rank)
+    )
+
+
+def resume_from_landed(
+    spark,
+    path: str,
+    rank: int,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """`resume_from` against a LANDED order table: the shard list from
+    the stats metadata becomes a partition filter (fully-served shard
+    dirs are never scanned — partition pruning, asserted in
+    test_plans), and the residual rank filter pushes into the
+    surviving shards' row groups."""
+    shards = [int(s) for s in shards_for_resume(path, rank)]
+    return (
+        spark.read.parquet(path)
+        .filter(F.col(shard_col).isin(shards))
+        .filter(F.col("rank") >= int(rank))
+    )
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,

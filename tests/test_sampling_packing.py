@@ -714,3 +714,67 @@ def test_epoch_order_resume_is_shard_local(spark):
     }
     got_shards = {sh for _, sh, _ in tail}
     assert got_shards == want_shards
+
+
+def test_landed_epoch_order_resume_prunes_and_matches(spark, tmp_path):
+    """The landed serving-order table (r11): per-shard rank bounds in
+    the stats metadata resolve a resume rank to the shard list with no
+    Spark job; the pruned landed read returns exactly the computed
+    resume_from set; fully-served shard dirs drop out of the scan as
+    PartitionFilters (partition pruning, not a row filter)."""
+    from miletos_spark.pipeline.packing import (
+        epoch_order,
+        land_epoch_order,
+        resume_from,
+        resume_from_landed,
+        shards_for_resume,
+    )
+
+    seqs = spark.createDataFrame(
+        [("en", b, b // 16) for b in range(64)],
+        "lang string, seq_bin long, shard long",
+    )
+    path = str(tmp_path / "order")
+    land_epoch_order(
+        spark, seqs, path, seed=3, epoch=1,
+        key_cols=("lang", "seq_bin"), bucket_count=4,
+    )
+
+    order = epoch_order(
+        seqs, seed=3, epoch=1, key_cols=("lang", "seq_bin"), bucket_count=4
+    )
+    rows = sorted(
+        (r["rank"], r["shard"], r["seq_bin"]) for r in order.collect()
+    )
+    by_shard_max: dict = {}
+    for rk, sh, _ in rows:
+        by_shard_max[sh] = max(by_shard_max.get(sh, -1), rk)
+    # resume just past the earliest-finishing shard's last sequence, so
+    # exactly that shard is provably fully served (data-derived, not a
+    # guessed constant)
+    r0 = min(by_shard_max.values()) + 1
+    want = sorted(
+        (r["rank"], r["shard"], r["seq_bin"])
+        for r in resume_from(order, r0).collect()
+    )
+    landed_resume = resume_from_landed(spark, path, r0)
+    got = sorted(
+        (r["rank"], r["shard"], r["seq_bin"])
+        for r in landed_resume.collect()
+    )
+    assert got == want and len(got) == 64 - r0
+
+    # metadata-only shard resolution, and it is the true unserved set
+    want_shards = sorted(
+        str(sh) for sh, mx in by_shard_max.items() if mx >= r0
+    )
+    assert shards_for_resume(path, r0) == want_shards
+    assert len(want_shards) == 3  # exactly the earliest shard is served
+
+    # the pruned scan: shard is a PARTITION filter, rank a pushed one
+    plan = landed_resume._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "shard" in pf
+    assert "PushedFilters: [" in plan
+    assert "rank" in plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
