@@ -469,14 +469,18 @@ def class_member_pairs(
     are `{c}_a`/`{c}_b` per payload column, ordered so the a-side
     payload tuple < b-side tuple.
 
-    SIDE EFFECT (ADVICE r10): when ``max_class`` is None, the
-    bounded-cutover probe runs EAGERLY at construction time, and
-    ``members`` is pinned first (localCheckpoint) so an expensive
-    caller plan executes ONCE, not once for the probe plus once per
-    self-join side. Landed indexes persist the max class size at
-    write time (landing.band_bucket_stats); pass it as ``max_class``
-    and construction is fully lazy — no probe, no eager pin (callers
-    with expensive unlanded plans should pin themselves)."""
+    SIDE EFFECT + PRECONDITION (ADVICE r10): when ``max_class`` is
+    None, the bounded-cutover probe below runs EAGERLY at
+    DataFrame-construction time, and ``members`` SHOULD BE PINNED by
+    the caller (localCheckpoint/cache) — an expensive unpinned plan
+    would execute once for the probe plus once per self-join side.
+    Both in-repo callers feed a projection of an already-pinned frame
+    (media_phash_pairs, simhash_band_pairs); pinning again HERE was
+    measured at +1.3 s on the sf0.1 media row (a second
+    materialization of the same rows), so the contract stays with the
+    caller. Landed indexes persist the max class size at write time
+    (landing.band_bucket_stats); pass it as ``max_class`` and
+    construction is fully lazy — no probe, no precondition."""
     from pyspark.sql import Window
 
     sa = F.struct(*[F.col(f"{c}_a") for c in payload_cols])
@@ -489,7 +493,6 @@ def class_member_pairs(
     if max_class is not None:
         mx = max_class
     else:
-        members = members.localCheckpoint(eager=True)
         mx = (
             members.groupBy(class_col)
             .agg(F.count("*").alias("_c"))
