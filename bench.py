@@ -171,8 +171,10 @@ HEADLINE = [
     "stream_funnel_docs",
     "stream_decontaminate_docs",
     "quality_funnel_by_lang_docs",
-    # round-11: deterministic serving order + streaming media verdicts
+    # round-11: deterministic serving order (uniform + mixture-weighted)
+    # + streaming media verdicts
     "training_order_docs",
+    "training_order_weighted_docs",
     "stream_media_decisions",
 ]
 

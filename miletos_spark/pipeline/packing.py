@@ -214,6 +214,97 @@ def epoch_order(
     )
 
 
+# -ln(2^-32) rounded UP at 6 decimals: a strict upper bound on the
+# magnitude of any quantized serve key with weight >= w_min
+_LN_U_MAX = 22.180711
+
+
+def weighted_epoch_order(
+    seqs: DataFrame,
+    seed: int,
+    epoch: int,
+    weights: "dict[str, float]",
+    group_col: str = "lang",
+    key_cols: Sequence[str] = ("lang", "seq_bin"),
+    default_weight: float = 1.0,
+    bucket_count: int = 64,
+) -> DataFrame:
+    """MIXTURE-WEIGHTED deterministic serving order — `epoch_order`
+    with per-group sampling weights, the way real pre-training runs
+    actually serve (40% web, 30% code, ... in expectation, not a
+    uniform permutation). The serve key is the Efraimidis–Spirakis
+    A-Res key: rank by u^(1/w) descending — equivalently ln(u)/w
+    descending, the monotone form used here because `pow` is not
+    correctly-rounded across engines while ln is 1-ulp — which makes
+    the whole order a weighted sample WITHOUT replacement: any prefix
+    of the stream includes groups with probability proportional to
+    their weights, so upweighted groups concentrate early at exactly
+    their mixture share (Efraimidis & Spirakis 2006, the weighted
+    reservoir key). u is the same md5(seed|epoch|key) dyadic uniform
+    as `epoch_order` (floored at 2^-32 before ln — F.log(0) is null in
+    Spark and an ERROR in DuckDB), and the key is QUANTIZED at 6
+    decimals before ranking (the quantize-then-rank stance: ln is the
+    only non-exact op, and both engines rank the identical fixed-point
+    value with the identical (key, group, id) tiebreak).
+
+    Ranks come from the same two-pass prefix sum as `epoch_order`; the
+    order-preserving bucket is a fixed grid on -key over
+    [0, -ln(2^-32)/w_min] — w_min is a driver-side constant of the
+    weights dict, so no data pass sizes the grid. Returns ``seqs`` +
+    (``serve_key``, ``epoch``, ``rank``); rank 0 serves first."""
+    from miletos_spark.functions.scalars import quantize
+
+    B = int(bucket_count)
+    if default_weight <= 0 or any(w <= 0 for w in weights.values()):
+        raise ValueError(
+            "weighted_epoch_order: weights must be strictly positive"
+        )
+    key_str = F.concat_ws(
+        "|",
+        F.lit(int(seed)).cast("string"),
+        F.lit(int(epoch)).cast("string"),
+        *[F.col(c).cast("string") for c in key_cols],
+    )
+    u32 = F.conv(F.substring(F.md5(key_str), 1, 8), 16, 10).cast("long")
+    u = F.greatest(u32 / F.lit(4294967296.0), F.lit(2.0 ** -32))
+    w_col = F.lit(float(default_weight))
+    for g, w in weights.items():
+        w_col = F.when(F.col(group_col) == g, F.lit(float(w))).otherwise(
+            w_col
+        )
+    key_q = quantize(F.log(u) / w_col, 6)
+    w_min = min([float(default_weight), *map(float, weights.values())])
+    hi = _LN_U_MAX / w_min
+    negk = -key_q
+    work = seqs.withColumn("serve_key", key_q).withColumn(
+        "_bkt",
+        F.least(
+            F.greatest(F.floor(negk * B / F.lit(hi)), F.lit(0)),
+            F.lit(B - 1),
+        ).cast("int"),
+    )
+    counts = work.groupBy("_bkt").agg(F.count("*").alias("_c"))
+    woff = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = counts.select(
+        "_bkt",
+        F.coalesce(F.sum("_c").over(woff), F.lit(0)).alias("_off"),
+    )
+    wb = Window.partitionBy("_bkt").orderBy(
+        (-F.col("serve_key")).asc(), *[F.col(c) for c in key_cols]
+    )
+    return (
+        work.join(F.broadcast(offs), "_bkt")
+        .withColumn(
+            "rank",
+            (F.row_number().over(wb) + F.col("_off") - 1).cast("long"),
+        )
+        .withColumn("epoch", F.lit(int(epoch)))
+        .drop("_bkt", "_off")
+    )
+
+
 def resume_from(order: DataFrame, rank: int) -> DataFrame:
     """Mid-epoch resume: the sequences still to serve from serving
     position ``rank`` onward — a pure pushdown-able filter on the

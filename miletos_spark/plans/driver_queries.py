@@ -1233,6 +1233,92 @@ def q_training_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_order_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-WEIGHTED serving order (r11): the same packed sequences
+    as training_order_docs, served under per-language mixture weights
+    (en ×4, de ×2, rest ×1) via the Efraimidis–Spirakis A-Res key —
+    rank by quantized ln(u)/w descending, a weighted sample WITHOUT
+    replacement so any prefix carries the mixture in expectation.
+    Quantize-then-rank makes the order engine-exact (ln is the only
+    non-exact op); the oracle replays the key nibble-for-nibble and
+    ranks with a plain global window, proving the fixed-grid bucketed
+    rank equals a full sort's."""
+    from miletos_spark.pipeline.packing import (
+        pack_chunks,
+        weighted_epoch_order,
+    )
+    from miletos_spark.pipeline.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    packed = pack_chunks(toks, group_cols=("lang",), capacity=512)
+    seqs = (
+        packed.groupBy("lang", "start_bin")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            "lang",
+            F.col("start_bin").cast("long").alias("seq_bin"),
+            "n_docs",
+        )
+    )
+    order = weighted_epoch_order(
+        seqs,
+        seed=7,
+        epoch=2,
+        weights={"en": 4.0, "de": 2.0},
+        group_col="lang",
+        key_cols=("lang", "seq_bin"),
+        bucket_count=64,
+    )
+    return order.select(
+        "lang", "seq_bin", "n_docs", "serve_key",
+        F.col("epoch").cast("int").alias("epoch"), "rank",
+    )
+
+
+def _sql_training_order_weighted() -> str:
+    """Oracle for q_training_order_weighted_docs (lazy: composes
+    `_sql_hash_uniform` + `quantize_sql`, defined further down)."""
+    u = (
+        "greatest("
+        + _sql_hash_uniform("'7|2|' || lang || '|' || CAST(seq_bin AS VARCHAR)")
+        + ", 1.0 / 4294967296.0)"
+    )
+    key_q = quantize_sql(
+        f"ln({u}) / (CASE lang WHEN 'en' THEN 4.0 WHEN 'de' THEN 2.0 "
+        "ELSE 1.0 END)",
+        6,
+    )
+    return rf"""
+WITH toks AS (
+  SELECT lang, doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+              AS BIGINT) AS n_tokens
+  FROM documents),
+off AS (
+  SELECT lang, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - n_tokens AS start_off
+  FROM toks),
+seqs AS (
+  SELECT lang, CAST(floor(start_off / 512.0) AS BIGINT) AS seq_bin,
+         count(*) AS n_docs
+  FROM off GROUP BY lang, CAST(floor(start_off / 512.0) AS BIGINT)),
+keyed AS (SELECT *, {key_q} AS serve_key FROM seqs)
+SELECT lang, seq_bin, n_docs, serve_key,
+       CAST(2 AS INT) AS epoch,
+       CAST(row_number() OVER (ORDER BY serve_key DESC, lang, seq_bin) - 1
+            AS BIGINT) AS rank
+FROM keyed
+"""
+
+
 def _sql_training_order() -> str:
     """Oracle for q_training_order_docs — built lazily because it
     composes `_sql_md5_32`, defined further down the module."""
@@ -10261,7 +10347,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # promoted late-r08: the round's new capability wave
     "linear_probe_weights_docs": q_linear_probe_weights_docs,
     "stream_probe_score_docs": q_stream_probe_score_docs,
-    "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
     "stream_semantic_dedup_embeddings": q_stream_semantic_dedup_embeddings,
     # kept: continuity anchors (deepest composite plans)
     "bls_spectrum_events": q_bls_spectrum_events,
@@ -10377,7 +10462,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # same final stage; LS training stays checked via
     # linear_probe_weights_docs, streamed scoring via
     # stream_probe_score_docs).
+    # (second r11 promotion: training_order_weighted_docs — the
+    # mixture-weighted A-Res serving order, born this round so it gets
+    # its driver slot now — replaces semantic_dedup_embeddings,
+    # r09+r10 doubly green, whose landed two-level quantizer chain
+    # (packed coarse probe, fine assignment, landed index build) runs
+    # inside the in-window stream_semantic_dedup_embeddings row
+    # against the SAME landed index; the batch within-cell pair join
+    # stays pinned by unit tests and the ivfpq_recall chain.)
     "training_order_docs": q_training_order_docs,
+    "training_order_weighted_docs": q_training_order_weighted_docs,
     "stream_media_decisions": q_stream_media_decisions,
     "quality_funnel_by_lang_docs": q_quality_funnel_by_lang_docs,
     "mixture_sample_docs": q_mixture_sample_docs,
@@ -10413,10 +10507,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "albedo_recirc_events": q_albedo_recirc_events,
     "tfidf_topk_docs": q_tfidf_topk_docs,
     # r11 evictions: green in both r09 and r10, machinery covered
-    # in-window (see the r11 rotation comment)
+    # in-window (see the r11 rotation comments)
     "media_near_dup": q_media_near_dup,
     "stream_curation_docs": q_stream_curation_docs,
     "probe_eval_docs": q_probe_eval_docs,
+    "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
     "doc_embed_docs": q_doc_embed_docs,
     "substring_dedup_docs": q_substring_dedup_docs,
     "ivfpq_recovery_topk": q_ivfpq_recovery_topk,
@@ -10546,9 +10641,10 @@ def _oracles() -> dict[str, str]:
         "quality_filter_docs": SQL_QUALITY_FILTER_DOCS,
         "stream_near_dup_recovery_docs": SQL_STREAM_NEAR_DUP_RECOVERY_DOCS,
         "training_shards_docs": _sql_training_shards(),
-        # the oracle ranks with a plain global window — proving the
-        # distributed two-pass bucketed rank equals a full sort's
+        # the oracles rank with a plain global window — proving the
+        # distributed bucketed ranks equal a full sort's
         "training_order_docs": _sql_training_order(),
+        "training_order_weighted_docs": _sql_training_order_weighted(),
         "jsonl_ingest_docs": SQL_JSONL_INGEST_DOCS,
         "lm_score_docs": SQL_LM_SCORE_DOCS,
         "lm_bigram_score_docs": SQL_LM_BIGRAM_SCORE_DOCS,

@@ -106,11 +106,16 @@ def test_window_rotation_is_deliberate():
     # stream_pack_shards_docs' stricter composed chain),
     # probe_eval_docs (scoring→threshold→confusion machinery is
     # probe_irls_eval's final stage; LS weights + stream scoring stay).
+    # Second r11 promotion: training_order_weighted_docs (A-Res
+    # mixture-weighted serving order, born this round) replaces
+    # semantic_dedup_embeddings (r09+r10 green; its landed two-level
+    # quantizer chain runs inside the in-window streaming twin against
+    # the SAME landed index; batch pair join unit-pinned + ivfpq chain).
     assert window == [
         "population_nm_recovery_events", "dedup_lines_docs",
         "ivfpq_recall_topk", "stream_ls_keyed_events", "bls_multires_events",
         "linear_probe_weights_docs", "stream_probe_score_docs",
-        "semantic_dedup_embeddings", "stream_semantic_dedup_embeddings",
+        "stream_semantic_dedup_embeddings",
         "bls_spectrum_events", "gp_recovery_events", "mcmc_recovery_events",
         "pipeline_summary_events", "pipeline_population_events", "stream_bls_events",
         "substring_removal_docs",
@@ -126,7 +131,8 @@ def test_window_rotation_is_deliberate():
         "stream_decontaminate_docs",
         "bpe_train_encode_docs",
         "training_shards_docs",
-        "training_order_docs", "stream_media_decisions",
+        "training_order_docs", "training_order_weighted_docs",
+        "stream_media_decisions",
         "quality_funnel_by_lang_docs",
         "mixture_sample_docs",
         "probe_irls_eval_docs",

@@ -778,3 +778,46 @@ def test_landed_epoch_order_resume_prunes_and_matches(spark, tmp_path):
     assert "shard" in pf
     assert "PushedFilters: [" in plan
     assert "rank" in plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+
+
+def test_weighted_epoch_order_mixture_and_determinism(spark):
+    """A-Res weighted serving order (r11): a dense permutation, a pure
+    function of (seed, epoch, weights, corpus) — invariant to input
+    partitioning and rank bucket count — and upweighted groups
+    genuinely concentrate early (their mean rank sits well below the
+    uniform expectation, downweighted well above)."""
+    from miletos_spark.pipeline.packing import weighted_epoch_order
+
+    seqs = spark.createDataFrame(
+        [(l, b) for l in ("en", "de", "zh") for b in range(60)],
+        "lang string, seq_bin long",
+    )
+    W = {"en": 8.0, "zh": 0.25}
+
+    def ranks(df, bucket_count=8, seed=7, epoch=2):
+        return {
+            (r["lang"], r["seq_bin"]): r["rank"]
+            for r in weighted_epoch_order(
+                df, seed=seed, epoch=epoch, weights=W,
+                key_cols=("lang", "seq_bin"), bucket_count=bucket_count,
+            ).collect()
+        }
+
+    a = ranks(seqs)
+    assert sorted(a.values()) == list(range(180))      # dense permutation
+    assert ranks(seqs.repartition(11)) == a            # partition-invariant
+    assert ranks(seqs, bucket_count=3) == a            # bucket-invariant
+    assert ranks(seqs, epoch=3) != a                   # epoch reshuffles
+
+    mean = {
+        l: sum(rk for (g, _), rk in a.items() if g == l) / 60
+        for l in ("en", "de", "zh")
+    }
+    # uniform expectation is 89.5; ×8 weight pulls en far below, ×0.25
+    # pushes zh far above, default de sits between
+    assert mean["en"] < 60 < mean["de"] < 120 < mean["zh"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="strictly positive"):
+        weighted_epoch_order(seqs, 7, 2, {"en": -1.0})

@@ -95,6 +95,7 @@ CORPUS_QUERIES = [
     # media verdicts probe on the media axis, not the corpus axis —
     # its input is the synthetic media feed, not the documents table)
     "training_order_docs",
+    "training_order_weighted_docs",
 ]
 
 
