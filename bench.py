@@ -175,6 +175,7 @@ HEADLINE = [
     # + streaming media verdicts
     "training_order_docs",
     "training_order_weighted_docs",
+    "training_order_multipass_docs",
     "stream_media_decisions",
 ]
 

@@ -305,6 +305,51 @@ def weighted_epoch_order(
     )
 
 
+def multi_pass_order(
+    seqs: DataFrame,
+    seed: int,
+    repeats: "dict[str, int]",
+    group_col: str = "lang",
+    key_cols: Sequence[str] = ("lang", "seq_bin"),
+    default_repeats: int = 1,
+    bucket_count: int = 64,
+) -> DataFrame:
+    """EPOCHS-PER-SOURCE serving plan — the third mixing discipline
+    real data recipes use (alongside the uniform epoch shuffle and the
+    A-Res weighted order): source g's sequences are each seen exactly
+    ``repeats[g]`` times over the whole run (the "Wikipedia ×3, books
+    ×2, web ×1" table every LLM data card publishes). Each sequence
+    explodes into its integer copies, the copy index folds into the
+    md5 permutation key, and the union ranks through the same two-pass
+    prefix sum as `epoch_order` — so copies of one sequence scatter
+    independently across the run instead of clustering, the whole
+    order is a pure function of (seed, repeats, corpus), and rank is
+    dense over sum_g r_g·|g| rows. Integer-exact end to end (the copy
+    explosion is a sequence(), the key is md5) — the oracle replays it
+    with a per-group range join. Returns ``seqs`` + (``pass_idx``,
+    ``rank``)."""
+    if default_repeats < 1 or any(r < 1 for r in repeats.values()):
+        raise ValueError(
+            "multi_pass_order: repeats must be positive integers"
+        )
+    r_col = F.lit(int(default_repeats))
+    for g, r in repeats.items():
+        r_col = F.when(F.col(group_col) == g, F.lit(int(r))).otherwise(
+            r_col
+        )
+    copies = seqs.withColumn(
+        "pass_idx", F.explode(F.sequence(F.lit(0), r_col - 1))
+    )
+    out = epoch_order(
+        copies,
+        seed=seed,
+        epoch=0,
+        key_cols=(*key_cols, "pass_idx"),
+        bucket_count=bucket_count,
+    )
+    return out.drop("epoch")
+
+
 def resume_from(order: DataFrame, rank: int) -> DataFrame:
     """Mid-epoch resume: the sequences still to serve from serving
     position ``rank`` onward — a pure pushdown-able filter on the

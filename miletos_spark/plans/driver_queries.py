@@ -1319,6 +1319,83 @@ FROM keyed
 """
 
 
+def q_training_order_multipass_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epochs-per-source serving plan (r11): each language's packed
+    sequences are seen an integer number of times over the run (en ×3,
+    de ×2, rest ×1 — the data-card recipe), copies scattered
+    independently by folding the pass index into the md5 permutation
+    key, ranked by the same two-pass prefix sum. All-integer output;
+    the oracle replays the copy explosion with a per-group range join
+    and ranks with a plain global window."""
+    from miletos_spark.pipeline.packing import multi_pass_order, pack_chunks
+    from miletos_spark.pipeline.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    packed = pack_chunks(toks, group_cols=("lang",), capacity=512)
+    seqs = (
+        packed.groupBy("lang", "start_bin")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            "lang", F.col("start_bin").cast("long").alias("seq_bin")
+        )
+    )
+    order = multi_pass_order(
+        seqs,
+        seed=7,
+        repeats={"en": 3, "de": 2},
+        group_col="lang",
+        key_cols=("lang", "seq_bin"),
+        bucket_count=64,
+    )
+    return order.select(
+        "lang",
+        "seq_bin",
+        F.col("pass_idx").cast("int").alias("pass_idx"),
+        "rank",
+    )
+
+
+def _sql_training_order_multipass() -> str:
+    """Oracle for q_training_order_multipass_docs (lazy: composes
+    `_sql_md5_32`)."""
+    key = (
+        "'7|0|' || lang || '|' || CAST(seq_bin AS VARCHAR) || '|' || "
+        "CAST(r.range AS VARCHAR)"
+    )
+    return rf"""
+WITH toks AS (
+  SELECT lang, doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+              AS BIGINT) AS n_tokens
+  FROM documents),
+off AS (
+  SELECT lang, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - n_tokens AS start_off
+  FROM toks),
+seqs AS (
+  SELECT lang, CAST(floor(start_off / 512.0) AS BIGINT) AS seq_bin
+  FROM off GROUP BY lang, CAST(floor(start_off / 512.0) AS BIGINT)),
+copies AS (
+  SELECT lang, seq_bin, CAST(r.range AS INT) AS pass_idx,
+         {_sql_md5_32(key)} AS u32
+  FROM seqs, range(3) r
+  WHERE r.range < CASE lang WHEN 'en' THEN 3 WHEN 'de' THEN 2
+                  ELSE 1 END)
+SELECT lang, seq_bin, pass_idx,
+       CAST(row_number() OVER (ORDER BY u32, lang, seq_bin, pass_idx) - 1
+            AS BIGINT) AS rank
+FROM copies
+"""
+
+
 def _sql_training_order() -> str:
     """Oracle for q_training_order_docs — built lazily because it
     composes `_sql_md5_32`, defined further down the module."""
@@ -10342,7 +10419,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "population_nm_recovery_events": q_population_nm_recovery_events,
     "dedup_lines_docs": q_dedup_lines_docs,
     "ivfpq_recall_topk": q_ivfpq_recall_topk,
-    "stream_ls_keyed_events": q_stream_ls_keyed_events,
     "bls_multires_events": q_bls_multires_events,
     # promoted late-r08: the round's new capability wave
     "linear_probe_weights_docs": q_linear_probe_weights_docs,
@@ -10470,8 +10546,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # inside the in-window stream_semantic_dedup_embeddings row
     # against the SAME landed index; the batch within-cell pair join
     # stays pinned by unit tests and the ivfpq_recall chain.)
+    # (third r11 promotion: training_order_multipass_docs — the
+    # epochs-per-source plan, born this round — replaces
+    # stream_ls_keyed_events, r09+r10 doubly green: the keyed
+    # streaming-aggregation machinery stays in-window via
+    # stream_flare_keyed_events and stream_bls_events, and the LS
+    # trig-moment expressions are IDENTICAL between the batch and
+    # keyed-stream forms, batch form sweep-checked via
+    # lomb_scargle_events + stream_ls_events driver history.)
     "training_order_docs": q_training_order_docs,
     "training_order_weighted_docs": q_training_order_weighted_docs,
+    "training_order_multipass_docs": q_training_order_multipass_docs,
     "stream_media_decisions": q_stream_media_decisions,
     "quality_funnel_by_lang_docs": q_quality_funnel_by_lang_docs,
     "mixture_sample_docs": q_mixture_sample_docs,
@@ -10512,6 +10597,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_curation_docs": q_stream_curation_docs,
     "probe_eval_docs": q_probe_eval_docs,
     "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
+    "stream_ls_keyed_events": q_stream_ls_keyed_events,
     "doc_embed_docs": q_doc_embed_docs,
     "substring_dedup_docs": q_substring_dedup_docs,
     "ivfpq_recovery_topk": q_ivfpq_recovery_topk,
@@ -10645,6 +10731,7 @@ def _oracles() -> dict[str, str]:
         # distributed bucketed ranks equal a full sort's
         "training_order_docs": _sql_training_order(),
         "training_order_weighted_docs": _sql_training_order_weighted(),
+        "training_order_multipass_docs": _sql_training_order_multipass(),
         "jsonl_ingest_docs": SQL_JSONL_INGEST_DOCS,
         "lm_score_docs": SQL_LM_SCORE_DOCS,
         "lm_bigram_score_docs": SQL_LM_BIGRAM_SCORE_DOCS,

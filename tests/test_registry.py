@@ -111,9 +111,14 @@ def test_window_rotation_is_deliberate():
     # semantic_dedup_embeddings (r09+r10 green; its landed two-level
     # quantizer chain runs inside the in-window streaming twin against
     # the SAME landed index; batch pair join unit-pinned + ivfpq chain).
+    # Third r11 promotion: training_order_multipass_docs (epochs-per-
+    # source plan, born this round) replaces stream_ls_keyed_events
+    # (r09+r10 green; keyed streaming-agg machinery in-window via
+    # stream_flare_keyed + stream_bls, LS moments identical batch vs
+    # stream, batch form sweep-checked).
     assert window == [
         "population_nm_recovery_events", "dedup_lines_docs",
-        "ivfpq_recall_topk", "stream_ls_keyed_events", "bls_multires_events",
+        "ivfpq_recall_topk", "bls_multires_events",
         "linear_probe_weights_docs", "stream_probe_score_docs",
         "stream_semantic_dedup_embeddings",
         "bls_spectrum_events", "gp_recovery_events", "mcmc_recovery_events",
@@ -132,6 +137,7 @@ def test_window_rotation_is_deliberate():
         "bpe_train_encode_docs",
         "training_shards_docs",
         "training_order_docs", "training_order_weighted_docs",
+        "training_order_multipass_docs",
         "stream_media_decisions",
         "quality_funnel_by_lang_docs",
         "mixture_sample_docs",

@@ -629,6 +629,29 @@ def test_stream_decontaminate_equals_batch(spark, tmp_path):
     assert got == expect
     assert 0 in got and 2 in got and 1 not in got
 
+    # max_files_per_trigger actually routes (VERDICT r10 Wrong #1):
+    # None must drop the option entirely (single all-files batch) and
+    # deliver the same summaries as the default 1-file triggers
+    sdf2 = stream_decontaminate(
+        spark, feed, "doc_id long, lang string, text string", ev, n=4,
+        max_files_per_trigger=None,
+    )
+    q2 = (
+        sdf2.writeStream.format("memory").queryName("t_stream_decon2")
+        .outputMode("complete").start()
+    )
+    try:
+        q2.processAllAvailable()
+        n_batches = q2.lastProgress["batchId"] + 1
+    finally:
+        q2.stop()
+    got2 = {
+        r["doc_id"]: (r["n_hits"], r["n_eval_docs"])
+        for r in spark.sql("SELECT * FROM t_stream_decon2").collect()
+    }
+    assert got2 == expect
+    assert n_batches == 1  # no per-file trigger: one batch drained all
+
 
 def test_epoch_order_is_pure_function_and_matches_global_sort(spark):
     """Deterministic training-order serving (r11): the serving rank is
@@ -821,3 +844,54 @@ def test_weighted_epoch_order_mixture_and_determinism(spark):
 
     with _pytest.raises(ValueError, match="strictly positive"):
         weighted_epoch_order(seqs, 7, 2, {"en": -1.0})
+
+
+def test_multi_pass_order_copy_counts_and_scatter(spark):
+    """Epochs-per-source plan (r11): every group-g sequence appears
+    exactly repeats[g] times, rank is a dense permutation of the
+    exploded union, the order is partition/bucket-invariant, and the
+    copies of one sequence scatter (not adjacent ranks)."""
+    from miletos_spark.pipeline.packing import multi_pass_order
+
+    seqs = spark.createDataFrame(
+        [(l, b) for l in ("en", "de", "zh") for b in range(20)],
+        "lang string, seq_bin long",
+    )
+    R = {"en": 3, "de": 2}
+
+    def run(df, bucket_count=8):
+        return [
+            (r["lang"], r["seq_bin"], r["pass_idx"], r["rank"])
+            for r in multi_pass_order(
+                df, seed=7, repeats=R, key_cols=("lang", "seq_bin"),
+                bucket_count=bucket_count,
+            ).collect()
+        ]
+
+    rows = sorted(run(seqs))
+    assert rows == sorted(run(seqs.repartition(9)))
+    assert rows == sorted(run(seqs, bucket_count=3))
+    n_total = 20 * (3 + 2 + 1)
+    assert sorted(r[3] for r in rows) == list(range(n_total))
+    from collections import Counter
+
+    per = Counter((l, b) for l, b, _, _ in rows)
+    assert all(
+        per[(l, b)] == R.get(l, 1) for l in ("en", "de", "zh")
+        for b in range(20)
+    )
+    # copies scatter: for at least one en sequence the three pass
+    # ranks are NOT consecutive (md5 keys are independent per pass)
+    ranks_by_seq: dict = {}
+    for l, b, p, rk in rows:
+        ranks_by_seq.setdefault((l, b), []).append(rk)
+    scattered = [
+        rs for (l, _), rs in ranks_by_seq.items()
+        if l == "en" and max(rs) - min(rs) > len(rs)
+    ]
+    assert len(scattered) > 15  # nearly all of the 20 en sequences
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive integers"):
+        multi_pass_order(seqs, 7, {"en": 0})

@@ -96,6 +96,7 @@ CORPUS_QUERIES = [
     # its input is the synthetic media feed, not the documents table)
     "training_order_docs",
     "training_order_weighted_docs",
+    "training_order_multipass_docs",
 ]
 
 
