@@ -350,6 +350,63 @@ def multi_pass_order(
     return out.drop("epoch")
 
 
+def write_serving_shards(
+    order: DataFrame,
+    path: str,
+    rows_per_shard: int = 1024,
+    shard_col: str = "serve_shard",
+) -> str:
+    """Materialize a serving order into sequentially numbered shard
+    files — the byte layout a data loader actually streams: shard s
+    holds exactly ranks [s·R, (s+1)·R) in rank order, so epoch serving
+    is "read shard 0, 1, 2, ..." and resume-at-rank-r starts at shard
+    floor(r/R) (pure arithmetic — no metadata lookup needed, unlike
+    the corpus-sharded `land_epoch_order` layout where ranks scatter
+    across shards). NO global sort: the serving-shard id is
+    floor(rank/R) over the already-computed rank, so the write is one
+    keyed exchange plus a within-partition sort of ≤R rows per shard.
+    Idempotent overwrite (the order is a pure function of its seed
+    inputs). Works on any of the three order forms (uniform epoch,
+    A-Res weighted, multi-pass). Returns ``path``."""
+    out = order.withColumn(
+        shard_col,
+        F.floor(F.col("rank") / F.lit(int(rows_per_shard))).cast("long"),
+    )
+    (
+        out.repartition(shard_col)
+        .sortWithinPartitions("rank")
+        .write.mode("overwrite")
+        .partitionBy(shard_col)
+        .parquet(path)
+    )
+    return path
+
+
+def serving_mixture_report(
+    order: DataFrame,
+    group_col: str = "lang",
+    n_slices: int = 10,
+) -> DataFrame:
+    """Observability for a serving order (the funnel/drift stance
+    applied to data mixing): per rank-slice group composition —
+    (slice, group, n) with slice = floor(rank·n_slices / N) — the
+    report that verifies a weighted order actually delivers its
+    mixture at the front of the stream and a uniform order stays flat.
+    Integer-exact (one count over the order + a windowless slice
+    expression; N rides in from a 1-row broadcast aggregate)."""
+    n_total = order.agg(F.count("*").alias("_n"))
+    sl = F.least(
+        F.floor(F.col("rank") * n_slices / F.col("_n")),
+        F.lit(n_slices - 1),
+    ).cast("int")
+    return (
+        order.crossJoin(F.broadcast(n_total))
+        .select(sl.alias("slice"), F.col(group_col))
+        .groupBy("slice", group_col)
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def resume_from(order: DataFrame, rank: int) -> DataFrame:
     """Mid-epoch resume: the sequences still to serve from serving
     position ``rank`` onward — a pure pushdown-able filter on the

@@ -895,3 +895,68 @@ def test_multi_pass_order_copy_counts_and_scatter(spark):
 
     with _pytest.raises(ValueError, match="positive integers"):
         multi_pass_order(seqs, 7, {"en": 0})
+
+
+def test_write_serving_shards_layout_and_mixture_report(spark, tmp_path):
+    """Serving materialization (r11): shard s holds exactly ranks
+    [s·R, (s+1)·R) in rank order on disk; resume-at-rank is pure
+    arithmetic on the shard id; and the mixture report shows the
+    weighted order front-loading its upweighted group while a uniform
+    order stays flat."""
+    import os
+
+    from miletos_spark.pipeline.packing import (
+        epoch_order,
+        serving_mixture_report,
+        weighted_epoch_order,
+        write_serving_shards,
+    )
+
+    seqs = spark.createDataFrame(
+        [(l, b) for l in ("en", "zh") for b in range(64)],
+        "lang string, seq_bin long",
+    )
+    order = weighted_epoch_order(
+        seqs, seed=5, epoch=0, weights={"en": 8.0},
+        key_cols=("lang", "seq_bin"), bucket_count=4,
+    )
+    path = str(tmp_path / "serve")
+    write_serving_shards(order, path, rows_per_shard=16)
+
+    shards = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(path) if d.startswith("serve_shard=")
+    )
+    assert shards == list(range(8))  # 128 rows / 16
+    landed = spark.read.parquet(path)
+    for s in (0, 5):
+        rows = landed.filter(F.col("serve_shard") == s).collect()
+        ranks = [r["rank"] for r in rows]
+        assert ranks == list(range(s * 16, (s + 1) * 16))  # on-disk order
+    # full round-trip: ranks dense, nothing lost
+    assert landed.count() == 128
+
+    # mixture report: en (×8) dominates the first slice of the
+    # weighted order; the uniform order's slices stay near 50/50
+    def shares(o):
+        rep = {
+            (r["slice"], r["lang"]): r["n"]
+            for r in serving_mixture_report(o, "lang", n_slices=4).collect()
+        }
+        return [
+            rep.get((s, "en"), 0)
+            / (rep.get((s, "en"), 0) + rep.get((s, "zh"), 0))
+            for s in range(4)
+        ]
+
+    w = shares(order)
+    u = shares(
+        epoch_order(seqs, seed=5, epoch=0, key_cols=("lang", "seq_bin"),
+                    bucket_count=4)
+    )
+    assert w[0] > 0.8 and w[-1] < 0.2        # weighted: front-loaded
+    assert all(0.25 < x < 0.75 for x in u)   # uniform: roughly flat
+    # report conserves rows
+    assert sum(
+        r["n"] for r in serving_mixture_report(order, "lang", 4).collect()
+    ) == 128
