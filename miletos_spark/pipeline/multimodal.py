@@ -359,6 +359,8 @@ def media_arrival_decisions(
     max_hamming: int = 3,
     frac_threshold: float = 0.8,
     max_df: int | None = None,
+    landed_distinct: DataFrame | None = None,
+    landed_presence: DataFrame | None = None,
 ) -> DataFrame:
     """DIRECTIONAL media dedup decisions for a batch of ARRIVALS
     against a landed corpus pHash band index (r11, VERDICT r10 Missing
@@ -386,11 +388,22 @@ def media_arrival_decisions(
 
     ``arrival_fps``: (arrival_id, frame, fp); ``landed_banded``: the
     landed (media_id, frame, phash_hex, band, chunk) table. Returns
-    (arrival_id, matched_id, n_frames, n_matched)."""
+    (arrival_id, matched_id, n_frames, n_matched).
+
+    ``landed_distinct`` / ``landed_presence`` (optional): the
+    PRE-COLLAPSED index tables — distinct (band, chunk, phash_hex) and
+    distinct (media_id, fp) — landed at index-build time. Without
+    them, both collapses run HERE, which on the streaming path means
+    an O(index) SHUFFLE per micro-batch (the per-query emb.count()
+    class of waste); with them the per-batch static side is a plain
+    columnar scan of already-collapsed tables. The landing writes them
+    once (`_land_media_phash_index`)."""
     from miletos_spark.pipeline.dedup import simhash_hamming
 
     pres = (
-        landed_banded.filter(F.col("band") == 0)
+        landed_presence
+        if landed_presence is not None
+        else landed_banded.filter(F.col("band") == 0)
         .select("media_id", F.col("phash_hex").alias("fp"))
         .distinct()
     )
@@ -409,7 +422,11 @@ def media_arrival_decisions(
         )
         pres = pres.join(hub_fps, "fp", "left_anti")
         arr = arr.join(hub_fps, "fp", "left_anti")
-    landed_d = landed_banded.select("band", "chunk", "phash_hex").distinct()
+    landed_d = (
+        landed_distinct
+        if landed_distinct is not None
+        else landed_banded.select("band", "chunk", "phash_hex").distinct()
+    )
     d_arr = arr.select("fp").distinct()
     banded_arr = d_arr.select(
         "fp",

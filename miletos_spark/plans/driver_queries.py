@@ -6748,11 +6748,13 @@ def _land_media_phash_index(spark: SparkSession) -> str:
     stats (max distinct-fp bucket, max identical-fp class) are
     persisted at write time so the bounded-cutover pair functions on
     the landed path skip their per-invocation probe job (VERDICT r10
-    Wrong #2)."""
+    Wrong #2), and the PRE-COLLAPSED tables (distinct banded fps;
+    fp→media presence) land alongside so the streaming verdict
+    composition never re-runs an O(index) distinct per micro-batch."""
     import os
     import tempfile
 
-    root = os.path.join(tempfile.gettempdir(), "miletos_mediaidx_v2")
+    root = os.path.join(tempfile.gettempdir(), "miletos_mediaidx_v3")
     land = os.path.join(root, "bands")
     done = os.path.join(root, "_SUCCESS_INDEX")
     if not os.path.exists(done):
@@ -6789,6 +6791,14 @@ def _land_media_phash_index(spark: SparkSession) -> str:
         ).select("media_id", "frame", "phash_hex", "bb.band", "bb.chunk")
         banded.write.mode("overwrite").partitionBy("band").parquet(land)
         landed = spark.read.parquet(land)
+        landed.select("band", "chunk", "phash_hex").distinct().write.mode(
+            "overwrite"
+        ).partitionBy("band").parquet(os.path.join(root, "bands_distinct"))
+        landed.filter(F.col("band") == 0).select(
+            "media_id", F.col("phash_hex").alias("fp")
+        ).distinct().write.mode("overwrite").parquet(
+            os.path.join(root, "presence")
+        )
         write_index_stats(
             root,
             band_bucket_stats(landed, ["band", "chunk"], fp_col="phash_hex"),
@@ -6874,6 +6884,7 @@ def q_stream_media_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     bands = _land_media_phash_index(spark)
+    root = os.path.dirname(bands)
     land = _land_media_arrivals(spark)
     work = os.path.join(
         tempfile.gettempdir(), "miletos_smdec_" + uuid.uuid4().hex[:8]
@@ -6888,6 +6899,9 @@ def q_stream_media_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=3,
         frac_threshold=0.8,
         max_files_per_trigger=1,
+        # pre-collapsed index tables: no O(index) distinct per batch
+        distinct_path=os.path.join(root, "bands_distinct"),
+        presence_path=os.path.join(root, "presence"),
     )
     return read_media_decisions(spark, os.path.join(work, "out")).select(
         "arrival_id", "matched_id", "n_frames", "n_matched"

@@ -968,6 +968,8 @@ def stream_media_decisions(
     max_df: int | None = None,
     max_files_per_trigger: int | None = None,
     timeout_sec: int = 300,
+    distinct_path: str | None = None,
+    presence_path: str | None = None,
 ) -> None:
     """Per-arrival media dedup VERDICTS on the firehose (r11, VERDICT
     r10 Missing #3): `stream_media_near_dup` emits frame-level
@@ -989,6 +991,13 @@ def stream_media_decisions(
     cross-batch state to misalign (contrast `stream_pack_shards`,
     whose markers exist to order state the batches share).
 
+    ``distinct_path`` / ``presence_path``: the PRE-COLLAPSED index
+    tables landed at index-build time (distinct banded fps; fp→media
+    presence). Without them the per-batch evidence composition runs
+    TWO O(index) distinct shuffles per trigger — the per-query
+    emb.count() class of waste at 100 TB; with them the static side is
+    a plain columnar scan of already-collapsed tables every batch.
+
     Verdict rows: (arrival_id, matched_id, n_frames, n_matched)."""
     import os
 
@@ -999,6 +1008,12 @@ def stream_media_decisions(
     )
 
     landed = spark.read.parquet(landed_bands_path)
+    landed_d = (
+        spark.read.parquet(distinct_path) if distinct_path else None
+    )
+    pres = (
+        spark.read.parquet(presence_path) if presence_path else None
+    )
 
     def _decide(bdf: DataFrame, batch_id: int) -> None:
         fps = phash_frames(decode_media(bdf))
@@ -1013,6 +1028,8 @@ def stream_media_decisions(
             max_hamming=max_hamming,
             frac_threshold=frac_threshold,
             max_df=max_df,
+            landed_distinct=landed_d,
+            landed_presence=pres,
         )
         dec.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"b={batch_id}")
