@@ -32,6 +32,7 @@ from miletos_spark.search.bls import bls_sql, bls_search
 from miletos_spark.search.lombscargle import freq_grid, lomb_scargle, lomb_scargle_sql
 from miletos_spark.search.outlier_period import outlier_period_search, outlier_period_sql
 from miletos_spark.functions.scalars import quantize, quantize_sql
+from miletos_spark.pipeline.landing import _commit_marker
 from miletos_spark.schema import epoch_micros_expr, load_table
 
 # --- shared constants (identical in both engines) ---------------------------
@@ -3758,8 +3759,7 @@ def q_near_dup_clusters_incremental(
     done = _os.path.join(root, "_SUCCESS_INDEX")
     if not _os.path.exists(done):
         land_cluster_index(spark, pairs.filter(is_init), cpath)
-        with open(done, "w") as f:
-            f.write("ok")
+        _commit_marker(done, "ok")
     # the appended batch — idempotent under replay (re-runs no-op)
     update_cluster_index(spark, cpath, pairs.filter(~is_init))
     comp = spark.read.parquet(cpath)
@@ -6803,8 +6803,7 @@ def _land_media_phash_index(spark: SparkSession) -> str:
             root,
             band_bucket_stats(landed, ["band", "chunk"], fp_col="phash_hex"),
         )
-        with open(done, "w") as f:
-            f.write("ok")
+        _commit_marker(done, "ok")
     return land
 
 
@@ -6825,8 +6824,7 @@ def _land_media_arrivals(spark: SparkSession) -> str:
         _media_reuploads(media).repartition(2).write.mode(
             "overwrite"
         ).parquet(land)
-        with open(done, "w") as f:
-            f.write("ok")
+        _commit_marker(done, "ok")
     return land
 
 
