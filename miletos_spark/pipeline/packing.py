@@ -442,7 +442,13 @@ def land_epoch_order(
     Idempotent: the order is a pure function of (seed, epoch, corpus),
     so mode-overwrite rewrites are replay-safe (no fold, no state —
     the `publish_version` machinery is not needed here). Returns
-    ``path``."""
+    ``path``.
+
+    Scale note: the JSON stats dict is O(|shards|) — fine to ~10⁵
+    shards; past that, land the bounds as a parquet side table (same
+    content, partition-prunable) or use `write_serving_shards`, whose
+    rank-contiguous layout makes the resume shard PURE ARITHMETIC with
+    no metadata at all."""
     from miletos_spark.pipeline.landing import write_index_stats
 
     order = epoch_order(
