@@ -99,6 +99,95 @@ def publish_version(
     return target, True
 
 
+def _link_tree(src: str, dst: str) -> None:
+    """Re-reference `src`'s files under `dst` via hardlinks (copy on
+    cross-device) — the local-fs emulation of a table snapshot
+    re-referencing unchanged data files."""
+    os.makedirs(dst, exist_ok=True)
+    for name in os.listdir(src):
+        s, d = os.path.join(src, name), os.path.join(dst, name)
+        if os.path.isdir(s):
+            _link_tree(s, d)
+        else:
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+
+
+def fold_partitions_versioned(
+    rows: DataFrame,
+    store_root: str,
+    part_col: str,
+    touched: "Iterable[int | str]",
+    batch_tag: str,
+    keep_versions: int = 2,
+    pointer_name: str = "_current.json",
+) -> "tuple[str, bool]":
+    """CRASH-SAFE, REPLAY-IDEMPOTENT partition fold (ADVICE r11): fold
+    `rows` (the full new content of every `touched` partition) into a
+    VERSIONED partitioned store in O(touched), never O(table).
+
+    The new version directory re-references (hardlinks) every
+    untouched partition dir of the committed version and writes only
+    the touched partitions fresh; ONE atomic pointer flip then commits
+    the version AND appends `batch_tag` to the applied-batch log it
+    carries. Crash at any point before the flip leaves the committed
+    version untouched (its files are never modified — `rows` may
+    freely derive from it, no eager pin needed) and the replay
+    rebuilds the same target from unchanged inputs; after the flip,
+    a replayed `batch_tag` is a verified no-op. Drained partitions
+    (touched but absent from `rows`) are simply never linked — delete
+    is free under versioning.
+
+    Versions older than `keep_versions` are pruned after the flip
+    (hardlinks make this safe: the new version's files are the same
+    inodes). The applied-batch log keeps the latest 256 tags — replay
+    windows are of recent batches by construction (a streaming replay
+    is of the last uncommitted batch). Cluster-scale mapping: a
+    Delta/Iceberg commit whose snapshot re-references unchanged files,
+    with `batch_tag` as the idempotent writer txn id.
+
+    Returns (committed data dir, applied?) — applied=False when
+    `batch_tag` was already in the log."""
+    pointer_path = os.path.join(store_root, pointer_name)
+    cur = read_marker(pointer_path)
+    batches = list(cur["batches"]) if cur else []
+    if batch_tag in batches:
+        return os.path.join(store_root, cur["version"]), False
+    n = int(cur["version"][1:]) if cur else -1
+    version = f"v{n + 1}"
+    target = os.path.join(store_root, version)
+    if os.path.exists(target):  # stale partial build from a crash
+        shutil.rmtree(target)
+    os.makedirs(target)
+    touched_names = {f"{part_col}={t}" for t in touched}
+    if cur is not None:
+        prev = os.path.join(store_root, cur["version"])
+        for name in os.listdir(prev):
+            if name.startswith(f"{part_col}=") and name not in touched_names:
+                _link_tree(os.path.join(prev, name), os.path.join(target, name))
+    rows.repartition(part_col).write.mode("append").partitionBy(
+        part_col
+    ).parquet(target)
+    write_marker(
+        pointer_path,
+        {"version": version, "batches": (batches + [batch_tag])[-256:]},
+    )
+    for i in range(max(0, n + 1 - (keep_versions - 1))):
+        shutil.rmtree(os.path.join(store_root, f"v{i}"), ignore_errors=True)
+    return target, True
+
+
+def current_fold_version(store_root: str, pointer_name: str = "_current.json"):
+    """The committed data dir of a `fold_partitions_versioned` store,
+    or None before the first fold."""
+    cur = read_marker(os.path.join(store_root, pointer_name))
+    if cur is None:
+        return None
+    return os.path.join(store_root, cur["version"])
+
+
 def overwrite_partitions(
     spark: SparkSession,
     rows: DataFrame,

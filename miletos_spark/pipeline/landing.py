@@ -66,8 +66,12 @@ def land_dedup_index(
     corpus. Returns {"sigs": path, "bands": path}."""
     from miletos_spark.pipeline.dedup import lsh_bands, minhash_signatures
 
+    from miletos_spark.pipeline.commit import fold_partitions_versioned
+
     src = os.path.join(sf_dir, "documents.parquet")
-    root = _index_root(src, f"mh{num_hashes}b{bands}k{k}")
+    # .c2 tag: the counts side table moved to the versioned fold store
+    # (ADVICE r11 crash safety) — stale flat-layout caches rebuild
+    root = _index_root(src, f"mh{num_hashes}b{bands}k{k}.c2")
     paths = {"sigs": os.path.join(root, "sigs"),
              "bands": os.path.join(root, "bands"),
              "counts": os.path.join(root, "bucket_counts")}
@@ -82,23 +86,21 @@ def land_dedup_index(
     banded = lsh_bands(landed_sigs, bands=bands)
     banded.write.mode("overwrite").partitionBy("band").parquet(paths["bands"])
     # write-time bucket stats (VERDICT r10 Wrong #2): per-bucket count
-    # side table (grouped for O(touched) incremental folds) + the O(1)
+    # side table (a VERSIONED store so incremental folds stay
+    # O(touched) yet commit atomically — ADVICE r11) + the O(1)
     # max-bucket scalar downstream cutovers read instead of probing
     landed_bands = spark.read.parquet(paths["bands"])
-    (
+    counts0 = (
         landed_bands.groupBy("band", "bhash")
         .agg(F.count("*").alias("c"))
         .withColumn(
             "_bg", F.pmod(F.xxhash64("band", "bhash"), F.lit(BAND_GROUPS))
         )
-        .repartition("_bg")
-        .write.mode("overwrite")
-        .partitionBy("_bg")
-        .parquet(paths["counts"])
     )
-    mx = (
-        spark.read.parquet(paths["counts"]).agg(F.max("c")).first()[0] or 0
+    data, _ = fold_partitions_versioned(
+        counts0, paths["counts"], "_bg", range(BAND_GROUPS), "__init__"
     )
+    mx = spark.read.parquet(data).agg(F.max("c")).first()[0] or 0
     write_index_stats(root, {"max_bucket": int(mx)})
     _commit_marker(done, "ok")
     return paths
@@ -111,6 +113,7 @@ def update_dedup_index(
     k: int = 9,
     num_hashes: int = 32,
     bands: int = 8,
+    batch_tag: str | None = None,
 ) -> dict[str, str]:
     """Incremental index maintenance — append a new-document batch to a
     landed MinHash/LSH index WITHOUT rebuilding: at 100 TB the corpus
@@ -148,11 +151,15 @@ def update_dedup_index(
     sigs.write.mode("append").parquet(paths["sigs"])
     banded = lsh_bands(sigs, bands=bands, num_hashes=num_hashes)
     banded.write.mode("append").partitionBy("band").parquet(paths["bands"])
-    if os.path.exists(paths.get("counts", "")):
+    if "counts" in paths and bucket_counts_dir(paths) is not None:
         # O(batch + touched groups) stats fold; indexes landed before
-        # the stats side table existed simply stay stat-less
+        # the stats side table existed simply stay stat-less.
+        # batch_tag (optional) makes a replayed batch's fold a no-op —
+        # note the band-row appends above keep the documented
+        # at-least-once caller contract either way.
         update_bucket_counts(
-            spark, paths, banded.select("band", "bhash"), ["band", "bhash"]
+            spark, paths, banded.select("band", "bhash"), ["band", "bhash"],
+            batch_tag=batch_tag,
         )
     return paths
 
@@ -241,22 +248,58 @@ def read_index_stats(root: str, name: str = STATS_NAME) -> dict | None:
     return read_marker(os.path.join(root, name))
 
 
+def bucket_counts_dir(paths: dict[str, str]) -> str | None:
+    """The committed data dir of the versioned bucket-count store
+    (None before the first fold / for pre-versioning indexes)."""
+    from miletos_spark.pipeline.commit import current_fold_version
+
+    return current_fold_version(paths["counts"])
+
+
 def update_bucket_counts(
     spark: SparkSession,
     paths: dict[str, str],
     batch_banded: DataFrame,
     bucket_cols: "list[str]",
     n_groups: int = BAND_GROUPS,
+    batch_tag: str | None = None,
 ) -> None:
     """Fold a band-table increment into the landed per-bucket count
     side table in O(batch + touched groups), then refresh the
     ``max_bucket`` scalar in the stats file. The side table is
     partitioned by ``_bg = pmod(xxhash64(bucket key), n_groups)`` so
-    the rewrite prunes to exactly the groups the batch touches
-    (`update_cluster_index`'s dynamic-overwrite stance); the scalar
-    max can only grow under appends, so max(old, touched-bucket max)
-    is exact."""
+    the fold prunes to exactly the groups the batch touches; the
+    scalar max can only grow under appends, so max(old, touched-group
+    max) is exact.
+
+    CRASH-SAFE (ADVICE r11): the fold goes through
+    `commit.fold_partitions_versioned` — untouched groups are
+    re-referenced, touched groups written fresh, and one atomic
+    pointer flip commits the fold, so a crash at any point leaves the
+    committed counts exactly consistent with the batches whose tags
+    the pointer records (counts are never partially folded). Pass a
+    stable ``batch_tag`` (e.g. the streaming batch id) to make a
+    REPLAYED batch a verified no-op; the default unique tag keeps the
+    fold atomic but re-applies on replay — the single-writer
+    own-ordering stance `update_dsir_model`'s in-place default
+    documents. The stats refresh after the flip is self-healing: it
+    derives from the committed table, so a crash between flip and
+    stats write is repaired by any later fold (and an under-stated max
+    only costs hub-safety headroom, never correctness)."""
+    import uuid
+
+    from miletos_spark.pipeline.commit import fold_partitions_versioned
+
     root = os.path.dirname(paths["counts"])
+    data = bucket_counts_dir(paths)
+    if data is None:
+        raise ValueError(
+            f"update_bucket_counts: no committed counts store under "
+            f"{paths['counts']} — index landed before versioning? "
+            "Rebuild with land_dedup_index(overwrite=True)."
+        )
+    if batch_tag is None:
+        batch_tag = f"unq-{uuid.uuid4().hex}"
     bg = F.pmod(F.xxhash64(*bucket_cols), F.lit(n_groups))
     delta = (
         batch_banded.groupBy(*bucket_cols)
@@ -265,9 +308,7 @@ def update_bucket_counts(
         .localCheckpoint(eager=True)  # batch-sized; feeds join + group list
     )
     groups = [int(r["_bg"]) for r in delta.select("_bg").distinct().collect()]
-    landed = (
-        spark.read.parquet(paths["counts"]).filter(F.col("_bg").isin(groups))
-    )
+    landed = spark.read.parquet(data).filter(F.col("_bg").isin(groups))
     merged = (
         landed.join(delta.drop("_bg"), bucket_cols, "full")
         .select(
@@ -278,12 +319,19 @@ def update_bucket_counts(
             ).alias("c"),
         )
         .withColumn("_bg", bg)
-        .localCheckpoint(eager=True)  # reads the dirs the write replaces
+        # no eager pin: the fold writes a NEW version dir, so the read
+        # of the committed version races nothing
     )
-    from miletos_spark.pipeline.commit import overwrite_partitions
-
-    overwrite_partitions(spark, merged, paths["counts"], "_bg", groups)
-    new_max = merged.agg(F.max("c")).first()[0] or 0
+    committed, applied = fold_partitions_versioned(
+        merged, paths["counts"], "_bg", groups, batch_tag
+    )
+    new_max = (
+        spark.read.parquet(committed)
+        .filter(F.col("_bg").isin(groups))
+        .agg(F.max("c"))
+        .first()[0]
+        or 0
+    )
     stats = read_index_stats(root) or {}
     stats["max_bucket"] = max(int(stats.get("max_bucket", 0)), int(new_max))
     write_index_stats(root, stats)

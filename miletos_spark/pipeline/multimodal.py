@@ -361,6 +361,7 @@ def media_arrival_decisions(
     max_df: int | None = None,
     landed_distinct: DataFrame | None = None,
     landed_presence: DataFrame | None = None,
+    landed_fp_df: DataFrame | None = None,
 ) -> DataFrame:
     """DIRECTIONAL media dedup decisions for a batch of ARRIVALS
     against a landed corpus pHash band index (r11, VERDICT r10 Missing
@@ -397,7 +398,17 @@ def media_arrival_decisions(
     an O(index) SHUFFLE per micro-batch (the per-query emb.count()
     class of waste); with them the per-batch static side is a plain
     columnar scan of already-collapsed tables. The landing writes them
-    once (`_land_media_phash_index`)."""
+    once (`_land_media_phash_index`).
+
+    ``landed_fp_df`` (optional): the landed per-fingerprint document
+    frequency table (fp, df), written at index-build time. With
+    ``max_df`` set, the hub set is then a FILTER over this
+    distinct-fps-sized table instead of a groupBy over the full
+    presence table — on the streaming path the latter was exactly the
+    per-micro-batch O(index) shuffle the pre-collapsed tables
+    eliminate (ADVICE r11). Hub fps are anti-joined out of the banded
+    candidate table too, so hubs never inflate the band join only to
+    be dropped at the presence join."""
     from miletos_spark.pipeline.dedup import simhash_hamming
 
     pres = (
@@ -408,6 +419,11 @@ def media_arrival_decisions(
         .distinct()
     )
     arr = arrival_fps.select("arrival_id", "frame", "fp")
+    landed_d = (
+        landed_distinct
+        if landed_distinct is not None
+        else landed_banded.select("band", "chunk", "phash_hex").distinct()
+    )
     if max_df is not None:
         # the HUB set (landed df > max_df) is what gets dropped — an
         # anti-join against it, NOT a semi-join against the keepers:
@@ -415,18 +431,20 @@ def media_arrival_decisions(
         # trivially discriminative, and a keeper semi-join would drop
         # them too
         hub_fps = (
-            pres.groupBy("fp")
+            landed_fp_df.filter(F.col("df") > max_df).select("fp")
+            if landed_fp_df is not None
+            else pres.groupBy("fp")
             .agg(F.count("*").alias("_df"))
             .filter(F.col("_df") > max_df)
             .select("fp")
         )
         pres = pres.join(hub_fps, "fp", "left_anti")
         arr = arr.join(hub_fps, "fp", "left_anti")
-    landed_d = (
-        landed_distinct
-        if landed_distinct is not None
-        else landed_banded.select("band", "chunk", "phash_hex").distinct()
-    )
+        landed_d = landed_d.join(
+            hub_fps.select(F.col("fp").alias("phash_hex")),
+            "phash_hex",
+            "left_anti",
+        )
     d_arr = arr.select("fp").distinct()
     banded_arr = d_arr.select(
         "fp",

@@ -171,6 +171,15 @@ def epoch_order(
     bucket, and the (u32, key) tiebreak is total). Each window
     partition holds ~N/B rows; at 100 TB pick B ~ rows/10M.
 
+    PRECONDITION — ``key_cols`` must uniquely identify rows: the
+    permutation key and EVERY window tiebreak column derive from
+    key_cols, so duplicate keys would share u32 and the entire
+    tiebreak, leaving row_number free to pair non-key carried columns
+    with ranks arbitrarily — silently breaking the pure-function
+    contract. Fold a unique id into key_cols (as every in-repo caller
+    does: doc_id / (lang, seq_bin) where seq_bin is unique per lang)
+    rather than relying on a carried column.
+
     The (epoch, rank) → (shard, offset) contract: the returned table
     carries every input column plus ``rank`` (0-based, dense over the
     whole corpus), so a trainer resolves any rank range to concrete
@@ -246,6 +255,11 @@ def weighted_epoch_order(
     decimals before ranking (the quantize-then-rank stance: ln is the
     only non-exact op, and both engines rank the identical fixed-point
     value with the identical (key, group, id) tiebreak).
+
+    Same PRECONDITION as `epoch_order`: ``key_cols`` must uniquely
+    identify rows (the serve key and the whole tiebreak derive from
+    them — duplicates would rank nondeterministically against their
+    non-key carried columns).
 
     Ranks come from the same two-pass prefix sum as `epoch_order`; the
     order-preserving bucket is a fixed grid on -key over

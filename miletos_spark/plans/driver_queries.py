@@ -6749,12 +6749,14 @@ def _land_media_phash_index(spark: SparkSession) -> str:
     persisted at write time so the bounded-cutover pair functions on
     the landed path skip their per-invocation probe job (VERDICT r10
     Wrong #2), and the PRE-COLLAPSED tables (distinct banded fps;
-    fp→media presence) land alongside so the streaming verdict
-    composition never re-runs an O(index) distinct per micro-batch."""
+    fp→media presence; per-fp document frequency — the max_df hub
+    set's source, ADVICE r11) land alongside so the streaming verdict
+    composition never re-runs an O(index) distinct or groupBy per
+    micro-batch."""
     import os
     import tempfile
 
-    root = os.path.join(tempfile.gettempdir(), "miletos_mediaidx_v3")
+    root = os.path.join(tempfile.gettempdir(), "miletos_mediaidx_v4")
     land = os.path.join(root, "bands")
     done = os.path.join(root, "_SUCCESS_INDEX")
     if not os.path.exists(done):
@@ -6798,6 +6800,11 @@ def _land_media_phash_index(spark: SparkSession) -> str:
             "media_id", F.col("phash_hex").alias("fp")
         ).distinct().write.mode("overwrite").parquet(
             os.path.join(root, "presence")
+        )
+        spark.read.parquet(os.path.join(root, "presence")).groupBy(
+            "fp"
+        ).agg(F.count("*").alias("df")).write.mode("overwrite").parquet(
+            os.path.join(root, "fp_df")
         )
         write_index_stats(
             root,
@@ -6900,6 +6907,7 @@ def q_stream_media_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pre-collapsed index tables: no O(index) distinct per batch
         distinct_path=os.path.join(root, "bands_distinct"),
         presence_path=os.path.join(root, "presence"),
+        fp_df_path=os.path.join(root, "fp_df"),
     )
     return read_media_decisions(spark, os.path.join(work, "out")).select(
         "arrival_id", "matched_id", "n_frames", "n_matched"

@@ -704,7 +704,11 @@ def stream_pack_shards(
 
             try:
                 want = read_marker(os.path.join(commit_dir, str(batch_id)))
-            except ValueError:
+            except (OSError, ValueError):
+                # unreadable marker (torn write survivor from a pre-seam
+                # state dir, or a transient fs error) reads as missing:
+                # the safe path is the manifest mismatch below, which
+                # refuses to skip rather than killing the stream
                 want = None
             got = _batch_manifest(batch_id)
             if want is None or got is None or want != got:
@@ -970,6 +974,7 @@ def stream_media_decisions(
     timeout_sec: int = 300,
     distinct_path: str | None = None,
     presence_path: str | None = None,
+    fp_df_path: str | None = None,
 ) -> None:
     """Per-arrival media dedup VERDICTS on the firehose (r11, VERDICT
     r10 Missing #3): `stream_media_near_dup` emits frame-level
@@ -997,6 +1002,10 @@ def stream_media_decisions(
     TWO O(index) distinct shuffles per trigger — the per-query
     emb.count() class of waste at 100 TB; with them the static side is
     a plain columnar scan of already-collapsed tables every batch.
+    ``fp_df_path`` is the same stance for the ``max_df`` hub set (the
+    landed (fp, df) table — ADVICE r11: without it, every micro-batch
+    re-derived the hub set with a groupBy over the full presence
+    table).
 
     Verdict rows: (arrival_id, matched_id, n_frames, n_matched)."""
     import os
@@ -1014,6 +1023,7 @@ def stream_media_decisions(
     pres = (
         spark.read.parquet(presence_path) if presence_path else None
     )
+    fp_df = spark.read.parquet(fp_df_path) if fp_df_path else None
 
     def _decide(bdf: DataFrame, batch_id: int) -> None:
         fps = phash_frames(decode_media(bdf))
@@ -1030,6 +1040,7 @@ def stream_media_decisions(
             max_df=max_df,
             landed_distinct=landed_d,
             landed_presence=pres,
+            landed_fp_df=fp_df,
         )
         dec.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"b={batch_id}")

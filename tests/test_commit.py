@@ -175,3 +175,95 @@ def test_dsir_versioned_fold_is_crash_idempotent(spark, tmp_path):
     }
     assert got == want  # folded exactly once == full rebuild
     shutil.rmtree(root, ignore_errors=True)
+
+def test_fold_partitions_versioned_atomic_and_replay_noop(spark, tmp_path):
+    """ADVICE r11 (update_bucket_counts crash safety), at the seam:
+    the versioned partition fold (a) re-references untouched
+    partitions, (b) survives a stale half-built target from a crashed
+    attempt, (c) no-ops a replayed batch_tag, and (d) keeps counts
+    equal to a rebuild through all of it."""
+    from miletos_spark.pipeline.commit import (
+        current_fold_version,
+        fold_partitions_versioned,
+    )
+
+    store = str(tmp_path / "counts")
+    base = spark.createDataFrame(
+        [(k, 10 + k, k % 4) for k in range(8)], "k long, c long, _bg int"
+    )
+    d0, applied = fold_partitions_versioned(
+        base, store, "_bg", range(4), "__init__"
+    )
+    assert applied and os.path.basename(d0) == "v0"
+
+    # crashed attempt left a half-built v1: the fold must clear it
+    os.makedirs(os.path.join(store, "v1", "_bg=9"))
+    with open(os.path.join(store, "v1", "_bg=9", "junk"), "w") as f:
+        f.write("partial")
+
+    # fold batch b1: +5 on keys 0..3 (groups 0..3 touched via k%4 ...
+    # keys 0..3 live in groups 0..3) — here only groups {0, 1} touched
+    merged = spark.createDataFrame(
+        [(0, 115, 0), (1, 116, 1)], "k long, c long, _bg int"
+    )
+    d1, applied = fold_partitions_versioned(merged, store, "_bg", [0, 1], "b1")
+    assert applied and os.path.basename(d1) == "v1"
+    assert current_fold_version(store) == d1
+    assert not os.path.exists(os.path.join(store, "v1", "_bg=9"))
+
+    got = {
+        (r["k"], r["c"]) for r in spark.read.parquet(d1).collect()
+    }
+    want = {(0, 115), (1, 116)} | {
+        (k, 10 + k) for k in range(8) if k % 4 not in (0, 1)
+    }
+    assert got == want
+
+    # replayed batch: verified no-op — no new version, counts unchanged
+    d2, applied = fold_partitions_versioned(merged, store, "_bg", [0, 1], "b1")
+    assert not applied and d2 == d1
+    assert {
+        (r["k"], r["c"]) for r in spark.read.parquet(current_fold_version(store)).collect()
+    } == want
+
+
+def test_update_bucket_counts_replayed_batch_is_noop(spark, tmp_path):
+    """The landing-level contract over the seam: a replayed
+    update_bucket_counts batch_tag leaves counts and max_bucket stats
+    exactly as the first application did."""
+    from miletos_spark.pipeline.commit import fold_partitions_versioned
+    from miletos_spark.pipeline.landing import (
+        BAND_GROUPS,
+        bucket_counts_dir,
+        read_index_stats,
+        update_bucket_counts,
+        write_index_stats,
+    )
+
+    root = str(tmp_path / "idx")
+    paths = {"counts": os.path.join(root, "bucket_counts")}
+    init = spark.createDataFrame(
+        [(b, f"h{b}", 1) for b in range(8)], "band int, bhash string, c long"
+    ).withColumn("_bg", F.pmod(F.xxhash64("band", "bhash"), F.lit(BAND_GROUPS)))
+    fold_partitions_versioned(
+        init, paths["counts"], "_bg", range(BAND_GROUPS), "__init__"
+    )
+    write_index_stats(root, {"max_bucket": 1})
+
+    batch = spark.createDataFrame(
+        [(0, "h0"), (0, "h0"), (1, "hx")], "band int, bhash string"
+    )
+    update_bucket_counts(spark, paths, batch, ["band", "bhash"], batch_tag="b7")
+    snap = sorted(
+        (r["band"], r["bhash"], r["c"])
+        for r in spark.read.parquet(bucket_counts_dir(paths)).collect()
+    )
+    stats = read_index_stats(root)
+    assert stats["max_bucket"] == 3  # h0: 1 + 2
+
+    update_bucket_counts(spark, paths, batch, ["band", "bhash"], batch_tag="b7")
+    assert sorted(
+        (r["band"], r["bhash"], r["c"])
+        for r in spark.read.parquet(bucket_counts_dir(paths)).collect()
+    ) == snap
+    assert read_index_stats(root)["max_bucket"] == 3

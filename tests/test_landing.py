@@ -70,12 +70,16 @@ def test_bucket_stats_written_and_incremental_fold_exact(
     persists a per-bucket count side table + the O(1) max-bucket
     scalar; folding an appended batch keeps both EXACTLY equal to a
     full rebuild (counts are additive; max only grows), touching only
-    the batch's bucket groups."""
+    the batch's bucket groups. r12: the store is VERSIONED
+    (`fold_partitions_versioned`) — a replayed batch_tag is a no-op
+    instead of a double-apply."""
     import os
 
+    from miletos_spark.pipeline.commit import fold_partitions_versioned
     from miletos_spark.pipeline.dedup import lsh_bands
     from miletos_spark.pipeline.landing import (
         BAND_GROUPS,
+        bucket_counts_dir,
         read_index_stats,
         update_bucket_counts,
         update_dedup_index,
@@ -95,23 +99,28 @@ def test_bucket_stats_written_and_incremental_fold_exact(
     sigs_a.write.parquet(paths["sigs"])
     banded_a = lsh_bands(spark.read.parquet(paths["sigs"]), bands=8)
     banded_a.write.partitionBy("band").parquet(paths["bands"])
-    (
+    counts_a = (
         banded_a.groupBy("band", "bhash")
         .agg(F.count("*").alias("c"))
         .withColumn(
             "_bg", F.pmod(F.xxhash64("band", "bhash"), F.lit(BAND_GROUPS))
         )
-        .write.partitionBy("_bg")
-        .parquet(paths["counts"])
+    )
+    fold_partitions_versioned(
+        counts_a, paths["counts"], "_bg", range(BAND_GROUPS), "__init__"
     )
     from miletos_spark.pipeline.landing import write_index_stats
 
-    mx_a = spark.read.parquet(paths["counts"]).agg(F.max("c")).first()[0]
+    mx_a = (
+        spark.read.parquet(bucket_counts_dir(paths)).agg(F.max("c")).first()[0]
+    )
     write_index_stats(root, {"max_bucket": int(mx_a)})
 
-    update_dedup_index(spark, paths, part_b, k=9, num_hashes=32, bands=8)
+    update_dedup_index(
+        spark, paths, part_b, k=9, num_hashes=32, bands=8, batch_tag="b1"
+    )
 
-    merged = spark.read.parquet(paths["counts"])
+    merged = spark.read.parquet(bucket_counts_dir(paths))
     rebuilt = (
         lsh_bands(minhash_signatures(docs, k=9, num_hashes=32), bands=8)
         .groupBy("band", "bhash")

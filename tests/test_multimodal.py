@@ -256,3 +256,104 @@ def test_stream_media_decisions_equals_batch_composition(spark, tmp_path):
     assert {(a - 1000, m) for a, m, _, _ in got} == {
         (m, m) for _, m, _, _ in got
     }
+
+def test_media_arrival_decisions_landed_fp_df_hub_pruning(spark):
+    """ADVICE r11: with max_df, the hub set must be derivable from the
+    LANDED (fp, df) table (no per-call groupBy over the full presence
+    table), and the banded candidate table must be hub-pruned too.
+    Both the landed-df path and the fallback must produce identical
+    verdicts on a black-frame hub corpus, and the landed path's plan
+    must not aggregate the presence table."""
+    import hashlib
+
+    from miletos_spark.pipeline.multimodal import (
+        media_arrival_decisions,
+        phash_frames,
+    )
+
+    def uniq_px(i: int) -> list:
+        raw = b"".join(
+            hashlib.md5(f"{i}|{j}".encode()).digest() for j in range(4)
+        )
+        return [float(b) for b in raw]
+
+    k = 12
+    rows = []
+    for i in range(k):
+        rows.append((i, "video", 0, uniq_px(i)))
+        rows.append((i, "video", 1, [0.0] * 64))  # shared black hub frame
+    corpus = spark.createDataFrame(
+        rows, "media_id long, kind string, frame int, pixels array<double>"
+    )
+    banded = phash_frames(corpus).select(
+        "media_id",
+        "frame",
+        "phash_hex",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring("phash_hex", 1 + 4 * b, 4).alias("chunk"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("media_id", "frame", "phash_hex", "bb.band", "bb.chunk")
+    pres = banded.filter(F.col("band") == 0).select(
+        "media_id", F.col("phash_hex").alias("fp")
+    ).distinct()
+    landed_d = banded.select("band", "chunk", "phash_hex").distinct()
+    fp_df = pres.groupBy("fp").agg(F.count("*").alias("df"))
+
+    # arrival 100: re-upload of media 0 (unique frame + black frame)
+    arr = phash_frames(
+        spark.createDataFrame(
+            [(100, "video", 0, uniq_px(0)), (100, "video", 1, [0.0] * 64)],
+            "media_id long, kind string, frame int, pixels array<double>",
+        )
+    ).select(
+        F.col("media_id").alias("arrival_id"),
+        "frame",
+        F.col("phash_hex").alias("fp"),
+    )
+
+    def run(**kw):
+        return {
+            (r["arrival_id"], r["matched_id"], r["n_frames"], r["n_matched"])
+            for r in media_arrival_decisions(
+                arr, banded, max_hamming=3, frac_threshold=0.8, **kw
+            ).collect()
+        }
+
+    # discriminative semantics: the black hub frame is out of both the
+    # numerator and the denominator
+    want = {(100, 0, 1, 1)}
+    fallback = run(max_df=3)
+    landed = run(
+        max_df=3,
+        landed_distinct=landed_d,
+        landed_presence=pres,
+        landed_fp_df=fp_df,
+    )
+    assert fallback == landed == want
+
+    # the landed-df plan never aggregates the presence table: with a
+    # pre-collected (fp, df) table the hub set is a pure filter. The
+    # fallback's presence-groupBy subtree replicates into EVERY
+    # anti-join that consumes the hub set (3 of them — the logical
+    # plan shares nothing), so the landed form drops well more than
+    # one Aggregate; pin the strict ordering, not the exact count.
+    pinned = spark.createDataFrame(fp_df.collect(), "fp string, df long")
+
+    def n_aggs(**kw):
+        dec = media_arrival_decisions(
+            arr, banded, max_hamming=3, frac_threshold=0.8, max_df=3,
+            landed_distinct=landed_d, landed_presence=pres, **kw,
+        )
+        return dec._jdf.queryExecution().optimizedPlan().toString().count(
+            "Aggregate"
+        )
+
+    assert n_aggs(landed_fp_df=pinned) < n_aggs()
