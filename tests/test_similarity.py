@@ -547,3 +547,158 @@ def test_update_ivf2_index_appends_consistently(spark, sf_dir):
             sorted(fs[ws]), key=lambda t: (((v - t[1]) ** 2).sum(), t[0])
         )[0]
         assert got[r["vec_id"]] == (ws, wf), r["vec_id"]
+
+def test_semantic_decontaminate_exact_flags_planted_only(spark):
+    """The broadcast-exact semantic decontamination (VERDICT r11
+    Missing #1): every jittered eval copy in the training corpus is
+    flagged against exactly its source, clean vectors are untouched,
+    the result equals the brute-force cross join, and the plan never
+    shuffles the training side (one linear scan + a broadcast)."""
+    import numpy as np
+
+    from miletos_spark.pipeline.similarity import (
+        cosine_similarity,
+        pack_eval_embeddings,
+        semantic_decontaminate,
+    )
+
+    rng = np.random.default_rng(23)
+    ev = [(i, [float(x) for x in rng.standard_normal(64)]) for i in range(12)]
+    ev_df = spark.createDataFrame(ev, "vec_id long, embedding array<double>")
+    clean = spark.createDataFrame(
+        [(100 + i, [float(x) for x in rng.standard_normal(64)])
+         for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    planted = ev_df.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
+    )
+    train = clean.unionByName(planted)
+
+    packed = pack_eval_embeddings(ev_df)
+    got = semantic_decontaminate(train, packed, threshold=0.9)
+    rows = {(r["vec_id"], r["eval_id"]) for r in got.collect()}
+    assert rows == {(i + 1000, i) for i in range(12)}
+    assert got.filter(F.col("cos_sim") < 0.9).count() == 0
+
+    # brute-force equality (same quantized cosine, same threshold)
+    from miletos_spark.functions.scalars import quantize
+
+    brute = (
+        train.select(F.col("vec_id"), F.col("embedding").alias("_a"))
+        .crossJoin(
+            ev_df.select(
+                F.col("vec_id").alias("eval_id"),
+                F.col("embedding").alias("_b"),
+            )
+        )
+        .withColumn("cos_sim", quantize(cosine_similarity("_a", "_b"), 6))
+        .filter(F.col("cos_sim") >= 0.9)
+        .select("vec_id", "eval_id", "cos_sim")
+    )
+    key = lambda r: (r["vec_id"], r["eval_id"], r["cos_sim"])  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, brute.collect()))
+
+    # scale contract: no shuffle of the train side, no cartesian blowup
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_semantic_decontaminate_indexed_recovers_planted_any_quantizer(spark):
+    """The landed-index form must recover every planted contamination
+    under ADVERSARIAL random quantizers (the top-n_probe Voronoi
+    intersection argument — near-identical vectors always share a
+    probed (super, fine) bucket), flag nothing clean, and agree with
+    the exact form's quantized cosines on the recovered pairs."""
+    import numpy as np
+
+    from miletos_spark.pipeline.similarity import (
+        assign_cells_2l,
+        semantic_decontaminate_indexed,
+    )
+
+    rng = np.random.default_rng(31)
+    ev = [(i, [float(x) for x in rng.standard_normal(64)]) for i in range(15)]
+    ev_df = spark.createDataFrame(ev, "vec_id long, embedding array<double>")
+    clean = spark.createDataFrame(
+        [(100 + i, [float(x) for x in rng.standard_normal(64)])
+         for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    planted = ev_df.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
+    )
+    train = clean.unionByName(planted)
+    for k_c, k_f in ((2, 2), (3, 4)):
+        coarse = spark.createDataFrame(
+            [(s, [float(x) for x in rng.standard_normal(64)])
+             for s in range(k_c)],
+            "super int, center array<double>",
+        )
+        fine = spark.createDataFrame(
+            [(s, j, [float(x) for x in rng.standard_normal(64)])
+             for s in range(k_c) for j in range(k_f)],
+            "super int, fine int, center array<double>",
+        )
+        # landed eval assignment = top-1 probe (what land_ivf2_index does)
+        ev_cells = assign_cells_2l(
+            ev_df, coarse, fine, "vec_id", "embedding", 1, 1
+        ).select(
+            F.col("_id").alias("vec_id"),
+            F.col("_v").alias("embedding"),
+            F.col("super").alias("_super"),
+            F.col("fine").alias("_fine"),
+        )
+        got = semantic_decontaminate_indexed(
+            train, coarse, fine, ev_cells, threshold=0.9, n_probe=2
+        )
+        rows = {(r["vec_id"], r["eval_id"]) for r in got.collect()}
+        assert rows == {(i + 1000, i) for i in range(15)}, (k_c, k_f, rows)
+
+
+def test_stream_semantic_decontaminate_equals_batch_and_zero_state(
+    spark, tmp_path
+):
+    """The streaming twin is the batch expression verbatim: same
+    flagged pairs across a 2-file drain, and the plan carries ZERO
+    stateful operators (no aggregate, no watermark — state does not
+    even grow with contamination volume)."""
+    import numpy as np
+
+    from miletos_spark.plans.driver_queries import _drain_memory_stream
+    from miletos_spark.pipeline.similarity import (
+        pack_eval_embeddings,
+        semantic_decontaminate,
+    )
+    from miletos_spark.streaming.ingest import stream_semantic_decontaminate
+
+    rng = np.random.default_rng(41)
+    ev = [(i, [float(x) for x in rng.standard_normal(64)]) for i in range(8)]
+    ev_df = spark.createDataFrame(ev, "vec_id long, embedding array<double>")
+    clean = spark.createDataFrame(
+        [(100 + i, [float(x) for x in rng.standard_normal(64)])
+         for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    planted = ev_df.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
+    )
+    arrivals = clean.unionByName(planted)
+    feed = str(tmp_path / "feed")
+    arrivals.repartition(2).write.parquet(feed)
+
+    packed = pack_eval_embeddings(ev_df)
+    sdf = stream_semantic_decontaminate(
+        spark, feed, "vec_id long, embedding array<double>", packed,
+        threshold=0.9, max_files_per_trigger=1,
+    )
+    assert "Aggregate" not in sdf._jdf.queryExecution().analyzed().toString()
+    got = _drain_memory_stream(spark, sdf, "t_sdecon_", output_mode="append")
+    key = lambda r: (r["vec_id"], r["eval_id"], r["cos_sim"])  # noqa: E731
+    want = semantic_decontaminate(arrivals, packed, threshold=0.9)
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+    assert got.count() == 8

@@ -97,6 +97,9 @@ CORPUS_QUERIES = [
     "training_order_docs",
     "training_order_weighted_docs",
     "training_order_multipass_docs",
+    # round-12: semantic decontamination (batch form scales on the
+    # corpus axis; the stream twin is the same expression per batch)
+    "semantic_decontaminate_docs",
 ]
 
 
