@@ -180,6 +180,10 @@ HEADLINE = [
     # round-12: semantic (embedding-space) decontamination
     "semantic_decontaminate_docs",
     "stream_semantic_decontaminate_docs",
+    # round-12: serving materialization + mixture report + run order
+    "serving_shards_docs",
+    "serving_mixture_docs",
+    "training_run_order_docs",
 ]
 
 # Queries that probe a WRITE-TIME LANDED index (built by the ingest

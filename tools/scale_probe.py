@@ -100,6 +100,9 @@ CORPUS_QUERIES = [
     # round-12: semantic decontamination (batch form scales on the
     # corpus axis; the stream twin is the same expression per batch)
     "semantic_decontaminate_docs",
+    "serving_shards_docs",
+    "serving_mixture_docs",
+    "training_run_order_docs",
 ]
 
 
