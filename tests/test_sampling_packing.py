@@ -1023,3 +1023,65 @@ def test_run_order_composition_and_boundary_resume(spark, tmp_path):
             for r in resume_run_from_landed(spark, paths, step).collect()
         )
         assert got == rows[step:], step
+
+def test_weighted_order_table_form_flat_plan_and_dict_equality(spark):
+    """Table-driven mixture weights (r12, VERDICT r11 Missing #4): the
+    dict and table forms produce the BIT-IDENTICAL order (the dict is
+    sugar over the broadcast-join path), missing groups take the
+    default, and at 10³ groups the optimized plan stays FLAT — no
+    per-group CASE chain (plan size independent of |groups|)."""
+    from miletos_spark.pipeline.packing import (
+        multi_pass_order,
+        weighted_epoch_order,
+    )
+
+    seqs = spark.createDataFrame(
+        [("en", 0), ("en", 1), ("de", 2), ("fr", 3), ("fr", 4)],
+        "lang string, seq_bin long",
+    )
+    wdf = spark.createDataFrame(
+        [("en", 4.0), ("de", 2.0)], "lang string, weight double"
+    )
+    key = lambda r: (r["rank"], r["lang"], r["seq_bin"], r["serve_key"])  # noqa: E731
+    a = sorted(map(key, weighted_epoch_order(
+        seqs, 7, 2, {"en": 4.0, "de": 2.0}).collect()))
+    b = sorted(map(key, weighted_epoch_order(seqs, 7, 2, wdf).collect()))
+    assert a == b and len(a) == 5  # fr rows ride on the default weight
+
+    rdict = {"en": 3, "de": 2}
+    rdf = spark.createDataFrame(
+        [("en", 3), ("de", 2)], "lang string, repeats int"
+    )
+    k2 = lambda r: (r["rank"], r["lang"], r["seq_bin"], r["pass_idx"])  # noqa: E731
+    ma = sorted(map(k2, multi_pass_order(seqs, 7, rdict).collect()))
+    mb = sorted(map(k2, multi_pass_order(seqs, 7, rdf).collect()))
+    assert ma == mb and len(ma) == 2 * 3 + 2 + 2 * 1
+
+    # duplicate-group weights tables are rejected (they would silently
+    # duplicate corpus rows through the join)
+    import pytest as _pytest
+
+    dup = spark.createDataFrame(
+        [("en", 4.0), ("en", 2.0)], "lang string, weight double"
+    )
+    with _pytest.raises(ValueError, match="duplicate"):
+        weighted_epoch_order(seqs, 7, 2, dup)
+    with _pytest.raises(ValueError, match="strictly positive"):
+        weighted_epoch_order(
+            seqs, 7, 2,
+            spark.createDataFrame([("en", -1.0)], "lang string, weight double"),
+        )
+
+    # 10³ groups: plan size flat (a CASE chain would grow ~linearly)
+    big = spark.createDataFrame(
+        [(f"g{i}", 1.0 + (i % 7)) for i in range(1000)],
+        "lang string, weight double",
+    )
+    plan_big = weighted_epoch_order(
+        seqs, 7, 2, big
+    )._jdf.queryExecution().optimizedPlan().toString()
+    plan_small = weighted_epoch_order(
+        seqs, 7, 2, wdf
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "CASE WHEN" not in plan_big
+    assert len(plan_big) < len(plan_small) + 2000
