@@ -10874,7 +10874,39 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # still in-window), stream_near_dup_recovery_docs (its embedding
     # twin stream_semantic_dedup_embeddings replaces it in-window;
     # batch+stream text LSH stays unit- and sweep-covered)
-    "population_nm_recovery_events": q_population_nm_recovery_events,
+    # r12 rotation (VERDICT r11 Next #1/#2/#3): promoted the round's
+    # FIVE new capabilities — semantic_decontaminate_docs +
+    # stream_semantic_decontaminate_docs (embedding-space train/eval
+    # decontamination, the paraphrase class n-gram matching misses;
+    # full cross-join replay oracles), serving_shards_docs +
+    # serving_mixture_docs (the r11 serving-materialization functions
+    # get their driver-hash evidence — the "every new op gets a row the
+    # round it is born" invariant restored), and training_run_order_docs
+    # (cross-epoch schedule, global_step = epoch·N + rank). Evicted
+    # five rows green in BOTH r10 and r11 whose machinery stays covered
+    # in-window:
+    # - population_nm_recovery_events: the SAME population-grouped NM
+    #   stage runs inside pipeline_population_events' checked chain;
+    #   M5's ensemble sampler stays via mcmc_recovery_events.
+    # - dsir_select_docs: its hashed-gram → logratio-fold → Gumbel-top-k
+    #   chain is checked from the landed model by dsir_landed_select_docs
+    #   and on the firehose by stream_dsir_score_docs (both in-window).
+    # - quality_funnel_docs: quality_funnel_by_lang_docs runs the same
+    #   rule cascade strictly finer (per-lang), stream_funnel_docs the
+    #   same attribution streamed — both in-window.
+    # - mixture_sample_docs: the md5-dyadic-uniform thinning idiom is
+    #   replayed nibble-for-nibble by training_order_docs' oracle, and
+    #   mixture DELIVERY is now directly checked by serving_mixture_docs;
+    #   the Gumbel weighted form stays via dsir_landed_select_docs.
+    # - vocab_coverage_bpe_docs: the frozen BPE encode chain (the hard
+    #   part) stays hash-gated inside bpe_encode_production_docs and
+    #   bpe_train_encode_docs; the coverage share aggregation is a
+    #   one-groupBy tail, sweep-covered.
+    "semantic_decontaminate_docs": q_semantic_decontaminate_docs,
+    "stream_semantic_decontaminate_docs": q_stream_semantic_decontaminate_docs,
+    "serving_shards_docs": q_serving_shards_docs,
+    "serving_mixture_docs": q_serving_mixture_docs,
+    "training_run_order_docs": q_training_run_order_docs,
     "dedup_lines_docs": q_dedup_lines_docs,
     "ivfpq_recall_topk": q_ivfpq_recall_topk,
     "bls_multires_events": q_bls_multires_events,
@@ -10900,7 +10932,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NEW r08 capability: production rank-encoder ≡ frozen replace
     # chain, proven inside the hash gate (the oracle replays the chain)
     "bpe_encode_production_docs": q_bpe_encode_production_docs,
-    "vocab_coverage_bpe_docs": q_vocab_coverage_bpe_docs,
     # r09 rotation (VERDICT r8 asks #2/#3/#5 + stretch #8): promoted
     # the two entries that had never had a driver row
     # (bpe_roundtrip_docs — now UTF-8 byte fallback — and
@@ -10956,9 +10987,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # strictly stronger), tfidf_topk_docs (quantize-then-rank is now
     # in-window via dsir_select_docs; the distributed top-K head via
     # vocab_coverage_bpe_docs).
-    "dsir_select_docs": q_dsir_select_docs,
     "stream_dsir_score_docs": q_stream_dsir_score_docs,
-    "quality_funnel_docs": q_quality_funnel_docs,
     "corpus_drift_docs": q_corpus_drift_docs,
     "doc_embed_infer_docs": q_doc_embed_infer_docs,
     # r10 third rotation — zero driver-signal debt into r11: the three
@@ -11017,7 +11046,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_order_multipass_docs": q_training_order_multipass_docs,
     "stream_media_decisions": q_stream_media_decisions,
     "quality_funnel_by_lang_docs": q_quality_funnel_by_lang_docs,
-    "mixture_sample_docs": q_mixture_sample_docs,
     "probe_irls_eval_docs": q_probe_irls_eval_docs,
     "brightness_temp_events": q_brightness_temp_events,
     "visibility_events": q_visibility_events,
@@ -11049,13 +11077,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_docs": q_decontaminate_docs,
     "albedo_recirc_events": q_albedo_recirc_events,
     "tfidf_topk_docs": q_tfidf_topk_docs,
-    # r12 new capabilities (promoted to the window in the r12
-    # rotation below once born — see the rotation comment)
-    "semantic_decontaminate_docs": q_semantic_decontaminate_docs,
-    "stream_semantic_decontaminate_docs": q_stream_semantic_decontaminate_docs,
-    "serving_shards_docs": q_serving_shards_docs,
-    "serving_mixture_docs": q_serving_mixture_docs,
-    "training_run_order_docs": q_training_run_order_docs,
+    # r12 evictions: green in both r10 and r11, machinery covered
+    # in-window (see the r12 rotation comment at the window head)
+    "population_nm_recovery_events": q_population_nm_recovery_events,
+    "dsir_select_docs": q_dsir_select_docs,
+    "quality_funnel_docs": q_quality_funnel_docs,
+    "mixture_sample_docs": q_mixture_sample_docs,
+    "vocab_coverage_bpe_docs": q_vocab_coverage_bpe_docs,
     # r11 evictions: green in both r09 and r10, machinery covered
     # in-window (see the r11 rotation comments)
     "media_near_dup": q_media_near_dup,

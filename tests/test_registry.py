@@ -116,8 +116,29 @@ def test_window_rotation_is_deliberate():
     # (r09+r10 green; keyed streaming-agg machinery in-window via
     # stream_flare_keyed + stream_bls, LS moments identical batch vs
     # stream, batch form sweep-checked).
+    # r12 rotation (VERDICT r11 Next #1/#2/#3): promoted the round's
+    # FIVE new capabilities — semantic_decontaminate_docs +
+    # stream_semantic_decontaminate_docs (embedding-space
+    # decontamination, full cross-join replay oracles),
+    # serving_shards_docs + serving_mixture_docs (driver-hash evidence
+    # for the r11 serving materialization — invariant restored),
+    # training_run_order_docs (cross-epoch schedule). Evicted five
+    # r10+r11-doubly-green rows, machinery covered in-window:
+    # population_nm_recovery (same population-grouped NM stage inside
+    # pipeline_population_events; ensemble sampler via mcmc_recovery),
+    # dsir_select (chain checked from the landed model by
+    # dsir_landed_select + streamed by stream_dsir_score),
+    # quality_funnel (per-lang row is strictly finer; stream twin
+    # stays), mixture_sample (md5-uniform thinning replayed by
+    # training_order_docs' oracle; mixture delivery now directly
+    # checked by serving_mixture_docs), vocab_coverage_bpe (encode
+    # chain hash-gated in the production/lifecycle rows; coverage tail
+    # is one groupBy, sweep-covered).
     assert window == [
-        "population_nm_recovery_events", "dedup_lines_docs",
+        "semantic_decontaminate_docs", "stream_semantic_decontaminate_docs",
+        "serving_shards_docs", "serving_mixture_docs",
+        "training_run_order_docs",
+        "dedup_lines_docs",
         "ivfpq_recall_topk", "bls_multires_events",
         "linear_probe_weights_docs", "stream_probe_score_docs",
         "stream_semantic_dedup_embeddings",
@@ -126,11 +147,11 @@ def test_window_rotation_is_deliberate():
         "substring_removal_docs",
         "pack_sequences_bpe_docs", "stream_flare_keyed_events", "lm_trigram_score_docs",
         "stream_pack_shards_docs", "bpe_encode_production_docs",
-        "vocab_coverage_bpe_docs", "simhash_docs",
+        "simhash_docs",
         "bpe_roundtrip_docs",
         "stream_media_near_dup", "media_dedup_decisions",
         "near_dup_clusters_incremental",
-        "dsir_select_docs", "stream_dsir_score_docs", "quality_funnel_docs",
+        "stream_dsir_score_docs",
         "corpus_drift_docs", "doc_embed_infer_docs",
         "dsir_landed_select_docs", "stream_funnel_docs",
         "stream_decontaminate_docs",
@@ -140,7 +161,6 @@ def test_window_rotation_is_deliberate():
         "training_order_multipass_docs",
         "stream_media_decisions",
         "quality_funnel_by_lang_docs",
-        "mixture_sample_docs",
         "probe_irls_eval_docs",
         "brightness_temp_events", "visibility_events",
         "stream_trigger_clusters_events", "stream_rebin_events", "json_props_events",

@@ -1085,3 +1085,64 @@ def test_weighted_order_table_form_flat_plan_and_dict_equality(spark):
     )._jdf.queryExecution().optimizedPlan().toString()
     assert "CASE WHEN" not in plan_big
     assert len(plan_big) < len(plan_small) + 2000
+
+def test_landed_order_bounds_parquet_side_table(spark, tmp_path):
+    """r12 stretch: the per-shard rank bounds land as a parquet
+    `_bounds` side table (written distributed, no driver collect) that
+    (a) does not break the dataset read (underscore-prefixed),
+    (b) is what shards_for_resume resolves from — proven by deleting
+    the JSON stats and resolving identically, still with no Spark job."""
+    import os as _os
+    import shutil as _shutil
+
+    from miletos_spark.pipeline.packing import (
+        epoch_order,
+        land_epoch_order,
+        resume_from_landed,
+        shards_for_resume,
+    )
+
+    seqs = spark.createDataFrame(
+        [("en", b, b // 16) for b in range(64)],
+        "lang string, seq_bin long, shard long",
+    )
+    path = str(tmp_path / "order")
+    land_epoch_order(
+        spark, seqs, path, seed=3, epoch=1,
+        key_cols=("lang", "seq_bin"), bucket_count=4,
+    )
+    assert _os.path.isdir(_os.path.join(path, "_bounds"))
+    # dataset read ignores the side table
+    assert spark.read.parquet(path).count() == 64
+
+    rows = sorted(
+        (r["rank"], r["shard"])
+        for r in epoch_order(
+            seqs, seed=3, epoch=1, key_cols=("lang", "seq_bin"),
+            bucket_count=4,
+        ).collect()
+    )
+    by_max: dict = {}
+    for rk, sh in rows:
+        by_max[sh] = max(by_max.get(sh, -1), rk)
+    r0 = min(by_max.values()) + 1
+    want = sorted(str(sh) for sh, mx in by_max.items() if mx >= r0)
+
+    # resolve WITHOUT the JSON: parquet side table is authoritative
+    _os.remove(_os.path.join(path, "_order_stats.json"))
+    before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    assert shards_for_resume(path, r0) == want
+    after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    assert before == after  # metadata-only: no Spark job ran
+    got = {
+        r["rank"] for r in resume_from_landed(spark, path, r0).collect()
+    }
+    assert got == set(range(r0, 64))
+
+    # legacy landings (no _bounds) keep working off the JSON — and a
+    # missing-both table raises
+    _shutil.rmtree(_os.path.join(path, "_bounds"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stats missing"):
+        shards_for_resume(path, r0)
