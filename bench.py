@@ -184,6 +184,9 @@ HEADLINE = [
     "serving_shards_docs",
     "serving_mixture_docs",
     "training_run_order_docs",
+    # round-12: document-preserving (no-split) packing + report
+    "pack_bins_nosplit_docs",
+    "pack_bins_report_docs",
 ]
 
 # Queries that probe a WRITE-TIME LANDED index (built by the ingest

@@ -145,6 +145,139 @@ def pack_summary(
     )
 
 
+def pack_bins_nosplit(
+    df: DataFrame,
+    capacity: int = 2048,
+    token_col: str = "n_tokens",
+    group_cols: Sequence[str] = ("lang",),
+    id_col: str = "doc_id",
+    block_width: int = 1024,
+) -> DataFrame:
+    """DOCUMENT-PRESERVING (no-split) packing — the OTHER packing
+    discipline real pipelines use alongside concat-and-chunk
+    (`pack_chunks`): every document lands WHOLE in exactly one bin
+    (SFT/instruction data, where truncating an example corrupts it),
+    bins close greedily when the next document would overflow
+    ``capacity`` (next-fit, in ``id_col`` order — deterministic, no
+    RNG). A document larger than ``capacity`` gets a dedicated
+    over-full bin (the caller decides upstream whether to split or
+    drop; flagged via ``fill_after > capacity``).
+
+    Greedy packing is INHERENTLY SEQUENTIAL (the bin a document joins
+    depends on every prior fill — a prefix fold with resets, which no
+    window expresses), so the scalable form is BLOCK-LOCAL next-fit:
+    documents bucket by ``floor(id / block_width)`` within their group
+    (order-preserving, no window — the `running_offsets` trick), each
+    block packs independently, and bins NEVER span blocks. That is
+    also what production pipelines actually do (pack within a shard,
+    not across the corpus): the price is at most one partially-filled
+    bin per block boundary — bounded, measurable waste
+    (`pack_bins_report`) — and the payoff is full parallelism plus
+    blast-radius containment (reshuffling one block never relayouts
+    its neighbors).
+
+    The within-block fold runs as ONE JVM array expression
+    (sort_array + F.aggregate over the packed (id, tokens) structs —
+    no Python, no UDF): the accumulator carries (bin, fill,
+    assignments) and starts at fill = +inf so the first document
+    always opens bin 0 — exactly the recursive form the DuckDB oracle
+    replays row-by-row. Block occupancy is bounded by ``block_width``
+    ids, so the per-row array work is bounded too.
+
+    Returns one row per document: group cols, ``block``, id, tokens,
+    ``bin`` (block-local, dense from 0), ``offset`` (token start
+    within the bin), ``fill_after`` (bin fill including this doc —
+    the over-capacity flag for oversize docs). (group, block, bin) is
+    the globally unique bin key."""
+    C = int(capacity)
+    gcols = list(group_cols)
+    n = F.col(token_col).cast("long")
+    blk = F.floor(F.col(id_col) / F.lit(int(block_width))).cast("long")
+    per = df.select(
+        *gcols,
+        blk.alias("block"),
+        F.col(id_col).cast("long").alias(id_col),
+        n.alias(token_col),
+    )
+    packed = per.groupBy(*gcols, "block").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(token_col).alias("n")))
+        ).alias("_ds")
+    )
+    zero = F.struct(
+        F.lit(-1).cast("int").alias("bin"),
+        F.lit(1 << 62).cast("long").alias("fill"),
+        F.expr(
+            "CAST(array() AS array<struct<i:bigint,n:bigint,bin:int,off:bigint,fa:bigint>>)"
+        ).alias("acc"),
+    )
+
+    def step(a, d):
+        over = (a["fill"] + d["n"]) > F.lit(C)
+        new_bin = F.when(over, a["bin"] + 1).otherwise(a["bin"]).cast("int")
+        off = F.when(over, F.lit(0).cast("long")).otherwise(a["fill"])
+        fill = F.when(over, d["n"]).otherwise(a["fill"] + d["n"]).cast(
+            "long"
+        )
+        rec = F.struct(
+            d["i"].alias("i"), d["n"].alias("n"), new_bin.alias("bin"),
+            off.alias("off"), fill.alias("fa"),
+        )
+        return F.struct(
+            new_bin.alias("bin"),
+            fill.alias("fill"),
+            F.concat(a["acc"], F.array(rec)).alias("acc"),
+        )
+
+    folded = packed.select(
+        *gcols,
+        "block",
+        F.explode(F.aggregate("_ds", zero, step)["acc"]).alias("_a"),
+    )
+    return folded.select(
+        *gcols,
+        "block",
+        F.col("_a.i").alias(id_col),
+        F.col("_a.n").alias(token_col),
+        F.col("_a.bin").alias("bin"),
+        F.col("_a.off").alias("offset"),
+        F.col("_a.fa").alias("fill_after"),
+    )
+
+
+def pack_bins_report(
+    packed: DataFrame,
+    capacity: int = 2048,
+    group_cols: Sequence[str] = ("lang",),
+) -> DataFrame:
+    """Packing-quality observability for `pack_bins_nosplit` (the
+    funnel/mixture-report stance applied to the bin layout): per-group
+    bin count, document count, token mass, exactly-measured WASTE
+    (unfilled capacity over non-overfull bins) and the overfull-bin
+    count (oversize documents). All integers — the block-local
+    discipline's cost is a number here, not a guess."""
+    C = int(capacity)
+    gcols = list(group_cols)
+    bins = (
+        packed.groupBy(*gcols, "block", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("fill_after").alias("fill"),
+        )
+    )
+    return bins.groupBy(*gcols).agg(
+        F.count("*").alias("n_bins"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("fill").alias("tokens"),
+        F.sum(
+            F.when(F.col("fill") <= C, F.lit(C) - F.col("fill")).otherwise(
+                F.lit(0)
+            )
+        ).alias("wasted"),
+        F.sum((F.col("fill") > C).cast("long")).alias("overfull_bins"),
+    )
+
+
 def epoch_order(
     seqs: DataFrame,
     seed: int,

@@ -134,13 +134,23 @@ def test_window_rotation_is_deliberate():
     # checked by serving_mixture_docs), vocab_coverage_bpe (encode
     # chain hash-gated in the production/lifecycle rows; coverage tail
     # is one groupBy, sweep-covered).
+    # r12 second promotion: pack_bins_nosplit_docs +
+    # pack_bins_report_docs (document-preserving no-split packing +
+    # its waste accounting, born this round; recursive-CTE oracle
+    # replays every greedy decision). Evicted two more r10+r11-doubly-
+    # green rows: linear_probe_weights (one-pass LS normal equations
+    # run inside probe_irls_eval's IRLS chain — iterated weighted LS;
+    # scoring stays via stream_probe_score), bls_multires (same box
+    # kernel as the in-window bls_spectrum on a derived integer grid;
+    # stream_bls stays).
     assert window == [
         "semantic_decontaminate_docs", "stream_semantic_decontaminate_docs",
         "serving_shards_docs", "serving_mixture_docs",
         "training_run_order_docs",
+        "pack_bins_nosplit_docs", "pack_bins_report_docs",
         "dedup_lines_docs",
-        "ivfpq_recall_topk", "bls_multires_events",
-        "linear_probe_weights_docs", "stream_probe_score_docs",
+        "ivfpq_recall_topk",
+        "stream_probe_score_docs",
         "stream_semantic_dedup_embeddings",
         "bls_spectrum_events", "gp_recovery_events", "mcmc_recovery_events",
         "pipeline_summary_events", "pipeline_population_events", "stream_bls_events",

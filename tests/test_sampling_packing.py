@@ -1146,3 +1146,77 @@ def test_landed_order_bounds_parquet_side_table(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="stats missing"):
         shards_for_resume(path, r0)
+
+def test_pack_bins_nosplit_matches_reference_and_report(spark):
+    """Document-preserving (no-split) next-fit packing (r12): every
+    doc lands whole in exactly one bin, bins close on would-overflow,
+    oversize docs get a dedicated over-full bin, bins never span
+    blocks, and the JVM array-fold reproduces a plain Python next-fit
+    reference bit-for-bit. The report's waste/overfull accounting is
+    integer-exact."""
+    from miletos_spark.pipeline.packing import (
+        pack_bins_nosplit,
+        pack_bins_report,
+    )
+
+    C, W = 100, 8
+    rows = [
+        # (lang, doc_id, n_tokens) — crafted: exact fits, overflows,
+        # an oversize doc (150 > C), zero-length docs, sparse ids
+        ("en", 0, 40), ("en", 1, 60), ("en", 2, 1), ("en", 3, 99),
+        ("en", 4, 150), ("en", 5, 10), ("en", 6, 0), ("en", 7, 95),
+        ("en", 8, 50), ("en", 9, 50), ("en", 12, 30),  # id 12: block 1
+        ("de", 0, 100), ("de", 1, 100), ("de", 3, 7),
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_tokens long")
+    got = {
+        (r["lang"], r["block"], r["doc_id"]):
+            (r["bin"], r["offset"], r["fill_after"])
+        for r in pack_bins_nosplit(
+            df, capacity=C, group_cols=("lang",), block_width=W
+        ).collect()
+    }
+
+    # reference: plain sequential next-fit per (lang, block)
+    import collections
+
+    want = {}
+    by_blk = collections.defaultdict(list)
+    for lang, i, n in rows:
+        by_blk[(lang, i // W)].append((i, n))
+    for (lang, blk), ds in by_blk.items():
+        b, fill = -1, 1 << 62
+        for i, n in sorted(ds):
+            if fill + n > C:
+                b, off, fill = b + 1, 0, n
+            else:
+                off, fill = fill, fill + n
+            want[(lang, blk, i)] = (b, off, fill)
+    assert got == want
+    # the oversize doc sits alone in an over-full bin
+    ov = got[("en", 0, 4)]
+    assert ov[2] == 150 and [
+        k for k, v in got.items() if k[0] == "en" and k[1] == 0 and v[0] == ov[0]
+    ] == [("en", 0, 4)]
+
+    rep = {
+        r["lang"]: (r["n_bins"], r["n_docs"], r["tokens"], r["wasted"],
+                    r["overfull_bins"])
+        for r in pack_bins_report(
+            pack_bins_nosplit(df, capacity=C, group_cols=("lang",),
+                              block_width=W),
+            capacity=C,
+        ).collect()
+    }
+    # recompute from the reference layout
+    fills = collections.defaultdict(dict)
+    ndocs = collections.Counter()
+    for (lang, blk, i), (b, off, fa) in want.items():
+        fills[lang][(blk, b)] = max(fills[lang].get((blk, b), 0), fa)
+        ndocs[lang] += 1
+    for lang, binfills in fills.items():
+        n_bins = len(binfills)
+        toks = sum(binfills.values())
+        wasted = sum(C - f for f in binfills.values() if f <= C)
+        overfull = sum(1 for f in binfills.values() if f > C)
+        assert rep[lang] == (n_bins, ndocs[lang], toks, wasted, overfull), lang

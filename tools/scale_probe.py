@@ -103,6 +103,7 @@ CORPUS_QUERIES = [
     "serving_shards_docs",
     "serving_mixture_docs",
     "training_run_order_docs",
+    "pack_bins_nosplit_docs",
 ]
 
 
