@@ -1667,12 +1667,14 @@ def q_serving_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     order = epoch_order(
         seqs, seed=7, epoch=2, key_cols=("lang", "seq_bin"), bucket_count=64
     )
+    import shutil
+
     path = os.path.join(
         tempfile.gettempdir(), "miletos_servshards_" + uuid.uuid4().hex[:8]
     )
     write_serving_shards(order, path, rows_per_shard=16)
     landed = spark.read.parquet(path)
-    return (
+    out = (
         landed.groupBy("serve_shard")
         .agg(
             F.count("*").alias("n_rows"),
@@ -1685,6 +1687,13 @@ def q_serving_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows", "min_rank", "max_rank", "sum_seq_bin",
         )
     )
+    # pin the O(|shards|) summary eagerly so the per-invocation uuid
+    # landing can be deleted before the caller collects (repeated
+    # bench/sweep invocations in one container must not accumulate
+    # 10-MB temp layouts)
+    pinned = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(path, ignore_errors=True)
+    return pinned
 
 
 def _sql_serving_shards() -> str:
