@@ -184,9 +184,11 @@ HEADLINE = [
     "serving_shards_docs",
     "serving_mixture_docs",
     "training_run_order_docs",
-    # round-12: document-preserving (no-split) packing + report
+    # round-12: document-preserving (no-split) packing + report,
+    # data-card budget solver
     "pack_bins_nosplit_docs",
     "pack_bins_report_docs",
+    "mixture_budget_plan_docs",
 ]
 
 # Queries that probe a WRITE-TIME LANDED index (built by the ingest

@@ -1469,6 +1469,63 @@ def _seqs_for_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_budget_plan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-CARD BUDGET SOLVER (r12): derive the epochs-per-source
+    repeats table from target mixture weights (en 4, de 2, rest 1 — as
+    a weights TABLE, the broadcast-join scale form) and a total token
+    budget — repeats_g = clamp(round(budget·share_g / tokens_g), 1,
+    16), with the planned token mass emitted so integer-rounding
+    mixture error is a number. The output feeds `multi_pass_order`
+    directly (composition pinned in tests). One corpus scan +
+    O(|groups|) arithmetic; the only non-integer op (the share ratio)
+    is quantized at 6 decimals before rounding, so the oracle replays
+    every clamp decision exactly."""
+    from miletos_spark.pipeline.packing import epochs_for_budget
+    from miletos_spark.pipeline.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    wdf = spark.createDataFrame(
+        [("en", 4.0), ("de", 2.0)], "lang string, weight double"
+    )
+    return epochs_for_budget(
+        toks, wdf, budget_tokens=200_000, group_col="lang",
+        token_col="n_tokens", max_repeats=16,
+    )
+
+
+def _sql_mixture_budget_plan() -> str:
+    share = quantize_sql("weight / tw", 6)
+    raw = quantize_sql("200000 * target_share / corpus_tokens", 6)
+    return rf"""
+WITH toks AS (
+  SELECT lang,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+              AS BIGINT) AS n_tokens
+  FROM documents),
+per AS (
+  SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens,
+         CASE lang WHEN 'en' THEN 4.0 WHEN 'de' THEN 2.0 ELSE 1.0 END
+           AS weight
+  FROM toks GROUP BY lang),
+tot AS (SELECT sum(weight) AS tw FROM per),
+shared AS (
+  SELECT lang, corpus_tokens, weight, {share} AS target_share
+  FROM per, tot),
+reps AS (
+  SELECT *,
+         CAST(least(greatest(floor({raw} + 0.5), 1), 16) AS INT)
+           AS repeats
+  FROM shared)
+SELECT lang, corpus_tokens, weight, target_share, repeats,
+       CAST(repeats * corpus_tokens AS BIGINT) AS planned_tokens
+FROM reps
+"""
+
+
 def q_pack_bins_nosplit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOCUMENT-PRESERVING (no-split) packing (r12): every document
     lands whole in exactly one 512-token bin (the SFT/instruction-data
@@ -11038,7 +11095,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #   sweep-covered, and the streaming twin stream_bls_events stays.
     "pack_bins_nosplit_docs": q_pack_bins_nosplit_docs,
     "pack_bins_report_docs": q_pack_bins_report_docs,
-    "dedup_lines_docs": q_dedup_lines_docs,
+    # r12 third promotion: mixture_budget_plan_docs — the data-card
+    # budget solver that derives multi_pass_order's repeats table from
+    # (weights, token budget), born this round. Evicted
+    # dedup_lines_docs (r10+r11 doubly green): the line/span winner
+    # family's de-skewed min-agg machinery stays driver-checked via
+    # substring_removal_docs (the verdict's own coverage table lists
+    # them as one family row), and the line-level chain remains
+    # sweep-covered.
+    "mixture_budget_plan_docs": q_mixture_budget_plan_docs,
     "ivfpq_recall_topk": q_ivfpq_recall_topk,
     # promoted late-r08: the round's new capability wave
     "stream_probe_score_docs": q_stream_probe_score_docs,
@@ -11211,6 +11276,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "population_nm_recovery_events": q_population_nm_recovery_events,
     "linear_probe_weights_docs": q_linear_probe_weights_docs,
     "bls_multires_events": q_bls_multires_events,
+    "dedup_lines_docs": q_dedup_lines_docs,
     "dsir_select_docs": q_dsir_select_docs,
     "quality_funnel_docs": q_quality_funnel_docs,
     "mixture_sample_docs": q_mixture_sample_docs,
@@ -11400,6 +11466,7 @@ def _oracles() -> dict[str, str]:
         "training_run_order_docs": _sql_training_run_order(),
         "pack_bins_nosplit_docs": SQL_PACK_BINS_NOSPLIT,
         "pack_bins_report_docs": SQL_PACK_BINS_REPORT,
+        "mixture_budget_plan_docs": _sql_mixture_budget_plan(),
         "bpe_roundtrip_docs": _sql_bpe_roundtrip(),
         "probe_eval_docs": _sql_probe_eval(),
         "bpe_train_encode_docs": _sql_bpe_train_encode(),

@@ -143,12 +143,18 @@ def test_window_rotation_is_deliberate():
     # scoring stays via stream_probe_score), bls_multires (same box
     # kernel as the in-window bls_spectrum on a derived integer grid;
     # stream_bls stays).
+    # r12 third promotion: mixture_budget_plan_docs (data-card budget
+    # solver feeding multi_pass_order's repeats table, born this
+    # round) replaces dedup_lines_docs (r10+r11 green; the line/span
+    # winner family's de-skewed min-agg machinery stays via
+    # substring_removal_docs — the verdict's coverage table lists them
+    # as one family row).
     assert window == [
         "semantic_decontaminate_docs", "stream_semantic_decontaminate_docs",
         "serving_shards_docs", "serving_mixture_docs",
         "training_run_order_docs",
         "pack_bins_nosplit_docs", "pack_bins_report_docs",
-        "dedup_lines_docs",
+        "mixture_budget_plan_docs",
         "ivfpq_recall_topk",
         "stream_probe_score_docs",
         "stream_semantic_dedup_embeddings",

@@ -1220,3 +1220,57 @@ def test_pack_bins_nosplit_matches_reference_and_report(spark):
         wasted = sum(C - f for f in binfills.values() if f <= C)
         overfull = sum(1 for f in binfills.values() if f > C)
         assert rep[lang] == (n_bins, ndocs[lang], toks, wasted, overfull), lang
+
+def test_epochs_for_budget_feeds_multi_pass_order(spark):
+    """Data-card budget solver (r12): repeats = clamp(round(budget ·
+    share / tokens), 1, max), planned token mass exact, and the output
+    repeats table feeds multi_pass_order directly — each group's
+    sequences appear exactly `repeats` times in the composed order."""
+    from miletos_spark.pipeline.packing import (
+        epochs_for_budget,
+        multi_pass_order,
+    )
+
+    docs = spark.createDataFrame(
+        # en: 100 tokens total, de: 400, fr: 50
+        [("en", i, 10) for i in range(10)]
+        + [("de", 100 + i, 40) for i in range(10)]
+        + [("fr", 200 + i, 5) for i in range(10)],
+        "lang string, doc_id long, n_tokens long",
+    )
+    wdf = spark.createDataFrame(
+        [("en", 4.0), ("de", 2.0)], "lang string, weight double"
+    )
+    plan = epochs_for_budget(
+        docs, wdf, budget_tokens=700, group_col="lang",
+        token_col="n_tokens", max_repeats=5,
+    )
+    got = {
+        r["lang"]: (r["corpus_tokens"], r["weight"], r["target_share"],
+                    r["repeats"], r["planned_tokens"])
+        for r in plan.collect()
+    }
+    # shares: en 4/7, de 2/7, fr 1/7 (quantized at 6); repeats:
+    # en round(700·0.571429/100)=4, de round(700·0.285714/400)=round(0.5)=1,
+    # fr round(700·0.142857/50)=2
+    assert got["en"][3] == 4 and got["de"][3] == 1 and got["fr"][3] == 2
+    assert got["en"][4] == 400 and got["de"][4] == 400 and got["fr"][4] == 100
+    assert abs(got["en"][2] - 4 / 7) < 2e-6
+
+    # composition: the plan IS multi_pass_order's repeats table
+    seqs = docs.select("lang", F.col("doc_id").alias("seq_bin"))
+    order = multi_pass_order(
+        seqs, seed=7, repeats=plan.select("lang", "repeats"),
+        key_cols=("lang", "seq_bin"),
+    )
+    counts = {
+        (r["lang"]): r["n"]
+        for r in order.groupBy("lang").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert counts == {"en": 40, "de": 10, "fr": 20}
+    # rank dense over the whole run
+    n_total = sum(counts.values())
+    ranks = sorted(r["rank"] for r in order.select("rank").collect())
+    assert ranks == list(range(n_total))
