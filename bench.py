@@ -189,6 +189,7 @@ HEADLINE = [
     "pack_bins_nosplit_docs",
     "pack_bins_report_docs",
     "mixture_budget_plan_docs",
+    "pack_bins_ffd_docs",
 ]
 
 # Queries that probe a WRITE-TIME LANDED index (built by the ingest

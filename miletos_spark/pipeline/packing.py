@@ -245,6 +245,114 @@ def pack_bins_nosplit(
     )
 
 
+def pack_bins_ffd(
+    df: DataFrame,
+    capacity: int = 2048,
+    token_col: str = "n_tokens",
+    group_cols: Sequence[str] = ("lang",),
+    id_col: str = "doc_id",
+    block_width: int = 1024,
+) -> DataFrame:
+    """FIRST-FIT-DECREASING no-split packing — the QUALITY upgrade
+    over `pack_bins_nosplit`'s next-fit: within each block, documents
+    place largest-first into the FIRST existing bin with room (a new
+    bin only when none fits). Classical guarantee: FFD uses at most
+    ~11/9·OPT bins vs next-fit's 2·OPT — on skewed length
+    distributions that is the difference between ~half-empty bins and
+    near-full ones, and `pack_bins_report` prices the gap exactly
+    (tests pin waste(ffd) ≤ waste(next-fit) on every input).
+
+    Same BLOCK-LOCAL discipline and for the same reason (greedy
+    packing is an inherently sequential fold; blocks bound both the
+    sequential chain and the open-bin state), same oversize handling
+    (a doc larger than ``capacity`` fits nothing, so it always opens
+    its own over-full bin, and nothing ever joins it), same one-JVM-
+    array-expression execution — the accumulator carries the open-bin
+    fill vector and each element scans it with an index-aware
+    `transform` (O(bins) per doc, bins ≤ block occupancy). The DuckDB
+    oracle replays every placement with a recursive CTE carrying the
+    same fill list.
+
+    Returns the `pack_bins_nosplit` shape: group cols, ``block``, id,
+    tokens, ``bin``, ``offset``, ``fill_after`` — interchangeable
+    downstream (same report, same shard writer)."""
+    C = int(capacity)
+    gcols = list(group_cols)
+    n = F.col(token_col).cast("long")
+    blk = F.floor(F.col(id_col) / F.lit(int(block_width))).cast("long")
+    per = df.select(
+        *gcols,
+        blk.alias("block"),
+        F.col(id_col).cast("long").alias(id_col),
+        n.alias(token_col),
+    )
+    # decreasing-size order with id tiebreak: sort key (-n, id) asc
+    packed = per.groupBy(*gcols, "block").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col(token_col)).alias("nneg"),
+                    F.col(id_col).alias("i"),
+                    F.col(token_col).alias("n"),
+                )
+            )
+        ).alias("_ds")
+    )
+    zero = F.struct(
+        F.expr("CAST(array() AS array<bigint>)").alias("fills"),
+        F.expr(
+            "CAST(array() AS array<struct<i:bigint,n:bigint,bin:int,off:bigint,fa:bigint>>)"
+        ).alias("acc"),
+    )
+
+    def step(a, d):
+        fits = F.filter(
+            F.transform(
+                a["fills"],
+                lambda f, i: F.when(f + d["n"] <= F.lit(C), i),
+            ),
+            lambda x: x.isNotNull(),
+        )
+        has = F.size(fits) > 0
+        idx = F.when(has, F.element_at(fits, 1)).otherwise(
+            F.size(a["fills"])
+        ).cast("int")
+        off = F.when(
+            has, F.element_at(a["fills"], idx + 1)
+        ).otherwise(F.lit(0).cast("long"))
+        fa = (off + d["n"]).cast("long")
+        new_fills = F.when(
+            has,
+            F.transform(
+                a["fills"],
+                lambda f, i: F.when(i == idx, f + d["n"]).otherwise(f),
+            ),
+        ).otherwise(F.concat(a["fills"], F.array(d["n"])))
+        rec = F.struct(
+            d["i"].alias("i"), d["n"].alias("n"), idx.alias("bin"),
+            off.alias("off"), fa.alias("fa"),
+        )
+        return F.struct(
+            new_fills.alias("fills"),
+            F.concat(a["acc"], F.array(rec)).alias("acc"),
+        )
+
+    folded = packed.select(
+        *gcols,
+        "block",
+        F.explode(F.aggregate("_ds", zero, step)["acc"]).alias("_a"),
+    )
+    return folded.select(
+        *gcols,
+        "block",
+        F.col("_a.i").alias(id_col),
+        F.col("_a.n").alias(token_col),
+        F.col("_a.bin").alias("bin"),
+        F.col("_a.off").alias("offset"),
+        F.col("_a.fa").alias("fill_after"),
+    )
+
+
 def pack_bins_report(
     packed: DataFrame,
     capacity: int = 2048,

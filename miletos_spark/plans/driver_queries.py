@@ -1632,6 +1632,80 @@ FROM bins GROUP BY lang
 """
 
 
+def q_pack_bins_ffd_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-FIT-DECREASING no-split packing (r12): largest-first into
+    the first bin with room — FFD's ~11/9·OPT bin bound vs next-fit's
+    2·OPT, same block-local discipline and output shape as
+    pack_bins_nosplit_docs (tests pin waste(ffd) ≤ waste(next-fit) on
+    every input). The within-block fold carries the open-bin fill
+    vector through one JVM array expression; the oracle replays every
+    placement decision with a recursive CTE carrying the SAME fill
+    list (first-fit index via an index-aware list lambda)."""
+    from miletos_spark.pipeline.packing import pack_bins_ffd
+    from miletos_spark.pipeline.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return pack_bins_ffd(
+        toks, capacity=512, group_cols=("lang",), block_width=256
+    ).select(
+        "lang", "block", "doc_id", "n_tokens", "bin", "offset", "fill_after"
+    )
+
+
+SQL_PACK_BINS_FFD = r"""
+WITH RECURSIVE toks AS (
+  SELECT lang, doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+              AS BIGINT) AS n_tokens
+  FROM documents),
+base AS (
+  SELECT lang, CAST(floor(doc_id / 256.0) AS BIGINT) AS block, doc_id,
+         n_tokens,
+         row_number() OVER (PARTITION BY lang, floor(doc_id / 256.0)
+                            ORDER BY n_tokens DESC, doc_id) AS rn
+  FROM toks),
+step AS (
+  SELECT lang, block, doc_id, n_tokens, rn,
+         0 AS bin, CAST(0 AS BIGINT) AS off,
+         CAST(n_tokens AS BIGINT) AS fa,
+         [CAST(n_tokens AS BIGINT)] AS fills
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT lang, block, doc_id, n_tokens, rn,
+         CAST(CASE WHEN fit IS NULL THEN nfills ELSE fit - 1 END AS INT),
+         CASE WHEN fit IS NULL THEN CAST(0 AS BIGINT)
+              ELSE fills[fit] END,
+         (CASE WHEN fit IS NULL THEN CAST(0 AS BIGINT)
+               ELSE fills[fit] END) + n_tokens,
+         CASE WHEN fit IS NULL
+              THEN list_append(fills, CAST(n_tokens AS BIGINT))
+              ELSE list_transform(fills, (f, i) ->
+                     CASE WHEN i = fit
+                          THEN f + CAST(n_tokens AS BIGINT)
+                          ELSE f END) END
+  FROM (
+    SELECT b.lang, b.block, b.doc_id, b.n_tokens, b.rn, s.fills,
+           len(s.fills) AS nfills,
+           list_min(list_filter(list_transform(s.fills,
+               (f, i) -> CASE WHEN f + b.n_tokens <= 512 THEN i
+                              ELSE NULL END),
+               x -> x IS NOT NULL)) AS fit
+    FROM step s
+    JOIN base b
+      ON b.lang = s.lang AND b.block = s.block AND b.rn = s.rn + 1
+  ))
+SELECT lang, block, doc_id, n_tokens,
+       CAST(bin AS INT) AS bin, off AS offset, fa AS fill_after
+FROM step
+"""
+
+
 def q_training_run_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CROSS-EPOCH run schedule (r12, VERDICT r11 Missing #3): the
     3-epoch composition of the seeded serving order —
@@ -11104,6 +11178,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # them as one family row), and the line-level chain remains
     # sweep-covered.
     "mixture_budget_plan_docs": q_mixture_budget_plan_docs,
+    # r12 fourth promotion: pack_bins_ffd_docs (first-fit-decreasing
+    # no-split packing, born this round — the ~11/9-OPT quality form
+    # of the next-fit row, oracle replays every placement via a
+    # recursive CTE carrying the fill list). Evicted simhash_docs
+    # (r10+r11 doubly green): the hub-safe banded-Hamming chain —
+    # banded_fp_pairs_distinct, class_member_pairs, landed bucket
+    # stats — is exercised in-window by media_dedup_decisions and
+    # stream_media_decisions over the SAME dedup.py functions; the
+    # SimHash fingerprint HOF itself stays sweep-covered and
+    # unit-tested (halo/hub tests in test_dedup_strategies).
+    "pack_bins_ffd_docs": q_pack_bins_ffd_docs,
     "ivfpq_recall_topk": q_ivfpq_recall_topk,
     # promoted late-r08: the round's new capability wave
     "stream_probe_score_docs": q_stream_probe_score_docs,
@@ -11159,7 +11244,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # scoring stay), lm_bigram_score_docs (the checked trigram row's
     # stupid-backoff chain contains the bigram level as its own
     # fallback).
-    "simhash_docs": q_simhash_docs,
     "bpe_roundtrip_docs": q_bpe_roundtrip_docs,
     "stream_media_near_dup": q_stream_media_near_dup,
     "media_dedup_decisions": q_media_dedup_decisions,
@@ -11277,6 +11361,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "linear_probe_weights_docs": q_linear_probe_weights_docs,
     "bls_multires_events": q_bls_multires_events,
     "dedup_lines_docs": q_dedup_lines_docs,
+    "simhash_docs": q_simhash_docs,
     "dsir_select_docs": q_dsir_select_docs,
     "quality_funnel_docs": q_quality_funnel_docs,
     "mixture_sample_docs": q_mixture_sample_docs,
@@ -11467,6 +11552,7 @@ def _oracles() -> dict[str, str]:
         "pack_bins_nosplit_docs": SQL_PACK_BINS_NOSPLIT,
         "pack_bins_report_docs": SQL_PACK_BINS_REPORT,
         "mixture_budget_plan_docs": _sql_mixture_budget_plan(),
+        "pack_bins_ffd_docs": SQL_PACK_BINS_FFD,
         "bpe_roundtrip_docs": _sql_bpe_roundtrip(),
         "probe_eval_docs": _sql_probe_eval(),
         "bpe_train_encode_docs": _sql_bpe_train_encode(),

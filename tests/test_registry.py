@@ -149,12 +149,19 @@ def test_window_rotation_is_deliberate():
     # winner family's de-skewed min-agg machinery stays via
     # substring_removal_docs — the verdict's coverage table lists them
     # as one family row).
+    # r12 fourth promotion: pack_bins_ffd_docs (first-fit-decreasing
+    # packing, born this round) replaces simhash_docs (r10+r11 green;
+    # the hub-safe banded-Hamming chain runs in-window via
+    # media_dedup_decisions + stream_media_decisions over the same
+    # dedup.py functions; the SimHash HOF stays sweep- and unit-
+    # covered).
     assert window == [
         "semantic_decontaminate_docs", "stream_semantic_decontaminate_docs",
         "serving_shards_docs", "serving_mixture_docs",
         "training_run_order_docs",
         "pack_bins_nosplit_docs", "pack_bins_report_docs",
         "mixture_budget_plan_docs",
+        "pack_bins_ffd_docs",
         "ivfpq_recall_topk",
         "stream_probe_score_docs",
         "stream_semantic_dedup_embeddings",
@@ -163,7 +170,6 @@ def test_window_rotation_is_deliberate():
         "substring_removal_docs",
         "pack_sequences_bpe_docs", "stream_flare_keyed_events", "lm_trigram_score_docs",
         "stream_pack_shards_docs", "bpe_encode_production_docs",
-        "simhash_docs",
         "bpe_roundtrip_docs",
         "stream_media_near_dup", "media_dedup_decisions",
         "near_dup_clusters_incremental",

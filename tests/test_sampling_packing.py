@@ -1274,3 +1274,94 @@ def test_epochs_for_budget_feeds_multi_pass_order(spark):
     n_total = sum(counts.values())
     ranks = sorted(r["rank"] for r in order.select("rank").collect())
     assert ranks == list(range(n_total))
+
+def _ffd_reference(rows, C, W):
+    """Plain-python first-fit-decreasing per (group, block)."""
+    import collections
+
+    by_blk = collections.defaultdict(list)
+    for g, i, n in rows:
+        by_blk[(g, i // W)].append((i, n))
+    out = {}
+    for (g, blk), ds in by_blk.items():
+        fills = []
+        for i, n in sorted(ds, key=lambda t: (-t[1], t[0])):
+            fit = next(
+                (j for j, f in enumerate(fills) if f + n <= C), None
+            )
+            if fit is None:
+                fit, off = len(fills), 0
+                fills.append(n)
+            else:
+                off = fills[fit]
+                fills[fit] += n
+            out[(g, blk, i)] = (fit, off, off + n)
+    return out
+
+
+def test_pack_bins_ffd_matches_reference_and_beats_next_fit(spark):
+    """First-fit-decreasing packing (r12): bit-equal to a plain Python
+    FFD reference on crafted and random inputs; oversize docs isolate;
+    and on every random input FFD's measured waste is <= next-fit's
+    (the 11/9 vs 2 OPT ordering, pinned empirically)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from miletos_spark.pipeline.packing import (
+        pack_bins_ffd,
+        pack_bins_nosplit,
+        pack_bins_report,
+    )
+
+    C, W = 100, 16
+    rng = random.Random(17)
+    cases = [
+        [("en", 0, 40), ("en", 1, 60), ("en", 2, 1), ("en", 3, 99),
+         ("en", 4, 150), ("en", 5, 10), ("en", 6, 0), ("en", 7, 95),
+         ("de", 0, 100), ("de", 1, 100), ("de", 3, 7)],
+        [("en", i, rng.choice([5, 30, 51, 60, 99, 101]))
+         for i in range(40)]
+        + [("de", 100 + i, rng.randrange(0, 130)) for i in range(40)],
+    ]
+    for rows in cases:
+        df = spark.createDataFrame(
+            rows, "lang string, doc_id long, n_tokens long"
+        )
+        got = {
+            (r["lang"], r["block"], r["doc_id"]):
+                (r["bin"], r["offset"], r["fill_after"])
+            for r in pack_bins_ffd(
+                df, capacity=C, group_cols=("lang",), block_width=W
+            ).collect()
+        }
+        assert got == _ffd_reference(rows, C, W)
+
+        # oversize docs isolate: nothing shares a bin with an overfull
+        # placement
+        bins = {}
+        for (g, b, i), (bn, off, fa) in got.items():
+            bins.setdefault((g, b, bn), []).append(fa)
+        for key, fas in bins.items():
+            if max(fas) > C:
+                assert len(fas) == 1, key
+
+        # quality: FFD waste <= next-fit waste per group
+        w_ffd = {
+            r["lang"]: r["wasted"]
+            for r in pack_bins_report(
+                pack_bins_ffd(df, capacity=C, group_cols=("lang",),
+                              block_width=W),
+                capacity=C,
+            ).collect()
+        }
+        w_nf = {
+            r["lang"]: r["wasted"]
+            for r in pack_bins_report(
+                pack_bins_nosplit(df, capacity=C, group_cols=("lang",),
+                                  block_width=W),
+                capacity=C,
+            ).collect()
+        }
+        for g in w_ffd:
+            assert w_ffd[g] <= w_nf[g], (g, w_ffd[g], w_nf[g])

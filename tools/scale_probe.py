@@ -104,6 +104,7 @@ CORPUS_QUERIES = [
     "serving_mixture_docs",
     "training_run_order_docs",
     "pack_bins_nosplit_docs",
+    "pack_bins_ffd_docs",
     "mixture_budget_plan_docs",
 ]
 
