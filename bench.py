@@ -190,6 +190,7 @@ HEADLINE = [
     "pack_bins_report_docs",
     "mixture_budget_plan_docs",
     "pack_bins_ffd_docs",
+    "stream_pack_bins_docs",
 ]
 
 # Queries that probe a WRITE-TIME LANDED index (built by the ingest

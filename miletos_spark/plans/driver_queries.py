@@ -1706,6 +1706,123 @@ FROM step
 """
 
 
+def _land_docs_tokens_parity_feed(spark: SparkSession, sf_dir: str) -> str:
+    """Memoized 2-file streaming feed of (lang, doc_id, n_tokens) rows
+    split by doc_id PARITY — one parity per file, so each micro-batch's
+    composition is a pure function of CONTENT (not of file-listing
+    order), which is what lets the streaming packer's oracle replay
+    batch-local packing exactly (batch ≡ parity class)."""
+    import hashlib
+    import tempfile
+
+    from miletos_spark.pipeline.text import token_count
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|par"
+    except OSError:
+        sig = os.path.abspath(sf_dir) + "|par"
+    key = hashlib.md5(sig.encode()).hexdigest()[:12]
+    land = os.path.join(
+        tempfile.gettempdir(), f"miletos_docpar_{key}", "data"
+    )
+    if not os.path.exists(land):
+        docs = load_table(spark, sf_dir, "documents")
+        base = docs.select(
+            "lang",
+            "doc_id",
+            token_count(F.col("text")).cast("long").alias("n_tokens"),
+        )
+        base.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(land)
+        base.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(land)
+    return land
+
+
+def q_stream_pack_bins_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 NO-SPLIT packing ONLINE (r12): arriving documents pack
+    whole into 512-token bins per micro-batch — bins never span
+    batches (batch = outermost block), so the stream carries ZERO
+    cross-batch state and needs no commit markers (a batch's layout is
+    a pure function of its own rows; contrast stream_pack_shards,
+    whose concat-and-chunk offsets DO cross batches and are marker-
+    ordered). The 2-file parity feed makes batch composition
+    content-determined, so the oracle replays per-(parity, lang,
+    block) next-fit row-by-row with the recursive CTE."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from miletos_spark.streaming.ingest import (
+        read_stream_pack_bins,
+        stream_pack_bins,
+    )
+
+    land = _land_docs_tokens_parity_feed(spark, sf_dir)
+    work = os.path.join(
+        tempfile.gettempdir(), "miletos_spbins_" + uuid.uuid4().hex[:8]
+    )
+    stream_pack_bins(
+        spark,
+        land,
+        "lang string, doc_id long, n_tokens long",
+        os.path.join(work, "out"),
+        os.path.join(work, "state"),
+        capacity=512,
+        block_width=256,
+        max_files_per_trigger=1,
+    )
+    out = read_stream_pack_bins(spark, os.path.join(work, "out")).select(
+        "lang", "block", "doc_id", "n_tokens", "bin", "offset", "fill_after"
+    )
+    pinned = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(work, ignore_errors=True)
+    return pinned
+
+
+SQL_STREAM_PACK_BINS = r"""
+WITH RECURSIVE toks AS (
+  SELECT lang, doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+              AS BIGINT) AS n_tokens
+  FROM documents),
+base AS (
+  SELECT lang, doc_id % 2 AS par,
+         CAST(floor(doc_id / 256.0) AS BIGINT) AS block, doc_id,
+         n_tokens,
+         row_number() OVER (PARTITION BY doc_id % 2, lang,
+                                         floor(doc_id / 256.0)
+                            ORDER BY doc_id) AS rn
+  FROM toks),
+step AS (
+  SELECT lang, par, block, doc_id, n_tokens, rn,
+         0 AS bin, CAST(0 AS BIGINT) AS off,
+         CAST(n_tokens AS BIGINT) AS fill
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.lang, b.par, b.block, b.doc_id, b.n_tokens, b.rn,
+         CASE WHEN s.fill + b.n_tokens > 512 THEN s.bin + 1
+              ELSE s.bin END,
+         CASE WHEN s.fill + b.n_tokens > 512 THEN CAST(0 AS BIGINT)
+              ELSE s.fill END,
+         CASE WHEN s.fill + b.n_tokens > 512
+              THEN CAST(b.n_tokens AS BIGINT)
+              ELSE s.fill + b.n_tokens END
+  FROM step s
+  JOIN base b
+    ON b.par = s.par AND b.lang = s.lang AND b.block = s.block
+   AND b.rn = s.rn + 1)
+SELECT lang, block, doc_id, n_tokens,
+       CAST(bin AS INT) AS bin, off AS offset, fill AS fill_after
+FROM step
+"""
+
+
 def q_training_run_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CROSS-EPOCH run schedule (r12, VERDICT r11 Missing #3): the
     3-epoch composition of the seeded serving order —
@@ -11189,6 +11306,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # SimHash fingerprint HOF itself stays sweep-covered and
     # unit-tested (halo/hub tests in test_dedup_strategies).
     "pack_bins_ffd_docs": q_pack_bins_ffd_docs,
+    # r12 fifth promotion: stream_pack_bins_docs — the SFT-shaped
+    # streaming packer (bins never span batches: batch = outermost
+    # block, ZERO cross-batch state, marker-free replay-idempotent
+    # per-batch dirs; parity feed makes batch composition content-
+    # determined so the oracle replays it). Evicted
+    # pack_sequences_bpe_docs (r10+r11 doubly green): its BPE encode
+    # half is hash-gated inside bpe_encode_production_docs and
+    # bpe_train_encode_docs (in-window), and its pack_chunks half is
+    # REPLAYED VERBATIM inside the training_order/serving rows'
+    # oracles (their seqs CTE is concat-and-chunk) plus
+    # stream_pack_shards_docs' layout gate.
+    "stream_pack_bins_docs": q_stream_pack_bins_docs,
     "ivfpq_recall_topk": q_ivfpq_recall_topk,
     # promoted late-r08: the round's new capability wave
     "stream_probe_score_docs": q_stream_probe_score_docs,
@@ -11202,7 +11331,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_bls_events": q_stream_bls_events,
     # promoted: NEW round-7 capabilities (first-round driver signal)
     "substring_removal_docs": q_substring_removal_docs,
-    "pack_sequences_bpe_docs": q_pack_sequences_bpe_docs,
     "stream_flare_keyed_events": q_stream_flare_keyed_events,
     # promoted r08: the last never-driver-checked oracle entries
     "lm_trigram_score_docs": q_lm_trigram_score_docs,
@@ -11358,6 +11486,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r12 evictions: green in both r10 and r11, machinery covered
     # in-window (see the r12 rotation comments at the window head)
     "population_nm_recovery_events": q_population_nm_recovery_events,
+    "pack_sequences_bpe_docs": q_pack_sequences_bpe_docs,
     "linear_probe_weights_docs": q_linear_probe_weights_docs,
     "bls_multires_events": q_bls_multires_events,
     "dedup_lines_docs": q_dedup_lines_docs,
@@ -11553,6 +11682,7 @@ def _oracles() -> dict[str, str]:
         "pack_bins_report_docs": SQL_PACK_BINS_REPORT,
         "mixture_budget_plan_docs": _sql_mixture_budget_plan(),
         "pack_bins_ffd_docs": SQL_PACK_BINS_FFD,
+        "stream_pack_bins_docs": SQL_STREAM_PACK_BINS,
         "bpe_roundtrip_docs": _sql_bpe_roundtrip(),
         "probe_eval_docs": _sql_probe_eval(),
         "bpe_train_encode_docs": _sql_bpe_train_encode(),

@@ -1318,6 +1318,99 @@ def stream_decontaminate(
     )
 
 
+def stream_pack_bins(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    out_dir: str,
+    state_dir: str,
+    capacity: int = 512,
+    group_cols=("lang",),
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    block_width: int = 256,
+    ffd: bool = False,
+    max_files_per_trigger: int | None = None,
+    timeout_sec: int = 300,
+) -> None:
+    """NO-SPLIT packing ON the firehose — the SFT-shaped streaming
+    packer next to `stream_pack_shards`' concat-and-chunk form:
+    arriving documents pack WHOLE into capacity-bounded bins, and bins
+    NEVER span micro-batches (the block-local argument again: the
+    batch is the outermost block, and `pack_bins_nosplit`/`_ffd`'s
+    id-blocks nest inside it), so there is ZERO cross-batch state —
+    no token offsets to carry, no commit markers to order them
+    (contrast stream_pack_shards, whose markers exist precisely
+    because concat-and-chunk boundaries DO cross batches). Each batch
+    writes its layout to ``out_dir/b=<id>/`` in overwrite mode —
+    replay-idempotent because a batch's layout is a pure function of
+    its own rows.
+
+    The price is the same bounded waste as any block boundary (at most
+    one partial bin per batch per group-block), measurable by
+    `pack_bins_report` over the drained output. ``ffd=True`` uses
+    first-fit-decreasing within blocks instead of next-fit.
+
+    Layout rows: group cols, block, id, tokens, bin, offset,
+    fill_after (bin keys are unique within (batch, group, block))."""
+    import os
+
+    from miletos_spark.pipeline.packing import (
+        pack_bins_ffd,
+        pack_bins_nosplit,
+    )
+
+    packer = pack_bins_ffd if ffd else pack_bins_nosplit
+
+    def _pack(bdf: DataFrame, batch_id: int) -> None:
+        out = packer(
+            bdf,
+            capacity=capacity,
+            token_col=token_col,
+            group_cols=group_cols,
+            id_col=id_col,
+            block_width=block_width,
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"b={batch_id}")
+        )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_dir)
+    q = (
+        src.writeStream.foreachBatch(_pack)
+        .option("checkpointLocation", os.path.join(state_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"stream_pack_bins drain exceeded {timeout_sec} s"
+        )
+
+
+def read_stream_pack_bins(
+    spark: SparkSession, out_dir: str, group_cols=("lang",)
+) -> DataFrame:
+    """Reader for `stream_pack_bins` output: union of the per-batch
+    layout dirs, batch partition column dropped (bin identity within
+    the union is (group, block, bin) per batch — callers that need
+    run-global bin ids keep ``b``)."""
+    gschema = ", ".join(f"{c} string" for c in group_cols)
+    return (
+        spark.read.option("basePath", out_dir)
+        .schema(
+            f"{gschema}, block long, doc_id long, n_tokens long, "
+            "bin int, offset long, fill_after long, b int"
+        )
+        .parquet(out_dir)
+        .drop("b")
+    )
+
+
 def stream_semantic_decontaminate(
     spark: SparkSession,
     input_dir: str,

@@ -155,6 +155,12 @@ def test_window_rotation_is_deliberate():
     # media_dedup_decisions + stream_media_decisions over the same
     # dedup.py functions; the SimHash HOF stays sweep- and unit-
     # covered).
+    # r12 fifth promotion: stream_pack_bins_docs (streaming no-split
+    # packer, batch = outermost block, zero cross-batch state, born
+    # this round) replaces pack_sequences_bpe_docs (r10+r11 green; BPE
+    # encode half hash-gated in the production/lifecycle rows,
+    # pack_chunks half replayed verbatim inside the training_order/
+    # serving oracles' seqs CTE + stream_pack_shards' layout gate).
     assert window == [
         "semantic_decontaminate_docs", "stream_semantic_decontaminate_docs",
         "serving_shards_docs", "serving_mixture_docs",
@@ -162,13 +168,14 @@ def test_window_rotation_is_deliberate():
         "pack_bins_nosplit_docs", "pack_bins_report_docs",
         "mixture_budget_plan_docs",
         "pack_bins_ffd_docs",
+        "stream_pack_bins_docs",
         "ivfpq_recall_topk",
         "stream_probe_score_docs",
         "stream_semantic_dedup_embeddings",
         "bls_spectrum_events", "gp_recovery_events", "mcmc_recovery_events",
         "pipeline_summary_events", "pipeline_population_events", "stream_bls_events",
         "substring_removal_docs",
-        "pack_sequences_bpe_docs", "stream_flare_keyed_events", "lm_trigram_score_docs",
+        "stream_flare_keyed_events", "lm_trigram_score_docs",
         "stream_pack_shards_docs", "bpe_encode_production_docs",
         "bpe_roundtrip_docs",
         "stream_media_near_dup", "media_dedup_decisions",

@@ -1285,3 +1285,52 @@ def test_stream_pack_shards_manifest_guards_misaligned_replay(
             capacity=512, max_files_per_trigger=None,
         )
     shutil.rmtree(work, ignore_errors=True)
+
+def test_stream_pack_bins_zero_state_equals_batch_per_parity(spark, tmp_path):
+    """Streaming no-split packing (r12): bins never span micro-batches
+    (batch = outermost block), so the drained layout equals the batch
+    packer applied per feed file, there is no checkpoint state beyond
+    the source log, and a replayed batch dir rewrite is idempotent."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from miletos_spark.pipeline.packing import pack_bins_nosplit
+    from miletos_spark.streaming.ingest import (
+        read_stream_pack_bins,
+        stream_pack_bins,
+    )
+
+    rows = [("en", i, (i * 37) % 130) for i in range(40)] + [
+        ("de", 100 + i, (i * 53) % 130) for i in range(20)
+    ]
+    base = spark.createDataFrame(
+        rows, "lang string, doc_id long, n_tokens long"
+    )
+    feed = str(tmp_path / "feed")
+    base.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(feed)
+    base.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+
+    out_dir = str(tmp_path / "out")
+    stream_pack_bins(
+        spark, feed, "lang string, doc_id long, n_tokens long",
+        out_dir, str(tmp_path / "state"),
+        capacity=100, block_width=16, max_files_per_trigger=1,
+    )
+    key = lambda r: (r["lang"], r["block"], r["doc_id"],  # noqa: E731
+                     r["bin"], r["offset"], r["fill_after"])
+    got = sorted(
+        map(key, read_stream_pack_bins(spark, out_dir).collect())
+    )
+
+    want = []
+    for par in (0, 1):
+        part = base.filter(F.col("doc_id") % 2 == par)
+        want.extend(
+            map(key, pack_bins_nosplit(
+                part, capacity=100, block_width=16
+            ).collect())
+        )
+    assert got == sorted(want) and len(got) == 60
