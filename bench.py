@@ -217,12 +217,14 @@ LANDED_INDEX_PROBES = {
 }
 
 # The two composed-pipeline anchors run in their OWN fresh JVM,
-# min-of-3 with the full spread recorded (VERDICT r11 Wrong #1): in
+# min-of-N_RUNS with the full spread recorded (VERDICT r11 Wrong #1): in
 # the shared session their 10 s+ wall times swung with accumulated
 # JVM state more than any real code delta (A/B/A on identical code:
 # 15.8–25.3 s), so regressions on the suite's most expensive rows were
 # undiagnosable. The stdout line still carries one number (the best);
 # BENCH_DETAIL.json carries `isolated_runs` with every run.
+# (run count lives in tools/bench_isolated.py N_RUNS — currently 4;
+# fresh JVMs converge slowly, see BASELINE.md r12 note.)
 ISOLATED_QUERIES = [
     "pipeline_summary_events",
     "pipeline_population_events",

@@ -79,6 +79,15 @@ def land_dedup_index(
     if os.path.exists(done) and not overwrite:
         return paths
 
+    # an overwrite REBUILD starts the counts store from scratch: the
+    # versioned fold's batch log would otherwise treat the fixed
+    # "__init__" tag (and any previously folded batch tag) as already
+    # applied and leave counts stale relative to the rebuilt bands
+    if os.path.isdir(paths["counts"]):
+        import shutil
+
+        shutil.rmtree(paths["counts"], ignore_errors=True)
+
     docs = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, k=k, num_hashes=num_hashes)
     sigs.write.mode("overwrite").parquet(paths["sigs"])

@@ -495,11 +495,28 @@ def _weights_table(
     cast_t = "long" if integer else "double"
     if isinstance(weights, dict):
         bad = any(
-            (w < 1 if integer else w <= 0) for w in weights.values()
+            (w < 1 or w != int(w)) if integer else w <= 0
+            for w in weights.values()
         ) or (default_value < 1 if integer else default_value <= 0)
         if bad:
             raise ValueError(f"{err_prefix}: {err_msg}")
         spark = seqs.sparkSession
+        if not weights:
+            # empty spec = all-default (the old CASE-chain behavior):
+            # a typed empty table, schema borrowed from the corpus'
+            # group column (createDataFrame cannot infer from [])
+            from pyspark.sql.types import StructField, StructType
+
+            wdf = spark.createDataFrame(
+                [],
+                StructType(
+                    [
+                        seqs.schema[group_col],
+                        StructField("_wval", seqs.schema[group_col].dataType),
+                    ]
+                ),
+            ).select(group_col, F.lit(None).cast(cast_t).alias("_wval"))
+            return wdf, float(default_value)
         wdf = spark.createDataFrame(
             [(g, int(w) if integer else float(w)) for g, w in weights.items()],
             [group_col, "_wval"],
@@ -517,6 +534,12 @@ def _weights_table(
             F.min("_wval").alias("_mn"),
             F.count("*").alias("_n"),
             F.count_distinct(group_col).alias("_nd"),
+            F.max(
+                F.abs(
+                    F.col("_wval").cast("double")
+                    - F.floor(F.col("_wval")).cast("double")
+                )
+            ).alias("_frac"),
         ).first()
         if row["_n"] != row["_nd"]:
             raise ValueError(
@@ -530,6 +553,10 @@ def _weights_table(
             if (mn < 1 if integer else mn <= 0) or (
                 default_value < 1 if integer else default_value <= 0
             ):
+                raise ValueError(f"{err_prefix}: {err_msg}")
+            if integer and (row["_frac"] or 0.0) > 0.0:
+                # silent int-truncation would make the executed plan
+                # disagree with the caller's spec
                 raise ValueError(f"{err_prefix}: {err_msg}")
             w_min = min(default_value, mn)
     return wdf.select(group_col, F.col("_wval").cast(cast_t)), float(w_min)
@@ -884,20 +911,23 @@ def land_epoch_order(
         "min_rank",
         "max_rank",
     ).write.mode("overwrite").parquet(os.path.join(path, "_bounds"))
-    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
 
-    tbl = pq.read_table(os.path.join(path, "_bounds")).to_pydict()
-    if len(tbl["shard"]) <= 100_000:
+    # metadata-only row count (no driver materialization — at the
+    # >10⁵-shard scale this threshold targets, reading the table just
+    # to count it would re-introduce the O(|shards|) driver pull)
+    n_shards = pads.dataset(
+        os.path.join(path, "_bounds"), format="parquet"
+    ).count_rows()
+    if n_shards <= 100_000:
+        tbl = _landed_order_bounds(path)
         write_index_stats(
             path,
             {
                 "seed": int(seed),
                 "epoch": int(epoch),
                 "shards": {
-                    str(s): [int(lo), int(hi)]
-                    for s, lo, hi in zip(
-                        tbl["shard"], tbl["min_rank"], tbl["max_rank"]
-                    )
+                    str(s): [int(lo), int(hi)] for s, lo, hi in tbl
                 },
             },
             name="_order_stats.json",
@@ -905,23 +935,24 @@ def land_epoch_order(
     return path
 
 
-def shards_for_resume(path: str, rank: int) -> "list[str]":
-    """The shards that still hold unserved sequences at resume rank
-    ``rank`` — resolved from the landed order's per-shard rank bounds
-    (O(|shards|) metadata, no Spark job, no data file opened). Prefers
-    the parquet ``_bounds`` side table (r12 — driver-side pyarrow
-    read, no JSON-size ceiling); falls back to the JSON stats for
-    pre-r12 landings."""
+def _landed_order_bounds(path: str) -> "list[tuple[int, int, int]]":
+    """The landed order's per-shard (shard, min_rank, max_rank) bounds
+    — from the parquet ``_bounds`` side table when present (driver-side
+    pyarrow read, no Spark job, no JSON-size ceiling), else from the
+    JSON stats (pre-r12 landings). The ONE bounds-resolution seam:
+    `shards_for_resume` and `resume_run_from_landed` both go through
+    it, so neither carries a JSON-only ceiling."""
     bounds_dir = os.path.join(path, "_bounds")
     if os.path.isdir(bounds_dir):
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(bounds_dir).to_pydict()
-        return sorted(
-            str(s)
-            for s, hi in zip(tbl["shard"], tbl["max_rank"])
-            if hi >= int(rank)
-        )
+        return [
+            (int(s), int(lo), int(hi))
+            for s, lo, hi in zip(
+                tbl["shard"], tbl["min_rank"], tbl["max_rank"]
+            )
+        ]
     from miletos_spark.pipeline.landing import read_index_stats
 
     stats = read_index_stats(path, name="_order_stats.json")
@@ -930,8 +961,21 @@ def shards_for_resume(path: str, rank: int) -> "list[str]":
             f"land_epoch_order stats missing under {path} — not a landed "
             "order table?"
         )
+    return [
+        (int(sh), int(lo), int(hi))
+        for sh, (lo, hi) in stats["shards"].items()
+    ]
+
+
+def shards_for_resume(path: str, rank: int) -> "list[str]":
+    """The shards that still hold unserved sequences at resume rank
+    ``rank`` — resolved from the landed order's per-shard rank bounds
+    (`_landed_order_bounds`: O(|shards|) metadata, no Spark job, no
+    data file opened)."""
     return sorted(
-        sh for sh, (_, hi) in stats["shards"].items() if hi >= int(rank)
+        str(s)
+        for s, _, hi in _landed_order_bounds(path)
+        if hi >= int(rank)
     )
 
 
@@ -1019,15 +1063,10 @@ def resume_run_from_landed(
     fully-served shard dirs partition-pruned), and later epochs ride
     in whole (their scans stay lazy). Fully-served epochs are never
     read at all. Returns the union with ``global_step`` restored."""
-    from miletos_spark.pipeline.landing import read_index_stats
-
-    stats = read_index_stats(epoch_paths[0], name="_order_stats.json")
-    if stats is None:
-        raise ValueError(
-            f"resume_run_from_landed: no landed order stats under "
-            f"{epoch_paths[0]}"
-        )
-    n = max(hi for (_, hi) in stats["shards"].values()) + 1
+    # bounds via the shared seam (parquet _bounds preferred, JSON
+    # fallback) — the run-level resume must not re-acquire the JSON
+    # ceiling the shard-level one shed
+    n = max(hi for _, _, hi in _landed_order_bounds(epoch_paths[0])) + 1
     e0 = min(int(step) // n, len(epoch_paths) - 1)
     rank0 = int(step) - e0 * n
     out = None

@@ -1086,12 +1086,23 @@ def pack_eval_embeddings(
     `semantic_decontaminate` rides inside every training row, the same
     packed-centers idiom as `assign_cells_2l`'s coarse level. At 10⁵
     64-dim doubles this is ~50 MB — still broadcast territory; past
-    that, use the landed-index form (`semantic_decontaminate_indexed`)."""
+    that, use the landed-index form (`semantic_decontaminate_indexed`).
+
+    Vectors are stored UNIT-NORMALIZED (each eval norm computed once
+    here, at pack time), so the per-(train, eval) cosine downstream is
+    ONE dot fold instead of three — on the 100 TB × 10⁵-eval
+    deployment the norm recomputation would have tripled the declared
+    cost center."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    return df.agg(
-        F.collect_list(
-            F.struct(F.col(id_col).alias("id"), v.alias("vec"))
-        ).alias("_evs")
+    df2 = df.select(F.col(id_col).alias("id"), v.alias("_v"))
+    # norm projected to a real attribute BEFORE the per-element lambda
+    # (the CollapseProject re-evaluation trap — see shingle_array)
+    df2 = df2.withColumn("_n", _norm(F.col("_v"))).select(
+        "id",
+        F.transform(F.col("_v"), lambda x: x / F.col("_n")).alias("vec"),
+    )
+    return df2.agg(
+        F.collect_list(F.struct("id", "vec")).alias("_evs")
     ).withColumn("_k", F.lit(1))
 
 
@@ -1132,14 +1143,20 @@ def semantic_decontaminate(
     from miletos_spark.functions.scalars import quantize
 
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = train.select(F.col(id_col), v.alias("_v")).withColumn(
-        "_k", F.lit(1)
+    # the train norm is computed ONCE per row (real attribute before
+    # the per-eval lambda — the CollapseProject trap) and the packed
+    # eval vectors are already unit-normalized, so each (train, eval)
+    # pair costs exactly one dot fold
+    base = (
+        train.select(F.col(id_col), v.alias("_v"))
+        .withColumn("_nv", _norm(F.col("_v")))
+        .withColumn("_k", F.lit(1))
     )
     joined = base.join(F.broadcast(eval_packed), "_k")
     scored = F.transform(
         F.col("_evs"),
         lambda e: F.struct(
-            quantize(cosine_similarity(F.col("_v"), e["vec"]), 6).alias(
+            quantize(_dot(F.col("_v"), e["vec"]) / F.col("_nv"), 6).alias(
                 "cos_sim"
             ),
             e["id"].alias("eval_id"),
@@ -1188,7 +1205,9 @@ def semantic_decontaminate_indexed(
 
     assigned = assign_cells_2l(
         train, coarse, fine, id_col, vec_col, n_probe, n_probe
-    )
+    ).withColumn("_nv", _norm(F.col("_v")))
+    # eval norms once per eval row (attribute before the lambda); the
+    # verify join then pays one dot fold per candidate pair
     ev = eval_cells.select(
         F.col("vec_id").alias("eval_id"),
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
@@ -1196,11 +1215,17 @@ def semantic_decontaminate_indexed(
         ),
         F.col("_super").cast("int").alias("super"),
         F.col("_fine").cast("int").alias("fine"),
+    ).withColumn("_nw", _norm(F.col("_w"))).select(
+        "eval_id",
+        F.transform(F.col("_w"), lambda x: x / F.col("_nw")).alias("_wn"),
+        "super",
+        "fine",
     )
     return (
         assigned.join(ev, ["super", "fine"])
         .withColumn(
-            "cos_sim", quantize(cosine_similarity("_v", "_w"), 6)
+            "cos_sim",
+            quantize(_dot(F.col("_v"), F.col("_wn")) / F.col("_nv"), 6),
         )
         .filter(F.col("cos_sim") >= F.lit(float(threshold)))
         .select(F.col("_id").alias(id_col), "eval_id", "cos_sim")

@@ -1724,10 +1724,13 @@ def _land_docs_tokens_parity_feed(spark: SparkSession, sf_dir: str) -> str:
     except OSError:
         sig = os.path.abspath(sf_dir) + "|par"
     key = hashlib.md5(sig.encode()).hexdigest()[:12]
-    land = os.path.join(
-        tempfile.gettempdir(), f"miletos_docpar_{key}", "data"
-    )
-    if not os.path.exists(land):
+    root = os.path.join(tempfile.gettempdir(), f"miletos_docpar_{key}")
+    land = os.path.join(root, "data")
+    done = os.path.join(root, "_SUCCESS_FEED")
+    # gate on a done MARKER, not dir existence: the feed is TWO write
+    # jobs, and a crash between them would otherwise permanently cache
+    # a half feed (the _land_media_phash_index convention)
+    if not os.path.exists(done):
         docs = load_table(spark, sf_dir, "documents")
         base = docs.select(
             "lang",
@@ -1740,6 +1743,7 @@ def _land_docs_tokens_parity_feed(spark: SparkSession, sf_dir: str) -> str:
         base.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
             "append"
         ).parquet(land)
+        _commit_marker(done, "ok")
     return land
 
 

@@ -1393,17 +1393,25 @@ def stream_pack_bins(
 
 
 def read_stream_pack_bins(
-    spark: SparkSession, out_dir: str, group_cols=("lang",)
+    spark: SparkSession,
+    out_dir: str,
+    group_cols=("lang",),
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    group_type: str = "string",
 ) -> DataFrame:
     """Reader for `stream_pack_bins` output: union of the per-batch
     layout dirs, batch partition column dropped (bin identity within
     the union is (group, block, bin) per batch — callers that need
-    run-global bin ids keep ``b``)."""
-    gschema = ", ".join(f"{c} string" for c in group_cols)
+    run-global bin ids keep ``b``). ``id_col``/``token_col``/
+    ``group_type`` MUST match what the writer was called with — an
+    explicit schema against parquet projects missing columns as silent
+    NULLs, so a mismatch here would corrupt the layout quietly."""
+    gschema = ", ".join(f"{c} {group_type}" for c in group_cols)
     return (
         spark.read.option("basePath", out_dir)
         .schema(
-            f"{gschema}, block long, doc_id long, n_tokens long, "
+            f"{gschema}, block long, {id_col} long, {token_col} long, "
             "bin int, offset long, fill_after long, b int"
         )
         .parquet(out_dir)

@@ -536,3 +536,52 @@ def test_dsir_landed_logratios_match_live_model(spark, tmp_path):
         ).collect()
     }
     assert landed == live
+
+def test_land_dedup_index_overwrite_resets_counts_store(spark, sf_dir):
+    """r12 review regression: an overwrite REBUILD must reset the
+    versioned counts store — the fixed '__init__' batch tag would
+    otherwise no-op against the old batch log and leave counts (and
+    max_bucket) stale relative to the rebuilt bands."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from miletos_spark.pipeline.landing import (
+        bucket_counts_dir,
+        land_dedup_index,
+        read_index_stats,
+        update_dedup_index,
+    )
+
+    paths = land_dedup_index(spark, sf_dir)
+    root = os.path.dirname(paths["counts"])
+    docs = load_table(spark, sf_dir, "documents")
+    extra = docs.limit(5).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "lang",
+        "text",
+    )
+    update_dedup_index(spark, paths, extra, batch_tag="bX")
+    inflated = (
+        spark.read.parquet(bucket_counts_dir(paths))
+        .agg(F.sum("c"))
+        .first()[0]
+    )
+
+    paths2 = land_dedup_index(spark, sf_dir, overwrite=True)
+    fresh = (
+        spark.read.parquet(bucket_counts_dir(paths2))
+        .agg(F.sum("c"))
+        .first()[0]
+    )
+    assert fresh < inflated  # bX's rows are gone from a clean rebuild
+    # and the batch log restarted: bX folds again instead of no-opping
+    banded_rows = fresh
+    update_dedup_index(spark, paths2, extra, batch_tag="bX")
+    refolded = (
+        spark.read.parquet(bucket_counts_dir(paths2))
+        .agg(F.sum("c"))
+        .first()[0]
+    )
+    assert refolded == inflated and refolded > banded_rows
+    assert read_index_stats(root)["max_bucket"] >= 1

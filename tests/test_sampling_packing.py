@@ -1365,3 +1365,69 @@ def test_pack_bins_ffd_matches_reference_and_beats_next_fit(spark):
         }
         for g in w_ffd:
             assert w_ffd[g] <= w_nf[g], (g, w_ffd[g], w_nf[g])
+
+def test_weights_table_review_fixes(spark, tmp_path):
+    """r12 review regressions pinned: (a) an EMPTY weights dict means
+    all-default (the old CASE-chain behavior — must not crash on
+    schema inference); (b) non-integral repeats are REJECTED in both
+    spec forms instead of silently truncating; (c) the landed-order
+    RUN-level resume works from the parquet _bounds side table alone
+    (no JSON — the ceiling removal applies to resume_run_from_landed,
+    not just shards_for_resume)."""
+    import os
+
+    import pytest as _pytest
+
+    from miletos_spark.pipeline.packing import (
+        epoch_order,
+        land_epoch_order,
+        multi_pass_order,
+        resume_run_at_step,
+        run_order,
+        resume_run_from_landed,
+        weighted_epoch_order,
+    )
+
+    seqs = spark.createDataFrame(
+        [("en", b, b // 8) for b in range(16)],
+        "lang string, seq_bin long, shard long",
+    )
+    # (a) empty specs = uniform defaults, still a valid total order
+    w = weighted_epoch_order(seqs, 3, 1, {})
+    assert sorted(r["rank"] for r in w.collect()) == list(range(16))
+    m = multi_pass_order(seqs, 3, {})
+    assert sorted(r["rank"] for r in m.collect()) == list(range(16))
+
+    # (b) non-integral repeats raise, dict and table forms alike
+    with _pytest.raises(ValueError, match="positive integers"):
+        multi_pass_order(seqs, 3, {"en": 2.7})
+    rdf = spark.createDataFrame(
+        [("en", 2.7)], "lang string, repeats double"
+    )
+    with _pytest.raises(ValueError, match="positive integers"):
+        multi_pass_order(seqs, 3, rdf)
+
+    # (c) run-level landed resume off the parquet bounds only
+    paths = []
+    for e in range(2):
+        p = str(tmp_path / f"ep{e}")
+        land_epoch_order(
+            spark, seqs, p, seed=3, epoch=e,
+            key_cols=("lang", "seq_bin"), bucket_count=4,
+        )
+        os.remove(os.path.join(p, "_order_stats.json"))
+        paths.append(p)
+    order = run_order(
+        seqs, seed=3, n_epochs=2, key_cols=("lang", "seq_bin"),
+        bucket_count=4,
+    )
+    for step in (15, 16, 17):
+        want = sorted(
+            (r["global_step"], r["seq_bin"])
+            for r in resume_run_at_step(order, step).collect()
+        )
+        got = sorted(
+            (r["global_step"], r["seq_bin"])
+            for r in resume_run_from_landed(spark, paths, step).collect()
+        )
+        assert got == want, step

@@ -8,7 +8,7 @@ than any real round-over-round delta, so a genuine 1.3× regression on
 exactly the rows that matter most would be invisible.
 
 This leg runs them the way `tools/bench_ingest.py` runs the landing
-walls: their OWN fresh Spark JVM, nothing else timed in it, min-of-3
+walls: their OWN fresh Spark JVM, nothing else timed in it, min-of-N_RUNS
 with EVERY run recorded — bench.py merges the best into the headline
 timings (stdout-line comparable round-over-round) and persists the full
 spread into BENCH_DETAIL.json's `isolated_runs`, so a future delta can
