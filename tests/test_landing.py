@@ -555,33 +555,39 @@ def test_land_dedup_index_overwrite_resets_counts_store(spark, sf_dir):
 
     paths = land_dedup_index(spark, sf_dir)
     root = os.path.dirname(paths["counts"])
-    docs = load_table(spark, sf_dir, "documents")
-    extra = docs.limit(5).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
-        "lang",
-        "text",
-    )
-    update_dedup_index(spark, paths, extra, batch_tag="bX")
-    inflated = (
-        spark.read.parquet(bucket_counts_dir(paths))
-        .agg(F.sum("c"))
-        .first()[0]
-    )
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        extra = docs.limit(5).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            "lang",
+            "text",
+        )
+        update_dedup_index(spark, paths, extra, batch_tag="bX")
+        inflated = (
+            spark.read.parquet(bucket_counts_dir(paths))
+            .agg(F.sum("c"))
+            .first()[0]
+        )
 
-    paths2 = land_dedup_index(spark, sf_dir, overwrite=True)
-    fresh = (
-        spark.read.parquet(bucket_counts_dir(paths2))
-        .agg(F.sum("c"))
-        .first()[0]
-    )
-    assert fresh < inflated  # bX's rows are gone from a clean rebuild
-    # and the batch log restarted: bX folds again instead of no-opping
-    banded_rows = fresh
-    update_dedup_index(spark, paths2, extra, batch_tag="bX")
-    refolded = (
-        spark.read.parquet(bucket_counts_dir(paths2))
-        .agg(F.sum("c"))
-        .first()[0]
-    )
-    assert refolded == inflated and refolded > banded_rows
-    assert read_index_stats(root)["max_bucket"] >= 1
+        paths2 = land_dedup_index(spark, sf_dir, overwrite=True)
+        fresh = (
+            spark.read.parquet(bucket_counts_dir(paths2))
+            .agg(F.sum("c"))
+            .first()[0]
+        )
+        assert fresh < inflated  # bX's rows gone from a clean rebuild
+        # and the batch log restarted: bX folds again, not a no-op
+        banded_rows = fresh
+        update_dedup_index(spark, paths2, extra, batch_tag="bX")
+        refolded = (
+            spark.read.parquet(bucket_counts_dir(paths2))
+            .agg(F.sum("c"))
+            .first()[0]
+        )
+        assert refolded == inflated and refolded > banded_rows
+        assert read_index_stats(root)["max_bucket"] >= 1
+    finally:
+        # the index root is the SHARED /tmp memo (keyed on the source
+        # parquet) — restore the pristine landing so other tests (and
+        # later sessions) see the unmutated corpus index
+        land_dedup_index(spark, sf_dir, overwrite=True)
