@@ -39,8 +39,13 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 from collections.abc import Callable, Iterable
+
+# partition values Spark lands verbatim (no escapePathName rewriting):
+# the precondition `fold_partitions_versioned` enforces
+_PART_SAFE = re.compile(r"^[A-Za-z0-9._-]+$")
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -161,6 +166,21 @@ def fold_partitions_versioned(
     if os.path.exists(target):  # stale partial build from a crash
         shutil.rmtree(target)
     os.makedirs(target)
+    # untouched-partition matching compares f"{part_col}={t}" against
+    # raw directory names, but Spark URL-escapes special characters
+    # when it encodes partition dirs — a value needing escaping would
+    # BOTH hardlink from the previous version and be rewritten fresh,
+    # silently duplicating rows (ADVICE r12). Enforce the documented
+    # precondition (plain ints / path-safe strings) instead of trying
+    # to reproduce Spark's escapePathName table here.
+    touched = [t for t in touched]
+    for t in touched:
+        if not _PART_SAFE.match(str(t)):
+            raise ValueError(
+                "fold_partitions_versioned: partition value "
+                f"{t!r} needs path escaping — part_col values must be "
+                "plain ints or [A-Za-z0-9._-]+ strings"
+            )
     touched_names = {f"{part_col}={t}" for t in touched}
     if cur is not None:
         prev = os.path.join(store_root, cur["version"])

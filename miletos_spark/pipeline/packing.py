@@ -497,7 +497,11 @@ def _weights_table(
         bad = any(
             (w < 1 or w != int(w)) if integer else w <= 0
             for w in weights.values()
-        ) or (default_value < 1 if integer else default_value <= 0)
+        ) or (
+            (default_value < 1 or default_value != int(default_value))
+            if integer
+            else default_value <= 0
+        )
         if bad:
             raise ValueError(f"{err_prefix}: {err_msg}")
         spark = seqs.sparkSession
@@ -546,13 +550,23 @@ def _weights_table(
                 f"{err_prefix}: weights table has duplicate "
                 f"{group_col} rows — the join would duplicate corpus rows"
             )
+        # default_value validates UNCONDITIONALLY (ADVICE r12): an
+        # empty/all-NULL weights table takes the mn-is-None branch, and
+        # a non-positive (or fractional-integer) default would
+        # otherwise flow through unchecked into a degenerate bucket
+        # grid (hi <= 0) instead of raising like every other path
+        if (
+            default_value < 1
+            or default_value != int(default_value)
+            if integer
+            else default_value <= 0
+        ):
+            raise ValueError(f"{err_prefix}: {err_msg}")
         mn = row["_mn"]
         if mn is None:
             w_min = default_value
         else:
-            if (mn < 1 if integer else mn <= 0) or (
-                default_value < 1 if integer else default_value <= 0
-            ):
+            if mn < 1 if integer else mn <= 0:
                 raise ValueError(f"{err_prefix}: {err_msg}")
             if integer and (row["_frac"] or 0.0) > 0.0:
                 # silent int-truncation would make the executed plan
@@ -690,8 +704,11 @@ def multi_pass_order(
     DataFrame (broadcast-joined — the flat-plan scale form, like
     `weighted_epoch_order`'s weights table) or a dict as sugar over
     it. Returns ``seqs`` + (``pass_idx``, ``rank``)."""
+    # pass default_repeats RAW: _weights_table validates positivity AND
+    # integrality of the default (ADVICE r12) — an int() coercion here
+    # would silently truncate 2.5 → 2 before the guard could see it
     rdf, _ = _weights_table(
-        seqs, repeats, group_col, "_wval", int(default_repeats),
+        seqs, repeats, group_col, "_wval", default_repeats,
         "multi_pass_order", "repeats must be positive integers",
         integer=True,
     )
@@ -892,6 +909,19 @@ def land_epoch_order(
     the zero-metadata alternative (resume shard = pure arithmetic)."""
     from miletos_spark.pipeline.landing import write_index_stats
 
+    # the _bounds side table (and resume_from_landed's isin filter)
+    # key shards as longs; a non-numeric shard column would cast to
+    # NULL and crash later inside _landed_order_bounds with a bare
+    # int(None) (ADVICE r12) — reject it here with the real reason
+    shard_t = seqs.schema[shard_col].dataType.typeName()
+    if shard_t not in (
+        "byte", "short", "integer", "long", "int",
+    ):
+        raise ValueError(
+            f"land_epoch_order: shard column {shard_col!r} must be an "
+            f"integer type (got {shard_t}) — the _bounds side table and "
+            "shard-local resume key shards numerically"
+        )
     order = epoch_order(
         seqs, seed=seed, epoch=epoch, key_cols=key_cols,
         bucket_count=bucket_count,

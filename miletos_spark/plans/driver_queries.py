@@ -8350,10 +8350,13 @@ def _land_emb_arrivals(spark: SparkSession, sf_dir: str) -> str:
     except OSError:
         sig = os.path.abspath(sf_dir) + "|arr"
     key = hashlib.md5(sig.encode()).hexdigest()[:12]
-    land = os.path.join(
-        tempfile.gettempdir(), f"miletos_embarr_{key}", "data"
-    )
-    if not os.path.exists(land):
+    root = os.path.join(tempfile.gettempdir(), f"miletos_embarr_{key}")
+    land = os.path.join(root, "data")
+    done = os.path.join(root, "_SUCCESS_FEED")
+    # done-marker gate, not dir existence (the ADVICE r12 decon-feed
+    # fix applied to its older sibling): a crash mid-write must not
+    # permanently cache a partial feed
+    if not os.path.exists(done):
         emb = load_table(spark, sf_dir, "embeddings")
         v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
         base = emb.filter(F.col("vec_id") < EMB_DUP_PLANT_N)
@@ -8373,7 +8376,10 @@ def _land_emb_arrivals(spark: SparkSession, sf_dir: str) -> str:
                 / F.lit(maxlong),
             ).alias("embedding"),
         )
-        copies.unionByName(fresh).repartition(2).write.parquet(land)
+        copies.unionByName(fresh).repartition(2).write.mode(
+            "overwrite"
+        ).parquet(land)
+        _commit_marker(done, "ok")
     return land
 
 
@@ -8534,10 +8540,13 @@ def _land_decon_arrivals(spark: SparkSession, sf_dir: str) -> str:
     except OSError:
         sig = os.path.abspath(sf_dir) + "|dec"
     key = hashlib.md5(sig.encode()).hexdigest()[:12]
-    land = os.path.join(
-        tempfile.gettempdir(), f"miletos_deconarr_{key}", "data"
-    )
-    if not os.path.exists(land):
+    root = os.path.join(tempfile.gettempdir(), f"miletos_deconarr_{key}")
+    land = os.path.join(root, "data")
+    done = os.path.join(root, "_SUCCESS_FEED")
+    # gate on a done MARKER, not dir existence (ADVICE r12): a crash
+    # mid-write would otherwise permanently cache a partial feed (the
+    # _land_docs_tokens_parity_feed convention)
+    if not os.path.exists(done):
         emb = load_table(spark, sf_dir, "embeddings")
         base = emb.filter(F.col("vec_id") < EMB_DECON_EVAL_N)
         copies = base.select(
@@ -8558,7 +8567,10 @@ def _land_decon_arrivals(spark: SparkSession, sf_dir: str) -> str:
                 / F.lit(maxlong),
             ).alias("embedding"),
         )
-        copies.unionByName(fresh).repartition(2).write.parquet(land)
+        copies.unionByName(fresh).repartition(2).write.mode(
+            "overwrite"
+        ).parquet(land)
+        _commit_marker(done, "ok")
     return land
 
 

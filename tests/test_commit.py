@@ -267,3 +267,25 @@ def test_update_bucket_counts_replayed_batch_is_noop(spark, tmp_path):
         for r in spark.read.parquet(bucket_counts_dir(paths)).collect()
     ) == snap
     assert read_index_stats(root)["max_bucket"] == 3
+
+
+def test_fold_partitions_versioned_rejects_escaped_values(spark, tmp_path):
+    """ADVICE r12: untouched-partition matching compares raw dir names,
+    so a partition value Spark would URL-escape (space, '%', ':') must
+    be rejected up front — it would otherwise be BOTH hardlinked from
+    the previous version and rewritten fresh, duplicating rows."""
+    import pytest as _pytest
+
+    from miletos_spark.pipeline.commit import fold_partitions_versioned
+
+    rows = spark.createDataFrame([("a b", 1)], "_bg string, v int")
+    with _pytest.raises(ValueError, match="path escaping"):
+        fold_partitions_versioned(
+            rows, str(tmp_path / "store"), "_bg", ["a b"], "b0"
+        )
+    # plain ints and path-safe strings still fold
+    ok = spark.createDataFrame([(3, 1)], "_bg int, v int")
+    d, applied = fold_partitions_versioned(
+        ok, str(tmp_path / "store2"), "_bg", [3], "b0"
+    )
+    assert applied and spark.read.parquet(d).count() == 1

@@ -1431,3 +1431,42 @@ def test_weights_table_review_fixes(spark, tmp_path):
             for r in resume_run_from_landed(spark, paths, step).collect()
         )
         assert got == want, step
+
+
+def test_weights_table_advice_r12_guards(spark, tmp_path):
+    """ADVICE r12 pins: (a) an empty/all-NULL weights TABLE must still
+    validate default_value — a non-positive default previously slipped
+    through the `mn is None` branch into a degenerate (hi <= 0) bucket
+    grid; (b) `land_epoch_order` rejects non-numeric shard columns with
+    a clear error instead of landing NULL-cast bounds that crash later
+    in `_landed_order_bounds`."""
+    import pytest as _pytest
+
+    from miletos_spark.pipeline.packing import (
+        land_epoch_order,
+        multi_pass_order,
+        weighted_epoch_order,
+    )
+
+    seqs = spark.createDataFrame(
+        [("en", b, b // 8) for b in range(16)],
+        "lang string, seq_bin long, shard long",
+    )
+    empty_w = spark.createDataFrame([], "lang string, w double")
+    with _pytest.raises(ValueError, match="strictly positive"):
+        weighted_epoch_order(seqs, 3, 1, empty_w, default_weight=0.0)
+    empty_r = spark.createDataFrame([], "lang string, repeats long")
+    with _pytest.raises(ValueError, match="positive integers"):
+        multi_pass_order(seqs, 3, empty_r, default_repeats=0)
+    with _pytest.raises(ValueError, match="positive integers"):
+        multi_pass_order(seqs, 3, empty_r, default_repeats=2.5)
+    # the valid empty-table path still serves all-default
+    w = weighted_epoch_order(seqs, 3, 1, empty_w, default_weight=2.0)
+    assert sorted(r["rank"] for r in w.collect()) == list(range(16))
+
+    str_shard = seqs.withColumn("shard", F.concat(F.lit("s"), "shard"))
+    with _pytest.raises(ValueError, match="integer type"):
+        land_epoch_order(
+            spark, str_shard, str(tmp_path / "bad"), seed=3, epoch=0,
+            key_cols=("lang", "seq_bin"), bucket_count=4,
+        )
