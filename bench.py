@@ -191,6 +191,10 @@ HEADLINE = [
     "mixture_budget_plan_docs",
     "pack_bins_ffd_docs",
     "stream_pack_bins_docs",
+    # round-13: leakage-safe cluster-aware splits + landed-eval-index
+    # semantic decontamination
+    "split_assign_clustered_docs",
+    "semantic_decontaminate_indexed_docs",
 ]
 
 # Queries that probe a WRITE-TIME LANDED index (built by the ingest
@@ -214,6 +218,7 @@ LANDED_INDEX_PROBES = {
     "semantic_dedup_embeddings",
     "stream_semantic_dedup_embeddings",
     "stream_media_near_dup",
+    "semantic_decontaminate_indexed_docs",
 }
 
 # The two composed-pipeline anchors run in their OWN fresh JVM,

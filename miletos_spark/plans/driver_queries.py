@@ -4399,6 +4399,98 @@ def q_near_dup_clusters_incremental(
     )
 
 
+def q_split_assign_clustered_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test assignment (r13, VERDICT r12 Missing
+    #1): per-doc hash splitting can put two near-duplicates on opposite
+    sides of the train/test fence — eval inflation through content the
+    engine itself already knows is duplicated. Here every document
+    splits by the md5 hash of its near-dup CLUSTER REPRESENTATIVE (the
+    connected component's minimum doc id, from the same LSH-candidate →
+    exact-Jaccard → alternating-star chain as `near_dup_clusters`);
+    singletons hash their own id, bit-identical to `assign_splits`.
+    The oracle replays the transitive closure over ALL-pairs exact
+    Jaccard plus the integer md5 split rule, so one straddled pair —
+    or one wrong representative — shifts a sum_ids checksum and fails
+    the hash."""
+    from miletos_spark.pipeline.dedup import (
+        connected_components,
+        lsh_pairs_from_bands,
+        ngram_jaccard_pairs,
+    )
+    from miletos_spark.pipeline.landing import land_dedup_index
+    from miletos_spark.pipeline.sampling import assign_splits_clustered
+
+    paths = land_dedup_index(spark, sf_dir, k=9, num_hashes=32, bands=8)
+    cands = lsh_pairs_from_bands(spark.read.parquet(paths["bands"]))
+    docs = load_table(spark, sf_dir, "documents")
+    cand_ids = (
+        cands.select(F.col("id_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    docs_c = docs.join(cand_ids, "doc_id", "left_semi")
+    scored = ngram_jaccard_pairs(docs_c, cands, k=9).cache()
+    pairs = scored.filter(F.col("jaccard") >= 0.5)
+    comp = connected_components(pairs)
+    out = assign_splits_clustered(docs, comp)
+    return out.groupBy("lang", "split").agg(
+        F.count("*").alias("n"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
+def _sql_split_assign_clustered() -> str:
+    # the SQL_NEAR_DUP_CLUSTERS closure, then: rep = component when the
+    # doc is in a cluster else its own id; split = the integer md5-u32
+    # rule (u32 * 10 < cum * 2^32 — exact, no float fraction)
+    return f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct([substr(t, i, 9)
+                        for i in range(1, greatest(length(t) - 8, 1) + 1)]) AS s
+  FROM (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+        FROM documents)
+),
+prs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1.0
+        / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM prs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM prs
+),
+cc(node, lab) AS (
+  SELECT u AS node, u AS lab FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u AS node, c.lab AS lab
+  FROM edges e JOIN cc c ON c.node = e.v
+),
+comp AS (SELECT node, min(lab) AS component FROM cc GROUP BY node),
+rep AS (
+  SELECT d.doc_id, d.lang, coalesce(c.component, d.doc_id) AS r
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+),
+u AS (
+  SELECT doc_id, lang,
+         {_sql_md5_32("CAST(r AS VARCHAR)")} AS u32
+  FROM rep
+)
+SELECT lang,
+       CASE WHEN u32 * 10 < 8 * 4294967296 THEN 'train'
+            WHEN u32 * 10 < 9 * 4294967296 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM u
+GROUP BY 1, 2
+"""
+
+
 SQL_NEAR_DUP_CLUSTERS = r"""
 WITH RECURSIVE sh AS (
   SELECT doc_id,
@@ -8635,6 +8727,87 @@ WHERE cos_sim >= CAST({EMB_DUP_THRESHOLD} AS DOUBLE)
 """
 
 
+def _land_decon_eval_corpus(spark: SparkSession, sf_dir: str) -> str:
+    """Memoized landing of the EVAL benchmark as its own corpus dir (an
+    `embeddings.parquet` table of the first EMB_DECON_EVAL_N vectors),
+    so `land_ivf2_index` can quantize the EVAL side — the
+    too-big-to-broadcast deployment the indexed decontamination form
+    exists for. Done-marker gated (the _land_decon_arrivals fix)."""
+    import hashlib
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|evc"
+    except OSError:
+        sig = os.path.abspath(sf_dir) + "|evc"
+    key = hashlib.md5(sig.encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"miletos_deconeval_{key}")
+    land = os.path.join(root, "embeddings.parquet")
+    done = os.path.join(root, "_SUCCESS_FEED")
+    if not os.path.exists(done):
+        emb = load_table(spark, sf_dir, "embeddings")
+        emb.filter(F.col("vec_id") < EMB_DECON_EVAL_N).coalesce(
+            1
+        ).write.mode("overwrite").parquet(land)
+        _commit_marker(done, "ok")
+    return root
+
+
+def q_semantic_decontaminate_indexed_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEMANTIC decontamination via a LANDED eval index (r13, VERDICT
+    r12 Missing #2): the assignment-join path a too-big-to-broadcast
+    eval suite actually executes — the eval benchmark lands once
+    through the two-level IVF quantizer (`land_ivf2_index` pointed at
+    the eval corpus), and each training vector checks only its probed
+    (super, fine) buckets' eval members (`stream_semantic_dedup`'s
+    machinery with the eval side re-pointed). Same train/eval/planted
+    composition as `semantic_decontaminate_docs`, and the oracle is the
+    SAME full cross-join replay: planted paraphrases sit at cos≈0.9999
+    — near-identical vectors always share a probed bucket (the
+    any-quantizer recovery argument, adversarially pinned in
+    tests/test_similarity.py) — and the indexed form can only ever emit
+    a SUBSET of the exact form's threshold hits, so indexed == exact is
+    precisely the recovery contract the driver hash proves."""
+    from miletos_spark.pipeline.landing import land_ivf2_index
+    from miletos_spark.pipeline.similarity import (
+        semantic_decontaminate_indexed,
+    )
+
+    eval_dir = _land_decon_eval_corpus(spark, sf_dir)
+    paths = land_ivf2_index(spark, eval_dir, n_clusters=8)
+    coarse = spark.read.parquet(paths["coarse"])
+    fine = spark.read.parquet(paths["fine"])
+    eval_cells = spark.read.parquet(paths["cells"])
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") < EMB_DECON_EVAL_N)
+    planted = ev.select(
+        (F.col("vec_id") + F.lit(EMB_DUP_ID_OFFSET)).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double") + F.lit(0.01)
+        ).alias("embedding"),
+    )
+    # _spread: the per-row probe assignment is the interpreted cost
+    # center and the corpus arrives as ONE file partition at test SFs
+    par = spark.sparkContext.defaultParallelism
+    train = (
+        emb.filter(F.col("vec_id") >= EMB_DECON_EVAL_N)
+        .select("vec_id", "embedding")
+        .unionByName(planted)
+        .repartition(par)
+    )
+    out = semantic_decontaminate_indexed(
+        train, coarse, fine, eval_cells,
+        threshold=EMB_DUP_THRESHOLD, n_probe=2,
+    )
+    return out.select(
+        F.col("vec_id").alias("doc_id"), "eval_id", "cos_sim"
+    )
+
+
 def q_detection_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 detection statistics (`boolposianls`,
     miletos/main.py:11871-11877): best BLS SNR, best LS power, and the
@@ -11338,6 +11511,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # promoted late-r08: the round's new capability wave
     "stream_probe_score_docs": q_stream_probe_score_docs,
     "stream_semantic_dedup_embeddings": q_stream_semantic_dedup_embeddings,
+    # r13 second promotion (VERDICT r12 Missing #2):
+    # semantic_decontaminate_indexed_docs — the landed-eval-index
+    # decontamination path (the one r12-born op without driver-hash
+    # evidence; its oracle is the full cross-join replay, which the
+    # subset-only indexed form can match iff the any-quantizer recovery
+    # contract holds). Evicted stream_media_near_dup (green in BOTH r11
+    # and r12): the banded-Hamming pair join runs in-window inside
+    # media_dedup_decisions over the same dedup.py band functions, and
+    # the STREAMING arrivals-vs-landed-pHash-index shape stays checked
+    # by stream_media_decisions; the pHash HOF itself is unit-pinned
+    # (halo/hub tests) and sweep-covered.
+    "semantic_decontaminate_indexed_docs": q_semantic_decontaminate_indexed_docs,
     # kept: continuity anchors (deepest composite plans)
     "bls_spectrum_events": q_bls_spectrum_events,
     "gp_recovery_events": q_gp_recovery_events,
@@ -11389,9 +11574,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # stupid-backoff chain contains the bigram level as its own
     # fallback).
     "bpe_roundtrip_docs": q_bpe_roundtrip_docs,
-    "stream_media_near_dup": q_stream_media_near_dup,
     "media_dedup_decisions": q_media_dedup_decisions,
     "near_dup_clusters_incremental": q_near_dup_clusters_incremental,
+    # r13 rotation (VERDICT r12 Next #1): promoted
+    # split_assign_clustered_docs — leakage-safe train/val/test
+    # assignment by the md5 hash of the near-dup cluster REPRESENTATIVE
+    # (born this round; the oracle replays the all-pairs transitive
+    # closure + the integer md5 split rule). Evicted
+    # training_shards_docs (green in BOTH r11 and r12): its pack_chunks
+    # layout is replayed VERBATIM inside the training_order*/serving
+    # rows' oracles (their seqs CTE is concat-and-chunk, all in-window),
+    # and the partitioned-materialization machinery is exercised
+    # strictly harder by serving_shards_docs (rank-contiguity proven by
+    # integer replay) plus stream_pack_shards_docs' layout gate.
+    "split_assign_clustered_docs": q_split_assign_clustered_docs,
     # r10 second rotation: promoted the round's FIVE new capabilities
     # (dsir_select importance resampling, its streamed deployment,
     # quality_funnel attrition, corpus_drift KL monitor, and the
@@ -11427,7 +11623,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_funnel_docs": q_stream_funnel_docs,
     "stream_decontaminate_docs": q_stream_decontaminate_docs,
     "bpe_train_encode_docs": q_bpe_train_encode_docs,
-    "training_shards_docs": q_training_shards_docs,
     # r11 rotation (VERDICT r10 Next #1/#2/#3): promoted
     # training_order_docs (NEW — seeded epoch-keyed serving order over
     # the packed sequences, two-pass prefix-sum rank, the stage between
@@ -11499,6 +11694,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_docs": q_decontaminate_docs,
     "albedo_recirc_events": q_albedo_recirc_events,
     "tfidf_topk_docs": q_tfidf_topk_docs,
+    # r13 evictions: green in both r11 and r12, machinery covered
+    # in-window (see the r13 rotation comments at the window head)
+    "training_shards_docs": q_training_shards_docs,
+    "stream_media_near_dup": q_stream_media_near_dup,
     # r12 evictions: green in both r10 and r11, machinery covered
     # in-window (see the r12 rotation comments at the window head)
     "population_nm_recovery_events": q_population_nm_recovery_events,
@@ -11717,6 +11916,10 @@ def _oracles() -> dict[str, str]:
         "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
         # append==rebuild: the incremental row's oracle IS the rebuild
         "near_dup_clusters_incremental": SQL_NEAR_DUP_CLUSTERS,
+        "split_assign_clustered_docs": _sql_split_assign_clustered(),
+        # indexed == exact IS the recovery contract (subset-only form
+        # against the full cross-join replay)
+        "semantic_decontaminate_indexed_docs": _sql_semantic_decontaminate(),
         "white_light_events": SQL_WHITE_LIGHT_EVENTS,
         "transit_windows_events": SQL_TRANSIT_WINDOWS_EVENTS,
         "flare_band_events": SQL_FLARE_BAND_EVENTS,

@@ -161,6 +161,22 @@ def test_window_rotation_is_deliberate():
     # encode half hash-gated in the production/lifecycle rows,
     # pack_chunks half replayed verbatim inside the training_order/
     # serving oracles' seqs CTE + stream_pack_shards' layout gate).
+    # r13 rotation (VERDICT r12 Next #1): promoted
+    # split_assign_clustered_docs — leakage-safe splits keyed on the
+    # near-dup cluster representative, born this round. Evicted
+    # training_shards_docs (green in BOTH r11 and r12): its
+    # pack_chunks layout is replayed verbatim inside the
+    # training_order*/serving oracles' seqs CTE (in-window) and the
+    # partitioned materialization is checked strictly harder by
+    # serving_shards_docs + stream_pack_shards_docs (both in-window).
+    # r13 second promotion (VERDICT r12 Missing #2):
+    # semantic_decontaminate_indexed_docs — the landed-eval-index
+    # decontamination path gets driver-hash evidence (oracle = the full
+    # cross-join replay; matching it proves the any-quantizer recovery
+    # contract on the subset-only indexed form). Evicted
+    # stream_media_near_dup (green in BOTH r11 and r12): band joins
+    # in-window via media_dedup_decisions, streaming-vs-landed-index
+    # shape via stream_media_decisions, pHash HOF unit-pinned.
     assert window == [
         "semantic_decontaminate_docs", "stream_semantic_decontaminate_docs",
         "serving_shards_docs", "serving_mixture_docs",
@@ -172,20 +188,21 @@ def test_window_rotation_is_deliberate():
         "ivfpq_recall_topk",
         "stream_probe_score_docs",
         "stream_semantic_dedup_embeddings",
+        "semantic_decontaminate_indexed_docs",
         "bls_spectrum_events", "gp_recovery_events", "mcmc_recovery_events",
         "pipeline_summary_events", "pipeline_population_events", "stream_bls_events",
         "substring_removal_docs",
         "stream_flare_keyed_events", "lm_trigram_score_docs",
         "stream_pack_shards_docs", "bpe_encode_production_docs",
         "bpe_roundtrip_docs",
-        "stream_media_near_dup", "media_dedup_decisions",
+        "media_dedup_decisions",
         "near_dup_clusters_incremental",
+        "split_assign_clustered_docs",
         "stream_dsir_score_docs",
         "corpus_drift_docs", "doc_embed_infer_docs",
         "dsir_landed_select_docs", "stream_funnel_docs",
         "stream_decontaminate_docs",
         "bpe_train_encode_docs",
-        "training_shards_docs",
         "training_order_docs", "training_order_weighted_docs",
         "training_order_multipass_docs",
         "stream_media_decisions",

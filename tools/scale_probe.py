@@ -106,6 +106,10 @@ CORPUS_QUERIES = [
     "pack_bins_nosplit_docs",
     "pack_bins_ffd_docs",
     "mixture_budget_plan_docs",
+    # round-13: cluster-aware splits (corpus axis: the doc join +
+    # hash-split scan) + indexed decon (corpus axis: probe assignment)
+    "split_assign_clustered_docs",
+    "semantic_decontaminate_indexed_docs",
 ]
 
 
