@@ -195,6 +195,7 @@ HEADLINE = [
     # semantic decontamination
     "split_assign_clustered_docs",
     "semantic_decontaminate_indexed_docs",
+    "training_order_curriculum_docs",
 ]
 
 # Queries that probe a WRITE-TIME LANDED index (built by the ingest

@@ -1445,6 +1445,69 @@ FROM r
 """
 
 
+def q_training_order_curriculum_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CURRICULUM-staged serving order (r13, VERDICT r12 Missing #4):
+    the data-card staging discipline — documents serve in
+    quality-QUANTILE stages (stage = exact quartile slice of the
+    quality-classifier logit, best first), and within a stage the order
+    is the same seeded md5 permutation as `epoch_order`, so the
+    top-quality stage occupies EXACTLY the leading rank band.
+    Integer/fixed-point exact end to end: quantized score →
+    prefix-sum score rank (no global sort) → floor-quantile stage →
+    second prefix-sum serve rank. The oracle replays the logit, both
+    rankings (plain global windows — the bucketed≡sorted proof twice
+    over), and the stage arithmetic."""
+    from miletos_spark.pipeline.packing import curriculum_order
+    from miletos_spark.pipeline.text import quality_logit
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang", "doc_id", quality_logit(F.col("text")).alias("q_score")
+    )
+    order = curriculum_order(
+        scored, seed=7, epoch=0, score_col="q_score", n_stages=4,
+        key_cols=("doc_id",), bucket_count=64,
+    )
+    return order.select(
+        "lang",
+        "doc_id",
+        "score_q",
+        F.col("stage").cast("int").alias("stage"),
+        F.col("epoch").cast("int").alias("epoch"),
+        "rank",
+    )
+
+
+def _sql_training_order_curriculum() -> str:
+    """Oracle for q_training_order_curriculum_docs (lazy: composes
+    `_sql_quality_ctes` / `_sql_md5_32` / `quantize_sql`, defined
+    further down the module)."""
+    return f"""
+WITH {_sql_quality_ctes("documents")},
+sq AS (
+  SELECT l.doc_id, d.lang, {quantize_sql("l.logit", 6)} AS score_q
+  FROM lg l JOIN documents d USING (doc_id)),
+r AS (
+  SELECT doc_id, lang, score_q,
+         row_number() OVER (ORDER BY score_q DESC, doc_id) - 1 AS srank,
+         count(*) OVER () AS n
+  FROM sq),
+st AS (
+  SELECT doc_id, lang, score_q,
+         CAST(floor(srank * 4.0 / n) AS INT) AS stage
+  FROM r),
+u AS (
+  SELECT *, {_sql_md5_32("'7|0|' || CAST(doc_id AS VARCHAR)")} AS u32
+  FROM st)
+SELECT lang, doc_id, score_q, stage, CAST(0 AS INT) AS epoch,
+       CAST(row_number() OVER (ORDER BY stage, u32, doc_id) - 1 AS BIGINT)
+         AS rank
+FROM u
+"""
+
+
 def _seqs_for_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The packed-sequence table the serving-order rows share (512-token
     concat-and-chunk bins per lang over the documents corpus)."""
@@ -11658,7 +11721,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # trig-moment expressions are IDENTICAL between the batch and
     # keyed-stream forms, batch form sweep-checked via
     # lomb_scargle_events + stream_ls_events driver history.)
-    "training_order_docs": q_training_order_docs,
+    # r13 third promotion (VERDICT r12 Missing #4):
+    # training_order_curriculum_docs — quality-quantile staged serving
+    # (the data-card anneal/staging discipline), born this round.
+    # Evicted training_order_docs (green in BOTH r11 and r12): the
+    # uniform md5 permutation + two-pass prefix-sum rank machinery is
+    # the curriculum row's WITHIN-STAGE order (same key spelling, same
+    # bucketed≡sorted proof in its oracle), the identical epoch_order
+    # chain also runs inside training_run_order_docs (in-window, epochs
+    # 0..E-1), and the (shard, offset) resume arithmetic stays checked
+    # by serving_shards_docs.
+    "training_order_curriculum_docs": q_training_order_curriculum_docs,
     "training_order_weighted_docs": q_training_order_weighted_docs,
     "training_order_multipass_docs": q_training_order_multipass_docs,
     "stream_media_decisions": q_stream_media_decisions,
@@ -11698,6 +11771,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # in-window (see the r13 rotation comments at the window head)
     "training_shards_docs": q_training_shards_docs,
     "stream_media_near_dup": q_stream_media_near_dup,
+    "training_order_docs": q_training_order_docs,
     # r12 evictions: green in both r10 and r11, machinery covered
     # in-window (see the r12 rotation comments at the window head)
     "population_nm_recovery_events": q_population_nm_recovery_events,
@@ -11920,6 +11994,7 @@ def _oracles() -> dict[str, str]:
         # indexed == exact IS the recovery contract (subset-only form
         # against the full cross-join replay)
         "semantic_decontaminate_indexed_docs": _sql_semantic_decontaminate(),
+        "training_order_curriculum_docs": _sql_training_order_curriculum(),
         "white_light_events": SQL_WHITE_LIGHT_EVENTS,
         "transit_windows_events": SQL_TRANSIT_WINDOWS_EVENTS,
         "flare_band_events": SQL_FLARE_BAND_EVENTS,

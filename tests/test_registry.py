@@ -177,6 +177,13 @@ def test_window_rotation_is_deliberate():
     # stream_media_near_dup (green in BOTH r11 and r12): band joins
     # in-window via media_dedup_decisions, streaming-vs-landed-index
     # shape via stream_media_decisions, pHash HOF unit-pinned.
+    # r13 third promotion (VERDICT r12 Missing #4):
+    # training_order_curriculum_docs — quality-quantile staged serving,
+    # born this round. Evicted training_order_docs (green in BOTH r11
+    # and r12): the uniform permutation + prefix-sum rank machinery is
+    # the curriculum row's within-stage order AND runs inside
+    # training_run_order_docs (in-window); (shard, offset) resume
+    # arithmetic stays via serving_shards_docs.
     assert window == [
         "semantic_decontaminate_docs", "stream_semantic_decontaminate_docs",
         "serving_shards_docs", "serving_mixture_docs",
@@ -203,7 +210,7 @@ def test_window_rotation_is_deliberate():
         "dsir_landed_select_docs", "stream_funnel_docs",
         "stream_decontaminate_docs",
         "bpe_train_encode_docs",
-        "training_order_docs", "training_order_weighted_docs",
+        "training_order_curriculum_docs", "training_order_weighted_docs",
         "training_order_multipass_docs",
         "stream_media_decisions",
         "quality_funnel_by_lang_docs",

@@ -110,6 +110,7 @@ CORPUS_QUERIES = [
     # hash-split scan) + indexed decon (corpus axis: probe assignment)
     "split_assign_clustered_docs",
     "semantic_decontaminate_indexed_docs",
+    "training_order_curriculum_docs",
 ]
 
 
