@@ -111,6 +111,15 @@ CORPUS_QUERIES = [
     "split_assign_clustered_docs",
     "semantic_decontaminate_indexed_docs",
     "training_order_curriculum_docs",
+    # round-13 (VERDICT r12 stretch #8): the two r12-born streaming
+    # rows get a corpus-axis probe. Expectations: stream_semantic_
+    # decontaminate is FLAT (its arrival feed is 2·|eval| rows — a
+    # constant — and the packed eval broadcast is corpus-independent);
+    # stream_pack_bins is LINEAR (the parity feed carries the whole
+    # corpus, each batch is a pure function of its own rows, zero
+    # cross-batch state).
+    "stream_semantic_decontaminate_docs",
+    "stream_pack_bins_docs",
 ]
 
 
