@@ -1622,3 +1622,53 @@ def test_pack_bins_occupancy_guard_and_pathological_block(spark):
         if b + 1 in by_bin:
             nxt = by_bin[b + 1][0]["n_tokens"]
             assert fill + nxt > 100, b
+
+
+def test_assign_splits_clustered_follows_incremental_clusters(
+    spark, tmp_path
+):
+    """Composition with the LANDED incremental cluster table (the
+    maintenance path a production corpus actually runs): after an
+    appended edge batch MERGES two clusters, re-running
+    `assign_splits_clustered` against the updated landed table gives
+    the merged cluster ONE split (keyed on the new, smaller
+    representative) — leakage-safety survives cluster maintenance, and
+    the moved docs are exactly the members whose representative
+    changed."""
+    from miletos_spark.pipeline.landing import (
+        land_cluster_index,
+        update_cluster_index,
+    )
+    from miletos_spark.pipeline.sampling import assign_splits_clustered
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(60)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "clusters")
+
+    def edges(pairs):
+        return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+    land_cluster_index(spark, edges([(5, 6), (20, 21)]), path, n_buckets=4)
+    comp0 = spark.read.parquet(path).select("node", "component")
+    s0 = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits_clustered(docs, comp0).collect()
+    }
+    assert s0[5] == s0[6] and s0[20] == s0[21]
+
+    # append merges {5,6} with {20,21} via a bridging near-dup pair
+    update_cluster_index(spark, path, edges([(6, 20)]), n_buckets=4)
+    comp1 = spark.read.parquet(path).select("node", "component")
+    s1 = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits_clustered(docs, comp1).collect()
+    }
+    merged = {s1[d] for d in (5, 6, 20, 21)}
+    assert len(merged) == 1
+    # everyone outside the merged component is untouched
+    for d in range(60):
+        if d not in (5, 6, 20, 21):
+            assert s1[d] == s0[d], d
+    # the merged split is the representative's (min id = 5) own split
+    assert s1[20] == s0[5]
