@@ -196,6 +196,7 @@ HEADLINE = [
     "split_assign_clustered_docs",
     "semantic_decontaminate_indexed_docs",
     "training_order_curriculum_docs",
+    "training_run_order_annealed_docs",
 ]
 
 # Queries that probe a WRITE-TIME LANDED index (built by the ingest

@@ -1287,6 +1287,159 @@ def run_order(
     )
 
 
+def annealed_run_order(
+    seqs: DataFrame,
+    seed: int,
+    n_epochs: int,
+    weights_by_epoch,
+    group_col: str = "lang",
+    key_cols: Sequence[str] = ("lang", "seq_bin"),
+    default_weight: float = 1.0,
+    bucket_count: int = 64,
+) -> DataFrame:
+    """ANNEALED cross-epoch run schedule (r13, the epoch-dependent half
+    of VERDICT r12 Missing #4): a data card's anneal phase changes the
+    MIXTURE over the run — e.g. serve uniformly for epochs 0..E-2, then
+    upweight the high-quality sources in the final epoch. Epoch e here
+    is an independent Efraimidis–Spirakis A-Res weighted order under
+    THAT epoch's weights (`weighted_epoch_order` semantics verbatim —
+    any prefix of epoch e carries epoch e's mixture in expectation),
+    composed into one resumable schedule: ``global_step = epoch·N +
+    rank`` (`resume_run_at_step` works unchanged).
+
+    FLAT IN E like `run_order`: epochs explode (no shuffle), the weight
+    reaches each (row, epoch) copy through ONE broadcast join on
+    (epoch, group), and all E·N serve keys rank in one two-pass prefix
+    sum — offsets partitioned by epoch, the -key grid sized by the
+    spec's GLOBAL minimum weight (a driver constant: one tiny
+    O(E·|groups|) aggregate over the weights table, never a corpus
+    pass). Bit-identical to per-epoch `weighted_epoch_order` calls
+    (asserted in tests).
+
+    ``weights_by_epoch``: an (epoch, group, weight) DataFrame — the
+    scale form (a data card's anneal table is E·|sources| rows,
+    broadcast-sized) — or a {epoch: {group: w}} dict as sugar. Missing
+    (epoch, group) pairs take ``default_weight``; duplicates raise
+    (the join would duplicate corpus rows). Same `key_cols` uniqueness
+    precondition as `epoch_order`. Returns ``seqs`` + (``serve_key``,
+    ``epoch``, ``rank``, ``global_step``)."""
+    from miletos_spark.functions.scalars import quantize
+
+    if n_epochs < 1:
+        raise ValueError("annealed_run_order: n_epochs must be >= 1")
+    E, B = int(n_epochs), int(bucket_count)
+    spark = seqs.sparkSession
+    if isinstance(weights_by_epoch, dict):
+        rows = [
+            (int(e), g, float(w))
+            for e, gw in weights_by_epoch.items()
+            for g, w in gw.items()
+        ]
+        wdf = (
+            spark.createDataFrame(
+                rows, f"epoch int, {group_col} string, _wval double"
+            )
+            if rows
+            else spark.createDataFrame(
+                [], f"epoch int, {group_col} string, _wval double"
+            )
+        )
+    else:
+        cols = [
+            c for c in weights_by_epoch.columns
+            if c not in ("epoch", group_col)
+        ]
+        if "epoch" not in weights_by_epoch.columns or len(cols) != 1:
+            raise ValueError(
+                "annealed_run_order: weights table must have exactly "
+                f"(epoch, {group_col}, weight) columns, got "
+                f"{weights_by_epoch.columns}"
+            )
+        wdf = weights_by_epoch.select(
+            F.col("epoch").cast("int"),
+            group_col,
+            F.col(cols[0]).cast("double").alias("_wval"),
+        )
+    if default_weight <= 0:
+        raise ValueError(
+            "annealed_run_order: weights must be strictly positive"
+        )
+    row = wdf.agg(
+        F.min("_wval").alias("_mn"),
+        F.count("*").alias("_n"),
+        F.count_distinct("epoch", group_col).alias("_nd"),
+    ).first()
+    if row["_n"] != row["_nd"]:
+        raise ValueError(
+            "annealed_run_order: duplicate (epoch, group) weight rows — "
+            "the join would duplicate corpus rows"
+        )
+    mn = row["_mn"]
+    if mn is not None and mn <= 0:
+        raise ValueError(
+            "annealed_run_order: weights must be strictly positive"
+        )
+    w_min = float(default_weight) if mn is None else min(
+        float(default_weight), float(mn)
+    )
+
+    n1 = seqs.agg(F.count("*").alias("_n"))
+    work = seqs.withColumn(
+        "epoch", F.explode(F.sequence(F.lit(0), F.lit(E - 1)))
+    ).join(F.broadcast(wdf), ["epoch", group_col], "left")
+    key_str = F.concat_ws(
+        "|",
+        F.lit(int(seed)).cast("string"),
+        F.col("epoch").cast("string"),
+        *[F.col(c).cast("string") for c in key_cols],
+    )
+    u32 = F.conv(F.substring(F.md5(key_str), 1, 8), 16, 10).cast("long")
+    u = F.greatest(u32 / F.lit(4294967296.0), F.lit(2.0 ** -32))
+    w_col = F.coalesce(F.col("_wval"), F.lit(float(default_weight)))
+    key_q = quantize(F.log(u) / w_col, 6)
+    hi = _LN_U_MAX / w_min
+    work = (
+        work.withColumn("serve_key", key_q)
+        .withColumn(
+            "_bkt",
+            F.least(
+                F.greatest(
+                    F.floor(-F.col("serve_key") * B / F.lit(hi)), F.lit(0)
+                ),
+                F.lit(B - 1),
+            ).cast("int"),
+        )
+        .drop("_wval")
+    )
+    counts = work.groupBy("epoch", "_bkt").agg(F.count("*").alias("_c"))
+    woff = (
+        Window.partitionBy("epoch")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        "epoch",
+        "_bkt",
+        F.coalesce(F.sum("_c").over(woff), F.lit(0)).alias("_off"),
+    )
+    wb = Window.partitionBy("epoch", "_bkt").orderBy(
+        (-F.col("serve_key")).asc(), *[F.col(c) for c in key_cols]
+    )
+    return (
+        work.join(F.broadcast(offs), ["epoch", "_bkt"])
+        .withColumn(
+            "rank",
+            (F.row_number().over(wb) + F.col("_off") - 1).cast("long"),
+        )
+        .crossJoin(F.broadcast(n1))
+        .withColumn(
+            "global_step",
+            (F.col("epoch") * F.col("_n") + F.col("rank")).cast("long"),
+        )
+        .drop("_bkt", "_off", "_n")
+    )
+
+
 def resume_run_at_step(order: DataFrame, step: int) -> DataFrame:
     """Mid-RUN resume on a computed `run_order` table: everything still
     to serve from ``step`` onward — a pure pushdown-able filter (the

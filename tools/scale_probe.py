@@ -120,6 +120,7 @@ CORPUS_QUERIES = [
     # cross-batch state).
     "stream_semantic_decontaminate_docs",
     "stream_pack_bins_docs",
+    "training_run_order_annealed_docs",
 ]
 
 
