@@ -197,6 +197,7 @@ HEADLINE = [
     "semantic_decontaminate_indexed_docs",
     "training_order_curriculum_docs",
     "training_run_order_annealed_docs",
+    "stream_split_assign_docs",
 ]
 
 # Queries that probe a WRITE-TIME LANDED index (built by the ingest

@@ -4592,6 +4592,78 @@ def q_split_assign_clustered_docs(
     )
 
 
+def _land_doc_clusters(spark: SparkSession, sf_dir: str) -> str:
+    """Memoized landed (node, component) cluster table over the
+    documents corpus — the full LSH-candidate → exact-Jaccard →
+    connected-components chain of `q_near_dup_clusters`, landed once
+    per corpus (done-marker gated) so the STREAMING split row joins a
+    static table exactly the way a production ingest would."""
+    import hashlib
+    import tempfile
+
+    from miletos_spark.pipeline.dedup import (
+        connected_components,
+        lsh_pairs_from_bands,
+        ngram_jaccard_pairs,
+    )
+    from miletos_spark.pipeline.landing import land_dedup_index
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|dcl"
+    except OSError:
+        sig = os.path.abspath(sf_dir) + "|dcl"
+    key = hashlib.md5(sig.encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"miletos_docclust_{key}")
+    land = os.path.join(root, "clusters")
+    done = os.path.join(root, "_SUCCESS_FEED")
+    if not os.path.exists(done):
+        paths = land_dedup_index(spark, sf_dir, k=9, num_hashes=32, bands=8)
+        cands = lsh_pairs_from_bands(spark.read.parquet(paths["bands"]))
+        docs = load_table(spark, sf_dir, "documents")
+        cand_ids = (
+            cands.select(F.col("id_a").alias("doc_id"))
+            .unionByName(cands.select(F.col("id_b").alias("doc_id")))
+            .distinct()
+        )
+        docs_c = docs.join(cand_ids, "doc_id", "left_semi")
+        scored = ngram_jaccard_pairs(docs_c, cands, k=9).cache()
+        pairs = scored.filter(F.col("jaccard") >= 0.5)
+        connected_components(pairs).write.mode("overwrite").parquet(land)
+        _commit_marker(done, "ok")
+    return land
+
+
+def q_stream_split_assign_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe splits ON the firehose (r13): arriving documents
+    are split-labeled AT INGEST against the landed near-dup cluster
+    table — a re-crawled near-duplicate of a test document can never be
+    labeled train, even arriving in a different micro-batch (the
+    planted clusters' members span the 2-file feed). ZERO state: one
+    stream-static join + the codegen hash-split scan; the batch
+    expression runs verbatim, so the oracle IS the batch row's — the
+    all-pairs transitive closure + integer md5 split rule replay."""
+    from miletos_spark.streaming.ingest import (
+        stream_assign_splits_clustered,
+    )
+
+    cpath = _land_doc_clusters(spark, sf_dir)
+    feed = _land_docs_tokens_parity_feed(spark, sf_dir)
+    sdf = stream_assign_splits_clustered(
+        spark, feed, "lang string, doc_id long, n_tokens long", cpath,
+        max_files_per_trigger=1,
+    )
+    out = _drain_memory_stream(
+        spark, sdf.select("lang", "doc_id", "split"), "stream_splitcl_",
+        output_mode="append",
+    )
+    return out.groupBy("lang", "split").agg(
+        F.count("*").alias("n"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
 def _sql_split_assign_clustered() -> str:
     # the SQL_NEAR_DUP_CLUSTERS closure, then: rep = component when the
     # doc is in a cluster else its own id; split = the integer md5-u32
@@ -11724,7 +11796,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # scoring stay), lm_bigram_score_docs (the checked trigram row's
     # stupid-backoff chain contains the bigram level as its own
     # fallback).
-    "bpe_roundtrip_docs": q_bpe_roundtrip_docs,
     "media_dedup_decisions": q_media_dedup_decisions,
     "near_dup_clusters_incremental": q_near_dup_clusters_incremental,
     # r13 rotation (VERDICT r12 Next #1): promoted
@@ -11739,6 +11810,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # strictly harder by serving_shards_docs (rank-contiguity proven by
     # integer replay) plus stream_pack_shards_docs' layout gate.
     "split_assign_clustered_docs": q_split_assign_clustered_docs,
+    # r13 fifth promotion (beyond-ask, the ingest deployment of Next
+    # #1): stream_split_assign_docs — leakage-safe splits assigned AT
+    # INGEST against the landed cluster table (stream-static join, zero
+    # state; planted cluster members span micro-batches), born this
+    # round. Evicted bpe_roundtrip_docs (green in BOTH r11 and r12):
+    # the frozen encode chain (the hard half) stays hash-gated inside
+    # bpe_encode_production_docs and bpe_train_encode_docs (both
+    # in-window, their oracles replay the chain), and the UTF-8
+    # byte-fallback decode half is pure per-row string code pinned by
+    # unit tests (test_bpe_train) and the sweep.
+    "stream_split_assign_docs": q_stream_split_assign_docs,
     # r10 second rotation: promoted the round's FIVE new capabilities
     # (dsir_select importance resampling, its streamed deployment,
     # quality_funnel attrition, corpus_drift KL monitor, and the
@@ -11872,6 +11954,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_media_near_dup": q_stream_media_near_dup,
     "training_order_docs": q_training_order_docs,
     "training_order_multipass_docs": q_training_order_multipass_docs,
+    "bpe_roundtrip_docs": q_bpe_roundtrip_docs,
     # r12 evictions: green in both r10 and r11, machinery covered
     # in-window (see the r12 rotation comments at the window head)
     "population_nm_recovery_events": q_population_nm_recovery_events,
@@ -12091,6 +12174,9 @@ def _oracles() -> dict[str, str]:
         # append==rebuild: the incremental row's oracle IS the rebuild
         "near_dup_clusters_incremental": SQL_NEAR_DUP_CLUSTERS,
         "split_assign_clustered_docs": _sql_split_assign_clustered(),
+        # stream == batch per arrival set (stateless stream-static
+        # join), so the streaming row replays the SAME closure
+        "stream_split_assign_docs": _sql_split_assign_clustered(),
         # indexed == exact IS the recovery contract (subset-only form
         # against the full cross-join replay)
         "semantic_decontaminate_indexed_docs": _sql_semantic_decontaminate(),

@@ -1463,3 +1463,44 @@ def stream_semantic_decontaminate(
         src, packed, threshold=threshold,
         id_col=id_col, vec_col=vec_col,
     )
+
+
+def stream_assign_splits_clustered(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    clusters_path: str,
+    weights=(("train", 8), ("val", 1), ("test", 1)),
+    id_col: str = "doc_id",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """LEAKAGE-SAFE split assignment ON the firehose (r13): arriving
+    documents get their train/val/test split AT INGEST, keyed on the
+    near-dup cluster representative from the LANDED cluster table
+    (`landing.land_cluster_index` / `update_cluster_index` keep it
+    current) — so a re-crawled near-duplicate of a test document can
+    never be labeled train, even when the two arrive months apart.
+
+    ZERO STATE: one stream-static left join against the landed
+    clusters (Structured Streaming allows static right sides with no
+    state store) + the pure codegen md5 hash-split scan — no watermark,
+    no aggregate, nothing grows with arrival volume. The batch form
+    (`sampling.assign_splits_clustered`) runs VERBATIM, so stream ≡
+    batch per arrival set by construction (asserted in tests). The
+    assignment is a pure function of (id, landed clusters): replaying a
+    batch re-derives identical splits, so downstream sinks can be
+    idempotent with no markers.
+
+    Emits the arrival rows + ``split``."""
+    from miletos_spark.pipeline.sampling import assign_splits_clustered
+
+    clusters = spark.read.parquet(clusters_path).select(
+        "node", "component"
+    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_dir)
+    return assign_splits_clustered(
+        src, clusters, weights=weights, id_col=id_col
+    )

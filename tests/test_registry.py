@@ -192,6 +192,12 @@ def test_window_rotation_is_deliberate():
     # training_run_order_docs, the A-Res key by
     # training_order_weighted_docs + the annealed row, the
     # budget→repeats composition by mixture_budget_plan_docs.
+    # r13 fifth promotion (beyond-ask): stream_split_assign_docs —
+    # leakage-safe splits at ingest (stream-static join vs the landed
+    # cluster table, zero state), born this round. Evicted
+    # bpe_roundtrip_docs (green in BOTH r11 and r12): encode chain
+    # hash-gated in bpe_encode_production/bpe_train_encode (in-window);
+    # UTF-8 decode half unit-pinned + sweep-covered.
     assert window == [
         "semantic_decontaminate_docs", "stream_semantic_decontaminate_docs",
         "serving_shards_docs", "serving_mixture_docs",
@@ -209,10 +215,10 @@ def test_window_rotation_is_deliberate():
         "substring_removal_docs",
         "stream_flare_keyed_events", "lm_trigram_score_docs",
         "stream_pack_shards_docs", "bpe_encode_production_docs",
-        "bpe_roundtrip_docs",
         "media_dedup_decisions",
         "near_dup_clusters_incremental",
         "split_assign_clustered_docs",
+        "stream_split_assign_docs",
         "stream_dsir_score_docs",
         "corpus_drift_docs", "doc_embed_infer_docs",
         "dsir_landed_select_docs", "stream_funnel_docs",

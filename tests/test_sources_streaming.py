@@ -1386,3 +1386,61 @@ def test_stream_pack_bins_ffd_branch_equals_batch_per_parity(
             ).collect())
         )
     assert got == sorted(want) and len(got) == 60
+
+
+def test_stream_assign_splits_clustered_zero_state_equals_batch(
+    spark, tmp_path
+):
+    """Streaming leakage-safe splits (r13): the stream-static join +
+    hash-split scan carries ZERO stateful operators, assigns every
+    arrival the batch form's bit-identical split (stream ≡ batch per
+    arrival set), and no near-dup pair straddles splits across
+    micro-batches (the two members of a planted cluster arrive in
+    DIFFERENT files and still share a split)."""
+    from pyspark.sql import functions as F
+
+    from miletos_spark.pipeline.dedup import connected_components
+    from miletos_spark.pipeline.sampling import assign_splits_clustered
+    from miletos_spark.plans.driver_queries import _drain_memory_stream
+    from miletos_spark.streaming.ingest import (
+        stream_assign_splits_clustered,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "en") for i in range(80)], "doc_id long, lang string"
+    )
+    comp = connected_components(
+        spark.createDataFrame(
+            [(4, 5), (5, 61), (30, 31)], "id_a long, id_b long"
+        )
+    )
+    cpath = str(tmp_path / "clusters")
+    comp.write.parquet(cpath)
+
+    feed = str(tmp_path / "feed")
+    # cluster {4, 5, 61}: 4 and 5 arrive in file 0, 61 in file 1
+    docs.filter(F.col("doc_id") < 60).coalesce(1).write.parquet(feed)
+    docs.filter(F.col("doc_id") >= 60).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+
+    sdf = stream_assign_splits_clustered(
+        spark, feed, "doc_id long, lang string", cpath,
+        max_files_per_trigger=1,
+    )
+    plan = sdf._jdf.queryExecution().analyzed().toString()
+    assert "Aggregate" not in plan and "Window" not in plan
+    got = _drain_memory_stream(
+        spark, sdf, "t_splitcl_", output_mode="append"
+    )
+    rows = {r["doc_id"]: r["split"] for r in got.collect()}
+    assert len(rows) == 80
+    assert rows[4] == rows[5] == rows[61]
+    assert rows[30] == rows[31]
+    want = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits_clustered(
+            docs, spark.read.parquet(cpath)
+        ).collect()
+    }
+    assert rows == want

@@ -121,6 +121,10 @@ CORPUS_QUERIES = [
     "stream_semantic_decontaminate_docs",
     "stream_pack_bins_docs",
     "training_run_order_annealed_docs",
+    # streaming splits: expectation LINEAR in corpus (the parity feed
+    # carries the whole corpus; per-arrival work is one broadcast-side
+    # lookup + md5)
+    "stream_split_assign_docs",
 ]
 
 
