@@ -222,6 +222,7 @@ LANDED_INDEX_PROBES = {
     "stream_semantic_dedup_embeddings",
     "stream_media_near_dup",
     "semantic_decontaminate_indexed_docs",
+    "stream_split_assign_docs",
 }
 
 # The two composed-pipeline anchors run in their OWN fresh JVM,
