@@ -1084,25 +1084,51 @@ def land_epoch_order(
     driver-side via pyarrow, still no Spark job — so the old
     ~10⁵-shard JSON ceiling is gone. `write_serving_shards` remains
     the zero-metadata alternative (resume shard = pure arithmetic)."""
+    order = epoch_order(
+        seqs, seed=seed, epoch=epoch, key_cols=key_cols,
+        bucket_count=bucket_count,
+    )
+    return land_order(
+        spark, order, path, shard_col=shard_col,
+        stats={"seed": int(seed), "epoch": int(epoch)},
+        caller="land_epoch_order",
+    )
+
+
+def land_order(
+    spark,
+    order: DataFrame,
+    path: str,
+    shard_col: str = "shard",
+    stats: "dict | None" = None,
+    caller: str = "land_order",
+) -> str:
+    """Land ANY rank-carrying serving order partitioned by shard, with
+    the per-shard rank bounds side table (r13 refactor: this was
+    `land_epoch_order`'s body, which made the landed-resume machinery —
+    `shards_for_resume`, `resume_from_landed`, `resume_run_from_landed`
+    — exclusive to the UNIFORM order; the weighted, curriculum, and
+    annealed orders produce the same (``rank``, ``shard_col``) contract
+    and now land through the same seam). ``order`` must carry a dense
+    long ``rank`` and an integer ``shard_col``; ``stats`` (optional)
+    merges into the human-readable JSON sidecar. Idempotent for orders
+    that are pure functions of their inputs (mode-overwrite rewrites
+    are replay-safe). Returns ``path``."""
     from miletos_spark.pipeline.landing import write_index_stats
 
     # the _bounds side table (and resume_from_landed's isin filter)
     # key shards as longs; a non-numeric shard column would cast to
     # NULL and crash later inside _landed_order_bounds with a bare
     # int(None) (ADVICE r12) — reject it here with the real reason
-    shard_t = seqs.schema[shard_col].dataType.typeName()
+    shard_t = order.schema[shard_col].dataType.typeName()
     if shard_t not in (
         "byte", "short", "integer", "long", "int",
     ):
         raise ValueError(
-            f"land_epoch_order: shard column {shard_col!r} must be an "
+            f"{caller}: shard column {shard_col!r} must be an "
             f"integer type (got {shard_t}) — the _bounds side table and "
             "shard-local resume key shards numerically"
         )
-    order = epoch_order(
-        seqs, seed=seed, epoch=epoch, key_cols=key_cols,
-        bucket_count=bucket_count,
-    )
     (
         order.repartition(shard_col)
         .write.mode("overwrite")
@@ -1131,8 +1157,7 @@ def land_epoch_order(
         write_index_stats(
             path,
             {
-                "seed": int(seed),
-                "epoch": int(epoch),
+                **(stats or {}),
                 "shards": {
                     str(s): [int(lo), int(hi)] for s, lo, hi in tbl
                 },

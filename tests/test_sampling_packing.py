@@ -1746,3 +1746,57 @@ def test_annealed_run_order_equals_per_epoch_weighted(spark):
         ).collect())
     )
     assert got2 == got_rows
+
+
+def test_land_order_generalizes_to_weighted_and_curriculum(
+    spark, tmp_path
+):
+    """r13 refactor: ANY rank-carrying order lands through `land_order`
+    with the per-shard bounds side table — the landed-resume machinery
+    is no longer exclusive to the uniform epoch order. Weighted and
+    curriculum orders land, shard lists resolve from metadata, and
+    shard-local resume returns exactly the unserved suffix."""
+    from miletos_spark.pipeline.packing import (
+        curriculum_order,
+        land_order,
+        resume_from_landed,
+        shards_for_resume,
+        weighted_epoch_order,
+    )
+
+    seqs = spark.createDataFrame(
+        [("en" if b % 2 else "de", b, float(b % 7)) for b in range(32)],
+        "lang string, seq_bin long, score double",
+    )
+    for tag, order in (
+        (
+            "w",
+            weighted_epoch_order(
+                seqs.drop("score"), seed=3, epoch=1, weights={"en": 3.0},
+                bucket_count=4,
+            ),
+        ),
+        (
+            "c",
+            curriculum_order(
+                seqs, seed=3, epoch=0, score_col="score", n_stages=2,
+                bucket_count=4,
+            ),
+        ),
+    ):
+        order = order.withColumn(
+            "shard", (F.col("rank") / 8).cast("long")
+        )
+        p = str(tmp_path / tag)
+        land_order(spark, order, p, stats={"kind": tag})
+        assert shards_for_resume(p, 0) == ["0", "1", "2", "3"]
+        assert shards_for_resume(p, 24) == ["3"]
+        got = sorted(
+            (r["rank"], r["seq_bin"])
+            for r in resume_from_landed(spark, p, 20).collect()
+        )
+        want = sorted(
+            (r["rank"], r["seq_bin"])
+            for r in order.filter(F.col("rank") >= 20).collect()
+        )
+        assert got == want, tag
