@@ -1800,3 +1800,48 @@ def test_land_order_generalizes_to_weighted_and_curriculum(
             for r in order.filter(F.col("rank") >= 20).collect()
         )
         assert got == want, tag
+
+
+def test_annealed_run_lands_and_resumes_at_global_step(spark, tmp_path):
+    """Composition: the annealed schedule's epochs land per-epoch
+    through the generic `land_order` and `resume_run_from_landed`
+    resumes the run at a global step — boundary steps included —
+    identically to the computed `resume_run_at_step`. This is the
+    deployment shape: a data-card anneal run whose resume is pure
+    metadata arithmetic."""
+    from miletos_spark.pipeline.packing import (
+        annealed_run_order,
+        land_order,
+        resume_run_at_step,
+        resume_run_from_landed,
+    )
+
+    seqs = spark.createDataFrame(
+        [("en" if b % 2 else "de", b) for b in range(16)],
+        "lang string, seq_bin long",
+    )
+    spec = {1: {"en": 4.0}}
+    order = annealed_run_order(
+        seqs, seed=9, n_epochs=2, weights_by_epoch=spec, bucket_count=4
+    )
+    paths = []
+    for e in range(2):
+        ep = order.filter(F.col("epoch") == e).withColumn(
+            "shard", (F.col("rank") / 4).cast("long")
+        )
+        p = str(tmp_path / f"ep{e}")
+        land_order(spark, ep, p, stats={"epoch": e})
+        paths.append(p)
+    shard_order = order.withColumn(
+        "shard", (F.col("rank") / 4).cast("long")
+    )
+    for step in (0, 15, 16, 17, 31):
+        want = sorted(
+            (r["global_step"], r["seq_bin"])
+            for r in resume_run_at_step(shard_order, step).collect()
+        )
+        got = sorted(
+            (r["global_step"], r["seq_bin"])
+            for r in resume_run_from_landed(spark, paths, step).collect()
+        )
+        assert got == want, step
