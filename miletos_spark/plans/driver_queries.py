@@ -1463,7 +1463,12 @@ def q_training_order_curriculum_docs(
     from miletos_spark.pipeline.text import quality_logit
 
     docs = load_table(spark, sf_dir, "documents")
-    scored = docs.select(
+    # _spread: the 5-regex logit is the per-row cost center and the
+    # corpus arrives as ONE file partition at test SFs — unspread, the
+    # whole feature scan serializes on a single task (twice: the
+    # bounds agg and the bucket counts both scan)
+    par = spark.sparkContext.defaultParallelism
+    scored = docs.repartition(par).select(
         "lang", "doc_id", quality_logit(F.col("text")).alias("q_score")
     )
     order = curriculum_order(
