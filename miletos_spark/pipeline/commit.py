@@ -44,11 +44,35 @@ import shutil
 from collections.abc import Callable, Iterable
 
 # partition values Spark lands verbatim (no escapePathName rewriting):
-# the precondition `fold_partitions_versioned` enforces
-_PART_SAFE = re.compile(r"^[A-Za-z0-9._-]+$")
+# the precondition `fold_partitions_versioned` / `overwrite_partitions`
+# enforce. fullmatch, not match-with-$: Python's $ also matches before
+# a trailing newline, and Spark escapes '\n' in partition dirs — so
+# 'a\n' would pass a $-anchored guard and re-open the path-mismatch
+# duplication the guard exists to block (ADVICE r13).
+_PART_SAFE = re.compile(r"[A-Za-z0-9._-]+")
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _check_part_safe(fn_name: str, touched: "Iterable[int | str]") -> list:
+    """Validate that every touched partition value lands verbatim as a
+    `part_col=value` directory name (plain ints / [A-Za-z0-9._-]+
+    strings). Values Spark would escape (spaces, '/', control chars,
+    newlines, ...) produce a directory name that does NOT equal the raw
+    f-string path the caller later compares or deletes — which silently
+    duplicates rows (versioned fold) or leaves drained partitions live
+    (overwrite delete). Raise instead of reproducing Spark's
+    escapePathName table. Returns the materialized touched list."""
+    touched = [t for t in touched]
+    for t in touched:
+        if not _PART_SAFE.fullmatch(str(t)):
+            raise ValueError(
+                f"{fn_name}: partition value {t!r} needs path escaping "
+                "— part_col values must be plain ints or "
+                "[A-Za-z0-9._-]+ strings"
+            )
+    return touched
 
 
 def write_marker(path: str, payload: object = None) -> str:
@@ -170,17 +194,8 @@ def fold_partitions_versioned(
     # raw directory names, but Spark URL-escapes special characters
     # when it encodes partition dirs — a value needing escaping would
     # BOTH hardlink from the previous version and be rewritten fresh,
-    # silently duplicating rows (ADVICE r12). Enforce the documented
-    # precondition (plain ints / path-safe strings) instead of trying
-    # to reproduce Spark's escapePathName table here.
-    touched = [t for t in touched]
-    for t in touched:
-        if not _PART_SAFE.match(str(t)):
-            raise ValueError(
-                "fold_partitions_versioned: partition value "
-                f"{t!r} needs path escaping — part_col values must be "
-                "plain ints or [A-Za-z0-9._-]+ strings"
-            )
+    # silently duplicating rows (ADVICE r12).
+    touched = _check_part_safe("fold_partitions_versioned", touched)
     touched_names = {f"{part_col}={t}" for t in touched}
     if cur is not None:
         prev = os.path.join(store_root, cur["version"])
@@ -222,7 +237,13 @@ def overwrite_partitions(
     still have rows; touched partitions absent from `rows` (drained)
     are deleted. `rows` is pinned eagerly first because it typically
     reads the very directories the write replaces. Untouched
-    partitions are never read or written."""
+    partitions are never read or written. Touched values must be
+    path-safe (same precondition as `fold_partitions_versioned`): the
+    drained-partition delete builds raw f'{part_col}={p}' paths, and a
+    value Spark escapes would produce a non-matching path whose
+    rmtree(ignore_errors=True) silently leaves the stale partition's
+    rows live (ADVICE r13)."""
+    touched = _check_part_safe("overwrite_partitions", touched)
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:

@@ -1393,7 +1393,20 @@ def annealed_run_order(
         F.min("_wval").alias("_mn"),
         F.count("*").alias("_n"),
         F.count_distinct("epoch", group_col).alias("_nd"),
+        # count_distinct drops NULL-containing tuples, so a NULL-keyed
+        # weight row would slip past the duplicate guard and then
+        # silently never equi-join (taking default_weight) — reject
+        # NULL keys outright instead (ADVICE r13)
+        F.count_if(
+            F.col("epoch").isNull() | F.col(group_col).isNull()
+        ).alias("_nnull"),
     ).first()
+    if row["_nnull"]:
+        raise ValueError(
+            "annealed_run_order: weight rows with NULL epoch or "
+            f"{group_col} — NULL keys never equi-join, so the row "
+            "would silently fall back to default_weight"
+        )
     if row["_n"] != row["_nd"]:
         raise ValueError(
             "annealed_run_order: duplicate (epoch, group) weight rows — "

@@ -205,6 +205,40 @@ def assign_splits(
     return df.withColumn("split", expr)
 
 
+def _checked_cluster_reps(
+    clusters: DataFrame, id_col: str, fn_name: str
+) -> DataFrame:
+    """(node, component) -> (id_col, _rep) with a DUPLICATE-NODE guard
+    (ADVICE r13): `connected_components` output is clean, but the API
+    docstrings explicitly invite landed/merged cluster tables, where a
+    stale or badly-merged append can repeat a node — and a repeated
+    node silently DUPLICATES corpus rows through the left join. One
+    cheap aggregate (count vs count_distinct, mirroring the
+    weights-table guard at packing.py `_weights_table`) raises instead.
+    NULL nodes are rejected too: they never equi-join, so the row's
+    membership would silently vanish."""
+    rep = clusters.select(
+        F.col("node").cast("long").alias(id_col),
+        F.col("component").cast("long").alias("_rep"),
+    )
+    row = rep.agg(
+        F.count("*").alias("_n"),
+        F.count_distinct(id_col).alias("_nd"),
+        F.count_if(F.col(id_col).isNull()).alias("_nnull"),
+    ).first()
+    if row["_nnull"]:
+        raise ValueError(
+            f"{fn_name}: cluster rows with NULL node — NULL keys never "
+            "equi-join, so the membership would silently vanish"
+        )
+    if row["_n"] != row["_nd"]:
+        raise ValueError(
+            f"{fn_name}: duplicate node rows in the cluster table — "
+            "the join would duplicate corpus rows"
+        )
+    return rep
+
+
 def assign_splits_clustered(
     df: DataFrame,
     clusters: DataFrame,
@@ -239,10 +273,7 @@ def assign_splits_clustered(
     codegen hash-split scan; no window, no global sort.
 
     Returns ``df`` + a ``split`` column."""
-    rep = clusters.select(
-        F.col("node").cast("long").alias(id_col),
-        F.col("component").cast("long").alias("_rep"),
-    )
+    rep = _checked_cluster_reps(clusters, id_col, "assign_splits_clustered")
     work = df.join(rep, id_col, "left").withColumn(
         "_rep", F.coalesce(F.col("_rep"), F.col(id_col).cast("long"))
     )

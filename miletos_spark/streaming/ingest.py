@@ -1476,20 +1476,39 @@ def stream_assign_splits_clustered(
 ) -> DataFrame:
     """LEAKAGE-SAFE split assignment ON the firehose (r13): arriving
     documents get their train/val/test split AT INGEST, keyed on the
-    near-dup cluster representative from the LANDED cluster table
-    (`landing.land_cluster_index` / `update_cluster_index` keep it
-    current) — so a re-crawled near-duplicate of a test document can
-    never be labeled train, even when the two arrive months apart.
+    near-dup cluster representative from the LANDED cluster table — so
+    a near-duplicate of a test document that re-arrives AFTER the
+    cluster was landed can never be labeled train.
+
+    SNAPSHOT-AT-STREAM-START CONTRACT (pinned in
+    test_stream_split_snapshot_contract): the static side's parquet
+    file listing is resolved ONCE when `spark.read.parquet` runs at
+    stream construction — clusters appended by
+    `landing.update_cluster_index` DURING the run are NOT picked up;
+    restart the stream to adopt cluster growth. This is the semantics
+    split stability WANTS: within one run, the assignment is a pure
+    function of (id, cluster snapshot at start), so every replayed or
+    late batch derives identical splits and downstream sinks can be
+    idempotent with no markers. The operational discipline is
+    restart-on-cluster-update (and because the snapshot holds the START
+    file listing, avoid IN-PLACE overwrites of the landed table while a
+    stream is running — deleted files can fail in-flight micro-batches;
+    `update_cluster_index`'s versioned-dir publishes are safe, but
+    point each stream restart at the then-current version). A doc whose
+    cluster lands only after stream start keeps its singleton split
+    until restart — the unavoidable cost of not re-reading the table
+    per batch; re-resolving per micro-batch (the foreachBatch re-read
+    pattern `stream_media_decisions` uses) buys currency at the price
+    of mid-run split flips, the worse trade for splits.
 
     ZERO STATE: one stream-static left join against the landed
     clusters (Structured Streaming allows static right sides with no
     state store) + the pure codegen md5 hash-split scan — no watermark,
     no aggregate, nothing grows with arrival volume. The batch form
     (`sampling.assign_splits_clustered`) runs VERBATIM, so stream ≡
-    batch per arrival set by construction (asserted in tests). The
-    assignment is a pure function of (id, landed clusters): replaying a
-    batch re-derives identical splits, so downstream sinks can be
-    idempotent with no markers.
+    batch per arrival set by construction (asserted in tests), and the
+    duplicate-node guard on the cluster table fires at stream
+    construction (one aggregate over the snapshot).
 
     Emits the arrival rows + ``split``."""
     from miletos_spark.pipeline.sampling import assign_splits_clustered

@@ -289,3 +289,36 @@ def test_fold_partitions_versioned_rejects_escaped_values(spark, tmp_path):
         ok, str(tmp_path / "store2"), "_bg", [3], "b0"
     )
     assert applied and spark.read.parquet(d).count() == 1
+    # ADVICE r13: a TRAILING NEWLINE slipped past the old $-anchored
+    # regex (Python's $ matches before '\n') yet Spark escapes '\n' in
+    # partition dirs — fullmatch closes it
+    nl = spark.createDataFrame([("a\n", 1)], "_bg string, v int")
+    with _pytest.raises(ValueError, match="path escaping"):
+        fold_partitions_versioned(
+            nl, str(tmp_path / "store3"), "_bg", ["a\n"], "b0"
+        )
+
+
+def test_overwrite_partitions_rejects_escaped_values(spark, tmp_path):
+    """ADVICE r13: `overwrite_partitions` builds raw f'{part_col}={p}'
+    paths for drained-partition deletion — a value Spark escapes
+    produces a non-matching path whose rmtree(ignore_errors=True)
+    silently leaves the stale partition's rows live. Same guard as
+    `fold_partitions_versioned` (shared `_check_part_safe` helper)."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "part")
+    base = spark.createDataFrame([(1, "a b"), (2, "ok")], "v int, _pb string")
+    base.write.partitionBy("_pb").parquet(path)
+    rows = spark.createDataFrame([(9, "ok")], "v int, _pb string")
+    with _pytest.raises(ValueError, match="path escaping"):
+        overwrite_partitions(spark, rows, path, "_pb", ["a b", "ok"])
+    with _pytest.raises(ValueError, match="path escaping"):
+        overwrite_partitions(spark, rows, path, "_pb", ["ok\n"])
+    # the guard did not disturb the landed data, and safe values work
+    assert spark.read.parquet(path).count() == 2
+    overwrite_partitions(spark, rows, path, "_pb", ["ok"])
+    got = {
+        (r["v"], r["_pb"]) for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(1, "a b"), (9, "ok")}

@@ -1845,3 +1845,65 @@ def test_annealed_run_lands_and_resumes_at_global_step(spark, tmp_path):
             for r in resume_run_from_landed(spark, paths, step).collect()
         )
         assert got == want, step
+
+
+def test_assign_splits_clustered_rejects_bad_cluster_tables(spark):
+    """ADVICE r13: a duplicate (node, component) row — plausible from a
+    stale or badly-merged landed cluster table — silently DUPLICATES
+    corpus rows through the left join; a NULL node never equi-joins so
+    its membership silently vanishes. Both now raise up front,
+    mirroring the weights-table guard."""
+    import pytest as _pytest
+
+    from miletos_spark.pipeline.sampling import assign_splits_clustered
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(10)], "doc_id long, text string"
+    )
+    dup = spark.createDataFrame(
+        [(3, 3), (3, 3), (4, 3)], "node long, component long"
+    )
+    with _pytest.raises(ValueError, match="duplicate node"):
+        assign_splits_clustered(docs, dup)
+    # distinct components for one node is still a duplicate node
+    conflicting = spark.createDataFrame(
+        [(3, 3), (3, 4)], "node long, component long"
+    )
+    with _pytest.raises(ValueError, match="duplicate node"):
+        assign_splits_clustered(docs, conflicting)
+    withnull = spark.createDataFrame(
+        [(None, 3), (4, 3)], "node long, component long"
+    )
+    with _pytest.raises(ValueError, match="NULL node"):
+        assign_splits_clustered(docs, withnull)
+    # a clean table still assigns every row exactly once
+    ok = spark.createDataFrame(
+        [(3, 3), (4, 3)], "node long, component long"
+    )
+    out = assign_splits_clustered(docs, ok).collect()
+    assert len(out) == 10
+    split_of = {r["doc_id"]: r["split"] for r in out}
+    assert split_of[3] == split_of[4]
+
+
+def test_annealed_run_order_rejects_null_weight_keys(spark):
+    """ADVICE r13: count_distinct drops NULL-containing tuples, so a
+    duplicate (epoch, NULL-group) weight row used to pass the
+    duplicate guard and then silently never join (default_weight).
+    NULL epoch/group weight rows now raise outright."""
+    import pytest as _pytest
+
+    from miletos_spark.pipeline.packing import annealed_run_order
+
+    seqs = spark.createDataFrame(
+        [("en", b) for b in range(8)], "lang string, seq_bin long"
+    )
+    for rows in (
+        [(None, "en", 2.0), (None, "en", 3.0)],  # the reported dupe
+        [(1, None, 2.0)],                         # any NULL key at all
+    ):
+        wdf = spark.createDataFrame(
+            rows, "epoch int, lang string, weight double"
+        )
+        with _pytest.raises(ValueError, match="NULL"):
+            annealed_run_order(seqs, 11, 2, wdf)
