@@ -198,6 +198,8 @@ HEADLINE = [
     "training_order_curriculum_docs",
     "training_run_order_annealed_docs",
     "stream_split_assign_docs",
+    # round-14: quality-canonical dedup survivors
+    "dedup_keep_best_docs",
 ]
 
 # Queries that probe a WRITE-TIME LANDED index (built by the ingest

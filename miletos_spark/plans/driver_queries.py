@@ -4719,6 +4719,93 @@ GROUP BY 1, 2
 """
 
 
+def q_dedup_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-CANONICAL dedup survivors (r14, VERDICT r13 Missing #1):
+    each near-dup cluster keeps its highest-QUALITY member — the
+    quality-classifier logit, quantized at 6 decimals, min-id
+    tie-break — instead of the min-id crawl-order artifact every other
+    dedup path uses. Clusters come from the LANDED near-dup table (the
+    same memoized LSH-candidate → exact-Jaccard → connected-components
+    chain the streaming split row joins); the oracle replays the
+    transitive closure over ALL-pairs exact Jaccard plus the logit and
+    the per-component argmax, so a wrong survivor — or one missed LSH
+    pair that would change a cluster — fails the hash on the per-doc
+    rows directly."""
+    from miletos_spark.pipeline.dedup import dedup_keep_best
+    from miletos_spark.pipeline.text import quality_logit
+
+    docs = load_table(spark, sf_dir, "documents")
+    # _spread: the 5-regex logit is the per-row cost center and the
+    # corpus arrives as ONE file partition at test SFs
+    par = spark.sparkContext.defaultParallelism
+    scored = docs.repartition(par).select(
+        "lang", "doc_id", "text", quality_logit(F.col("text")).alias("_q")
+    )
+    clusters = spark.read.parquet(_land_doc_clusters(spark, sf_dir))
+    out = dedup_keep_best(scored, clusters, "_q")
+    return out.select(
+        "lang",
+        "doc_id",
+        quantize(F.col("_q"), 6).alias("score_q"),
+        "representative",
+        "kept",
+    )
+
+
+def _sql_dedup_keep_best() -> str:
+    # the SQL_NEAR_DUP_CLUSTERS closure + the quality-logit CTEs, then
+    # the per-component argmax (score DESC, id ASC) via row_number —
+    # singletons are their own component via coalesce
+    return f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct([substr(t, i, 9)
+                        for i in range(1, greatest(length(t) - 8, 1) + 1)]) AS s
+  FROM (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+        FROM documents)
+),
+prs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1.0
+        / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM prs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM prs
+),
+cc(node, lab) AS (
+  SELECT u AS node, u AS lab FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u AS node, c.lab AS lab
+  FROM edges e JOIN cc c ON c.node = e.v
+),
+comp AS (SELECT node, min(lab) AS component FROM cc GROUP BY node),
+{_sql_quality_ctes("documents")},
+sq AS (
+  SELECT d.doc_id, d.lang,
+         coalesce(c.component, d.doc_id) AS comp_id,
+         {quantize_sql("l.logit", 6)} AS score_q
+  FROM documents d
+  JOIN lg l USING (doc_id)
+  LEFT JOIN comp c ON c.node = d.doc_id
+),
+b AS (
+  SELECT comp_id, doc_id AS rep_id,
+         row_number() OVER (
+           PARTITION BY comp_id ORDER BY score_q DESC, doc_id ASC
+         ) AS rn
+  FROM sq
+),
+best AS (SELECT comp_id, rep_id FROM b WHERE rn = 1)
+SELECT s.lang, s.doc_id, s.score_q,
+       CAST(best.rep_id AS BIGINT) AS representative,
+       s.doc_id = best.rep_id AS kept
+FROM sq s JOIN best USING (comp_id)
+"""
+
+
 SQL_NEAR_DUP_CLUSTERS = r"""
 WITH RECURSIVE sh AS (
   SELECT doc_id,
@@ -11826,6 +11913,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # byte-fallback decode half is pure per-row string code pinned by
     # unit tests (test_bpe_train) and the sweep.
     "stream_split_assign_docs": q_stream_split_assign_docs,
+    # r14 rotation (VERDICT r13 Next #1): promoted dedup_keep_best_docs
+    # — quality-canonical dedup survivors (cluster representative =
+    # argmax quantized quality-logit with min-id tie-break, singletons
+    # keep themselves; the oracle replays the ALL-PAIRS Jaccard
+    # transitive closure + the logit + the per-component argmax on the
+    # per-doc rows), born this round. Evicted
+    # training_order_weighted_docs (green in BOTH r12 and r13): the
+    # A-Res weighted serve key is checked in-window TWICE — the
+    # annealed row's oracle replays the identical ln(u)/w quantized key
+    # per epoch (and test_sampling_packing pins annealed ≡ per-epoch
+    # weighted_epoch_order bit-for-bit), and training_run_order_docs
+    # checks the same md5-uniform + prefix-sum ranking machinery flat
+    # in E; the weights-table guard rails stay unit-pinned.
+    "dedup_keep_best_docs": q_dedup_keep_best_docs,
     # r10 second rotation: promoted the round's FIVE new capabilities
     # (dsir_select importance resampling, its streamed deployment,
     # quality_funnel attrition, corpus_drift KL monitor, and the
@@ -11907,7 +12008,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # 0..E-1), and the (shard, offset) resume arithmetic stays checked
     # by serving_shards_docs.
     "training_order_curriculum_docs": q_training_order_curriculum_docs,
-    "training_order_weighted_docs": q_training_order_weighted_docs,
+    # (training_order_weighted_docs evicted r14 — see the
+    # dedup_keep_best_docs promotion comment; entry now in overflow)
     # r13 fourth promotion (beyond-ask, the epoch-dependent half of
     # VERDICT r12 Missing #4): training_run_order_annealed_docs — the
     # annealed (per-epoch mixture) run schedule, born this round, flat
@@ -11932,6 +12034,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qlp_ingest_events": q_qlp_ingest_events,
     "csv_ingest_events": q_csv_ingest_events,
     # -- oracle-backed overflow (judge full sweep only, no driver row) --
+    # r14 eviction (green r12+r13; A-Res key machinery in-window via
+    # the annealed + run-order rows)
+    "training_order_weighted_docs": q_training_order_weighted_docs,
     # r07 evictions: green in both r05 and r06
     "sketch_stats_events": q_sketch_stats_events,
     "repetition_stats_docs": q_repetition_stats_docs,
@@ -12179,6 +12284,9 @@ def _oracles() -> dict[str, str]:
         # append==rebuild: the incremental row's oracle IS the rebuild
         "near_dup_clusters_incremental": SQL_NEAR_DUP_CLUSTERS,
         "split_assign_clustered_docs": _sql_split_assign_clustered(),
+        # survivor = per-component argmax (quantized logit, min-id
+        # tie-break) over the independently replayed closure
+        "dedup_keep_best_docs": _sql_dedup_keep_best(),
         # stream == batch per arrival set (stateless stream-static
         # join), so the streaming row replays the SAME closure
         "stream_split_assign_docs": _sql_split_assign_clustered(),

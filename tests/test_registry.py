@@ -198,6 +198,16 @@ def test_window_rotation_is_deliberate():
     # bpe_roundtrip_docs (green in BOTH r11 and r12): encode chain
     # hash-gated in bpe_encode_production/bpe_train_encode (in-window);
     # UTF-8 decode half unit-pinned + sweep-covered.
+    # r14 rotation (VERDICT r13 Next #1): promoted dedup_keep_best_docs
+    # — quality-canonical survivors (argmax quantized-logit cluster
+    # representative, min-id tie-break), born this round; oracle =
+    # all-pairs closure + logit + per-component argmax. Evicted
+    # training_order_weighted_docs (green in BOTH r12 and r13): the
+    # A-Res ln(u)/w quantized key is replayed per epoch inside
+    # training_run_order_annealed_docs' oracle (in-window; bit-identity
+    # annealed ≡ per-epoch weighted pinned in test_sampling_packing),
+    # and the md5-uniform + prefix-sum ranking machinery runs in
+    # training_run_order_docs (in-window).
     assert window == [
         "semantic_decontaminate_docs", "stream_semantic_decontaminate_docs",
         "serving_shards_docs", "serving_mixture_docs",
@@ -219,12 +229,13 @@ def test_window_rotation_is_deliberate():
         "near_dup_clusters_incremental",
         "split_assign_clustered_docs",
         "stream_split_assign_docs",
+        "dedup_keep_best_docs",
         "stream_dsir_score_docs",
         "corpus_drift_docs", "doc_embed_infer_docs",
         "dsir_landed_select_docs", "stream_funnel_docs",
         "stream_decontaminate_docs",
         "bpe_train_encode_docs",
-        "training_order_curriculum_docs", "training_order_weighted_docs",
+        "training_order_curriculum_docs",
         "training_run_order_annealed_docs",
         "stream_media_decisions",
         "quality_funnel_by_lang_docs",

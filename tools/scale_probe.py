@@ -125,6 +125,9 @@ CORPUS_QUERIES = [
     # carries the whole corpus; per-arrival work is one broadcast-side
     # lookup + md5)
     "stream_split_assign_docs",
+    # round-14: quality-canonical survivors (corpus axis: the logit
+    # scan is linear; the argmax groupBy is bounded by cluster members)
+    "dedup_keep_best_docs",
 ]
 
 
