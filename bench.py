@@ -225,6 +225,7 @@ LANDED_INDEX_PROBES = {
     "stream_media_near_dup",
     "semantic_decontaminate_indexed_docs",
     "stream_split_assign_docs",
+    "dedup_keep_best_docs",
 }
 
 # The two composed-pipeline anchors run in their OWN fresh JVM,

@@ -1065,6 +1065,54 @@ def land_ivfpq_index(
     return paths
 
 
+def land_exact_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 20,
+    k: int = 10,
+    metric: str = "l2",
+    overwrite: bool = False,
+) -> str:
+    """Land the exact brute-force top-k GROUND TRUTH beside the ANN
+    indexes (r14, VERDICT r13 Missing #3): the recall measurement's
+    baseline — each of the first ``n_queries`` vectors (by vec_id)
+    exactly ranked against the full corpus — is deterministic per
+    corpus, yet the recall row used to recompute it on EVERY
+    invocation, so at scale the exact baseline (|Q|·n scored pairs)
+    dominated the cost of the probe it exists to judge (and its
+    AQE/partition-state-dependent cost polluted the row's bench
+    timings — the r13 driver-env anomaly). Landed once, done-marker
+    gated, same `_land_*` memo convention as every index: a recall
+    check then costs probe + semi-join against a tiny parquet read.
+
+    Returns the exact-topk parquet path; rows are
+    cosine_topk_batch's (qid, vec_id, d2|cos_sim)."""
+    from miletos_spark.pipeline.similarity import cosine_topk_batch
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    root = _index_root(src, f"exacttopk{n_queries}x{k}{metric}")
+    path = os.path.join(root, "exact_topk")
+    done = os.path.join(root, "_SUCCESS_INDEX")
+    if os.path.exists(done) and not overwrite:
+        return path
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.orderBy("vec_id")
+        .limit(n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = spark.createDataFrame(
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+         for r in qrows],
+        "qid bigint, qvec array<double>",
+    )
+    exact = cosine_topk_batch(emb, queries, k=k, metric=metric)
+    exact.coalesce(1).write.mode("overwrite").parquet(path)
+    _commit_marker(done, "ok")
+    return path
+
+
 def land_pq_index(
     spark: SparkSession,
     sf_dir: str,
