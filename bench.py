@@ -198,8 +198,10 @@ HEADLINE = [
     "training_order_curriculum_docs",
     "training_run_order_annealed_docs",
     "stream_split_assign_docs",
-    # round-14: quality-canonical dedup survivors
+    # round-14: quality-canonical dedup survivors + stratified
+    # curriculum staging
     "dedup_keep_best_docs",
+    "training_order_curriculum_strat_docs",
 ]
 
 # Queries that probe a WRITE-TIME LANDED index (built by the ingest

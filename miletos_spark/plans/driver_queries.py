@@ -1513,6 +1513,71 @@ FROM u
 """
 
 
+def q_training_order_curriculum_strat_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STRATIFIED curriculum staging (r14, VERDICT r13 Missing #2):
+    stage = each LANGUAGE's own score-quantile slice (score rank and
+    stage computed within the lang via partition_cols), so a dominant
+    language's score distribution cannot starve low-resource languages
+    out of the early stages — stage s holds every lang's s-th quantile
+    (per-lang populations exact to ±1), and the serve rank is the same
+    global stage-major seeded permutation. The oracle replays the
+    per-lang ranking (PARTITION BY lang), the per-lang stage
+    arithmetic, and the global serve permutation."""
+    from miletos_spark.pipeline.packing import curriculum_order
+    from miletos_spark.pipeline.text import quality_logit
+
+    docs = load_table(spark, sf_dir, "documents")
+    # _spread: same single-file feature-scan seam as the global row
+    par = spark.sparkContext.defaultParallelism
+    scored = docs.repartition(par).select(
+        "lang", "doc_id", quality_logit(F.col("text")).alias("q_score")
+    )
+    order = curriculum_order(
+        scored, seed=7, epoch=0, score_col="q_score", n_stages=4,
+        key_cols=("doc_id",), bucket_count=64, partition_cols=("lang",),
+    )
+    return order.select(
+        "lang",
+        "doc_id",
+        "score_q",
+        F.col("stage").cast("int").alias("stage"),
+        F.col("epoch").cast("int").alias("epoch"),
+        "rank",
+    )
+
+
+def _sql_training_order_curriculum_strat() -> str:
+    """Oracle for the stratified curriculum row: the global row's
+    replay with PARTITION BY lang on the score ranking and the
+    per-lang count as the stage denominator."""
+    return f"""
+WITH {_sql_quality_ctes("documents")},
+sq AS (
+  SELECT l.doc_id, d.lang, {quantize_sql("l.logit", 6)} AS score_q
+  FROM lg l JOIN documents d USING (doc_id)),
+r AS (
+  SELECT doc_id, lang, score_q,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY score_q DESC, doc_id
+         ) - 1 AS srank,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM sq),
+st AS (
+  SELECT doc_id, lang, score_q,
+         CAST(floor(srank * 4.0 / n) AS INT) AS stage
+  FROM r),
+u AS (
+  SELECT *, {_sql_md5_32("'7|0|' || CAST(doc_id AS VARCHAR)")} AS u32
+  FROM st)
+SELECT lang, doc_id, score_q, stage, CAST(0 AS INT) AS epoch,
+       CAST(row_number() OVER (ORDER BY stage, u32, doc_id) - 1 AS BIGINT)
+         AS rank
+FROM u
+"""
+
+
 def _seqs_for_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The packed-sequence table the serving-order rows share (512-token
     concat-and-chunk bins per lang over the documents corpus)."""
@@ -12015,6 +12080,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # 0..E-1), and the (shard, offset) resume arithmetic stays checked
     # by serving_shards_docs.
     "training_order_curriculum_docs": q_training_order_curriculum_docs,
+    # r14 second promotion (VERDICT r13 Missing #2 / Next #3):
+    # training_order_curriculum_strat_docs — STRATIFIED curriculum
+    # staging (stage = each lang's OWN score-quantile slice via
+    # partition_cols; per-lang populations exact to ±1; global
+    # stage-major serve permutation unchanged), born this round; the
+    # oracle replays the per-lang ranking + stage arithmetic + serve
+    # permutation. Evicted quality_funnel_by_lang_docs (green in BOTH
+    # r12 and r13): the funnel cascade (funnel_stats features +
+    # first-failing-rule attribution) is replayed rule-for-rule inside
+    # stream_funnel_docs' oracle (in-window) over the same
+    # default_funnel_rules, and corpus_drift_docs (in-window) checks
+    # the same per-group single-scan aggregate shape; the per-lang
+    # grouping is a groupBy key, not separate machinery.
+    "training_order_curriculum_strat_docs":
+        q_training_order_curriculum_strat_docs,
     # (training_order_weighted_docs evicted r14 — see the
     # dedup_keep_best_docs promotion comment; entry now in overflow)
     # r13 fourth promotion (beyond-ask, the epoch-dependent half of
@@ -12030,7 +12110,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # multi_pass_order with each group appearing exactly repeats times).
     "training_run_order_annealed_docs": q_training_run_order_annealed_docs,
     "stream_media_decisions": q_stream_media_decisions,
-    "quality_funnel_by_lang_docs": q_quality_funnel_by_lang_docs,
+    # (quality_funnel_by_lang_docs evicted r14 — see the
+    # training_order_curriculum_strat_docs promotion comment)
     "probe_irls_eval_docs": q_probe_irls_eval_docs,
     "brightness_temp_events": q_brightness_temp_events,
     "visibility_events": q_visibility_events,
@@ -12041,9 +12122,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qlp_ingest_events": q_qlp_ingest_events,
     "csv_ingest_events": q_csv_ingest_events,
     # -- oracle-backed overflow (judge full sweep only, no driver row) --
-    # r14 eviction (green r12+r13; A-Res key machinery in-window via
-    # the annealed + run-order rows)
+    # r14 evictions (green r12+r13; A-Res key machinery in-window via
+    # the annealed + run-order rows; funnel cascade replayed inside
+    # stream_funnel_docs' oracle)
     "training_order_weighted_docs": q_training_order_weighted_docs,
+    "quality_funnel_by_lang_docs": q_quality_funnel_by_lang_docs,
     # r07 evictions: green in both r05 and r06
     "sketch_stats_events": q_sketch_stats_events,
     "repetition_stats_docs": q_repetition_stats_docs,
@@ -12294,6 +12377,8 @@ def _oracles() -> dict[str, str]:
         # survivor = per-component argmax (quantized logit, min-id
         # tie-break) over the independently replayed closure
         "dedup_keep_best_docs": _sql_dedup_keep_best(),
+        "training_order_curriculum_strat_docs":
+            _sql_training_order_curriculum_strat(),
         # stream == batch per arrival set (stateless stream-static
         # join), so the streaming row replays the SAME closure
         "stream_split_assign_docs": _sql_split_assign_clustered(),

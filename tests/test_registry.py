@@ -208,6 +208,15 @@ def test_window_rotation_is_deliberate():
     # annealed ≡ per-epoch weighted pinned in test_sampling_packing),
     # and the md5-uniform + prefix-sum ranking machinery runs in
     # training_run_order_docs (in-window).
+    # r14 second promotion (VERDICT r13 Missing #2):
+    # training_order_curriculum_strat_docs — stratified (per-lang)
+    # curriculum staging via partition_cols, born this round; oracle =
+    # PARTITION BY lang ranking + per-lang stage arithmetic + global
+    # serve permutation. Evicted quality_funnel_by_lang_docs (green in
+    # BOTH r12 and r13): the funnel cascade is replayed rule-for-rule
+    # in stream_funnel_docs' oracle (in-window) and the per-group
+    # single-scan aggregate shape in corpus_drift_docs (in-window);
+    # per-lang grouping is a groupBy key, not separate machinery.
     assert window == [
         "semantic_decontaminate_docs", "stream_semantic_decontaminate_docs",
         "serving_shards_docs", "serving_mixture_docs",
@@ -236,9 +245,9 @@ def test_window_rotation_is_deliberate():
         "stream_decontaminate_docs",
         "bpe_train_encode_docs",
         "training_order_curriculum_docs",
+        "training_order_curriculum_strat_docs",
         "training_run_order_annealed_docs",
         "stream_media_decisions",
-        "quality_funnel_by_lang_docs",
         "probe_irls_eval_docs",
         "brightness_temp_events", "visibility_events",
         "stream_trigger_clusters_events", "stream_rebin_events", "json_props_events",

@@ -128,6 +128,9 @@ CORPUS_QUERIES = [
     # round-14: quality-canonical survivors (corpus axis: the logit
     # scan is linear; the argmax groupBy is bounded by cluster members)
     "dedup_keep_best_docs",
+    # round-14: stratified curriculum (corpus axis: same linear logit
+    # scan + per-lang two-pass ranking as the global curriculum row)
+    "training_order_curriculum_strat_docs",
 ]
 
 
