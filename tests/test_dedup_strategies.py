@@ -472,3 +472,68 @@ def test_dedup_keep_best_prefers_quality_over_crawl_order(spark):
     )
     with _pytest.raises(ValueError, match="duplicate node"):
         dedup_keep_best(eps, dup, "score")
+
+
+def test_decontamination_report_per_suite(spark):
+    """r14 (VERDICT r13 Missing #5): the per-eval-suite contamination
+    report — hit counts, hit rate vs suite size, train docs, token
+    mass. Zero-hit suites still report (with zeros); a train doc hit
+    by two suites counts its mass in both; duplicate/NULL suite
+    memberships raise."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from miletos_spark.pipeline.dedup import decontamination_report
+
+    hits = spark.createDataFrame(
+        # doc 100 hits suite A twice (eval 1, 2) + suite B once (3);
+        # doc 200 hits eval 1 only; duplicate pair rows are deduped
+        [(100, 1), (100, 1), (100, 2), (100, 3), (200, 1)],
+        "doc_id long, eval_id long",
+    )
+    suites = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (4, "A"), (5, "A"), (3, "B"), (6, "C")],
+        "eval_id long, suite string",
+    )
+    toks = spark.createDataFrame(
+        [(100, 40), (200, 7)], "doc_id long, n_tokens long"
+    )
+    out = {
+        r["suite"]: r
+        for r in decontamination_report(hits, suites, toks).collect()
+    }
+    assert set(out) == {"A", "B", "C"}
+    a = out["A"]
+    assert (a["n_eval_docs"], a["n_eval_docs_hit"], a["n_train_docs"]) == (
+        4, 2, 2
+    )
+    assert abs(a["hit_rate"] - 0.5) < 1e-12
+    assert a["tokens_removed"] == 47  # docs 100 + 200, each once
+    b = out["B"]
+    assert (b["n_eval_docs_hit"], b["n_train_docs"], b["tokens_removed"]) == (
+        1, 1, 40
+    )  # doc 100's mass counts again in B — the per-suite view
+    c = out["C"]
+    assert (c["n_eval_docs_hit"], c["n_train_docs"], c["tokens_removed"]) == (
+        0, 0, 0
+    )
+    assert c["hit_rate"] == 0.0
+    # omitting doc_tokens drops the mass column, keeps the rest
+    cols = decontamination_report(hits, suites).columns
+    assert "tokens_removed" not in cols and "hit_rate" in cols
+    # guards
+    with _pytest.raises(ValueError, match="duplicate eval_id"):
+        decontamination_report(
+            hits,
+            spark.createDataFrame(
+                [(1, "A"), (1, "B")], "eval_id long, suite string"
+            ),
+        )
+    with _pytest.raises(ValueError, match="NULL eval_id"):
+        decontamination_report(
+            hits,
+            spark.createDataFrame(
+                [(None, "A")], "eval_id long, suite string"
+            ),
+        )

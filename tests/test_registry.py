@@ -217,9 +217,18 @@ def test_window_rotation_is_deliberate():
     # in stream_funnel_docs' oracle (in-window) and the per-group
     # single-scan aggregate shape in corpus_drift_docs (in-window);
     # per-lang grouping is a groupBy key, not separate machinery.
+    # r14 third promotion (VERDICT r13 Missing #5): decon_report_docs
+    # — per-eval-suite contamination report, born this round; oracle
+    # replays grams, pairs, suite sizes, every aggregate. Evicted
+    # serving_mixture_docs (green in BOTH r12 and r13): one groupBy
+    # over the weighted order, whose chain stays checked in-window
+    # (training_run_order_docs replays the A-Res key;
+    # serving_shards_docs pins the rank-band materialization); the
+    # report-over-artifact shape stays via pack_bins_report_docs and
+    # the new decon report row (both in-window).
     assert window == [
         "semantic_decontaminate_docs", "stream_semantic_decontaminate_docs",
-        "serving_shards_docs", "serving_mixture_docs",
+        "serving_shards_docs", "decon_report_docs",
         "training_run_order_docs",
         "pack_bins_nosplit_docs", "pack_bins_report_docs",
         "mixture_budget_plan_docs",

@@ -131,6 +131,9 @@ CORPUS_QUERIES = [
     # round-14: stratified curriculum (corpus axis: same linear logit
     # scan + per-lang two-pass ranking as the global curriculum row)
     "training_order_curriculum_strat_docs",
+    # round-14: decon report (corpus axis: the gram explode + match
+    # join are linear; the report aggregate is suite-bounded)
+    "decon_report_docs",
 ]
 
 
