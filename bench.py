@@ -203,6 +203,7 @@ HEADLINE = [
     "dedup_keep_best_docs",
     "training_order_curriculum_strat_docs",
     "decon_report_docs",
+    "training_curriculum_run_docs",
 ]
 
 # Queries that probe a WRITE-TIME LANDED index (built by the ingest

@@ -1578,6 +1578,82 @@ FROM u
 """
 
 
+def q_training_curriculum_run_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Curriculum-staged CROSS-EPOCH schedule (r14, VERDICT r13
+    stretch #7): the staged data-card run as one resumable schedule —
+    every epoch serves the same exact score-quantile stages
+    (epoch-independent, computed once), each epoch reshuffles within
+    stages via its own seeded permutation, global_step = epoch·N +
+    rank. E=2 keeps the row cheap while exercising the epoch axis; the
+    oracle replays the stage ranking once and the serve ranking per
+    epoch (PARTITION BY epoch)."""
+    from miletos_spark.pipeline.packing import curriculum_run_order
+    from miletos_spark.pipeline.text import quality_logit
+
+    docs = load_table(spark, sf_dir, "documents")
+    # _spread: same single-file feature-scan seam as the other
+    # curriculum rows
+    par = spark.sparkContext.defaultParallelism
+    scored = docs.repartition(par).select(
+        "lang", "doc_id", quality_logit(F.col("text")).alias("q_score")
+    )
+    order = curriculum_run_order(
+        scored, seed=7, n_epochs=2, score_col="q_score", n_stages=4,
+        key_cols=("doc_id",), bucket_count=64,
+    )
+    return order.select(
+        "lang",
+        "doc_id",
+        "score_q",
+        F.col("stage").cast("int").alias("stage"),
+        F.col("epoch").cast("int").alias("epoch"),
+        "rank",
+        "global_step",
+    )
+
+
+def _sql_training_curriculum_run() -> str:
+    """Oracle for the flat-E curriculum schedule: the curriculum row's
+    stage replay + a per-epoch serve ranking (PARTITION BY epoch) and
+    the global-step arithmetic."""
+    return f"""
+WITH {_sql_quality_ctes("documents")},
+sq AS (
+  SELECT l.doc_id, d.lang, {quantize_sql("l.logit", 6)} AS score_q
+  FROM lg l JOIN documents d USING (doc_id)),
+r AS (
+  SELECT doc_id, lang, score_q,
+         row_number() OVER (ORDER BY score_q DESC, doc_id) - 1 AS srank,
+         count(*) OVER () AS n
+  FROM sq),
+st AS (
+  SELECT doc_id, lang, score_q, n,
+         CAST(floor(srank * 4.0 / n) AS INT) AS stage
+  FROM r),
+e AS (
+  SELECT st.*, CAST(u.e AS INT) AS epoch
+  FROM st, unnest([0, 1]) AS u(e)),
+u AS (
+  SELECT *,
+         {_sql_md5_32(
+             "'7|' || CAST(epoch AS VARCHAR) || '|' "
+             "|| CAST(doc_id AS VARCHAR)"
+         )} AS u32
+  FROM e),
+rk AS (
+  SELECT lang, doc_id, score_q, stage, epoch, n,
+         CAST(row_number() OVER (
+           PARTITION BY epoch ORDER BY stage, u32, doc_id
+         ) - 1 AS BIGINT) AS rank
+  FROM u)
+SELECT lang, doc_id, score_q, stage, epoch, rank,
+       CAST(epoch * n + rank AS BIGINT) AS global_step
+FROM rk
+"""
+
+
 def _seqs_for_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The packed-sequence table the serving-order rows share (512-token
     concat-and-chunk bins per lang over the documents corpus)."""
@@ -12003,7 +12079,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_pack_bins_docs": q_stream_pack_bins_docs,
     "ivfpq_recall_topk": q_ivfpq_recall_topk,
     # promoted late-r08: the round's new capability wave
-    "stream_probe_score_docs": q_stream_probe_score_docs,
+    # (stream_probe_score_docs evicted r14 — see the
+    # training_curriculum_run_docs promotion comment)
     "stream_semantic_dedup_embeddings": q_stream_semantic_dedup_embeddings,
     # r13 second promotion (VERDICT r12 Missing #2):
     # semantic_decontaminate_indexed_docs — the landed-eval-index
@@ -12202,6 +12279,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # grouping is a groupBy key, not separate machinery.
     "training_order_curriculum_strat_docs":
         q_training_order_curriculum_strat_docs,
+    # r14 fourth promotion (VERDICT r13 stretch #7):
+    # training_curriculum_run_docs — the staged curriculum as a flat-E
+    # resumable run schedule (stage computed once, per-epoch
+    # within-stage reshuffle, global_step arithmetic), born this
+    # round; oracle = stage replay + PARTITION BY epoch serve ranking.
+    # Evicted stream_probe_score_docs (green in BOTH r12 and r13): the
+    # stream-static broadcast-scoring shape (landed model table joined
+    # to arrivals, zero state) is checked in-window by
+    # stream_dsir_score_docs (landed DSIR model) and stream_funnel_docs;
+    # the IRLS weights + scoring→threshold→confusion chain stay via
+    # probe_irls_eval_docs (in-window), and the batch≡seam weight
+    # bit-identity is unit-pinned (test_classifier).
+    "training_curriculum_run_docs": q_training_curriculum_run_docs,
     # (training_order_weighted_docs evicted r14 — see the
     # dedup_keep_best_docs promotion comment; entry now in overflow)
     # r13 fourth promotion (beyond-ask, the epoch-dependent half of
@@ -12236,6 +12326,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_order_weighted_docs": q_training_order_weighted_docs,
     "quality_funnel_by_lang_docs": q_quality_funnel_by_lang_docs,
     "serving_mixture_docs": q_serving_mixture_docs,
+    "stream_probe_score_docs": q_stream_probe_score_docs,
     # r07 evictions: green in both r05 and r06
     "sketch_stats_events": q_sketch_stats_events,
     "repetition_stats_docs": q_repetition_stats_docs,
@@ -12489,6 +12580,7 @@ def _oracles() -> dict[str, str]:
         "training_order_curriculum_strat_docs":
             _sql_training_order_curriculum_strat(),
         "decon_report_docs": SQL_DECON_REPORT_DOCS,
+        "training_curriculum_run_docs": _sql_training_curriculum_run(),
         # stream == batch per arrival set (stateless stream-static
         # join), so the streaming row replays the SAME closure
         "stream_split_assign_docs": _sql_split_assign_clustered(),

@@ -408,3 +408,38 @@ def test_annealed_run_order_shuffles_flat_in_epochs(spark):
 
     s3, s6 = shuffles(3), shuffles(6)
     assert s3 == s6, (s3, s6)
+
+
+def test_curriculum_run_order_shuffles_flat_in_epochs(spark):
+    """r14: the curriculum schedule keeps run_order's E-constant shape
+    — the quantile staging computes once (epoch-independent) and all
+    E·N serve keys rank in one two-pass prefix sum; shuffle count must
+    not grow with E."""
+    import contextlib
+    import io
+
+    from miletos_spark.pipeline.packing import curriculum_run_order
+
+    seqs = spark.createDataFrame(
+        [("en" if b % 3 else "de", b, float(b % 7)) for b in range(24)],
+        "lang string, seq_bin long, sc double",
+    )
+
+    def shuffles(n_epochs):
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                curriculum_run_order(
+                    seqs, seed=7, n_epochs=n_epochs, score_col="sc",
+                    n_stages=3, bucket_count=4,
+                ).explain()
+            p = buf.getvalue()
+            return p.count("Exchange hashpartitioning") + p.count(
+                "Exchange rangepartitioning"
+            )
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    s3, s6 = shuffles(3), shuffles(6)
+    assert s3 == s6, (s3, s6)

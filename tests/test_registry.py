@@ -226,6 +226,15 @@ def test_window_rotation_is_deliberate():
     # serving_shards_docs pins the rank-band materialization); the
     # report-over-artifact shape stays via pack_bins_report_docs and
     # the new decon report row (both in-window).
+    # r14 fourth promotion (VERDICT r13 stretch #7):
+    # training_curriculum_run_docs — staged curriculum as a flat-E
+    # resumable schedule, born this round; oracle = stage replay +
+    # per-epoch serve ranking + global-step arithmetic. Evicted
+    # stream_probe_score_docs (green in BOTH r12 and r13): the
+    # stream-static broadcast-scoring shape stays in-window via
+    # stream_dsir_score_docs + stream_funnel_docs; the IRLS weights
+    # and scoring→confusion chain stay via probe_irls_eval_docs
+    # (in-window); batch≡seam weight bit-identity unit-pinned.
     assert window == [
         "semantic_decontaminate_docs", "stream_semantic_decontaminate_docs",
         "serving_shards_docs", "decon_report_docs",
@@ -235,7 +244,6 @@ def test_window_rotation_is_deliberate():
         "pack_bins_ffd_docs",
         "stream_pack_bins_docs",
         "ivfpq_recall_topk",
-        "stream_probe_score_docs",
         "stream_semantic_dedup_embeddings",
         "semantic_decontaminate_indexed_docs",
         "bls_spectrum_events", "gp_recovery_events", "mcmc_recovery_events",
@@ -255,6 +263,7 @@ def test_window_rotation_is_deliberate():
         "bpe_train_encode_docs",
         "training_order_curriculum_docs",
         "training_order_curriculum_strat_docs",
+        "training_curriculum_run_docs",
         "training_run_order_annealed_docs",
         "stream_media_decisions",
         "probe_irls_eval_docs",

@@ -1975,3 +1975,89 @@ def test_curriculum_order_stratified_stages_per_group(spark):
     assert sorted(map(key, again.collect())) == sorted(
         map(key, glob.collect())
     )
+
+
+def test_curriculum_run_order_equals_per_epoch_and_resumes(spark):
+    """r14 (VERDICT r13 stretch #7): the flat-E curriculum schedule is
+    BIT-IDENTICAL to per-epoch curriculum_order calls (same seed), its
+    global_step is dense over [0, E*N), resume_run_at_step returns
+    exactly the unserved suffix, stages hold in EVERY epoch, and the
+    within-stage permutation differs between epochs (the reshuffle).
+    Stratified composition (partition_cols) goes through the same
+    seam."""
+    from pyspark.sql import functions as F
+
+    from miletos_spark.pipeline.packing import (
+        curriculum_order,
+        curriculum_run_order,
+        resume_run_at_step,
+    )
+
+    rows = [("en", b, 100.0 + b) for b in range(12)] + [
+        ("de", b, float(b)) for b in range(4)
+    ]
+    seqs = spark.createDataFrame(rows, "lang string, seq_bin long, sc double")
+    E, N = 3, 16
+    got = curriculum_run_order(
+        seqs, seed=11, n_epochs=E, score_col="sc", n_stages=4,
+        key_cols=("lang", "seq_bin"), bucket_count=8,
+    )
+    key = lambda r: (  # noqa: E731
+        r["epoch"], r["lang"], r["seq_bin"], r["score_q"], r["stage"],
+        r["rank"], r["global_step"],
+    )
+    got_rows = sorted(map(key, got.collect()))
+    want = []
+    for e in range(E):
+        ep = curriculum_order(
+            seqs, seed=11, epoch=e, score_col="sc", n_stages=4,
+            key_cols=("lang", "seq_bin"), bucket_count=8,
+        )
+        want.extend(
+            (e, r["lang"], r["seq_bin"], r["score_q"], r["stage"],
+             r["rank"], e * N + r["rank"])
+            for r in ep.collect()
+        )
+    assert got_rows == sorted(want)
+    # dense global steps; stage-major within every epoch
+    steps = sorted(r[6] for r in got_rows)
+    assert steps == list(range(E * N))
+    by_step = {r[6]: r[4] for r in got_rows}
+    for e in range(E):
+        stages = [by_step[e * N + i] for i in range(N)]
+        assert stages == sorted(stages), e
+    # epochs reshuffle: within-stage orders differ somewhere
+    perm = {
+        e: [
+            (r[1], r[2]) for r in sorted(got_rows, key=lambda x: x[6])
+            if r[0] == e
+        ]
+        for e in range(E)
+    }
+    assert perm[0] != perm[1] or perm[1] != perm[2]
+    # resume at an arbitrary mid-run step
+    res = sorted(
+        r["global_step"] for r in resume_run_at_step(got, 21).collect()
+    )
+    assert res == list(range(21, E * N))
+    # stratified flat-E == stratified per-epoch
+    got_s = curriculum_run_order(
+        seqs, seed=11, n_epochs=2, score_col="sc", n_stages=2,
+        key_cols=("lang", "seq_bin"), bucket_count=8,
+        partition_cols=("lang",),
+    )
+    want_s = []
+    for e in range(2):
+        ep = curriculum_order(
+            seqs, seed=11, epoch=e, score_col="sc", n_stages=2,
+            key_cols=("lang", "seq_bin"), bucket_count=8,
+            partition_cols=("lang",),
+        )
+        want_s.extend(
+            (e, r["lang"], r["seq_bin"], r["stage"], r["rank"])
+            for r in ep.collect()
+        )
+    key_s = lambda r: (  # noqa: E731
+        r["epoch"], r["lang"], r["seq_bin"], r["stage"], r["rank"]
+    )
+    assert sorted(map(key_s, got_s.collect())) == sorted(want_s)

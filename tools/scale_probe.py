@@ -134,6 +134,9 @@ CORPUS_QUERIES = [
     # round-14: decon report (corpus axis: the gram explode + match
     # join are linear; the report aggregate is suite-bounded)
     "decon_report_docs",
+    # round-14: flat-E curriculum schedule (corpus axis: stage pass +
+    # E-constant ranking, both linear)
+    "training_curriculum_run_docs",
 ]
 
 
