@@ -114,12 +114,27 @@ def train_bpe(
 
     merges: list[tuple[str, str]] = []
     while len(merges) < n_merges:
-        top = (
-            _pair_counts(words)
-            .orderBy(F.desc("cnt"), F.desc("a"), F.desc("b"))
-            .limit(max(merges_per_round, 1))
-            .collect()  # O(merges_per_round) driver rows
-        )
+        if merges_per_round <= 1:
+            # argmax by (cnt, a, b) as ONE partial-aggregating max of a
+            # struct — identical winner to the sort path (struct
+            # comparison is field-order lexicographic: max count, then
+            # lexicographically greatest pair), but the per-round
+            # orderBy cost two extra exchanges EVERY round (range-
+            # partitioner sampling pass + sort) for a 1-row result
+            # (r14, guide §2.4). ~K·2 exchanges saved over K merges.
+            row = (
+                _pair_counts(words)
+                .agg(F.max(F.struct("cnt", "a", "b")).alias("_t"))
+                .first()["_t"]
+            )
+            top = [row] if row is not None else []
+        else:
+            top = (
+                _pair_counts(words)
+                .orderBy(F.desc("cnt"), F.desc("a"), F.desc("b"))
+                .limit(max(merges_per_round, 1))
+                .collect()  # O(merges_per_round) driver rows
+            )
         batch: list[tuple[str, str]] = []
         used: set[str] = set()
         for r in top:

@@ -92,8 +92,21 @@ def land_dedup_index(
     sigs = minhash_signatures(docs, k=k, num_hashes=num_hashes)
     sigs.write.mode("overwrite").parquet(paths["sigs"])
     landed_sigs = spark.read.parquet(paths["sigs"])
-    banded = lsh_bands(landed_sigs, bands=bands)
-    banded.write.mode("overwrite").partitionBy("band").parquet(paths["bands"])
+    # num_hashes passed explicitly: the landing KNOWS the width, so the
+    # default's `.first()` probe job is pure overhead here (r14).
+    banded = lsh_bands(landed_sigs, bands=bands, num_hashes=num_hashes)
+    # repartition by band before the partitioned write (r14, guide §6):
+    # without it every sigs-read task writes a file into every band dir
+    # (tasks × bands files — 256 tiny files at sf0.1), and the counts
+    # pass below re-reads all of them. One keyed exchange buys one file
+    # per band dir (AQE-coalesced), which is also the layout a
+    # cluster-scale reader wants.
+    (
+        banded.repartition("band")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(paths["bands"])
+    )
     # write-time bucket stats (VERDICT r10 Wrong #2): per-bucket count
     # side table (a VERSIONED store so incremental folds stay
     # O(touched) yet commit atomically — ADVICE r11) + the O(1)
@@ -402,6 +415,102 @@ def land_embedding_index(
     return path
 
 
+def _sample_vectors(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cap: int = 65536,
+):
+    """Deterministic hash-threshold training sample of ≤~``cap``
+    vectors, collected to the driver as float64 — THE bounded-sample
+    recipe every quantizer trainer in this module uses (land_pq /
+    land_ivf2 inline the same predicate). Returns (pts, n_vec)."""
+    import numpy as np
+
+    n_vec = emb.count()
+    mod = 1 << 20
+    # max(1, ...): at n_vec > mod*cap the integer ratio truncates to 0
+    # and the sample would silently be empty
+    thresh = mod if n_vec <= cap else max(1, int(mod * cap / n_vec))
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sample = (
+        emb.filter(F.pmod(F.xxhash64(id_col), F.lit(mod)) < thresh)
+        .select(v.alias("_v"))
+        .collect()
+    )
+    if not sample:
+        raise ValueError(
+            "_sample_vectors: empty training sample — the embeddings "
+            "table is empty or the hash-threshold sample selected no "
+            "rows"
+        )
+    return np.asarray([r["_v"] for r in sample], dtype=np.float64), n_vec
+
+
+def _lloyd_fast(pts, k: int, seed: int, iters: int = 25):
+    """Seeded Lloyd's with GEMM distances — the same uniform
+    `rng.choice` init and assignment/update recipe as `_lloyd`, with
+    the distance matrix computed as |a|² − 2a·b + |b|² (one matmul)
+    instead of the (n, k, d) broadcast subtraction, which allocates
+    n·k·d doubles per iteration and dominates wall time once k is in
+    the hundreds. (A k-means++ D²-sampling init was tried first and
+    REVERTED: on the small-sf fixtures its more spread-out centers
+    split the query's top-10 neighborhood across more cells, dropping
+    pruned-probe recall below the pinned unit-test floor — 4/10 vs the
+    uniform init's 8/10 at sf0.001, n_probe=2 of 8.) Kept SEPARATE
+    from `_lloyd`: GEMM float rounding differs in low bits, and
+    `_lloyd` feeds the landed two-level semantic quantizer whose
+    memoized indexes (and oracle-checked recovery fixtures) must not
+    shift under an optimization round. Used by the IVF coarse trainers,
+    whose probe rows are rows-only / floor-assertion checks by design
+    (trained quantizers are engine-specific)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    k = min(k, len(pts))
+    pts_sq = (pts * pts).sum(axis=1)
+    cents = pts[rng.choice(len(pts), size=k, replace=False)]
+    for _ in range(iters):
+        d2 = (
+            pts_sq[:, None]
+            - 2.0 * (pts @ cents.T)
+            + (cents * cents).sum(axis=1)[None, :]
+        )
+        assign = d2.argmin(axis=1)
+        new_c = np.array([
+            pts[assign == c].mean(axis=0)
+            if np.any(assign == c) else cents[c]
+            for c in range(k)
+        ])
+        if np.allclose(new_c, cents):
+            break
+        cents = new_c
+    return cents
+
+
+def _argmin_cell_expr(cents, v):
+    """Pure-PROJECTION nearest-center assignment against LITERAL
+    centers: `array_min` over (d2, cell) structs — the same sequential
+    `_l2sq` distance and (d2, cell) tie-break as
+    `similarity.assign_cells`, but ZERO shuffles: no crossJoin, no
+    groupBy. At landing time the freshly trained quantizer is a
+    driver-side constant, so the cell id is column math — the
+    `land_embedding_index` bucket-expression stance applied to IVF
+    (guide §2.4: remove shuffles outright)."""
+    from miletos_spark.pipeline.similarity import _l2sq
+
+    structs = F.array(*[
+        F.struct(
+            _l2sq(
+                v, F.array(*[F.lit(float(x)) for x in c])
+            ).alias("d2"),
+            F.lit(int(i)).alias("cell"),
+        )
+        for i, c in enumerate(cents)
+    ])
+    return F.array_min(structs)["cell"]
+
+
 def land_ivf_index(
     spark: SparkSession,
     sf_dir: str,
@@ -409,7 +518,7 @@ def land_ivf_index(
     seed: int = 42,
     overwrite: bool = False,
 ) -> dict[str, str]:
-    """Materialize the IVF (inverted-file) index: fit the KMeans coarse
+    """Materialize the IVF (inverted-file) index: fit the coarse
     quantizer ONCE at ingest, store vectors partitioned by their cell
     id, and persist the centroids alongside. A probe then (1) ranks the
     tiny centroid table driver-side, (2) reads ONLY the probed cells —
@@ -419,14 +528,23 @@ def land_ivf_index(
     read form refits the quantizer per query (measured ~15x the probe
     cost at sf0.1).
 
+    r14 (guide §1.2 step 1 + §2.4): the quantizer FIT moved from
+    pyspark.ml KMeans — ~20 sequential driver-orchestrated jobs over
+    the full corpus — to seeded numpy Lloyd's on the bounded
+    hash-threshold sample, exactly the recipe `land_pq_index` already
+    documents ("distributed pyspark.ml here was 16.8 s for ~100 ms of
+    actual math") and FAISS uses (coarse quantizers train on subsets).
+    Assignment became a zero-shuffle literal-centers projection
+    (`_argmin_cell_expr`); the one remaining corpus shuffle is the
+    `repartition("_cell")` that sizes the partition-dir files. The
+    `.np2` tag versions the training recipe so memoized KMeans-era
+    landings invalidate. Measured: 13.8 s → see OPTIMIZATION_r14.md.
+
     Cell count is small (coarse quantizer), so partitioning directly on
     `_cell` has no small-files pathology. Returns {"cells": path,
     "centers": path}."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
     src = os.path.join(sf_dir, "embeddings.parquet")
-    root = _index_root(src, f"ivf{n_clusters}s{seed}")
+    root = _index_root(src, f"ivf{n_clusters}s{seed}.np2")
     paths = {"cells": os.path.join(root, "cells"),
              "centers": os.path.join(root, "centers")}
     done = os.path.join(root, "_SUCCESS_INDEX")
@@ -434,27 +552,23 @@ def land_ivf_index(
         return paths
 
     emb = load_table(spark, sf_dir, "embeddings")
+    pts, _ = _sample_vectors(emb)
+    cents = _lloyd_fast(pts, n_clusters, seed)
+    centers = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(cents)
+    ]
+    spark.createDataFrame(
+        centers, "cell int, center array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(paths["centers"])
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    feat = emb.withColumn("_feat", array_to_vector(v))
-    model = KMeans(
-        k=n_clusters, seed=seed, featuresCol="_feat", predictionCol="_cell"
-    ).fit(feat)
     (
-        model.transform(feat)
-        .withColumn("embedding", vector_to_array("_feat"))
-        .drop("_feat")
+        emb.withColumn("embedding", v)
+        .withColumn("_cell", _argmin_cell_expr([c for _, c in centers], v))
         .repartition("_cell")
         .write.mode("overwrite")
         .partitionBy("_cell")
         .parquet(paths["cells"])
     )
-    centers = [
-        (int(i), [float(x) for x in c])
-        for i, c in enumerate(model.clusterCenters())
-    ]
-    spark.createDataFrame(
-        centers, "cell int, center array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(paths["centers"])
     _commit_marker(done, "ok")
     return paths
 
@@ -942,7 +1056,15 @@ def update_cluster_index(
 def _train_codebooks(sample, m: int, n_centroids: int, seed: int) -> list:
     """Seeded Lloyd's per subspace over a bounded driver-side sample
     of (sub, sv) rows (the standard PQ recipe — Jegou et al. 2011
-    train codebooks on a subset). Returns (sub, cid, cent) tuples."""
+    train codebooks on a subset). Returns (sub, cid, cent) tuples.
+
+    r14: distances via |a|² − 2a·b + |b|² (one GEMM per iteration) —
+    the (n, k, d) broadcast subtraction allocated n·k·d doubles per
+    iteration, which at the 256-centroid codebook is ~32 MB × 25
+    iterations × m subspaces of pure allocator traffic. Same
+    init/assignment/update recipe; codebook floats shift in low bits
+    (trained-quantizer consumers are rows-only / floor-assertion rows
+    by design — the landing tags version the recipe)."""
     import numpy as np
 
     by_sub: dict[int, list] = {}
@@ -960,8 +1082,13 @@ def _train_codebooks(sample, m: int, n_centroids: int, seed: int) -> list:
         k = min(n_centroids, len(pts))
         rng = np.random.RandomState(seed + sub_i)
         cents = pts[rng.choice(len(pts), size=k, replace=False)]
+        pts_sq = (pts * pts).sum(axis=1)
         for _ in range(25):
-            d2 = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            d2 = (
+                pts_sq[:, None]
+                - 2.0 * (pts @ cents.T)
+                + (cents * cents).sum(axis=1)[None, :]
+            )
             assign = d2.argmin(axis=1)
             new_c = np.array([
                 pts[assign == c].mean(axis=0)
@@ -994,18 +1121,31 @@ def land_ivfpq_index(
     cell directory. A probe then prunes I/O twice: the centroid table
     picks n_probe cell DIRECTORIES (partition pruning), and within
     them only the codes are scanned — never raw vectors. Returns
-    {"codes", "centers", "codebook"}."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    {"codes", "centers", "codebook"}.
 
+    r14 (guide §1.2 step 1 + §2.3/§2.4): the coarse fit moved from
+    pyspark.ml KMeans to seeded numpy Lloyd's on the bounded
+    hash-threshold sample (the `land_pq_index` precedent, same
+    verification class: trained-quantizer rows are rows-only /
+    floor-assertion checks by design); codebook TRAINING residuals now
+    derive driver-side from that same sample (one collect replaces a
+    second full-corpus scan + collect); assignment + residual became a
+    zero-shuffle literal-centers projection; and the code→cell
+    re-attach join (a corpus-sized shuffle) disappeared — `cell` rides
+    through `pq_encode`'s argmin groupBy as a carried key. Plan: scan →
+    project → broadcast-join codebook → partial-agg argmin →
+    repartition(_cell) → write (ONE corpus shuffle, the layout one).
+    The `.np2` tag versions the recipe so memoized KMeans-era landings
+    invalidate."""
     from miletos_spark.pipeline.similarity import (
-        assign_cells,
         pq_encode,
         pq_subspace_table,
     )
 
     src = os.path.join(sf_dir, "embeddings.parquet")
-    root = _index_root(src, f"ivfpq{n_clusters}x{m}x{n_centroids}s{seed}")
+    root = _index_root(
+        src, f"ivfpq{n_clusters}x{m}x{n_centroids}s{seed}.np2"
+    )
     paths = {
         "codes": os.path.join(root, "codes"),
         "centers": os.path.join(root, "centers"),
@@ -1016,44 +1156,71 @@ def land_ivfpq_index(
         return paths
 
     emb = load_table(spark, sf_dir, "embeddings")
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    feat = emb.withColumn("_feat", array_to_vector(v))
-    model = KMeans(
-        k=n_clusters, seed=seed, featuresCol="_feat", predictionCol="_cell"
-    ).fit(feat)
+    pts, _ = _sample_vectors(emb)
+    coarse = _lloyd_fast(pts, n_clusters, seed)
     centers = [
-        (int(i), [float(x) for x in c])
-        for i, c in enumerate(model.clusterCenters())
+        (int(i), [float(x) for x in c]) for i, c in enumerate(coarse)
     ]
-    centers_df = spark.createDataFrame(centers, "cell int, center array<double>")
-    centers_df.coalesce(1).write.mode("overwrite").parquet(paths["centers"])
+    spark.createDataFrame(
+        centers, "cell int, center array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(paths["centers"])
 
-    # assignment + residual from the PERSISTED centers (the probe's
-    # view of the quantizer), not MLlib internals
-    landed_centers = spark.read.parquet(paths["centers"])
-    assigned = assign_cells(emb, landed_centers)
-    subv = pq_subspace_table(
-        assigned, m=m, vec_col="resid", keep_cols=("cell",)
+    # codebook training on the SAMPLE's residuals, driver-side: the
+    # sample is the same hash-threshold row set either way, so this
+    # replaces a full-corpus subvector scan + collect with numpy math
+    # over points already in memory
+    d2s = (
+        (pts * pts).sum(axis=1)[:, None]
+        - 2.0 * (pts @ coarse.T)
+        + (coarse * coarse).sum(axis=1)[None, :]
     )
-    cap = 65536
-    n_vec = emb.count()
-    mod = 1 << 20
-    # max(1, ...): at n_vec > mod*cap the integer ratio truncates to 0
-    # and the sample would silently be empty
-    thresh = mod if n_vec <= cap else max(1, int(mod * cap / n_vec))
-    sample = (
-        subv.filter(F.pmod(F.xxhash64("vec_id"), F.lit(mod)) < thresh)
-        .select("sub", "sv")
-        .collect()
-    )
-    books = _train_codebooks(sample, m, n_centroids, seed)
+    resid_pts = pts - coarse[d2s.argmin(axis=1)]
+    dim = resid_pts.shape[1]
+    if dim % m != 0:
+        raise ValueError(
+            f"land_ivfpq_index: dim {dim} not divisible by m={m}"
+        )
+    dsub = dim // m
+    sample_rows = [
+        {"sub": sub_i, "sv": list(map(float, rv[sub_i * dsub:(sub_i + 1) * dsub]))}
+        for rv in resid_pts
+        for sub_i in range(m)
+    ]
+    books = _train_codebooks(sample_rows, m, n_centroids, seed)
     codebook = spark.createDataFrame(
         books, "sub int, cid int, cent array<double>"
     )
     codebook.coalesce(1).write.mode("overwrite").parquet(paths["codebook"])
     landed_cb = spark.read.parquet(paths["codebook"])
-    codes = pq_encode(subv.select("vec_id", "sub", "sv"), landed_cb).join(
-        assigned.select("vec_id", F.col("cell").alias("_cell")), "vec_id"
+
+    # assignment + residual from the LITERAL centers (identical floats
+    # to the persisted table — parquet doubles round-trip exactly):
+    # pure projection, no crossJoin/groupBy shuffle
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    centers_lit = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for _, c in centers
+    ])
+    assigned = (
+        emb.select("vec_id", v.alias("_v"))
+        .withColumn(
+            "cell",
+            _argmin_cell_expr([c for _, c in centers], F.col("_v")),
+        )
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with(
+                "_v",
+                F.element_at(centers_lit, F.col("cell") + 1),
+                lambda x, y: x - y,
+            ).alias("resid"),
+        )
+    )
+    subv = pq_subspace_table(
+        assigned, m=m, vec_col="resid", keep_cols=("cell",)
+    )
+    codes = pq_encode(subv, landed_cb, keep_cols=("cell",)).select(
+        "vec_id", "sub", "cid", F.col("cell").alias("_cell")
     )
     (
         codes.repartition("_cell")
@@ -1133,7 +1300,7 @@ def land_pq_index(
     from miletos_spark.pipeline.similarity import pq_encode, pq_subspace_table
 
     src = os.path.join(sf_dir, "embeddings.parquet")
-    root = _index_root(src, f"pq{m}x{n_centroids}s{seed}")
+    root = _index_root(src, f"pq{m}x{n_centroids}s{seed}.np1")
     paths = {"codes": os.path.join(root, "codes"),
              "codebook": os.path.join(root, "codebook")}
     done = os.path.join(root, "_SUCCESS_INDEX")
@@ -1145,23 +1312,30 @@ def land_pq_index(
     # codebook TRAINING runs on a bounded sample on the driver (the
     # standard PQ recipe — Jegou et al. 2011 train codebooks on a
     # subset): deterministic hash-THRESHOLD sample of ~<=65536
-    # subvectors per subspace (a fully-parallel filter — a row_number
-    # window here would sort every subspace's N rows in one task
-    # each), then seeded Lloyd's in numpy (m x k x d doubles — tiny).
+    # vectors (a fully-parallel filter — a row_number window here
+    # would sort every subspace's N rows in one task each), then
+    # seeded Lloyd's in numpy (m x k x d doubles — tiny).
     # Distributed pyspark.ml here was 8 sequential fits of pure job
     # overhead (measured 16.8 s for ~100 ms of actual math at sf0.1);
     # ENCODING — the O(corpus) half — stays a distributed join.
-    cap = 65536
-    n_vec = emb.count()
-    mod = 1 << 20
-    # max(1, ...): at n_vec > mod*cap the integer ratio truncates to 0
-    # and the sample would silently be empty
-    thresh = mod if n_vec <= cap else max(1, int(mod * cap / n_vec))
-    sample = (
-        subv.filter(F.pmod(F.xxhash64("vec_id"), F.lit(mod)) < thresh)
-        .select("sub", "sv")
-        .collect()
-    )
+    # r14: the sample collects WHOLE vectors once via the shared
+    # `_sample_vectors` seam and splits subspaces in numpy — the same
+    # hash-threshold row set the old subvector-table collect selected,
+    # minus one full corpus pass (the subv scan existed only to slice
+    # arrays the driver can slice itself). `.np1` versions the recipe
+    # (sample ORDER differs, so codebook floats shift — rows-only
+    # consumers by design).
+    pts, _ = _sample_vectors(emb)
+    dim = pts.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"land_pq_index: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    sample = [
+        {"sub": sub_i,
+         "sv": list(map(float, rv[sub_i * dsub:(sub_i + 1) * dsub]))}
+        for rv in pts
+        for sub_i in range(m)
+    ]
     books = _train_codebooks(sample, m, n_centroids, seed)
     codebook = spark.createDataFrame(
         books, "sub int, cid int, cent array<double>"

@@ -93,31 +93,37 @@ def ivf_topk(
     At scale the cell id is computed at write time and used as a
     partition key, so probing prunes the SCAN (partition pruning), not
     just the compute — the same storage trick as `lsh_bucket_topk`.
-    `n_probe == n_clusters` degrades gracefully to exact search."""
-    import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    `n_probe == n_clusters` degrades gracefully to exact search.
 
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    feat = df.withColumn("_feat", array_to_vector(v))
-    km = KMeans(k=n_clusters, seed=seed, featuresCol="_feat",
-                predictionCol="_cell")
-    model = km.fit(feat)
-    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+    r14 (guide §1.2 step 1): the per-query quantizer fit moved from
+    pyspark.ml KMeans (~20 sequential distributed jobs) to seeded
+    numpy Lloyd's on the bounded hash-threshold driver sample, and
+    assignment to a zero-shuffle literal-centers projection — the same
+    recipe as every landed trainer in `pipeline.landing`. With
+    n_probe == n_clusters the output is still the exact brute-force
+    top-k for ANY quantizer (the recovery row's contract); pruned
+    probes remain engine-specific rows-only checks."""
+    from miletos_spark.pipeline.landing import (
+        _argmin_cell_expr,
+        _lloyd_fast,
+        _sample_vectors,
+    )
+
+    pts, _ = _sample_vectors(df, id_col=id_col, vec_col=vec_col)
+    centers = _lloyd_fast(pts, n_clusters, seed)
 
     q_np = np.asarray(query, dtype=float)
     d2 = ((centers - q_np) ** 2).sum(axis=1)
     probe = [int(i) for i in np.argsort(d2, kind="stable")[:n_probe]]
 
-    assigned = model.transform(feat)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     q = F.array(*[F.lit(float(x)) for x in query])
     return (
-        assigned.filter(F.col("_cell").isin(probe))
+        df.withColumn("_cell", _argmin_cell_expr(centers, v))
+        .filter(F.col("_cell").isin(probe))
         .select(
             F.col(id_col),
-            cosine_similarity(
-                F.transform(vector_to_array("_feat"), lambda x: x), q
-            ).alias("cos_sim"),
+            cosine_similarity(v, q).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
@@ -369,19 +375,27 @@ def _l2sq(a, b):
 
 
 def pq_encode(
-    subv: DataFrame, codebook: DataFrame, id_col: str = "vec_id"
+    subv: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Product-quantization encoding: for each (vector, subspace) pick
-    the nearest codebook centroid → (id, sub, cid). `codebook` is
-    (sub, cid, cent array<double>) and broadcast-sized by construction
-    (m · n_centroids rows). Ties break to the smallest cid, so codes
-    are deterministic."""
+    the nearest codebook centroid → (id, [keep_cols...,] sub, cid).
+    `codebook` is (sub, cid, cent array<double>) and broadcast-sized by
+    construction (m · n_centroids rows). Ties break to the smallest
+    cid, so codes are deterministic. ``keep_cols`` carries
+    per-id-constant columns (e.g. the IVF cell) through the argmin
+    groupBy, so callers that need them pay no second join (r14 — the
+    landing used to re-join codes against the assignment on `id_col`,
+    a corpus-sized shuffle join for a column already present here)."""
     dists = subv.join(F.broadcast(codebook), "sub").select(
-        id_col, "sub", "cid", _l2sq(F.col("sv"), F.col("cent")).alias("d2")
+        id_col, *keep_cols, "sub", "cid",
+        _l2sq(F.col("sv"), F.col("cent")).alias("d2"),
     )
-    return dists.groupBy(id_col, "sub").agg(
+    return dists.groupBy(id_col, *keep_cols, "sub").agg(
         F.min(F.struct("d2", "cid")).alias("_b")
-    ).select(id_col, "sub", F.col("_b.cid").alias("cid"))
+    ).select(id_col, *keep_cols, "sub", F.col("_b.cid").alias("cid"))
 
 
 def pq_adc_topk(
