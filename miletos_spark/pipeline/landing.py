@@ -397,7 +397,7 @@ def land_embedding_index(
     emb = load_table(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()["embedding"])
     planes = rng.standard_normal((n_planes, dim))
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = F.col("embedding").cast("array<double>")
     b = F.lit(0)
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])
@@ -413,6 +413,45 @@ def land_embedding_index(
     )
     _commit_marker(done, "ok")
     return path
+
+
+def _write_local_table(path: str, rows: list, schema_ddl: str) -> None:
+    """Write a tiny DRIVER-SIDE CONSTANT table as one parquet file via
+    pyarrow — no Spark job at all. A `createDataFrame(list)` relation
+    is backed by a Python RDD split into defaultParallelism slices, and
+    a `coalesce(1)` write of one runs ONE task that pays a
+    Python-runner round-trip per parent slice — measured ~6 s flat for
+    a 16-row centers table on local[32], the exact trap
+    streaming/ingest.py documents at its offsets store (r14, guide §5:
+    the driver should do almost no data work — and a 16-row constant
+    is driver work, not a job). Spark reads the file back with the
+    same schema it would have written (int32 / int64 / float64 /
+     3-level list<double>); pyarrow readers (`_landed_order_bounds`
+    precedent) too."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    _PA = {
+        "int": pa.int32(),
+        "bigint": pa.int64(),
+        "double": pa.float64(),
+        "array<double>": pa.list_(pa.float64()),
+    }
+    fields = []
+    for part in schema_ddl.split(","):
+        name, typ = part.strip().split(" ", 1)
+        fields.append(pa.field(name, _PA[typ.strip()]))
+    cols = list(zip(*rows)) if rows else [[] for _ in fields]
+    tbl = pa.table(
+        {f.name: pa.array(list(c), type=f.type)
+         for f, c in zip(fields, cols)}
+    )
+    if os.path.isdir(path):
+        shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    papq.write_table(tbl, os.path.join(path, "part-00000.parquet"))
 
 
 def _sample_vectors(
@@ -432,7 +471,11 @@ def _sample_vectors(
     # max(1, ...): at n_vec > mod*cap the integer ratio truncates to 0
     # and the sample would silently be empty
     thresh = mod if n_vec <= cap else max(1, int(mod * cap / n_vec))
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # plain array cast, not a transform() lambda: the HOF form is
+    # CodegenFallback (interpreted per element) — the direct cast is
+    # codegen'd and value-identical (float→double widening is exact);
+    # measured 0.30 s vs 1.0 s on the 2000×256 collect (r14)
+    v = F.col(vec_col).cast("array<double>")
     sample = (
         emb.filter(F.pmod(F.xxhash64(id_col), F.lit(mod)) < thresh)
         .select(v.alias("_v"))
@@ -557,10 +600,10 @@ def land_ivf_index(
     centers = [
         (int(i), [float(x) for x in c]) for i, c in enumerate(cents)
     ]
-    spark.createDataFrame(
-        centers, "cell int, center array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(paths["centers"])
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    _write_local_table(
+        paths["centers"], centers, "cell int, center array<double>"
+    )
+    v = F.col("embedding").cast("array<double>")
     (
         emb.withColumn("embedding", v)
         .withColumn("_cell", _argmin_cell_expr([c for _, c in centers], v))
@@ -657,7 +700,7 @@ def land_ivf2_index(
     # max(1, ...): at n_vec > mod*cap the integer ratio truncates to 0
     # and the sample would silently be empty
     thresh = mod if n_vec <= cap else max(1, int(mod * cap / n_vec))
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = F.col("embedding").cast("array<double>")
     sample = (
         emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(mod)) < thresh)
         .select(v.alias("_v"))
@@ -696,12 +739,13 @@ def land_ivf2_index(
         fine_rows += [
             (s, int(j), [float(x) for x in c]) for j, c in enumerate(fc)
         ]
-    spark.createDataFrame(
-        coarse_rows, "super int, center array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(paths["coarse"])
-    spark.createDataFrame(
-        fine_rows, "super int, fine int, center array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(paths["fine"])
+    _write_local_table(
+        paths["coarse"], coarse_rows, "super int, center array<double>"
+    )
+    _write_local_table(
+        paths["fine"], fine_rows,
+        "super int, fine int, center array<double>",
+    )
     # assignment from the PERSISTED tables (the probe's view of the
     # quantizer), distributed and top-1 at both levels
     coarse_l = spark.read.parquet(paths["coarse"])
@@ -1161,9 +1205,9 @@ def land_ivfpq_index(
     centers = [
         (int(i), [float(x) for x in c]) for i, c in enumerate(coarse)
     ]
-    spark.createDataFrame(
-        centers, "cell int, center array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(paths["centers"])
+    _write_local_table(
+        paths["centers"], centers, "cell int, center array<double>"
+    )
 
     # codebook training on the SAMPLE's residuals, driver-side: the
     # sample is the same hash-threshold row set either way, so this
@@ -1187,16 +1231,15 @@ def land_ivfpq_index(
         for sub_i in range(m)
     ]
     books = _train_codebooks(sample_rows, m, n_centroids, seed)
-    codebook = spark.createDataFrame(
-        books, "sub int, cid int, cent array<double>"
+    _write_local_table(
+        paths["codebook"], books, "sub int, cid int, cent array<double>"
     )
-    codebook.coalesce(1).write.mode("overwrite").parquet(paths["codebook"])
     landed_cb = spark.read.parquet(paths["codebook"])
 
     # assignment + residual from the LITERAL centers (identical floats
     # to the persisted table — parquet doubles round-trip exactly):
     # pure projection, no crossJoin/groupBy shuffle
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = F.col("embedding").cast("array<double>")
     centers_lit = F.array(*[
         F.array(*[F.lit(float(x)) for x in c]) for _, c in centers
     ])
@@ -1275,7 +1318,10 @@ def land_exact_topk(
         "qid bigint, qvec array<double>",
     )
     exact = cosine_topk_batch(emb, queries, k=k, metric=metric)
-    exact.coalesce(1).write.mode("overwrite").parquet(path)
+    # repartition(1), NOT coalesce(1): the queries relation is a
+    # Python-list DataFrame, and coalesce(1) would pull its slices
+    # through one sequential Python-runner task (see _write_local_table)
+    exact.repartition(1).write.mode("overwrite").parquet(path)
     _commit_marker(done, "ok")
     return path
 
@@ -1337,10 +1383,9 @@ def land_pq_index(
         for sub_i in range(m)
     ]
     books = _train_codebooks(sample, m, n_centroids, seed)
-    codebook = spark.createDataFrame(
-        books, "sub int, cid int, cent array<double>"
+    _write_local_table(
+        paths["codebook"], books, "sub int, cid int, cent array<double>"
     )
-    codebook.coalesce(1).write.mode("overwrite").parquet(paths["codebook"])
     landed_cb = spark.read.parquet(paths["codebook"])
     pq_encode(subv, landed_cb).write.mode("overwrite").parquet(paths["codes"])
     _commit_marker(done, "ok")
