@@ -539,13 +539,16 @@ def _argmin_cell_expr(cents, v):
     groupBy. At landing time the freshly trained quantizer is a
     driver-side constant, so the cell id is column math — the
     `land_embedding_index` bucket-expression stance applied to IVF
-    (guide §2.4: remove shuffles outright)."""
-    from miletos_spark.pipeline.similarity import _l2sq
+    (guide §2.4: remove shuffles outright). Distances use the unrolled
+    codegen form (bit-identical to the HOF fold — `_l2sq_unrolled`):
+    the assignment is |corpus|·k·dim work and the interpreted fold was
+    its whole cost (r14)."""
+    from miletos_spark.pipeline.similarity import _l2sq_unrolled
 
     structs = F.array(*[
         F.struct(
-            _l2sq(
-                v, F.array(*[F.lit(float(x)) for x in c])
+            _l2sq_unrolled(
+                v, F.array(*[F.lit(float(x)) for x in c]), len(c)
             ).alias("d2"),
             F.lit(int(i)).alias("cell"),
         )
@@ -1262,9 +1265,9 @@ def land_ivfpq_index(
     subv = pq_subspace_table(
         assigned, m=m, vec_col="resid", keep_cols=("cell",)
     )
-    codes = pq_encode(subv, landed_cb, keep_cols=("cell",)).select(
-        "vec_id", "sub", "cid", F.col("cell").alias("_cell")
-    )
+    codes = pq_encode(
+        subv, landed_cb, keep_cols=("cell",), dim=dsub
+    ).select("vec_id", "sub", "cid", F.col("cell").alias("_cell"))
     (
         codes.repartition("_cell")
         .write.mode("overwrite")
@@ -1387,7 +1390,9 @@ def land_pq_index(
         paths["codebook"], books, "sub int, cid int, cent array<double>"
     )
     landed_cb = spark.read.parquet(paths["codebook"])
-    pq_encode(subv, landed_cb).write.mode("overwrite").parquet(paths["codes"])
+    pq_encode(subv, landed_cb, dim=dsub).write.mode("overwrite").parquet(
+        paths["codes"]
+    )
     _commit_marker(done, "ok")
     return paths
 

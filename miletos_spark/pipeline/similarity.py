@@ -374,11 +374,29 @@ def _l2sq(a, b):
     )
 
 
+def _l2sq_unrolled(a, b, dim: int):
+    """`_l2sq` with the fold UNROLLED to `dim` explicit terms:
+    ((0.0 + t0) + t1) + … is the exact floating-point sequence the
+    sequential HOF fold computes, so the two are BIT-IDENTICAL — but
+    higher-order functions are CodegenFallback (interpreted per
+    element), while this plain expression whole-stage-codegens (r14,
+    guide §4.1: prefer built-in expressions). Requires both arrays to
+    have exactly `dim` elements — the quantizer paths construct them
+    that way; a shorter array would raise on the out-of-range getItem
+    where the HOF form would silently fold fewer terms."""
+    acc = F.lit(0.0)
+    for i in range(dim):
+        d = a[i] - b[i]
+        acc = acc + d * d
+    return acc
+
+
 def pq_encode(
     subv: DataFrame,
     codebook: DataFrame,
     id_col: str = "vec_id",
     keep_cols: tuple = (),
+    dim: int | None = None,
 ) -> DataFrame:
     """Product-quantization encoding: for each (vector, subspace) pick
     the nearest codebook centroid → (id, [keep_cols...,] sub, cid).
@@ -388,10 +406,20 @@ def pq_encode(
     per-id-constant columns (e.g. the IVF cell) through the argmin
     groupBy, so callers that need them pay no second join (r14 — the
     landing used to re-join codes against the assignment on `id_col`,
-    a corpus-sized shuffle join for a column already present here)."""
+    a corpus-sized shuffle join for a column already present here).
+    ``dim`` (the subvector width, when the caller knows it statically)
+    switches the distance to the unrolled codegen form — bit-identical
+    to the HOF fold (see `_l2sq_unrolled`); the |corpus|·m·|codebook|
+    distance evaluations are the encode's entire cost, and the
+    interpreted fold paid an interpreter dispatch per element of every
+    pair (r14)."""
+    d2 = (
+        _l2sq_unrolled(F.col("sv"), F.col("cent"), dim)
+        if dim is not None
+        else _l2sq(F.col("sv"), F.col("cent"))
+    )
     dists = subv.join(F.broadcast(codebook), "sub").select(
-        id_col, *keep_cols, "sub", "cid",
-        _l2sq(F.col("sv"), F.col("cent")).alias("d2"),
+        id_col, *keep_cols, "sub", "cid", d2.alias("d2"),
     )
     return dists.groupBy(id_col, *keep_cols, "sub").agg(
         F.min(F.struct("d2", "cid")).alias("_b")
