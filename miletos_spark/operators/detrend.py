@@ -277,7 +277,23 @@ def clip_detrend_loop(
             work, half_width, value_col=value_col, time_col=time_col,
             group_cols=group_cols, halo_chunk_rows=halo_chunk_rows,
         ).cache()
-        n = det.count()
+        if clip_per_group and group_cols:
+            n = det.count()
+        else:
+            # ONE action per iteration: the row count (the fixpoint
+            # test) and the clip stats come from the same aggregate
+            # job, which also materializes the cache — the separate
+            # count() + stats.first() pair cost one extra sequential
+            # job per iteration on the pipeline anchors' critical
+            # path (r14, guide §1.2 step 1: fewer passes). The stats
+            # of the final (converged) iteration are computed and
+            # unused — same job, no extra pass.
+            srow = det.agg(
+                F.count("*").alias("_n"),
+                F.avg("value_detrended").alias("mu"),
+                F.stddev_pop("value_detrended").alias("sd"),
+            ).first()
+            n = srow["_n"]
         if prev is not None and n == prev:
             return det
         prev = n
@@ -301,11 +317,7 @@ def clip_detrend_loop(
                 .drop("value_detrended", "_cmu", "_csd")
             )
             continue
-        stats = det.agg(
-            F.avg("value_detrended").alias("mu"),
-            F.stddev_pop("value_detrended").alias("sd"),
-        ).first()
-        mu, sd = stats["mu"], stats["sd"]
+        mu, sd = srow["mu"], srow["sd"]
         if not sd:
             return det
         work = det.filter(
