@@ -91,6 +91,53 @@ def _pair_counts(words: DataFrame) -> DataFrame:
     ).agg(F.sum("freq").alias("cnt"))
 
 
+def _train_bpe_local(
+    wf: "dict[str, int]", n_merges: int, min_count: int
+) -> "list[tuple[str, str]]":
+    """The exact greedy merge loop over a DRIVER-RESIDENT (word, freq)
+    table — the same count → argmax(cnt, a, b) → non-overlapping
+    left-to-right merge semantics as the distributed loop (and as
+    `tools/train_bpe.py::train`, whose byte-equality to the
+    distributed loop is the pinned unit-test contract). Used by
+    `train_bpe`'s size-gated cutover; symbol walk mirrors the offline
+    trainer."""
+    from collections import Counter
+
+    words = {w: tuple(w) for w in wf}
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges:
+        pairs: Counter = Counter()
+        for w, syms in words.items():
+            f = wf[w]
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        (a, b), cnt = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))
+        if cnt < min_count:
+            break
+        merges.append((a, b))
+        merged = a + b
+        new_words = {}
+        for w, syms in words.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == a
+                    and syms[i + 1] == b
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_words[w] = tuple(out)
+        words = new_words
+    return merges
+
+
 def train_bpe(
     df: DataFrame,
     text_col: str = "text",
@@ -98,13 +145,34 @@ def train_bpe(
     min_count: int = 2,
     merges_per_round: int = 1,
     checkpoint_every: int = 8,
+    collect_threshold: int = 2_000_000,
 ) -> "list[tuple[str, str]]":
     """Learn a BPE merge table on-cluster. With the default
     `merges_per_round=1` the result is byte-equal to
     `tools/train_bpe.py::train` on the same texts (unit-tested); >1
     batches symbol-disjoint pairs per round (fewer rounds, approximate
-    — see module docstring for the divergence mechanism)."""
+    — see module docstring for the divergence mechanism).
+
+    Size-gated cutover (r14, guide §1.2 step 1): ONE corpus-sized pass
+    (`word_freq`) is unavoidable, but the merge loop itself is
+    VOCAB-sized — and when the distinct-word table fits the driver
+    (≤ `collect_threshold` rows; a 2M-row (word, freq) collect is tens
+    of MB), K sequential vocab-sized Spark jobs are pure scheduling
+    latency (measured ~0.15 s/round × 48 rounds at sf0.1 for a 31-word
+    vocab). The cutover collects the SPARK-normalized word table and
+    runs the identical greedy loop driver-side (`_train_bpe_local` —
+    the same loop the offline trainer runs, whose byte-equality is
+    already the pinned contract; asserted distributed ≡ local in
+    tests). Corpora whose vocab exceeds the threshold keep the
+    distributed loop — the same broadcast-vs-shuffle size gate the
+    n-gram LM joins use."""
     wf = word_freq(df, text_col)
+    if merges_per_round <= 1:
+        # the count is vocab-sized and the distributed loop would pay
+        # it (and more) in its first round anyway
+        if wf.count() <= collect_threshold:
+            freqs = {r["word"]: r["freq"] for r in wf.collect()}
+            return _train_bpe_local(freqs, n_merges, min_count)
     words = wf.select(
         F.regexp_replace("word", "(.)", BPE_UNIT + "$1" + BPE_UNIT).alias(
             "stream"
@@ -114,27 +182,19 @@ def train_bpe(
 
     merges: list[tuple[str, str]] = []
     while len(merges) < n_merges:
-        if merges_per_round <= 1:
-            # argmax by (cnt, a, b) as ONE partial-aggregating max of a
-            # struct — identical winner to the sort path (struct
-            # comparison is field-order lexicographic: max count, then
-            # lexicographically greatest pair), but the per-round
-            # orderBy cost two extra exchanges EVERY round (range-
-            # partitioner sampling pass + sort) for a 1-row result
-            # (r14, guide §2.4). ~K·2 exchanges saved over K merges.
-            row = (
-                _pair_counts(words)
-                .agg(F.max(F.struct("cnt", "a", "b")).alias("_t"))
-                .first()["_t"]
-            )
-            top = [row] if row is not None else []
-        else:
-            top = (
-                _pair_counts(words)
-                .orderBy(F.desc("cnt"), F.desc("a"), F.desc("b"))
-                .limit(max(merges_per_round, 1))
-                .collect()  # O(merges_per_round) driver rows
-            )
+        # orderBy + limit compiles to TakeOrderedAndProject — a
+        # one-pass per-partition top-k with a driver merge, NO range
+        # exchange. (r14 note, guide §1: a struct-max aggregate
+        # rewrite of this argmax was tried and REVERTED — measured
+        # SLOWER, 0.48 s vs 0.30 s per round, because the groupBy agg
+        # plans two exchanges where the sort-limit pattern plans
+        # none.)
+        top = (
+            _pair_counts(words)
+            .orderBy(F.desc("cnt"), F.desc("a"), F.desc("b"))
+            .limit(max(merges_per_round, 1))
+            .collect()  # O(merges_per_round) driver rows
+        )
         batch: list[tuple[str, str]] = []
         used: set[str] = set()
         for r in top:

@@ -45,6 +45,25 @@ def test_distributed_trainer_equals_offline_reference(spark, sf_dir):
     assert got == want
 
 
+def test_size_gated_local_loop_equals_distributed(spark, sf_dir):
+    """The r14 driver cutover: when the vocab fits the driver the
+    merge loop runs locally over the collected Spark word table —
+    forcing the distributed loop (collect_threshold=0) must learn the
+    byte-identical table."""
+    from miletos_spark.pipeline.bpe_train import train_bpe
+
+    df, _ = _texts(spark, sf_dir)
+    local = train_bpe(df, n_merges=N_MERGES)
+    distributed = train_bpe(df, n_merges=N_MERGES, collect_threshold=0)
+    assert local == distributed
+    # min_count stop behaves identically on both paths
+    assert train_bpe(df, n_merges=8, min_count=10**9) == []
+    assert (
+        train_bpe(df, n_merges=8, min_count=10**9, collect_threshold=0)
+        == []
+    )
+
+
 def test_trainer_alphabet_equals_offline(spark, sf_dir):
     from miletos_spark.pipeline.bpe_train import alphabet
 
