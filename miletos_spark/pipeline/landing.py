@@ -540,21 +540,61 @@ def _argmin_cell_expr(cents, v):
     driver-side constant, so the cell id is column math — the
     `land_embedding_index` bucket-expression stance applied to IVF
     (guide §2.4: remove shuffles outright). Distances use the unrolled
-    codegen form (bit-identical to the HOF fold — `_l2sq_unrolled`):
-    the assignment is |corpus|·k·dim work and the interpreted fold was
-    its whole cost (r14)."""
-    from miletos_spark.pipeline.similarity import _l2sq_unrolled
+    codegen form (bit-identical to the HOF fold — `_l2sq_unrolled`).
 
-    structs = F.array(*[
-        F.struct(
-            _l2sq_unrolled(
-                v, F.array(*[F.lit(float(x)) for x in c]), len(c)
-            ).alias("d2"),
-            F.lit(int(i)).alias("cell"),
-        )
+    CONSTRUCTION is one `F.expr` over a generated SQL string (r14):
+    building the k·dim unrolled tree as Column arithmetic issued one
+    py4j round-trip PER OPERATOR — measured 3.35 s of pure driver/py4j
+    time for 8 cells × 64 dims (≥2k calls), paid on EVERY invocation
+    (the whole cost of `ivf_recovery_topk` beyond its scan, and a flat
+    tax on every landing). The SQL text parses in ONE call (~ms) into
+    the same expression tree: double literals are rendered with
+    `repr()` (shortest round-trip — Java parses them to identical
+    bits), array indexing is 0-based in both spellings, `0.0D + t0 +
+    t1 + …` is left-associative (the exact `_l2sq_unrolled` float
+    sequence), and the (d2, cell) struct min is unchanged. Same-session
+    A/B in OPTIMIZATION_r14.md; cell ids asserted bit-identical.
+
+    `v` may be a column NAME (preferred) or a Column whose SQL
+    rendering is a plain reference; it must be a REAL attribute, not
+    an inline transform (the HOF-inlining trap — a non-trivial
+    expression here is re-evaluated per reference)."""
+    from pyspark.sql import Column
+
+    if isinstance(v, Column):
+        vname = v._jc.toString()  # e.g. "_v" / "embedding"
+        if not vname.replace("_", "").replace(".", "").isalnum():
+            raise ValueError(
+                f"_argmin_cell_expr needs a plain column reference, got "
+                f"{vname!r} — project the vector to a real attribute first"
+            )
+    else:
+        vname = str(v)
+        if not vname.replace("_", "").replace(".", "").isalnum():
+            raise ValueError(
+                f"_argmin_cell_expr: suspicious column name {vname!r}"
+            )
+
+    def d2_sql(c) -> str:
+        terms = ["CAST(0.0 AS DOUBLE)"]
+        for i, x in enumerate(c):
+            d = f"({vname}[{i}] - {_dlit(x)})"
+            terms.append(f"{d} * {d}")
+        return " + ".join(terms)
+
+    structs = ", ".join(
+        f"named_struct('d2', {d2_sql(c)}, 'cell', {int(i)})"
         for i, c in enumerate(cents)
-    ])
-    return F.array_min(structs)["cell"]
+    )
+    return F.expr(f"array_min(array({structs})).cell")
+
+
+def _dlit(x) -> str:
+    """Exact SQL double literal: repr() is the shortest string that
+    round-trips the IEEE-754 value, and the SQL parser's
+    Double.parseDouble returns the identical bits."""
+    r = repr(float(x))
+    return f"CAST('{r}' AS DOUBLE)"
 
 
 def land_ivf_index(
@@ -606,10 +646,17 @@ def land_ivf_index(
     _write_local_table(
         paths["centers"], centers, "cell int, center array<double>"
     )
+    # cast projected to a real attribute FIRST: `_argmin_cell_expr`
+    # indexes its vector k·dim times, and passing the inline cast
+    # expression re-evaluated the 64-element array cast per reference
+    # (the HOF-inlining trap, r14 — see similarity.ivf_topk)
     v = F.col("embedding").cast("array<double>")
     (
         emb.withColumn("embedding", v)
-        .withColumn("_cell", _argmin_cell_expr([c for _, c in centers], v))
+        .withColumn(
+            "_cell",
+            _argmin_cell_expr([c for _, c in centers], F.col("embedding")),
+        )
         .repartition("_cell")
         .write.mode("overwrite")
         .partitionBy("_cell")

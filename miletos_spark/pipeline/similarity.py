@@ -116,14 +116,23 @@ def ivf_topk(
     d2 = ((centers - q_np) ** 2).sum(axis=1)
     probe = [int(i) for i in np.argsort(d2, kind="stable")[:n_probe]]
 
+    # the cast vector MUST be a real attribute before the argmin
+    # indexes it (the HOF-inlining trap, r14): `_argmin_cell_expr`
+    # references v[i] k·dim times, and an inline transform expression
+    # is re-evaluated PER REFERENCE — 8 cells × 64 dims meant 512
+    # evaluations of the 64-element cast transform per row (and the
+    # cosine re-ran it 3 more times). Projected first, each row casts
+    # once (CollapseProject keeps a multiply-referenced non-cheap
+    # alias in its own projection).
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     q = F.array(*[F.lit(float(x)) for x in query])
     return (
-        df.withColumn("_cell", _argmin_cell_expr(centers, v))
+        df.select(F.col(id_col), v.alias("_v"))
+        .withColumn("_cell", _argmin_cell_expr(centers, F.col("_v")))
         .filter(F.col("_cell").isin(probe))
         .select(
             F.col(id_col),
-            cosine_similarity(v, q).alias("cos_sim"),
+            cosine_similarity(F.col("_v"), q).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
