@@ -6272,7 +6272,15 @@ def _drain_memory_stream(
     - Materializes and DROPS the uuid-named sink view (on the timeout
       path too), so repeated invocations in a long-lived session don't
       accumulate memory-sink tables (all callers return bounded state:
-      spectra/sessions)."""
+      spectra/sessions).
+    - Materialization is a JVM-side `localCheckpoint` (r14): the old
+      `collect()` + `createDataFrame(rows)` round-trip built a
+      Python-RDD-backed relation, and EVERY downstream action on one
+      pays a Python-runner round-trip per parent slice (the same trap
+      `pipeline.landing._write_local_table` documents — measured ~4-6 s
+      flat on local[32] for the quantizer side tables). The checkpoint
+      pins the bounded drained rows in the block manager with zero
+      Python hops; values are identical (same rows, same schema)."""
     import uuid
 
     from miletos_spark.streaming.stateful import run_available_now
@@ -6283,8 +6291,7 @@ def _drain_memory_stream(
     except TimeoutError:
         spark.catalog.dropTempView(name)
         raise
-    tbl = spark.table(name)
-    out = spark.createDataFrame(tbl.collect(), tbl.schema)
+    out = spark.table(name).localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
     return out
 
@@ -6319,8 +6326,19 @@ def land_stream_events(
         ev = load_table(spark, sf_dir, "events")
         # integer epoch-micros (type-robust: nanos-bigint, NTZ, or
         # TIMESTAMP reads all land on the same integer) re-encoded as
-        # a session-tz TIMESTAMP the streaming reader's schema expects
-        ev.withColumn(
+        # a session-tz TIMESTAMP the streaming reader's schema expects.
+        # Repartitioned on write (r14): the source is one small parquet
+        # file, and a 1-file landing makes every streaming consumer's
+        # micro-batch a 1-partition scan — the |rows|×|trials| BLS/LS
+        # fan-outs then run their partial aggregation on a single core
+        # (the `_spread` raw-scan-seam trap, search/bls.py). N files =
+        # N-way map-side parallelism for every drain off this landing;
+        # aggregation results are unchanged (decimal fixed-order sums
+        # for BLS/rebin; LS's double moments already tolerate engine
+        # summation order — the DuckDB oracle sums in its own order).
+        ev.repartition(
+            spark.sparkContext.defaultParallelism
+        ).withColumn(
             "ts", F.timestamp_micros(epoch_micros_expr(ev, "ts"))
         ).write.parquet(land)
     return land
