@@ -592,9 +592,17 @@ def _argmin_cell_expr(cents, v):
 def _dlit(x) -> str:
     """Exact SQL double literal: repr() is the shortest string that
     round-trips the IEEE-754 value, and the SQL parser's
-    Double.parseDouble returns the identical bits."""
-    r = repr(float(x))
-    return f"CAST('{r}' AS DOUBLE)"
+    Double.parseDouble returns the identical bits. Non-finite values
+    (degenerate input vectors) spell the Java names so the ANSI cast
+    parses them like `F.lit` would, instead of erroring on 'nan'."""
+    f = float(x)
+    if f != f:
+        return "CAST('NaN' AS DOUBLE)"
+    if f == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if f == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return f"CAST('{f!r}' AS DOUBLE)"
 
 
 def land_ivf_index(
