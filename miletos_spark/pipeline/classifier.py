@@ -107,22 +107,44 @@ def _dec_sum(c: Column) -> Column:
     return F.sum(c.cast("decimal(38,18)")).cast("double")
 
 
+def _dec_sum_sql(prod: str) -> str:
+    # SQL-text twin of `_dec_sum` (same cast sequence, parsed not built)
+    return f"CAST(sum(CAST({prod} AS DECIMAL(38,18))) AS DOUBLE)"
+
+
+def _moment_exprs(prods: "dict[str, str]", d: int) -> "list[str]":
+    """The d x (d+1) augmented-system aggregate as SQL TEXT, one parsed
+    `selectExpr` instead of ~6 py4j calls per entry (r14, the
+    `landing._argmin_cell_expr` lesson): ridge on the diagonal, decimal
+    order-independent sums everywhere — the exact cast sequence of the
+    old Column spelling (asserted bit-identical in tests)."""
+    exprs = []
+    for i in range(d):
+        for j in range(d + 1):
+            nm = f"a_{i}_{j}"
+            m = _dec_sum_sql(prods[nm])
+            if i == j:
+                m = f"({m} + CAST({PROBE_RIDGE_SQL} AS DOUBLE))"
+            exprs.append(f"{m} AS {nm}")
+    return exprs
+
+
 def gram_moments(feats: DataFrame, d: int = 6) -> DataFrame:
     """One corpus pass -> the single-row augmented system
     a_i_j = (X'X + ridge*I | X'y), with x0 = 1 (intercept). This is
     the ONLY stage that touches the corpus; it is a plain groupBy-free
     aggregate, so Spark map-side-combines it and the shuffle is one
-    row per partition."""
-    xs = [F.lit(1.0)] + [F.col(f"x{i}") for i in range(1, d)]
-    aggs = []
+    row per partition. Built as ONE parsed selectExpr (aggregates are
+    legal there) — the Column spelling paid a py4j round-trip per
+    operator, ~250 calls of flat driver time per invocation."""
+    xs = ["CAST(1.0 AS DOUBLE)"] + [f"x{i}" for i in range(1, d)]
+    prods = {}
     for i in range(d):
         for j in range(d):
-            m = _dec_sum(xs[min(i, j)] * xs[max(i, j)])
-            if i == j:
-                m = m + F.expr(f"CAST({PROBE_RIDGE_SQL} AS DOUBLE)")
-            aggs.append(m.alias(f"a_{i}_{j}"))
-        aggs.append(_dec_sum(xs[i] * F.col("y")).alias(f"a_{i}_{d}"))
-    return feats.agg(*aggs)
+            a, b = min(i, j), max(i, j)
+            prods[f"a_{i}_{j}"] = f"({xs[a]} * {xs[b]})"
+        prods[f"a_{i}_{d}"] = f"({xs[i]} * y)"
+    return feats.selectExpr(*_moment_exprs(prods, d))
 
 
 def gauss_jordan_steps(d: int = 6) -> list[list[str]]:
@@ -277,17 +299,11 @@ def train_logistic_probe_irls(
             *base, "eta", "p",
             f"{IRLS_S_EXPR} AS s", f"{IRLS_Z_EXPR} AS z",
         )
-        aggs = []
-        for i in range(d):
-            for j in range(d + 1):
-                nm = f"a_{i}_{j}"
-                m = F.sum(
-                    F.expr(prods[nm]).cast("decimal(38,18)")
-                ).cast("double")
-                if i == j:
-                    m = m + F.expr(f"CAST({PROBE_RIDGE_SQL} AS DOUBLE)")
-                aggs.append(m.alias(nm))
-        m_row = scored.agg(*aggs)
+        # one parsed selectExpr for the whole weighted augmented system
+        # (aggregates are legal there) — the Column spelling paid ~6
+        # py4j round-trips per a_i_j PER ITERATION (r14); cast sequence
+        # identical, weights bit-identical (tests)
+        m_row = scored.selectExpr(*_moment_exprs(prods, d))
         for step in gauss_jordan_steps(d):
             m_row = m_row.selectExpr(*step)
         w = m_row

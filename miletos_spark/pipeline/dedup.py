@@ -299,14 +299,21 @@ def simhash_md5(
     )
     dv = d.select(F.col(id_col), votes.alias("_v"))
 
+    # hex assembly generated as SQL text, parsed in ONE F.expr (r14,
+    # the `landing._argmin_cell_expr` lesson): the Column spelling was
+    # ~250 py4j round-trips of flat driver-side construction tax per
+    # invocation. Parsed tree ≡ the old one (CASE WHEN over the 0-based
+    # `_v[i]` subscript, substr over the hex alphabet) — fingerprints
+    # bit-identical (asserted in tests).
     chars = []
     for n in range(16):
-        nib = None
-        for j in range(4):
-            term = F.when(F.col("_v")[4 * n + j] > 0, F.lit(1 << j)).otherwise(0)
-            nib = term if nib is None else nib + term
-        chars.append(F.lit(HEX_DIGITS).substr(nib + F.lit(1), F.lit(1)))
-    return dv.select(F.col(id_col), F.concat(*chars).alias(out_col))
+        nib = " + ".join(
+            f"(CASE WHEN _v[{4 * n + j}] > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(4)
+        )
+        chars.append(f"substr('{HEX_DIGITS}', ({nib}) + 1, 1)")
+    fp = F.expr("concat(" + ", ".join(chars) + ")")
+    return dv.select(F.col(id_col), fp.alias(out_col))
 
 
 def simhash_hamming(a: "F.Column", b: "F.Column") -> "F.Column":
@@ -945,12 +952,36 @@ def connected_components(
     # on the 256-edge sf0.1 corpus graph. Above it (or with
     # driver_threshold=0, as the distributed-path tests pin) the star
     # loop runs with nothing driver-sized ever collected.
-    if driver_threshold and e.limit(driver_threshold + 1).count() <= driver_threshold:
-        comp = _union_find([(r["u"], r["v"]) for r in e.collect()])
-        return pairs.sparkSession.createDataFrame(
-            [(int(n), int(c)) for n, c in sorted(comp.items())],
-            "node long, component long",
-        )
+    if driver_threshold:
+        # ONE job, not a count + a collect (r14): collect threshold+1
+        # rows — if they all fit, that WAS the whole edge list
+        head = e.limit(driver_threshold + 1).collect()
+        if len(head) <= driver_threshold:
+            comp = _union_find([(r["u"], r["v"]) for r in head])
+            import numpy as np
+            import pandas as pd
+
+            # Arrow-backed local relation (r14): createDataFrame(list)
+            # builds a Python-RDD-backed frame, and EVERY downstream
+            # action on it pays a Python-runner round-trip per parent
+            # slice (the `_write_local_table` trap) — in 4+ query paths
+            # that consume these components via joins. The pandas/Arrow
+            # path crosses the boundary ONCE at creation; rows/schema
+            # identical.
+            items = sorted(comp.items())
+            pdf = pd.DataFrame(
+                {
+                    "node": np.fromiter(
+                        (n for n, _ in items), dtype="int64", count=len(items)
+                    ),
+                    "component": np.fromiter(
+                        (c for _, c in items), dtype="int64", count=len(items)
+                    ),
+                }
+            )
+            return pairs.sparkSession.createDataFrame(
+                pdf, "node long, component long"
+            )
     prev_sig = None
     converged = False
     for _ in range(max_iter):

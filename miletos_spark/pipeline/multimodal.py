@@ -150,19 +150,24 @@ def phash_frames(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     d = df.select(
         F.col(id_col), "kind", "frame", "pixels", mean.alias("_mean")
     )
+    # The 16-char hex assembly is generated as SQL TEXT and parsed in
+    # ONE F.expr (r14, the `landing._argmin_cell_expr` lesson): the
+    # Column spelling was ~300 py4j round-trips of pure driver time per
+    # invocation — a flat construction tax the executors never see.
+    # Parsed tree ≡ the old one (CASE WHEN / element_at / substr), so
+    # the fingerprints are bit-identical (asserted in tests).
     hex_digits = "0123456789abcdef"
     chars = []
     for n in range(16):
-        nib = None
-        for j in range(4):
-            term = F.when(
-                F.element_at(px, 4 * n + j + 1) > F.col("_mean"),
-                F.lit(1 << j),
-            ).otherwise(0)
-            nib = term if nib is None else nib + term
-        chars.append(F.lit(hex_digits).substr(nib + F.lit(1), F.lit(1)))
+        nib = " + ".join(
+            f"(CASE WHEN element_at(pixels, {4 * n + j + 1}) > _mean"
+            f" THEN {1 << j} ELSE 0 END)"
+            for j in range(4)
+        )
+        chars.append(f"substr('{hex_digits}', ({nib}) + 1, 1)")
+    phash = F.expr("concat(" + ", ".join(chars) + ")")
     return d.select(
-        F.col(id_col), "kind", "frame", F.concat(*chars).alias("phash_hex")
+        F.col(id_col), "kind", "frame", phash.alias("phash_hex")
     )
 
 

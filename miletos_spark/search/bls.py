@@ -497,13 +497,20 @@ def bls_multi_signal_grouped(
         # most — cache it driver-side-small but keep it a DataFrame
         accepted = accepted.cache()
         cached.append(accepted)
+        if i == max_signals - 1:
+            # LAST iteration: the isEmpty probe is pure waste here — the
+            # loop breaks either way, and unioning an empty acceptance
+            # set adds no rows — so skip its scheduled job (r14; it was
+            # a full extra pass over the final search in the pipeline
+            # anchors). Earlier iterations keep the probe: it gates
+            # whether the next search runs at all.
+            out = accepted if out is None else out.unionByName(accepted)
+            break
         if accepted.isEmpty():
             if out is None:
                 out = accepted  # empty, but correctly typed per-key
             break
         out = accepted if out is None else out.unionByName(accepted)
-        if i == max_signals - 1:
-            break
         # subtract each accepted box and keep ONLY still-active targets
         # for the next pass (a target that failed acceptance this round
         # is done — its series is unchanged, so re-searching it would
@@ -804,7 +811,7 @@ def bls_multi_signal(
     found: list[dict] = []
     work = df.select(time_col, value_col)
     cached = [work]
-    for _ in range(max_signals):
+    for i_sig in range(max_signals):
         spec = bls_search(
             work, trials, time_col=time_col, value_col=value_col, t_ref=t_ref
         )
@@ -824,6 +831,8 @@ def bls_multi_signal(
             if row is None or row["snr"] < snr_threshold:
                 break
             found.append(row.asDict())
+        if i_sig == max_signals - 1:
+            break  # no next pass: building the subtraction is waste
         # subtract the detected box: add the depth back inside the box
         p, d = float(row["period"]), float(row["dcyc"])
         epoch, depth = float(row["epoch"]), float(row["depth"])

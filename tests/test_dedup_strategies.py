@@ -537,3 +537,72 @@ def test_decontamination_report_per_suite(spark):
                 [(None, "A")], "eval_id long, suite string"
             ),
         )
+
+
+def test_simhash_md5_expr_spelling_bit_identical(spark, docs):
+    """r14 construction fix: the one-F.expr hex assembly must equal the
+    old per-Column spelling BIT FOR BIT (the fingerprints are an
+    oracle-checked contract; only the build path changed)."""
+    from pyspark.sql import functions as F
+
+    from miletos_spark.pipeline.dedup import HEX_DIGITS, simhash_md5
+
+    def old_spelling(df):
+        toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        hx = F.transform(toks, lambda t: F.substring(F.md5(t), 1, 16))
+        d = df.select(F.col("doc_id"), hx.alias("_hx"))
+        idx = F.array(*[F.lit(i) for i in range(64)])
+
+        def nibble_of(h, j):
+            ch = h.substr(F.lit(1) + F.floor(j / 4).cast("int"), F.lit(1))
+            return F.call_function("instr", F.lit(HEX_DIGITS), ch) - F.lit(1)
+
+        def bit_of(h, j):
+            p = F.pow(F.lit(2.0), (j % 4).cast("double"))
+            return F.floor(nibble_of(h, j) / p).cast("int") % 2
+
+        votes = F.aggregate(
+            F.col("_hx"), F.array_repeat(F.lit(0), 64),
+            lambda acc, h: F.zip_with(
+                acc, idx, lambda v, j: v + bit_of(h, j) * 2 - 1
+            ),
+        )
+        dv = d.select(F.col("doc_id"), votes.alias("_v"))
+        chars = []
+        for n in range(16):
+            nib = None
+            for j in range(4):
+                term = F.when(
+                    F.col("_v")[4 * n + j] > 0, F.lit(1 << j)
+                ).otherwise(0)
+                nib = term if nib is None else nib + term
+            chars.append(F.lit(HEX_DIGITS).substr(nib + F.lit(1), F.lit(1)))
+        return dv.select(
+            F.col("doc_id"), F.concat(*chars).alias("simhash_hex")
+        )
+
+    new = {r["doc_id"]: r["simhash_hex"] for r in simhash_md5(docs).collect()}
+    old = {r["doc_id"]: r["simhash_hex"] for r in old_spelling(docs).collect()}
+    assert new == old
+
+
+def test_connected_components_empty_and_driver_path_relation(spark):
+    """r14: the driver-path result rides an Arrow-backed local relation
+    (one boundary crossing at creation, no Python-RDD scan tax) — the
+    empty-edge corner and value identity with _union_find are pinned."""
+    from miletos_spark.pipeline.dedup import _union_find, connected_components
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    out = connected_components(empty)
+    assert out.schema.simpleString() == "struct<node:bigint,component:bigint>"
+    assert out.count() == 0
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (7, 7)], "id_a long, id_b long"
+    )
+    got = {(r["node"], r["component"])
+           for r in connected_components(pairs).collect()}
+    want = set(
+        _union_find([(1, 2), (2, 3), (10, 11)]).items()
+    )
+    assert got == {(int(n), int(c)) for n, c in want}

@@ -357,3 +357,39 @@ def test_media_arrival_decisions_landed_fp_df_hub_pruning(spark):
         )
 
     assert n_aggs(landed_fp_df=pinned) < n_aggs()
+
+
+def test_phash_expr_spelling_bit_identical(spark, media):
+    """r14 construction fix: the one-F.expr hex assembly must equal the
+    old per-Column spelling BIT FOR BIT (pHashes feed oracle-checked
+    banded joins; only the build path changed)."""
+    from miletos_spark.pipeline.multimodal import phash_frames
+
+    dec = decode_media(media).localCheckpoint(eager=True)
+
+    def old_spelling(df):
+        px = F.col("pixels")
+        mean = F.aggregate(px, F.lit(0.0), lambda a, x: a + x) / F.size(px)
+        d = df.select(
+            F.col("media_id"), "kind", "frame", "pixels", mean.alias("_mean")
+        )
+        hex_digits = "0123456789abcdef"
+        chars = []
+        for n in range(16):
+            nib = None
+            for j in range(4):
+                term = F.when(
+                    F.element_at(px, 4 * n + j + 1) > F.col("_mean"),
+                    F.lit(1 << j),
+                ).otherwise(0)
+                nib = term if nib is None else nib + term
+            chars.append(F.lit(hex_digits).substr(nib + F.lit(1), F.lit(1)))
+        return d.select(
+            F.col("media_id"), "kind", "frame",
+            F.concat(*chars).alias("phash_hex"),
+        )
+
+    key = lambda r: (r["media_id"], r["frame"])  # noqa: E731
+    new = {key(r): r["phash_hex"] for r in phash_frames(dec).collect()}
+    old = {key(r): r["phash_hex"] for r in old_spelling(dec).collect()}
+    assert new == old
