@@ -806,9 +806,15 @@ def stream_pack_shards(
         new.select("lang", "h").write.mode("overwrite").parquet(
             os.path.join(seen_dir, f"b={batch_id}")
         )
-        # offsets snapshot AFTER this batch — JVM plan end to end; the
-        # localCheckpoint materializes the |langs| rows so the write
-        # never reads a path being replaced on a replay
+        # offsets snapshot AFTER this batch — JVM plan end to end. No
+        # materialization barrier needed (r14): the plan reads ONLY the
+        # pinned `new` checkpoint and the PREVIOUS snapshot (b=last),
+        # never the b=batch_id path it overwrites — a replay rewrites
+        # its own orphan dir while reading the prior snapshot, which
+        # pruning preserves until after commit. The old belt-and-
+        # suspenders localCheckpoint cost one scheduled job per
+        # micro-batch for rows it then wrote anyway (crash-replay
+        # exactly-once is pinned by test).
         delta = new.groupBy("lang").agg(F.sum("n_tokens").alias("_d"))
         if cur is not None:
             upd = delta.join(cur, "lang", "full").select(
@@ -820,7 +826,7 @@ def stream_pack_shards(
             )
         else:
             upd = delta.select("lang", F.col("_d").alias("total"))
-        upd.localCheckpoint(eager=True).coalesce(1).write.mode(
+        upd.coalesce(1).write.mode(
             "overwrite"
         ).parquet(os.path.join(off_dir, f"b={batch_id}"))
         # COMMIT: everything for this batch is on disk under its own
