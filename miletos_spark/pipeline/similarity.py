@@ -28,7 +28,18 @@ def _norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    """Cosine similarity between two array<double> columns."""
+    """Cosine similarity between two array<double> columns.
+
+    Per-PAIR verify paths should NOT call this (it re-folds both norms
+    per pair): hoist `_norm` to one column per row before the pair join
+    and divide one `_dot` by the norm product — bit-identical values,
+    and the dominant per-pair cost drops to a single fold (r14; the
+    pack_eval_embeddings stance, measured 2.25x on a 249k-pair verify).
+    An UNROLLED a[0]*b[0] + … spelling of the fold was measured SLOWER
+    than the HOF fold at every tree size tried on Spark 4.1 (64-term
+    dot 2.36 vs 1.28 s on the same verify; a 2048-term banding
+    expression catastrophically so — tens of seconds of per-action
+    planning/codegen) — keep the folds, hoist the norms."""
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
@@ -215,7 +226,17 @@ def lsh_band_near_dup_pairs(
     planes = rng.standard_normal((n_bands * band_bits, dim))
 
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = df.select(F.col(id_col).alias("_id"), v.alias("_v"))
+    # the vector norm is computed ONCE per vector, BEFORE the n_bands
+    # explode and the pair join (the pack_eval_embeddings stance): the
+    # verify below then pays one dot fold per candidate pair instead of
+    # re-folding both norms per pair (r14, measured 2.25x on a
+    # 249k-pair verify; same value bit-for-bit). The hyperplane dots
+    # deliberately STAY in HOF-fold form: an unrolled literal-
+    # coefficient spelling of all 32 planes was measured 10x+ SLOWER
+    # (per-action planning/codegen blows up past ~1k expression nodes).
+    base = df.select(F.col(id_col).alias("_id"), v.alias("_v")).withColumn(
+        "_n", _norm(F.col("_v"))
+    )
 
     def band_bucket(band: int) -> Column:
         b = F.lit(0)
@@ -227,31 +248,55 @@ def lsh_band_near_dup_pairs(
 
     buckets = base.select(
         "_id",
-        "_v",
         F.explode(
             F.array(*[
                 F.struct(F.lit(i).alias("band"), band_bucket(i).alias("bucket"))
                 for i in range(n_bands)
             ])
         ).alias("bb"),
-    ).select("_id", "_v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(
+        "_id",
+        F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
+    )
 
+    # Dedup-first is right here (a pair dupes up to n_bands times), but
+    # the dedup must move IDS, not payloads (r14, guide §8): carrying
+    # (va, vb) through the band join and the dropDuplicates exchange
+    # shuffled/aggregated ~1 KB of vector per candidate — measured
+    # 25.4 s vs 2.7 s at sf0.1's 1.1M candidates — so the pair set is
+    # deduplicated as bare (id_a, id_b) keys and the vectors (with
+    # their hoisted norms) re-attach by two equi-joins against the
+    # one-row-per-vector table, which AQE broadcasts while it fits.
     left = buckets.select(
-        F.col("band"), F.col("bucket"),
-        F.col("_id").alias("id_a"), F.col("_v").alias("va"),
+        "band", "bucket", F.col("_id").alias("id_a")
     )
     right = buckets.select(
-        F.col("band"), F.col("bucket"),
-        F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
+        "band", "bucket", F.col("_id").alias("id_b")
     )
-    cand = (
+    pair_ids = (
         left.join(right, on=["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    cand = pair_ids.join(
+        base.select(
+            F.col("_id").alias("id_a"), F.col("_v").alias("va"),
+            F.col("_n").alias("_na"),
+        ),
+        "id_a",
+    ).join(
+        base.select(
+            F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
+            F.col("_n").alias("_nb"),
+        ),
+        "id_b",
+    )
     return (
-        cand.withColumn("cos_sim", cosine_similarity(F.col("va"), F.col("vb")))
+        cand.withColumn(
+            "cos_sim",
+            _dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")),
+        )
         .filter(F.col("cos_sim") > threshold)
         .select("id_a", "id_b", "cos_sim")
     )
@@ -902,7 +947,14 @@ def assign_cells_2l(
 
     Ties in the ranking sort break on cell id (struct order), so
     assignment is deterministic. Returns one row per probed bucket:
-    (_id, _v, super, fine)."""
+    (_id, _v, super, fine).
+
+    The per-center distance deliberately stays in HOF-fold form: the
+    unrolled `_l2sq_unrolled` spelling inside these lambdas was
+    measured SLOWER here (1.43 vs 0.98 s for the full sf0.1
+    assignment, r14) — the unrolled win is real only where it replaces
+    Column-construction overhead or joins (`_argmin_cell_expr`,
+    `pq_encode`), not inside an interpreted lambda."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = df.select(F.col(id_col).alias("_id"), v.alias("_v"))
     pc = coarse.agg(
@@ -1012,9 +1064,17 @@ def semantic_dedup_pairs_2l(
     # driver rows) accumulate executor storage (ADVICE r9). Local
     # checkpoint blocks are reference-tracked: the ContextCleaner
     # drops them once this frame is garbage-collected.
-    assigned = assign_cells_2l(
-        df, coarse, fine, id_col, vec_col, n_probe, n_probe
-    ).localCheckpoint(eager=True)
+    # The vector norm rides INSIDE the checkpoint — computed once per
+    # assigned row, so the verify below pays one dot per candidate pair
+    # instead of re-folding both norms per pair (r14, the
+    # pack_eval_embeddings stance; same value bit-for-bit).
+    assigned = (
+        assign_cells_2l(
+            df, coarse, fine, id_col, vec_col, n_probe, n_probe
+        )
+        .withColumn("_n", _norm(F.col("_v")))
+        .localCheckpoint(eager=True)
+    )
     w = Window.partitionBy("super", "fine").orderBy("_id")
     blocked = assigned.withColumn(
         "_blk", F.floor((F.row_number().over(w) - 1) / B).cast("int")
@@ -1030,17 +1090,22 @@ def semantic_dedup_pairs_2l(
         .select(
             "super", "fine", "_pb",
             F.col("_id").alias("id_a"), F.col("_v").alias("va"),
+            F.col("_n").alias("_na"),
         )
     )
     right = blocked.select(
         "super", "fine", F.col("_blk").alias("_pb"),
         F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
+        F.col("_n").alias("_nb2"),
     )
     cand = left.join(right, ["super", "fine", "_pb"]).filter(
         F.col("id_a") < F.col("id_b")
     )
     return (
-        cand.withColumn("cos_sim", cosine_similarity("va", "vb"))
+        cand.withColumn(
+            "cos_sim",
+            _dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb2")),
+        )
         .filter(F.col("cos_sim") > threshold)
         .select("id_a", "id_b", "cos_sim")
         .dropDuplicates(["id_a", "id_b"])
@@ -1093,6 +1158,8 @@ def semantic_dedup_pairs(
             F.col("cell").alias("cell"),
         ).alias("_s"),
     )
+    # norm once per probed row, not thrice per candidate pair (r14 —
+    # same value bit-for-bit, see semantic_dedup_pairs_2l)
     probed = (
         ranked.groupBy("_id")
         .agg(
@@ -1101,15 +1168,18 @@ def semantic_dedup_pairs(
             ).alias("_top"),
             F.first("_v").alias("_v"),
         )
+        .withColumn("_n", _norm(F.col("_v")))
         .select(
-            "_id", "_v", F.explode(F.col("_top.cell")).alias("cell")
+            "_id", "_v", "_n", F.explode(F.col("_top.cell")).alias("cell")
         )
     )
     left = probed.select(
-        "cell", F.col("_id").alias("id_a"), F.col("_v").alias("va")
+        "cell", F.col("_id").alias("id_a"), F.col("_v").alias("va"),
+        F.col("_n").alias("_na"),
     )
     right = probed.select(
-        "cell", F.col("_id").alias("id_b"), F.col("_v").alias("vb")
+        "cell", F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
+        F.col("_n").alias("_nb"),
     )
     # Verify-then-dedup, the opposite order from the LSH band path:
     # there a pair dupes up to n_bands times so dedup-first saves 8x
@@ -1120,7 +1190,10 @@ def semantic_dedup_pairs(
     # above-threshold survivor set is deduplicated.
     cand = left.join(right, "cell").filter(F.col("id_a") < F.col("id_b"))
     return (
-        cand.withColumn("cos_sim", cosine_similarity("va", "vb"))
+        cand.withColumn(
+            "cos_sim",
+            _dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")),
+        )
         .filter(F.col("cos_sim") > threshold)
         .select("id_a", "id_b", "cos_sim")
         .dropDuplicates(["id_a", "id_b"])

@@ -1120,8 +1120,9 @@ def stream_semantic_dedup(
     Emits (arrival_id, matched_id, cos_sim), each pair once across
     micro-batches (keyed state bounded by the match count)."""
     from miletos_spark.pipeline.similarity import (
+        _dot,
         _l2sq,
-        cosine_similarity,
+        _norm,
     )
 
     packed_c = coarse.agg(
@@ -1142,6 +1143,11 @@ def stream_semantic_dedup(
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     with_centers = (
         src.select(F.col("vec_id").alias("arrival_id"), v.alias("_v"))
+        # arrival norm computed ONCE per row, before the bucket explode
+        # and the verify join (r14 — the semantic_dedup_pairs_2l norm
+        # hoist; same value bit-for-bit, one dot fold per candidate
+        # pair instead of three)
+        .withColumn("_nv", _norm(F.col("_v")))
         .withColumn("_k", F.lit(1))
         .join(F.broadcast(packed_c), "_k")
     )
@@ -1155,6 +1161,7 @@ def stream_semantic_dedup(
     probed_super = with_centers.select(
         "arrival_id",
         "_v",
+        "_nv",
         F.explode(
             F.transform(
                 F.slice(F.array_sort(cdists), 1, n_probe),
@@ -1172,6 +1179,7 @@ def stream_semantic_dedup(
     probed = probed_super.join(F.broadcast(packed_f), "super").select(
         "arrival_id",
         "_v",
+        "_nv",
         "super",
         F.explode(
             F.transform(
@@ -1180,20 +1188,24 @@ def stream_semantic_dedup(
             )
         ).alias("fine"),
     )
+    w = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     landed = (
         spark.read.parquet(landed_cells_path)
         .select(
             F.col("vec_id").alias("matched_id"),
-            F.transform(
-                F.col("embedding"), lambda x: x.cast("double")
-            ).alias("_w"),
+            w.alias("_w"),
             F.col("_super").cast("int").alias("super"),
             F.col("_fine").cast("int").alias("fine"),
         )
+        # landed-member norm once per row in the static projection
+        .withColumn("_nw", _norm(F.col("_w")))
     )
     return (
         probed.join(landed, ["super", "fine"])
-        .withColumn("cos_sim", cosine_similarity("_v", "_w"))
+        .withColumn(
+            "cos_sim",
+            _dot(F.col("_v"), F.col("_w")) / (F.col("_nv") * F.col("_nw")),
+        )
         .filter(F.col("cos_sim") > threshold)
         .select("arrival_id", "matched_id", "cos_sim")
         .dropDuplicates(["arrival_id", "matched_id"])

@@ -702,3 +702,139 @@ def test_stream_semantic_decontaminate_equals_batch_and_zero_state(
     want = semantic_decontaminate(arrivals, packed, threshold=0.9)
     assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
     assert got.count() == 8
+
+
+def test_hoisted_norm_cosine_bit_identical_to_inline(spark):
+    """The r14 per-pair verify rewrite hoists `_norm` to one column per
+    row and divides one `_dot` by the norm product. That must be
+    BIT-identical to the inline `cosine_similarity` form (same folds,
+    same operations, just computed once per row) — on vectors that
+    include denormals, huge magnitudes, negatives and zeros."""
+    import numpy as np
+
+    from miletos_spark.pipeline.similarity import (
+        _dot,
+        _norm,
+        cosine_similarity,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(50):
+        a = rng.standard_normal(16) * (10.0 ** rng.integers(-12, 12))
+        b = rng.standard_normal(16)
+        if i % 7 == 0:
+            a[0] = 0.0
+        if i % 11 == 0:
+            b[3] = 5e-324  # smallest denormal
+        rows.append((i, [float(x) for x in a], [float(x) for x in b]))
+    df = spark.createDataFrame(
+        rows, "i long, a array<double>, b array<double>"
+    )
+    hoisted = (
+        df.withColumn("_na", _norm(F.col("a")))
+        .withColumn("_nb", _norm(F.col("b")))
+        .select(
+            (
+                (_dot(F.col("a"), F.col("b")) / (F.col("_na") * F.col("_nb")))
+                == cosine_similarity(F.col("a"), F.col("b"))
+            ).alias("eq"),
+        )
+        .collect()
+    )
+    assert all(r["eq"] for r in hoisted)
+
+
+def test_semantic_dedup_pairs_2l_cos_sim_bit_equal_to_cosine(spark):
+    """`semantic_dedup_pairs_2l` (norms hoisted out of the pair verify,
+    r14) must emit cos_sim BIT-equal to a direct `cosine_similarity`
+    recompute on the raw vectors of each emitted pair."""
+    import numpy as np
+
+    from miletos_spark.pipeline.similarity import (
+        cosine_similarity,
+        semantic_dedup_pairs_2l,
+    )
+
+    rng = np.random.default_rng(3)
+    base = [
+        (i, [float(x) for x in rng.standard_normal(8)]) for i in range(60)
+    ]
+    dup = [
+        (1000 + i, [x + 0.001 for x in v]) for i, v in base[:10]
+    ]
+    df = spark.createDataFrame(
+        base + dup, "vec_id long, embedding array<double>"
+    )
+    cr = rng.standard_normal((2, 8))
+    coarse = spark.createDataFrame(
+        [(int(s), [float(x) for x in c]) for s, c in enumerate(cr)],
+        "super int, center array<double>",
+    )
+    fr = rng.standard_normal((4, 8))
+    fine = spark.createDataFrame(
+        [(int(j) // 2, int(j) % 2, [float(x) for x in c])
+         for j, c in enumerate(fr)],
+        "super int, fine int, center array<double>",
+    )
+    got = semantic_dedup_pairs_2l(df, coarse, fine, threshold=0.9).collect()
+    assert sorted((r["id_a"], r["id_b"]) for r in got) == [
+        (i, 1000 + i) for i in range(10)
+    ]
+    a = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    want = {
+        (r["id_a"], r["id_b"]): r["cs"]
+        for r in a.join(b, F.col("id_b") == F.col("id_a") + 1000)
+        .select(
+            "id_a", "id_b",
+            cosine_similarity(F.col("va"), F.col("vb")).alias("cs"),
+        )
+        .collect()
+    }
+    for r in got:
+        assert r["cos_sim"] == want[(r["id_a"], r["id_b"])]
+
+
+def test_lsh_band_near_dup_pairs_hoisted_norms_bit_identical(spark):
+    """`lsh_band_near_dup_pairs` (norms hoisted out of the pair
+    verify, r14) must reproduce the planted pair set with cos_sim
+    BIT-equal to the inline three-fold cosine formulation."""
+    import numpy as np
+
+    from miletos_spark.pipeline.similarity import (
+        _dot,
+        _norm,
+        lsh_band_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    base = [
+        (i, [float(x) for x in rng.standard_normal(16)]) for i in range(40)
+    ]
+    dup = [(500 + i, [x + 0.01 for x in v]) for i, v in base[:8]]
+    df = spark.createDataFrame(
+        base + dup, "vec_id long, embedding array<double>"
+    )
+    got = lsh_band_near_dup_pairs(df, dim=16, threshold=0.9).collect()
+    assert sorted((r["id_a"], r["id_b"]) for r in got) == [
+        (i, 500 + i) for i in range(8)
+    ]
+    # cos_sim bit-equal to the HOF formulation on the same pairs
+    v = F.col("embedding").cast("array<double>")
+    a = df.select(F.col("vec_id").alias("id_a"), v.alias("va"))
+    b = df.select(F.col("vec_id").alias("id_b"), v.alias("vb"))
+    want = {
+        (r["id_a"], r["id_b"]): r["cs"]
+        for r in a.join(b, F.col("id_b") == F.col("id_a") + 500)
+        .select(
+            "id_a", "id_b",
+            (
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb")))
+            ).alias("cs"),
+        )
+        .collect()
+    }
+    for r in got:
+        assert r["cos_sim"] == want[(r["id_a"], r["id_b"])]
