@@ -805,6 +805,16 @@ def _curriculum_stages(
     work = seqs.withColumn("score_q", sq).withColumn(
         "_sk", (-sq) if descending else sq
     )
+    # materialize the scored rows ONCE (guide §5, r15): downstream this
+    # frame is consumed by the bounds aggregate, the bucket counts, the
+    # ranking join — and the caller's serve-rank pass re-reads the
+    # staged result twice more. Without the pin every consumer re-runs
+    # the upstream score scan (for the curriculum rows that is the
+    # 5-regex quality logit over the full corpus — the plan scanned
+    # documents 8x at r14 HEAD). The pinned projection is narrow
+    # (keys + quantized score), so at 100 TB this trades O(rows·~40 B)
+    # executor-local storage for 7 full corpus scans.
+    work = work.localCheckpoint(eager=True)
     st = work.agg(
         F.min("_sk").alias("_lo"),
         F.max("_sk").alias("_hi"),
@@ -856,6 +866,11 @@ def _curriculum_stages(
         )
         .drop("_sk", "_sbkt", "_soff", "_srank", *(["_gn"] if P else []))
     )
+    # NOT pinned (r15, measured): both callers do consume `staged`
+    # twice (serve counts + ranking join), but an eager checkpoint of
+    # it read SLOWER min-over-3 (3.31/2.91/2.55 vs 3.03/2.80/2.42 s) —
+    # the re-run stage window over the pinned `work` is cheaper than a
+    # second materialization job.
     return staged, n_total
 
 
@@ -1406,6 +1421,11 @@ def run_order(
     if n_epochs < 1:
         raise ValueError("run_order: n_epochs must be >= 1")
     E, B = int(n_epochs), int(bucket_count)
+    # pin the input once (guide §5, r15): `seqs` is consumed three
+    # times (the N count, the serve-key bucket counts, the ranking
+    # join) and is typically itself an aggregation of a corpus scan —
+    # unpinned, all three re-run that upstream scan
+    seqs = seqs.localCheckpoint(eager=True)
     n1 = seqs.agg(F.count("*").alias("_n"))
     work = seqs.withColumn(
         "epoch", F.explode(F.sequence(F.lit(0), F.lit(E - 1)))
@@ -1558,6 +1578,8 @@ def annealed_run_order(
         float(default_weight), float(mn)
     )
 
+    # same input pin as `run_order` (r15): three consumers, one scan
+    seqs = seqs.localCheckpoint(eager=True)
     n1 = seqs.agg(F.count("*").alias("_n"))
     work = seqs.withColumn(
         "epoch", F.explode(F.sequence(F.lit(0), F.lit(E - 1)))
