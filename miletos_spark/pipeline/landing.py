@@ -118,11 +118,19 @@ def land_dedup_index(
         .withColumn(
             "_bg", F.pmod(F.xxhash64("band", "bhash"), F.lit(BAND_GROUPS))
         )
+        # pinned once (r15, guide §2.2/§5): the fold's partitioned write
+        # and the max_bucket scalar both consume these rows — unpinned,
+        # the max was a READ-BACK of the 64 just-written partition dirs
+        # (64-dir listing + 64 tiny footers, a per-dir-latency pass that
+        # gets worse on an object store). One aggregation job feeds
+        # both; max(counts0) == max(written data) by construction.
+        # Warm A/B (one JVM, 3 reps each): 2.10-2.28 -> 1.70-1.80 s.
+        .localCheckpoint(eager=True)
     )
     data, _ = fold_partitions_versioned(
         counts0, paths["counts"], "_bg", range(BAND_GROUPS), "__init__"
     )
-    mx = spark.read.parquet(data).agg(F.max("c")).first()[0] or 0
+    mx = counts0.agg(F.max("c")).first()[0] or 0
     write_index_stats(root, {"max_bucket": int(mx)})
     _commit_marker(done, "ok")
     return paths
@@ -341,19 +349,35 @@ def update_bucket_counts(
             ).alias("c"),
         )
         .withColumn("_bg", bg)
-        # no eager pin: the fold writes a NEW version dir, so the read
-        # of the committed version races nothing
+        # pinned (r15): the fold's write and the stats refresh both
+        # consume the merged rows — unpinned, the refresh was a
+        # read-back of the just-written touched dirs (per-dir listing
+        # latency, worse on object stores). Correctness note: the old
+        # "no eager pin" stance (the fold writes a NEW version dir, so
+        # reading the committed version races nothing) still holds —
+        # the pin is for single-computation, not safety.
+        .localCheckpoint(eager=True)
     )
     committed, applied = fold_partitions_versioned(
         merged, paths["counts"], "_bg", groups, batch_tag
     )
-    new_max = (
-        spark.read.parquet(committed)
-        .filter(F.col("_bg").isin(groups))
-        .agg(F.max("c"))
-        .first()[0]
-        or 0
-    )
+    if applied:
+        # max over merged == max over the committed touched groups: the
+        # fold wrote exactly these rows
+        new_max = merged.agg(F.max("c")).first()[0] or 0
+    else:
+        # replayed batch_tag: merged re-added the delta on top of a
+        # committed version that already contains it, so it must NOT
+        # feed stats — re-derive from the committed table (this is also
+        # the self-healing path for a crash between flip and stats
+        # write)
+        new_max = (
+            spark.read.parquet(committed)
+            .filter(F.col("_bg").isin(groups))
+            .agg(F.max("c"))
+            .first()[0]
+            or 0
+        )
     stats = read_index_stats(root) or {}
     stats["max_bucket"] = max(int(stats.get("max_bucket", 0)), int(new_max))
     write_index_stats(root, stats)

@@ -49,6 +49,36 @@ def main() -> None:
         fn(*a, **kw)
         timings[key] = round(time.perf_counter() - t0, 4)
 
+    # UNTIMED generic JVM warm-up (r15, VERDICT r14 Wrong #2 — a
+    # measurement-bug fix, stated per the bench-contract rule): the
+    # first timed landing used to absorb this fresh JVM's one-time
+    # costs (codegen/janino, shuffle machinery, parquet writer init),
+    # so ingest:land_dedup_index measured "JVM boot + landing" (14.2 s
+    # driver r14) while its warm steady state is ~4 s and every LATER
+    # ingest row measured only its landing — rows were not comparable
+    # to each other or round-over-round. Warm the same infrastructure
+    # on SYNTHETIC throwaway data (never the input tables, never a
+    # landed artifact — input-read and landing costs stay inside the
+    # timed rows), exactly the stance bench.py's query leg already
+    # takes ("per-query numbers measure the plans, not session
+    # startup"). Old numbers kept in BENCH_r14.json for comparison.
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    warm = os.path.join(
+        tempfile.gettempdir(), "miletos_warm_" + uuid.uuid4().hex[:8]
+    )
+    spark.range(1 << 18).withColumn(
+        "g", F.pmod(F.xxhash64("id"), F.lit(64))
+    ).repartition("g").groupBy("g").agg(
+        F.count("*").alias("c"), F.sum("id").alias("s")
+    ).write.mode("overwrite").partitionBy("g").parquet(warm)
+    spark.read.parquet(warm).agg(F.max("c")).collect()
+    shutil.rmtree(warm, ignore_errors=True)
+
     # forced rebuilds: comparable round-over-round regardless of what
     # ran earlier in this container
     timed("ingest:land_dedup_index", land_dedup_index, spark, sf_dir,
@@ -71,6 +101,15 @@ def main() -> None:
     # landed here so its KMeans never runs in the query JVM
     timed("ingest:land_ivfpq256_index", land_ivfpq_index, spark, sf_dir,
           n_centroids=256, overwrite=True)
+    # the recall row's exact brute-force ground truth, timed under its
+    # own ingest label like every other landing (r15, VERDICT r14
+    # Wrong #3: its cold build previously ran only inside bench.py's
+    # UNTIMED warm touch, escaping every timed leg); params match the
+    # recall row's (_RECALL_Q=20, _RECALL_K=10, l2)
+    from miletos_spark.pipeline.landing import land_exact_topk
+
+    timed("ingest:land_exact_topk", land_exact_topk, spark, sf_dir,
+          n_queries=20, k=10, metric="l2", overwrite=True)
 
     # streaming landings: cold build forced, then the memoized warm hit
     def _stream_landings(overwrite: bool) -> None:
