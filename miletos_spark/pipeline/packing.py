@@ -34,6 +34,7 @@ def running_offsets(
     group_cols: Sequence[str] = ("lang", "source"),
     id_col: str = "doc_id",
     bucket_width: int | None = None,
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
     """The packing layout's first pass, shared by `pack_chunks` and the
     streaming packer's per-micro-batch leg: the EXCLUSIVE running token
@@ -44,8 +45,14 @@ def running_offsets(
     cumulative bucket offsets joined back — the gap-sessionization
     trick): id-bucketing is order-preserving and the sums are exact
     integer arithmetic, so the result is BIT-IDENTICAL to the plain
-    window while no single task ever sorts a whole group. Returns
-    (group cols, id, tokens, start_off)."""
+    window while no single task ever sorts a whole group.
+
+    ``carry_cols`` (r15) names extra input columns carried through
+    verbatim (they ride the row, never the aggregates) — the streaming
+    packer uses it to land the dedup key alongside the layout in ONE
+    write instead of a second projection job. Returns
+    (group cols, id, tokens, start_off, *carry_cols)."""
+    carry = [str(c) for c in carry_cols]
     n = F.col(token_col).cast("long")
     if bucket_width is None:
         w = (
@@ -54,11 +61,13 @@ def running_offsets(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         start = (F.sum(n).over(w) - n).alias("start_off")
-        return df.select(*group_cols, id_col, n.alias(token_col), start)
+        return df.select(
+            *group_cols, id_col, n.alias(token_col), start, *carry
+        )
     gcols = list(group_cols)
     bkt = F.floor(F.col(id_col) / F.lit(int(bucket_width)))
     dfb = df.select(
-        *gcols, id_col, n.alias(token_col)
+        *gcols, id_col, n.alias(token_col), *carry
     ).withColumn("_pkt", bkt)
     wloc = (
         Window.partitionBy(*gcols, "_pkt")
@@ -84,7 +93,7 @@ def running_offsets(
     return (
         local.join(offsets, [*gcols, "_pkt"])
         .withColumn("start_off", F.col("_loc") + F.col("_off"))
-        .select(*gcols, id_col, token_col, "start_off")
+        .select(*gcols, id_col, token_col, "start_off", *carry)
     )
 
 

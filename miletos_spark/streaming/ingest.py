@@ -594,9 +594,9 @@ def stream_pack_shards(
     batch against its own keys and silently dropped it):
 
     - every per-batch write goes to a batch-named path, mode
-      overwrite — `seen/b=<id>/`, `out_dir/b=<id>/`, and a FULL
-      offsets snapshot `offsets/b=<id>/` — so a replayed attempt
-      simply rewrites its own orphan dirs;
+      overwrite — `out_dir/b=<id>/` (packed rows + the (lang, h) seen
+      keys, one write) and a FULL offsets snapshot `offsets/b=<id>/` —
+      so a replayed attempt simply rewrites its own orphan dirs;
     - a batch is COMMITTED by a marker file `commits/<id>` written
       after all three dirs land; readers consult only committed
       state (seen keys with b ≤ last committed via the partition
@@ -621,11 +621,15 @@ def stream_pack_shards(
       `read_committed_shards` is that reader (orphan `b=*` dirs from
       a crashed attempt are invisible through it).
 
-    State tables under `state_dir`:
+    State under `state_dir` and `out_dir`:
 
-    - `seen/b=*/` — (lang, scrub_md5) keys already packed. The
-      cross-batch dedup is an anti-join against the committed union
-      (the same stream-vs-landed-index stance as `stream_near_dup`).
+    - (lang, scrub_md5) keys already packed ride ON the committed
+      packed rows themselves (`out_dir/b=*/` carries `h` — one write
+      lands layout + seen keys, r15; the pre-r15 separate `seen/b=*/`
+      store was a second projection job per micro-batch over the same
+      rows). The cross-batch dedup is an anti-join against the
+      committed union (the same stream-vs-landed-index stance as
+      `stream_near_dup`); contract readers project `h` away.
     - `offsets/b=*/` — (lang, total) running token offset per shard,
       |langs| rows per snapshot; superseded snapshots are pruned
       best-effort after commit. This is the cross-batch carry of the
@@ -646,8 +650,9 @@ def stream_pack_shards(
     the driver row's oracle.
 
     Packed rows under `out_dir/b=*/`:
-    (lang, doc_id, n_tokens, start_bin, n_straddle) — one per kept
-    distinct doc; bins use the same double-division floor as
+    (lang, doc_id, n_tokens, start_bin, n_straddle, h) — one per kept
+    distinct doc (`h` is the scrub_md5 seen key, projected away by the
+    contract reader); bins use the same double-division floor as
     `pack_chunks` (offsets < 2**53, exact)."""
     import json
     import os
@@ -660,7 +665,6 @@ def stream_pack_shards(
         token_count,
     )
 
-    seen_dir = os.path.join(state_dir, "seen")
     off_dir = os.path.join(state_dir, "offsets")
     commit_dir = os.path.join(state_dir, "commits")
 
@@ -741,10 +745,14 @@ def stream_pack_shards(
         # schema: an all-empty committed set must read as 0 rows, not
         # fail inference; b ≤ last hides a crashed attempt's orphans)
         if last >= 0:
+            # seen keys live ON the committed packed rows (r15): the
+            # out_dir write carries h, so no separate seen store exists
+            # — read (lang, h) from committed batches only (b <= last
+            # hides a crashed attempt's orphans, exactly as before)
             seen = (
-                sp.read.option("basePath", seen_dir)
+                sp.read.option("basePath", out_dir)
                 .schema("lang string, h string, b int")
-                .parquet(seen_dir)
+                .parquet(out_dir)
                 .filter(F.col("b") <= F.lit(last))
                 .select("lang", "h")
             )
@@ -772,13 +780,16 @@ def stream_pack_shards(
         )
         # within-batch leg of the prefix sum: the two-pass id-bucketed
         # decomposition (bit-identical to a per-lang window; no single
-        # task sorts a hot lang's whole micro-batch)
+        # task sorts a hot lang's whole micro-batch). The dedup key h
+        # is carried through so the packed-rows write below doubles as
+        # the seen-keys store (r15, jobs/micro-batch 4 -> 3).
         local = running_offsets(
             new,
             token_col="n_tokens",
             group_cols=("lang",),
             id_col="doc_id",
             bucket_width=bucket_width,
+            carry_cols=("h",),
         )
         if cur is not None:
             local = local.join(
@@ -792,6 +803,12 @@ def stream_pack_shards(
         start_off = F.col("start_off") + F.col("_off")
         start_bin = F.floor(start_off / cap)
         end_bin = F.floor((start_off + F.col("n_tokens") - 1) / cap)
+        # ONE write lands the packed layout AND the (lang, h) seen keys
+        # (r15, VERDICT r14 Next #5): the old separate seen/b=<id>
+        # write was a second full projection job over rows this write
+        # already carries. Readers of the 5-column shard contract
+        # (read_committed_shards, the declared query) project h away;
+        # the cross-batch dedup above reads (lang, h, b) from out_dir.
         local.select(
             "lang",
             "doc_id",
@@ -800,11 +817,9 @@ def stream_pack_shards(
             F.greatest(end_bin - start_bin, F.lit(0))
             .cast("long")
             .alias("n_straddle"),
+            "h",
         ).write.mode("overwrite").parquet(
             os.path.join(out_dir, f"b={batch_id}")
-        )
-        new.select("lang", "h").write.mode("overwrite").parquet(
-            os.path.join(seen_dir, f"b={batch_id}")
         )
         # offsets snapshot AFTER this batch — JVM plan end to end. No
         # materialization barrier needed (r14): the plan reads ONLY the
