@@ -450,6 +450,24 @@ def bls_best_snr_grouped(
     )
 
 
+def _local_relation(spark, rows, schema) -> DataFrame:
+    """Collected rows as an Arrow-backed LOCAL relation (r15, the
+    connected_components idiom, guide §4): `createDataFrame(list)`
+    builds a Python-RDD-backed frame whose every downstream action pays
+    a Python-runner round-trip per parent slice; the pandas/Arrow path
+    crosses the boundary once at creation and plans as LocalTableScan,
+    so broadcasts over it build driver-side with no scheduled job.
+    Values round-trip bit-exactly (float64 through Arrow)."""
+    if not rows:
+        return spark.createDataFrame([], schema)
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {f.name: [r[f.name] for r in rows] for f in schema.fields}
+    )
+    return spark.createDataFrame(pdf, schema=schema)
+
+
 def bls_multi_signal_grouped(
     df: DataFrame,
     trials: DataFrame,
@@ -471,6 +489,7 @@ def bls_multi_signal_grouped(
     Returns one row per accepted detection:
     group_cols + (signal_idx, period, dcyc, epoch, depth, snr)."""
     keys = list(group_cols)
+    spark = df.sparkSession
     work = df.select(*keys, time_col, value_col)
     cached: list[DataFrame] = []
     out: DataFrame | None = None
@@ -493,29 +512,28 @@ def bls_multi_signal_grouped(
                 "snr",
             )
         )
-        # the per-iteration acceptance table is one row per target at
-        # most — cache it driver-side-small but keep it a DataFrame
-        accepted = accepted.cache()
-        cached.append(accepted)
-        if i == max_signals - 1:
-            # LAST iteration: the isEmpty probe is pure waste here — the
-            # loop breaks either way, and unioning an empty acceptance
-            # set adds no rows — so skip its scheduled job (r14; it was
-            # a full extra pass over the final search in the pipeline
-            # anchors). Earlier iterations keep the probe: it gates
-            # whether the next search runs at all.
-            out = accepted if out is None else out.unionByName(accepted)
+        # ONE scheduled pass per iteration (r15, VERDICT r14 Next #7):
+        # the acceptance table is at most one row per target and the
+        # subtraction join already implied a driver-sized broadcast of
+        # it — so collect it outright and re-expose it as an
+        # Arrow-backed LOCAL relation (the connected_components idiom).
+        # The r14 form cached it and paid an isEmpty probe job PLUS a
+        # broadcast-build job per earlier iteration; now the empty-gate
+        # reads len(rows), the broadcast builds driver-side from the
+        # LocalTableScan, and the final union materializes nothing new.
+        # Values are the collected doubles verbatim (bit-exact through
+        # Arrow), pinned by test_bls_multi.
+        rows = accepted.collect()
+        loc = _local_relation(spark, rows, accepted.schema)
+        out = loc if out is None else out.unionByName(loc)
+        if i == max_signals - 1 or not rows:
+            # last iteration, or nothing accepted: no next search runs
+            # (a target that failed acceptance is done — its series is
+            # unchanged, so re-searching would reproduce the same
+            # sub-threshold best)
             break
-        if accepted.isEmpty():
-            if out is None:
-                out = accepted  # empty, but correctly typed per-key
-            break
-        out = accepted if out is None else out.unionByName(accepted)
         # subtract each accepted box and keep ONLY still-active targets
-        # for the next pass (a target that failed acceptance this round
-        # is done — its series is unchanged, so re-searching it would
-        # reproduce the same sub-threshold best)
-        j = accepted.select(
+        j = loc.select(
             *keys,
             F.col("period").alias("_p"), F.col("dcyc").alias("_d"),
             F.col("epoch").alias("_e"), F.col("depth").alias("_dep"),
@@ -534,7 +552,6 @@ def bls_multi_signal_grouped(
             .cache()
         )
         cached.append(work)
-    out = out.localCheckpoint(eager=True)
     for c in cached:
         c.unpersist()
     return out
