@@ -742,11 +742,13 @@ def land_ivf2_index(
     super-cell's fine centers — budgeted PROPORTIONAL to its sample
     share, so coarse imbalance cannot inflate fine-cell occupancy —
     are fit on that super's sample members. Per-super fine fits are
-    mutually independent; the driver loop here is the local[32]-scale
-    form, bounded to sample-size trainable cells — the cluster-scale
-    form that removes that bound is `fit_fine_distributed` (one
-    applyInPandas over supers, per-super samples, true-count
-    budgets), recovery-equivalent by test.
+    mutually independent; the driver loop is the small-k form, bounded
+    to sample-size trainable cells — past the
+    `SPARK_GRAFT_IVF2_DRIVER_FIT_MAX_K` gate (default 4096; r15) the
+    landing cuts over to `fit_fine_distributed` (one applyInPandas
+    over supers, per-super samples, true-count budgets),
+    recovery-equivalent by test, so a corpus-sized k never runs the
+    driver loop.
     Sample-trained quantizers are the standard IVF recipe (FAISS
     trains coarse quantizers on subsets; same stance as
     `_train_codebooks`).
@@ -765,9 +767,27 @@ def land_ivf2_index(
 
     # v2: share-proportional fine budgets (the tag versions the
     # TRAINING ALGORITHM — a recipe change must invalidate memoized
-    # landings, or probes silently read stale quantizers)
+    # landings, or probes silently read stale quantizers).
+    # r15 (VERDICT r14 Wrong #4 / Next #4): the per-super fine fits run
+    # DISTRIBUTED (`fit_fine_distributed`, true-count budgets) once k
+    # exceeds SPARK_GRAFT_IVF2_DRIVER_FIT_MAX_K (default 4096) — the
+    # driver loop is bounded by its 65k sample and k grows with the
+    # corpus (k = n/16 for the semdedup auto landing), so at 100 TB the
+    # driver loop is a scale-killer that the gate now never reaches.
+    # The gate keys on k alone (known BEFORE the memo check, so warm
+    # reads stay metadata-only), and the two paths land under DISTINCT
+    # tags: the fine tables differ (sample-share vs true-count budgets),
+    # so a gate flip must invalidate memoized landings, same stance as
+    # the v2 tag itself. Local SFs stay far under the default gate —
+    # bench/oracle behavior is byte-identical.
+    fit_k_max = int(
+        os.environ.get("SPARK_GRAFT_IVF2_DRIVER_FIT_MAX_K", "4096")
+    )
+    use_dist = int(n_clusters) > fit_k_max
     src = os.path.join(sf_dir, "embeddings.parquet")
-    root = _index_root(src, f"ivf2v2_{n_clusters}s{seed}")
+    root = _index_root(
+        src, f"ivf2v2{'d' if use_dist else ''}_{n_clusters}s{seed}"
+    )
     paths = {"cells": os.path.join(root, "cells"),
              "coarse": os.path.join(root, "coarse"),
              "fine": os.path.join(root, "fine")}
@@ -796,41 +816,50 @@ def land_ivf2_index(
     pts = np.asarray([r["_v"] for r in sample], dtype=np.float64)
     k_c = max(1, math.isqrt(max(0, n_clusters - 1)) + 1)  # ceil(sqrt)
     coarse_c = _lloyd(pts, k_c, seed)
-    d2 = ((pts[:, None, :] - coarse_c[None, :, :]) ** 2).sum(axis=2)
-    a = d2.argmin(axis=1)
     coarse_rows = [
         (int(s), [float(x) for x in c]) for s, c in enumerate(coarse_c)
     ]
-    fine_rows = []
-    for s in range(len(coarse_c)):
-        members = pts[a == s]
-        if len(members) == 0:
-            # degenerate empty super: its own center as the one fine
-            # cell, so every super remains probe-able
-            fine_rows.append((s, 0, coarse_rows[s][1]))
-            continue
-        # fine budget PROPORTIONAL to the super's sample share — an
-        # equal k/k_c split leaves a fat coarse cell (coarse Voronoi
-        # regions in high-dim mixtures are very uneven) with fine
-        # cells far over the occupancy target: measured one
-        # 4,706-row cell (target 64) and a ×13 10×-corpus factor on
-        # the mixed-distribution probe corpus before this was
-        # share-weighted
-        k_f_s = max(1, round(n_clusters * len(members) / len(pts)))
-        fc = _lloyd(members, k_f_s, seed + 1 + s)
-        fine_rows += [
-            (s, int(j), [float(x) for x in c]) for j, c in enumerate(fc)
-        ]
     _write_local_table(
         paths["coarse"], coarse_rows, "super int, center array<double>"
     )
-    _write_local_table(
-        paths["fine"], fine_rows,
-        "super int, fine int, center array<double>",
-    )
+    coarse_l = spark.read.parquet(paths["coarse"])
+    if use_dist:
+        # cluster-scale fine fits: one applyInPandas over supers,
+        # per-super bounded samples, TRUE-count budgets — nothing
+        # k-sized ever collected to the driver
+        fit_fine_distributed(
+            spark, emb, coarse_l, n_clusters, seed=seed
+        ).write.mode("overwrite").parquet(paths["fine"])
+    else:
+        d2 = ((pts[:, None, :] - coarse_c[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        fine_rows = []
+        for s in range(len(coarse_c)):
+            members = pts[a == s]
+            if len(members) == 0:
+                # degenerate empty super: its own center as the one fine
+                # cell, so every super remains probe-able
+                fine_rows.append((s, 0, coarse_rows[s][1]))
+                continue
+            # fine budget PROPORTIONAL to the super's sample share — an
+            # equal k/k_c split leaves a fat coarse cell (coarse Voronoi
+            # regions in high-dim mixtures are very uneven) with fine
+            # cells far over the occupancy target: measured one
+            # 4,706-row cell (target 64) and a ×13 10×-corpus factor on
+            # the mixed-distribution probe corpus before this was
+            # share-weighted
+            k_f_s = max(1, round(n_clusters * len(members) / len(pts)))
+            fc = _lloyd(members, k_f_s, seed + 1 + s)
+            fine_rows += [
+                (s, int(j), [float(x) for x in c])
+                for j, c in enumerate(fc)
+            ]
+        _write_local_table(
+            paths["fine"], fine_rows,
+            "super int, fine int, center array<double>",
+        )
     # assignment from the PERSISTED tables (the probe's view of the
     # quantizer), distributed and top-1 at both levels
-    coarse_l = spark.read.parquet(paths["coarse"])
     fine_l = spark.read.parquet(paths["fine"])
     assigned = assign_cells_2l(
         emb, coarse_l, fine_l, n_probe_coarse=1, n_probe_fine=1

@@ -312,6 +312,65 @@ def test_fit_fine_distributed_recovers_planted(spark, sf_dir):
     assert got == {(i + 1000, i) for i in range(10)}
 
 
+def test_land_ivf2_distributed_cutover_gate(spark, sf_dir, monkeypatch):
+    """r15 (VERDICT r14 Wrong #4): past SPARK_GRAFT_IVF2_DRIVER_FIT_MAX_K
+    the landing must train the fine level via fit_fine_distributed, land
+    under a DISTINCT tag (the two recipes produce different fine tables,
+    so a gate flip may never read a memoized driver-trained index), and
+    the landed quantizer must still recover planted near-dups — the same
+    quantizer-independence contract the driver path pins."""
+    from pyspark.sql import functions as F
+
+    from miletos_spark.pipeline import landing as L
+    from miletos_spark.pipeline.similarity import (
+        semantic_dedup_drops,
+        semantic_dedup_pairs_2l,
+    )
+    from miletos_spark.schema import load_table
+
+    monkeypatch.setenv("SPARK_GRAFT_IVF2_DRIVER_FIT_MAX_K", "4")
+    calls = {"n": 0}
+    orig = L.fit_fine_distributed
+
+    def spy(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(L, "fit_fine_distributed", spy)
+    paths = L.land_ivf2_index(spark, sf_dir, n_clusters=8, overwrite=True)
+    assert calls["n"] == 1, "gate must route the fine fit distributed"
+    fine = spark.read.parquet(paths["fine"])
+    coarse = spark.read.parquet(paths["coarse"])
+    supers = {r["super"] for r in coarse.collect()}
+    assert {r["super"] for r in fine.collect()} == supers
+    # planted-recovery through the landed distributed quantizer
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", v.alias("embedding"))
+    planted = base.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.01)).alias(
+            "embedding"
+        ),
+    )
+    drops = semantic_dedup_drops(
+        semantic_dedup_pairs_2l(
+            base.unionByName(planted), coarse, fine,
+            threshold=0.9, n_probe=2,
+        )
+    )
+    got = {(r["dropped_id"], r["kept_id"]) for r in drops.collect()}
+    assert got == {(i + 1000, i) for i in range(10)}
+    # the default gate keeps the driver recipe AND the r14 tag (a
+    # DIFFERENT memo root than the dist recipe — the tag is hashed into
+    # the path, so a gate flip can never read the other recipe's index);
+    # memoized bench/oracle landings stay byte-valid
+    monkeypatch.delenv("SPARK_GRAFT_IVF2_DRIVER_FIT_MAX_K")
+    paths2 = L.land_ivf2_index(spark, sf_dir, n_clusters=8)
+    assert paths2["fine"] != paths["fine"], "recipes share a memo root"
+    assert calls["n"] == 1, "default gate must keep the driver loop"
+
+
 def test_fit_fine_distributed_backfills_empty_super(spark):
     """ADVICE r9: a super that catches no sample rows (or no vectors
     at all) must still appear in the fine table — otherwise
