@@ -219,6 +219,13 @@ def lsh_band_near_dup_pairs(
     random-similarity bulk (s ≈ 0.5) are NOT prunable by any index and
     belong to the exact crossJoin path (`pairwise_topk`).
 
+    PRECONDITION (ADVICE r14): ``id_col`` must be unique in ``df``.
+    Candidate pairs are deduplicated as bare (id_a, id_b) keys and the
+    vectors re-attach by two equi-joins — duplicate ids would fan the
+    re-attach out into duplicated pair rows (the pre-r14
+    payload-carrying dropDuplicates collapsed them instead). Every
+    caller feeds a per-vector-unique id (vec_id / frame key).
+
     Returns (id_a, id_b, cos_sim) with id_a < id_b, all pairs above
     threshold.
     """
@@ -234,6 +241,14 @@ def lsh_band_near_dup_pairs(
     # deliberately STAY in HOF-fold form: an unrolled literal-
     # coefficient spelling of all 32 planes was measured 10x+ SLOWER
     # (per-action planning/codegen blows up past ~1k expression nodes).
+    # `base` appears THREE times in the lineage (bucket derivation plus
+    # both re-attach joins) uncached — fine for a parquet scan, but an
+    # EXPENSIVE upstream df recomputes three times; callers with such
+    # inputs should pin df (localCheckpoint) first. An unconditional pin
+    # here was measured a wash at sf0.1 (near_dup_clusters 2.19->2.35,
+    # embedding_near_dup 6.81->6.41 s min-over-3, r15) — the scan is
+    # cheaper than the materialization, so the tradeoff stays the
+    # caller's (ADVICE r14).
     base = df.select(F.col(id_col).alias("_id"), v.alias("_v")).withColumn(
         "_n", _norm(F.col("_v"))
     )
