@@ -732,9 +732,14 @@ def ngram_jaccard_pairs(
     (id_a, id_b) pairs: |A∩B| / |A∪B| via array_intersect/array_union.
     The candidate table is the small side — broadcast both lookups."""
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # pinned once (r15): the shingle table feeds BOTH join lookups, and
+    # unpinned each side re-ran the per-doc k-gram transform +
+    # array_distinct (O(len²) interpreted HOF string compares — the
+    # dominant per-row cost) over every candidate doc. 10×-volume A/B:
+    # the verify pass dropped ~2× (see SCALE.md r15).
     sh = shingle_array(df, text_col=text_col, k=k).select(
         F.col(id_col), F.col("shingles")
-    )
+    ).localCheckpoint(eager=True)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
