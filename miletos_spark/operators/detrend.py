@@ -278,7 +278,24 @@ def clip_detrend_loop(
             group_cols=group_cols, halo_chunk_rows=halo_chunk_rows,
         ).cache()
         if clip_per_group and group_cols:
-            n = det.count()
+            # ONE action per iteration on the per-group branch too
+            # (r15, the pooled branch's r14 treatment extended): the
+            # fixpoint count and the per-group clip stats come from the
+            # same aggregate job (which also materializes the cache) —
+            # the separate count() + broadcast-build pair cost one
+            # extra scheduled pass per iteration on the anchors'
+            # critical path. The stats table is one row per target (the
+            # broadcast already implied driver-sized), so collect it
+            # and re-expose it as an Arrow local relation: the
+            # subsequent broadcast builds driver-side with no job.
+            keys = list(group_cols)
+            gagg = det.groupBy(*keys).agg(
+                F.count("*").alias("_cn"),
+                F.avg("value_detrended").alias("_cmu"),
+                F.stddev_pop("value_detrended").alias("_csd"),
+            )
+            grows = gagg.collect()
+            n = sum(r["_cn"] for r in grows)
         else:
             # ONE action per iteration: the row count (the fixpoint
             # test) and the clip stats come from the same aggregate
@@ -298,11 +315,11 @@ def clip_detrend_loop(
             return det
         prev = n
         if clip_per_group and group_cols:
-            keys = list(group_cols)
-            gstats = det.groupBy(*keys).agg(
-                F.avg("value_detrended").alias("_cmu"),
-                F.stddev_pop("value_detrended").alias("_csd"),
-            )
+            from miletos_spark.schema import local_relation
+
+            gstats = local_relation(
+                det.sparkSession, grows, gagg.schema
+            ).drop("_cn")
             work = (
                 det.join(F.broadcast(gstats), keys)
                 .filter(

@@ -139,3 +139,23 @@ def events_as_lightcurve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("inst"),
         F.col("user_id").cast("int").alias("chunk"),
     )
+
+
+def local_relation(spark: SparkSession, rows, schema) -> DataFrame:
+    """Collected rows re-exposed as an Arrow-backed LOCAL relation
+    (r15, the connected_components idiom, optimization guide §4):
+    `createDataFrame(list)` builds a Python-RDD-backed frame whose
+    every downstream action pays a Python-runner round-trip per parent
+    slice; the pandas/Arrow path crosses the boundary once at creation
+    and plans as LocalTableScan, so broadcasts over it build
+    driver-side with no scheduled job. Values round-trip bit-exactly
+    (float64 through Arrow). Shared by the multi-signal acceptance
+    loop and the per-group clip-stats loop."""
+    if not rows:
+        return spark.createDataFrame([], schema)
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {f.name: [r[f.name] for r in rows] for f in schema.fields}
+    )
+    return spark.createDataFrame(pdf, schema=schema)

@@ -450,24 +450,6 @@ def bls_best_snr_grouped(
     )
 
 
-def _local_relation(spark, rows, schema) -> DataFrame:
-    """Collected rows as an Arrow-backed LOCAL relation (r15, the
-    connected_components idiom, guide §4): `createDataFrame(list)`
-    builds a Python-RDD-backed frame whose every downstream action pays
-    a Python-runner round-trip per parent slice; the pandas/Arrow path
-    crosses the boundary once at creation and plans as LocalTableScan,
-    so broadcasts over it build driver-side with no scheduled job.
-    Values round-trip bit-exactly (float64 through Arrow)."""
-    if not rows:
-        return spark.createDataFrame([], schema)
-    import pandas as pd
-
-    pdf = pd.DataFrame(
-        {f.name: [r[f.name] for r in rows] for f in schema.fields}
-    )
-    return spark.createDataFrame(pdf, schema=schema)
-
-
 def bls_multi_signal_grouped(
     df: DataFrame,
     trials: DataFrame,
@@ -523,8 +505,10 @@ def bls_multi_signal_grouped(
         # LocalTableScan, and the final union materializes nothing new.
         # Values are the collected doubles verbatim (bit-exact through
         # Arrow), pinned by test_bls_multi.
+        from miletos_spark.schema import local_relation
+
         rows = accepted.collect()
-        loc = _local_relation(spark, rows, accepted.schema)
+        loc = local_relation(spark, rows, accepted.schema)
         out = loc if out is None else out.unionByName(loc)
         if i == max_signals - 1 or not rows:
             # last iteration, or nothing accepted: no next search runs
