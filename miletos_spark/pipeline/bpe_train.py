@@ -168,10 +168,12 @@ def train_bpe(
     n-gram LM joins use."""
     wf = word_freq(df, text_col)
     if merges_per_round <= 1:
-        # the count is vocab-sized and the distributed loop would pay
-        # it (and more) in its first round anyway
-        if wf.count() <= collect_threshold:
-            freqs = {r["word"]: r["freq"] for r in wf.collect()}
+        # ONE job, not a count + a collect (r15, the connected_components
+        # idiom): collect threshold+1 rows — if they all fit, that WAS
+        # the whole vocab table
+        head = wf.limit(collect_threshold + 1).collect()
+        if len(head) <= collect_threshold:
+            freqs = {r["word"]: r["freq"] for r in head}
             return _train_bpe_local(freqs, n_merges, min_count)
     words = wf.select(
         F.regexp_replace("word", "(.)", BPE_UNIT + "$1" + BPE_UNIT).alias(
